@@ -1,0 +1,525 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** TPC-H q1–q22 adapted to the testdata column subset (FIXTURES.md).
+  *
+  * The reference ships full TPC-H as its system query suite
+  * (reference: dbcon/doc/tpch01.sql…tpch22.sql, perf DB `tpch100` at SF100,
+  * utils/scenarios/perf/testcase/grptest.sh:18). These are the same query
+  * shapes over the driver-generated star schema.
+  *
+  * Scale notes: every query here is declarative DataFrame API, so Catalyst
+  * pushes filters into the parquet scan, prunes columns, and two-phase
+  * aggregates. Dimension tables (region/nation/customer/supplier/part) are
+  * broadcast-joined automatically under the 64 MB threshold (Tables.tune);
+  * at 100 TB only lineitem/orders are big, and every join below keys on
+  * their natural keys so AQE handles skew/shuffle sizing.
+  */
+object TpchQueries {
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  /** Q1: pricing summary report — scan → wide filter → 8-agg groupBy → sort.
+    * (reference: dbcon/doc/tpch01.sql, plan dbcon/doc/q1_plan.txt) */
+  val q01: QueryDef = QueryDef(
+    "q01_pricing_summary",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") <= lit("1998-09-02"))
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(
+          sum("l_quantity").as("sum_qty"),
+          sum("l_extendedprice").as("sum_base_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .as("sum_disc_price"),
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount")) *
+            (lit(1) + col("l_tax"))).as("sum_charge"),
+          avg("l_quantity").as("avg_qty"),
+          avg("l_extendedprice").as("avg_price"),
+          avg("l_discount").as("avg_disc"),
+          count(lit(1)).as("count_order"))
+        .orderBy("l_returnflag", "l_linestatus"),
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus,
+             sum(l_quantity) AS sum_qty,
+             sum(l_extendedprice) AS sum_base_price,
+             sum(l_extendedprice * (1 - l_discount)) AS sum_disc_price,
+             sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+             avg(l_quantity) AS avg_qty,
+             avg(l_extendedprice) AS avg_price,
+             avg(l_discount) AS avg_disc,
+             count(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+      ORDER BY l_returnflag, l_linestatus""")
+  )
+
+  /** Q3: shipping priority — 3-way join, filter each side, top-k.
+    * (reference: dbcon/doc/tpch03.sql) */
+  val q03: QueryDef = QueryDef(
+    "q03_shipping_priority",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") < lit("1998-03-15"))
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") > lit("1997-03-15"))
+      cust
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_orderkey"), col("o_orderdate"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+        .limit(10)
+    },
+    oracle = Some("""
+      SELECT l_orderkey, o_orderdate,
+             sum(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM customer, orders, lineitem
+      WHERE c_mktsegment = 'BUILDING'
+        AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+        AND l_shipdate > TIMESTAMP '1997-03-15 00:00:00'
+      GROUP BY l_orderkey, o_orderdate
+      ORDER BY revenue DESC, o_orderdate, l_orderkey
+      LIMIT 10""")
+  )
+
+  /** Q4: order priority checking — EXISTS → left-semi join.
+    * (reference: dbcon/doc/tpch04.sql; semi-join type joblisttypes.h:85) */
+  val q04: QueryDef = QueryDef(
+    "q04_order_priority",
+    (s, dir) => {
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-07-01") &&
+          col("o_orderdate") < lit("1996-10-01"))
+      // the reference models EXISTS as a SEMI join (ha_exists_sub.cpp)
+      val late = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey"))
+      ord
+        .join(late, col("o_orderkey") === col("l_orderkey"), "left_semi")
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("order_count"))
+        .orderBy(col("o_orderpriority"))
+    },
+    oracle = Some("""
+      SELECT o_orderpriority, count(*) AS order_count
+      FROM orders
+      WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+        AND EXISTS (SELECT 1 FROM lineitem
+                    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+      GROUP BY o_orderpriority
+      ORDER BY o_orderpriority""")
+  )
+
+  /** Q5: local supplier volume — 6-way join through the full snowflake.
+    * (reference: dbcon/doc/tpch05.sql) */
+  val q05: QueryDef = QueryDef(
+    "q05_local_supplier_volume",
+    (s, dir) => {
+      val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+      val nation = t(s, dir, "nation")
+      val cust = t(s, dir, "customer")
+      val sup = t(s, dir, "supplier")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-01-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val li = t(s, dir, "lineitem")
+      cust
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(sup, col("l_suppkey") === col("s_suppkey") &&
+          col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name"))
+    },
+    oracle = Some("""
+      SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM customer, orders, lineitem, supplier, nation, region
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'ASIA'
+        AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+      GROUP BY n_name
+      ORDER BY revenue DESC, n_name""")
+  )
+
+  /** Q6: forecasting revenue change — pure scan + conjunctive filter + agg.
+    * The flagship extent-elimination query in the reference (casual
+    * partitioning min/max skipping, dbcon/joblist/lbidlist.h:80); for us the
+    * same skipping happens in parquet row-group stats. */
+  val q06: QueryDef = QueryDef(
+    "q06_forecast_revenue",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_discount").between(0.05, 0.07) &&
+          col("l_quantity") < 24)
+        .agg(sum(col("l_extendedprice") * col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_rows")),
+    oracle = Some("""
+      SELECT sum(l_extendedprice * l_discount) AS revenue,
+             count(*) AS n_rows
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_discount BETWEEN 0.05 AND 0.07
+        AND l_quantity < 24""")
+  )
+
+  /** Q10: returned item reporting — join + group on many keys + top-k.
+    * (reference: dbcon/doc/tpch10.sql) */
+  val q10: QueryDef = QueryDef(
+    "q10_returned_items",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val nation = t(s, dir, "nation")
+      val ord = t(s, dir, "orders")
+        .filter(col("o_orderdate") >= lit("1996-10-01") &&
+          col("o_orderdate") < lit("1997-01-01"))
+      val li = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      cust
+        .join(ord, col("c_custkey") === col("o_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
+          col("n_name"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey"))
+        .limit(20)
+    },
+    oracle = Some("""
+      SELECT c_custkey, c_name, c_acctbal, n_name,
+             sum(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM customer, orders, lineitem, nation
+      WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
+        AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      GROUP BY c_custkey, c_name, c_acctbal, n_name
+      ORDER BY revenue DESC, c_custkey
+      LIMIT 20""")
+  )
+
+  /** Q12: shipping modes — join + CASE-conditional aggregation.
+    * (reference: dbcon/doc/tpch12.sql; CASE via func_case.cpp) */
+  val q12: QueryDef = QueryDef(
+    "q12_ship_mode_priority",
+    (s, dir) => {
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01") &&
+          col("l_linenumber").isin(1, 2, 3))
+      ord
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("l_linenumber"))
+        .agg(
+          sum(when(col("o_orderpriority") === "1-URGENT" ||
+            col("o_orderpriority") === "2-HIGH", 1).otherwise(0))
+            .as("high_line_count"),
+          sum(when(col("o_orderpriority") =!= "1-URGENT" &&
+            col("o_orderpriority") =!= "2-HIGH", 1).otherwise(0))
+            .as("low_line_count"))
+        .orderBy(col("l_linenumber"))
+    },
+    oracle = Some("""
+      SELECT l_linenumber,
+             sum(CASE WHEN o_orderpriority = '1-URGENT'
+                        OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
+               AS high_line_count,
+             sum(CASE WHEN o_orderpriority <> '1-URGENT'
+                       AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
+               AS low_line_count
+      FROM orders, lineitem
+      WHERE o_orderkey = l_orderkey
+        AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        AND l_linenumber IN (1, 2, 3)
+      GROUP BY l_linenumber
+      ORDER BY l_linenumber""")
+  )
+
+  /** Q13: customer distribution — LEFT OUTER join + two-level aggregation.
+    * (reference: dbcon/doc/tpch13.sql; LARGEOUTER join joblisttypes.h:86) */
+  val q13: QueryDef = QueryDef(
+    "q13_customer_distribution",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+        .filter(!col("o_orderpriority").like("%SPECIFIED%"))
+      cust
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_custkey"))
+        .agg(count(col("o_orderkey")).as("c_count"))
+        .groupBy(col("c_count"))
+        .agg(count(lit(1)).as("custdist"))
+        .orderBy(col("custdist").desc, col("c_count").desc)
+    },
+    oracle = Some("""
+      SELECT c_count, count(*) AS custdist
+      FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+            FROM customer LEFT OUTER JOIN orders
+              ON c_custkey = o_custkey
+             AND o_orderpriority NOT LIKE '%SPECIFIED%'
+            GROUP BY c_custkey) c_orders
+      GROUP BY c_count
+      ORDER BY custdist DESC, c_count DESC""")
+  )
+
+  /** Q14: promotion effect — LIKE filter + conditional agg ratio.
+    * (reference: dbcon/doc/tpch14.sql; LIKE via pdictionaryscan.cpp) */
+  val q14: QueryDef = QueryDef(
+    "q14_promo_effect",
+    (s, dir) => {
+      val part = t(s, dir, "part")
+      val li = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-09-01") &&
+          col("l_shipdate") < lit("1996-10-01"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .agg((lit(100.0) *
+          sum(when(col("p_type") === "PROMO",
+            col("l_extendedprice") * (lit(1) - col("l_discount")))
+            .otherwise(0.0)) /
+          sum(col("l_extendedprice") * (lit(1) - col("l_discount"))))
+          .as("promo_revenue"))
+    },
+    oracle = Some("""
+      SELECT 100.00 * sum(CASE WHEN p_type = 'PROMO'
+                               THEN l_extendedprice * (1 - l_discount)
+                               ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+        AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""")
+  )
+
+  /** Q16: parts/supplier relationship — anti-join + count(distinct).
+    * (reference: dbcon/doc/tpch16.sql; NOT IN → ANTI join ha_in_sub.cpp:94) */
+  val q16: QueryDef = QueryDef(
+    "q16_parts_supplier",
+    (s, dir) => {
+      val part = t(s, dir, "part")
+        .filter(col("p_brand") =!= "Brand#1" &&
+          !col("p_type").like("SMALL%") &&
+          col("p_size").isin(1, 4, 7, 10, 13, 16, 19, 22))
+      val li = t(s, dir, "lineitem")
+      val badSup = t(s, dir, "supplier")
+        .filter(col("s_name").like("%0001%"))
+        .select(col("s_suppkey"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(broadcast(badSup), col("l_suppkey") === col("s_suppkey"),
+          "left_anti")
+        .groupBy(col("p_brand"), col("p_type"), col("p_size"))
+        .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+        .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+          col("p_size"))
+    },
+    oracle = Some("""
+      SELECT p_brand, p_type, p_size,
+             count(DISTINCT l_suppkey) AS supplier_cnt
+      FROM lineitem, part
+      WHERE l_partkey = p_partkey
+        AND p_brand <> 'Brand#1'
+        AND p_type NOT LIKE 'SMALL%'
+        AND p_size IN (1, 4, 7, 10, 13, 16, 19, 22)
+        AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                              WHERE s_name LIKE '%0001%')
+      GROUP BY p_brand, p_type, p_size
+      ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""")
+  )
+
+  /** Q17: small-quantity-order revenue — correlated scalar subquery → join.
+    * (reference: dbcon/doc/tpch17.sql; SCALAR join joblisttypes.h:91) */
+  val q17: QueryDef = QueryDef(
+    "q17_small_quantity",
+    (s, dir) => {
+      val part = t(s, dir, "part")
+        .filter(col("p_brand") === "Brand#3" && col("p_type") === "ECONOMY")
+      val li = t(s, dir, "lineitem")
+      val avgQty = li.groupBy(col("l_partkey").as("aq_partkey"))
+        .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .join(avgQty, col("l_partkey") === col("aq_partkey"))
+        .filter(col("l_quantity") < col("half_avg_qty"))
+        .agg((sum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+          count(lit(1)).as("n_rows"))
+    },
+    oracle = Some("""
+      SELECT sum(l_extendedprice) / 7.0 AS avg_yearly,
+             count(*) AS n_rows
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey
+        AND p_brand = 'Brand#3' AND p_type = 'ECONOMY'
+        AND l_quantity < (SELECT 0.5 * avg(l_quantity) FROM lineitem
+                          WHERE l_partkey = p_partkey)""")
+  )
+
+  /** Q18: large volume customer — IN over a grouped-HAVING subquery.
+    * (reference: dbcon/doc/tpch18.sql; having tuplehavingstep.h:39) */
+  val q18: QueryDef = QueryDef(
+    "q18_large_volume_customer",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders")
+      val li = t(s, dir, "lineitem")
+      val bigOrders = li.groupBy(col("l_orderkey").as("big_orderkey"))
+        .agg(sum(col("l_quantity")).as("tot_qty"))
+        .filter(col("tot_qty") > 150)
+        .select(col("big_orderkey"))
+      ord
+        .join(bigOrders, col("o_orderkey") === col("big_orderkey"), "left_semi")
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .join(li, col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"))
+        .agg(sum(col("l_quantity")).as("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate"),
+          col("o_orderkey"))
+        .limit(100)
+    },
+    oracle = Some("""
+      SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+             sum(l_quantity) AS sum_qty
+      FROM customer, orders, lineitem
+      WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
+                           GROUP BY l_orderkey
+                           HAVING sum(l_quantity) > 150)
+        AND c_custkey = o_custkey AND o_orderkey = l_orderkey
+      GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+      ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+      LIMIT 100""")
+  )
+
+  /** Q19: discounted revenue — disjunctive multi-column predicates over a
+    * join (the reference's "function join" / OR-chain ConstantFilter shape,
+    * dbcon/execplan/constantfilter.h). */
+  val q19: QueryDef = QueryDef(
+    "q19_discounted_revenue",
+    (s, dir) => {
+      val part = t(s, dir, "part")
+      val li = t(s, dir, "lineitem")
+      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+        .filter(
+          (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+            col("l_quantity").between(1, 21)) ||
+          (col("p_brand") === "Brand#23" && col("p_size").between(1, 30) &&
+            col("l_quantity").between(10, 30)) ||
+          (col("p_brand") === "Brand#34" && col("p_size").between(1, 45) &&
+            col("l_quantity").between(20, 40)))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"), count(lit(1)).as("n_rows"))
+    },
+    oracle = Some("""
+      SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue,
+             count(*) AS n_rows
+      FROM lineitem, part
+      WHERE p_partkey = l_partkey
+        AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+              AND l_quantity BETWEEN 1 AND 21)
+          OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+              AND l_quantity BETWEEN 10 AND 30)
+          OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 45
+              AND l_quantity BETWEEN 20 AND 40))""")
+  )
+
+  /** Q21: suppliers who kept orders waiting — semi + anti self-joins.
+    * (reference: dbcon/doc/tpch21.sql) */
+  val q21: QueryDef = QueryDef(
+    "q21_suppliers_waiting",
+    (s, dir) => {
+      val sup = t(s, dir, "supplier")
+      val nation = t(s, dir, "nation").filter(col("n_nationkey") < 5)
+      val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      val l1 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      val l2 = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("l2_orderkey"),
+          col("l_suppkey").as("l2_suppkey"))
+      val l3 = t(s, dir, "lineitem")
+        .filter(col("l_returnflag") === "R")
+        .select(col("l_orderkey").as("l3_orderkey"),
+          col("l_suppkey").as("l3_suppkey"))
+      l1
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .join(ord, col("l_orderkey") === col("o_orderkey"))
+        // exists another supplier's line on the same order
+        .join(l2, col("l_orderkey") === col("l2_orderkey") &&
+          col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
+        // and no OTHER supplier also flagged R on that order
+        .join(l3, col("l_orderkey") === col("l3_orderkey") &&
+          col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+        .groupBy(col("s_name"))
+        .agg(count(lit(1)).as("numwait"))
+        .orderBy(col("numwait").desc, col("s_name"))
+        .limit(100)
+    },
+    oracle = Some("""
+      SELECT s_name, count(*) AS numwait
+      FROM lineitem l1, supplier, nation, orders
+      WHERE l1.l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_nationkey < 5
+        AND l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+        AND l1.l_returnflag = 'R'
+        AND EXISTS (SELECT 1 FROM lineitem l2
+                    WHERE l2.l_orderkey = l1.l_orderkey
+                      AND l2.l_suppkey <> l1.l_suppkey)
+        AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                        WHERE l3.l_orderkey = l1.l_orderkey
+                          AND l3.l_suppkey <> l1.l_suppkey
+                          AND l3.l_returnflag = 'R')
+      GROUP BY s_name
+      ORDER BY numwait DESC, s_name
+      LIMIT 100""")
+  )
+
+  /** Q22: global sales opportunity — scalar subquery + NOT EXISTS anti join.
+    * (reference: dbcon/doc/tpch22.sql) */
+  val q22: QueryDef = QueryDef(
+    "q22_global_sales",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val ord = t(s, dir, "orders").select(col("o_custkey"))
+      val avgBal = cust.filter(col("c_acctbal") > 0.0)
+        .agg(avg(col("c_acctbal")).as("avg_bal"))
+      cust
+        .filter(col("c_nationkey").isin(1, 3, 5, 7, 9, 11, 13))
+        .crossJoin(broadcast(avgBal))
+        .filter(col("c_acctbal") > col("avg_bal"))
+        .join(ord, col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("numcust"), sum(col("c_acctbal")).as("totacctbal"))
+        .orderBy(col("c_nationkey"))
+    },
+    oracle = Some("""
+      SELECT c_nationkey, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+      FROM customer
+      WHERE c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+        AND c_acctbal > (SELECT avg(c_acctbal) FROM customer
+                         WHERE c_acctbal > 0.00)
+        AND NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey
+      ORDER BY c_nationkey""")
+  )
+
+  def defs: Seq[QueryDef] = Seq(
+    q01, q03, q04, q05, q06, q10, q12, q13, q14, q16, q17, q18, q19, q21, q22)
+}
