@@ -32,6 +32,9 @@ object Tables {
     // The reference broadcasts join small sides under 64 MB
     // (oam/etc/Calpont.xml:483 PmMaxMemorySmallSide); match that.
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", (64L << 20).toString)
+    // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
+    // rejects; read as long and convert (see table()).
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
   }
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
@@ -39,14 +42,25 @@ object Tables {
   /** Read one table. Filters/pruning push down to the parquet scan. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
-    spark.read.parquet(path(dir, name))
+    val df = spark.read.parquet(path(dir, name))
+    // Normalize nanosecond timestamps (events.ts) to microsecond timestamps:
+    // the nanos column arrives as a long (nanosAsLong); `div 1000` floors to
+    // µs exactly (a double division would lose precision above 2^53).
+    df.schema.fields.foldLeft(df) {
+      case (d, f) if f.name == "ts" && f.dataType ==
+          org.apache.spark.sql.types.LongType =>
+        d.withColumn("ts",
+          org.apache.spark.sql.functions.timestamp_micros(
+            org.apache.spark.sql.functions.expr("ts div 1000")))
+      case (d, _) => d
+    }
   }
 
   /** Read every table and register temp views so `spark.sql` works too. */
   def registerAll(spark: SparkSession, dir: String): Map[String, DataFrame] = {
     tune(spark)
     all.map { n =>
-      val df = spark.read.parquet(path(dir, n))
+      val df = table(spark, dir, n)
       df.createOrReplaceTempView(n)
       n -> df
     }.toMap

@@ -1,7 +1,221 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Predicate / projection / cast parity (SURVEY §2.2).
+  *
+  * The reference evaluates col⊙const predicates in block primitives
+  * (COMPARE_{EQ,NE,LT,LE,GT,GE,LIKE,NLIKE} + BOP_{AND,OR,XOR},
+  * reference: dbcon/joblist/primitivemsg.h:49-73,
+  * primitives/linux-port/column.cpp:1233 p_Col) and OR-chains on one column
+  * as ConstantFilter (dbcon/execplan/constantfilter.h). In Spark the same
+  * predicates are Catalyst filters pushed into the parquet scan.
+  */
 object FilterQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  /** Every comparison operator + AND/OR/XOR combinators in one pass. */
+  val predicateMatrix: QueryDef = QueryDef(
+    "f_predicate_matrix",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      li.agg(
+        sum(when(col("l_linenumber") === 3, 1).otherwise(0)).as("n_eq"),
+        sum(when(col("l_linenumber") =!= 3, 1).otherwise(0)).as("n_ne"),
+        sum(when(col("l_quantity") < 10, 1).otherwise(0)).as("n_lt"),
+        sum(when(col("l_quantity") <= 10, 1).otherwise(0)).as("n_le"),
+        sum(when(col("l_quantity") > 40, 1).otherwise(0)).as("n_gt"),
+        sum(when(col("l_quantity") >= 40, 1).otherwise(0)).as("n_ge"),
+        sum(when(col("l_quantity").between(20, 30), 1).otherwise(0))
+          .as("n_between"),
+        sum(when(col("l_returnflag").isin("A", "N"), 1).otherwise(0))
+          .as("n_in"),
+        sum(when(col("l_returnflag") === "R" && col("l_linestatus") === "O", 1)
+          .otherwise(0)).as("n_and"),
+        sum(when(col("l_returnflag") === "R" || col("l_linestatus") === "O", 1)
+          .otherwise(0)).as("n_or"),
+        sum(when((col("l_returnflag") === "R") =!= (col("l_linestatus") === "O"),
+          1).otherwise(0)).as("n_xor"),
+        sum(when(!(col("l_quantity") < 10), 1).otherwise(0)).as("n_not"))
+    },
+    oracle = Some("""
+      SELECT
+        sum(CASE WHEN l_linenumber = 3 THEN 1 ELSE 0 END) AS n_eq,
+        sum(CASE WHEN l_linenumber <> 3 THEN 1 ELSE 0 END) AS n_ne,
+        sum(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS n_lt,
+        sum(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS n_le,
+        sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS n_gt,
+        sum(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS n_ge,
+        sum(CASE WHEN l_quantity BETWEEN 20 AND 30 THEN 1 ELSE 0 END) AS n_between,
+        sum(CASE WHEN l_returnflag IN ('A', 'N') THEN 1 ELSE 0 END) AS n_in,
+        sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_and,
+        sum(CASE WHEN l_returnflag = 'R' OR l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_or,
+        sum(CASE WHEN (l_returnflag = 'R') <> (l_linestatus = 'O') THEN 1 ELSE 0 END) AS n_xor,
+        sum(CASE WHEN NOT (l_quantity < 10) THEN 1 ELSE 0 END) AS n_not
+      FROM lineitem""")
+  )
+
+  /** LIKE / NOT LIKE on plain and dictionary-shaped strings
+    * (reference: p_Dictionary token scan, primitives/linux-port/dictionary.cpp). */
+  val likePatterns: QueryDef = QueryDef(
+    "f_like_patterns",
+    (s, dir) =>
+      t(s, dir, "part")
+        .agg(
+          sum(when(col("p_name").like("%widget%"), 1).otherwise(0))
+            .as("n_contains"),
+          sum(when(col("p_name").like("red%"), 1).otherwise(0)).as("n_prefix"),
+          sum(when(col("p_name").like("%bolt"), 1).otherwise(0)).as("n_suffix"),
+          sum(when(col("p_name").like("_ot%"), 1).otherwise(0))
+            .as("n_underscore"),
+          sum(when(!col("p_name").like("%e%"), 1).otherwise(0)).as("n_nlike"),
+          sum(when(col("p_name").rlike("^(red|blue) (bolt|gear)$"), 1)
+            .otherwise(0)).as("n_regexp")),
+    oracle = Some("""
+      SELECT
+        sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS n_contains,
+        sum(CASE WHEN p_name LIKE 'red%' THEN 1 ELSE 0 END) AS n_prefix,
+        sum(CASE WHEN p_name LIKE '%bolt' THEN 1 ELSE 0 END) AS n_suffix,
+        sum(CASE WHEN p_name LIKE '_ot%' THEN 1 ELSE 0 END) AS n_underscore,
+        sum(CASE WHEN p_name NOT LIKE '%e%' THEN 1 ELSE 0 END) AS n_nlike,
+        sum(CASE WHEN regexp_matches(p_name, '^(red|blue) (bolt|gear)$')
+            THEN 1 ELSE 0 END) AS n_regexp
+      FROM part""")
+  )
+
+  /** OR-chain on a single column — the reference's ConstantFilter
+    * (dbcon/execplan/constantfilter.h) → Catalyst turns isin into InSet. */
+  val constantFilterOrChain: QueryDef = QueryDef(
+    "f_constant_or_chain",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_linenumber") === 1 || col("l_linenumber") === 3 ||
+          col("l_linenumber") === 5 || col("l_linenumber") === 7)
+        .groupBy(col("l_linenumber"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("l_linenumber")),
+    oracle = Some("""
+      SELECT l_linenumber, count(*) AS n
+      FROM lineitem
+      WHERE l_linenumber = 1 OR l_linenumber = 3 OR l_linenumber = 5
+         OR l_linenumber = 7
+      GROUP BY l_linenumber ORDER BY l_linenumber""")
+  )
+
+  /** IS NULL / IS NOT NULL / null-propagation. Testdata has no NULLs, so
+    * nulls are injected with nullif — the reference stores NULL as per-type
+    * magic values (joblist/joblisttypes.h) and needs explicit null checks in
+    * every primitive; Spark gets three-valued logic natively. */
+  val nullSemantics: QueryDef = QueryDef(
+    "f_null_semantics",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .withColumn("qty_n", nullif(col("l_quantity"), lit(1.0)))
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(when(col("qty_n").isNull, 1).otherwise(0)).as("n_null"),
+          sum(when(col("qty_n").isNotNull, 1).otherwise(0)).as("n_notnull"),
+          count(col("qty_n")).as("cnt_skips_null"),
+          sum(col("qty_n")).as("sum_skips_null"),
+          sum(coalesce(col("qty_n"), lit(0.0)) + lit(0) * col("qty_n"))
+            .as("sum_null_prop"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag,
+        sum(CASE WHEN nullif(l_quantity, 1.0) IS NULL THEN 1 ELSE 0 END) AS n_null,
+        sum(CASE WHEN nullif(l_quantity, 1.0) IS NOT NULL THEN 1 ELSE 0 END) AS n_notnull,
+        count(nullif(l_quantity, 1.0)) AS cnt_skips_null,
+        sum(nullif(l_quantity, 1.0)) AS sum_skips_null,
+        sum(coalesce(nullif(l_quantity, 1.0), 0.0)
+            + 0 * nullif(l_quantity, 1.0)) AS sum_null_prop
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** WHERE FALSE short-circuit (reference: TupleConstantBooleanStep,
+    * dbcon/joblist/tupleconstantstep.h:137) — Catalyst folds to LocalRelation,
+    * no scan is issued at all. */
+  val whereFalse: QueryDef = QueryDef(
+    "f_where_false",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(lit(1) === lit(0))
+        .agg(count(lit(1)).as("n")),
+    oracle = Some("SELECT count(*) AS n FROM lineitem WHERE 1 = 0")
+  )
+
+  /** Constant-only projection (reference: TupleConstantStep fills constant
+    * output columns, tupleconstantstep.h:32). */
+  val constantProjection: QueryDef = QueryDef(
+    "f_constant_projection",
+    (s, dir) =>
+      t(s, dir, "region")
+        .select(col("r_regionkey"), lit(42L).as("c_int"),
+          lit("x").as("c_str"), lit(2.5).as("c_dbl"),
+          (col("r_regionkey") + lit(100)).as("c_expr"))
+        .orderBy(col("r_regionkey")),
+    oracle = Some("""
+      SELECT r_regionkey, 42 AS c_int, 'x' AS c_str, 2.5 AS c_dbl,
+             r_regionkey + 100 AS c_expr
+      FROM region ORDER BY r_regionkey""")
+  )
+
+  /** Cast lattice (reference: func_cast.cpp cast_as_char/date/datetime/
+    * signed/unsigned/decimal). */
+  val casts: QueryDef = QueryDef(
+    "f_casts",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 100)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity").cast("int").as("qty_int"),
+          col("l_quantity").cast("bigint").as("qty_bigint"),
+          col("l_extendedprice").cast("decimal(18,2)").as("price_dec"),
+          col("l_linenumber").cast("double").as("ln_dbl"),
+          col("l_orderkey").cast("string").as("ok_str"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          concat(lit(""), col("l_linenumber")).cast("bigint").as("str_to_int"),
+          col("l_linenumber").cast("smallint").as("ln_small"),
+          col("l_linenumber").cast("tinyint").as("ln_tiny"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber,
+             CAST(l_quantity AS INTEGER) AS qty_int,
+             CAST(l_quantity AS BIGINT) AS qty_bigint,
+             CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+             CAST(l_linenumber AS DOUBLE) AS ln_dbl,
+             CAST(l_orderkey AS VARCHAR) AS ok_str,
+             CAST(l_shipdate AS DATE) AS ship_date,
+             CAST(CAST(l_linenumber AS VARCHAR) AS BIGINT) AS str_to_int,
+             CAST(l_linenumber AS SMALLINT) AS ln_small,
+             CAST(l_linenumber AS TINYINT) AS ln_tiny
+      FROM lineitem WHERE l_orderkey < 100
+      ORDER BY l_orderkey, l_linenumber""")
+  )
+
+  /** Column pruning + projection reuse (reference: pColStep project after
+    * filter + PassThruStep, primitivestep.h:128,1269): a 2-column projection
+    * of a wide table must read only those columns (asserted in PlanSpec). */
+  val pruneProject: QueryDef = QueryDef(
+    "f_prune_project",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"))
+        .filter(col("l_orderkey") % 1000 === 0)
+        .groupBy(col("l_orderkey"))
+        .agg(sum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("l_orderkey")),
+    oracle = Some("""
+      SELECT l_orderkey, sum(l_extendedprice) AS sum_price
+      FROM lineitem WHERE l_orderkey % 1000 = 0
+      GROUP BY l_orderkey ORDER BY l_orderkey""")
+  )
+
+  def defs: Seq[QueryDef] = Seq(predicateMatrix, likePatterns,
+    constantFilterOrChain, nullSemantics, whereFalse, constantProjection,
+    casts, pruneProject)
 }

@@ -1,7 +1,289 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Join parity (SURVEY §2.3).
+  *
+  * The reference has exactly one physical join: hash join
+  * (reference: dbcon/joblist/tuplehashjoin.h:42, utils/joiner/tuplejoiner.h:91)
+  * with join types INNER / LARGEOUTER / SMALLOUTER / SEMI / ANTI / SCALAR /
+  * MATCHNULLS (joblisttypes.h:85-95). Small sides under 64 MB broadcast to
+  * PMs (Calpont.xml:483); larger sides hash-join on the UM and spill via
+  * DiskJoinStep. Spark covers all of it: broadcast-hash / shuffled-hash /
+  * sort-merge picked by Catalyst+AQE, spill built into the shuffle.
+  *
+  * Scale: the fact⋈fact joins below shuffle on their join key — at 100 TB
+  * that is the correct plan (co-partitioned exchange), and AQE re-splits
+  * skewed partitions. Dim joins stay broadcast at any fact size.
+  */
 object JoinQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  /** Large⋈large equi join: lineitem⋈orders on orderkey (shuffle join). */
+  val innerShuffle: QueryDef = QueryDef(
+    "j_inner_large",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_extendedprice")).as("sum_price"))
+        .orderBy(col("o_orderstatus")),
+    oracle = Some("""
+      SELECT o_orderstatus, count(*) AS n, sum(l_extendedprice) AS sum_price
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  /** Broadcast dim join — the reference's PM-side small-side join
+    * (batchprimitiveprocessor.cpp:205 doJoin). */
+  val broadcastDim: QueryDef = QueryDef(
+    "j_broadcast_dim",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(broadcast(t(s, dir, "nation")),
+          col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(t(s, dir, "region")),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_customers"),
+          avg(col("c_acctbal")).as("avg_bal"))
+        .orderBy(col("r_name")),
+    oracle = Some("""
+      SELECT r_name, count(*) AS n_customers, avg(c_acctbal) AS avg_bal
+      FROM customer JOIN nation ON c_nationkey = n_nationkey
+                    JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""")
+  )
+
+  /** LEFT OUTER (reference LARGEOUTER) with an ON-clause filter on the
+    * right side (outerjoinonfilter.h) — nulls must survive. */
+  val leftOuter: QueryDef = QueryDef(
+    "j_left_outer",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+      val bigOrders = t(s, dir, "orders")
+        .filter(col("o_totalprice") > 400000)
+      cust.join(bigOrders, col("c_custkey") === col("o_custkey"), "left_outer")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_matched"),
+          sum(when(col("o_orderkey").isNull, 1).otherwise(0)).as("n_unmatched"))
+        .orderBy(col("c_mktsegment"))
+    },
+    oracle = Some("""
+      SELECT c_mktsegment, count(*) AS n_rows,
+             count(o_orderkey) AS n_matched,
+             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+      FROM customer LEFT OUTER JOIN orders
+        ON c_custkey = o_custkey AND o_totalprice > 400000
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
+  /** RIGHT OUTER (reference SMALLOUTER). */
+  val rightOuter: QueryDef = QueryDef(
+    "j_right_outer",
+    (s, dir) => {
+      val ord = t(s, dir, "orders").filter(col("o_totalprice") > 450000)
+      ord.join(t(s, dir, "customer"),
+          col("o_custkey") === col("c_custkey"), "right_outer")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col("o_orderkey")).as("n_matched"))
+        .orderBy(col("c_nationkey"))
+    },
+    oracle = Some("""
+      SELECT c_nationkey, count(*) AS n_rows, count(o_orderkey) AS n_matched
+      FROM (SELECT * FROM orders WHERE o_totalprice > 450000) o
+           RIGHT OUTER JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+  )
+
+  /** FULL OUTER — parity-plus: the reference's MySQL surface has no FULL
+    * JOIN (SURVEY §2.3); Spark gives it free, so we expose it. */
+  val fullOuter: QueryDef = QueryDef(
+    "j_full_outer",
+    (s, dir) => {
+      val left = t(s, dir, "customer").filter(col("c_custkey") < 700)
+        .select(col("c_custkey").as("k"), col("c_acctbal"))
+      val right = t(s, dir, "customer").filter(col("c_custkey") >= 300)
+        .select(col("c_custkey").as("k2"), col("c_name"))
+      left.join(right, col("k") === col("k2"), "full_outer")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("k").isNull, 1).otherwise(0)).as("n_left_null"),
+          sum(when(col("k2").isNull, 1).otherwise(0)).as("n_right_null"),
+          sum(when(col("k").isNotNull && col("k2").isNotNull, 1).otherwise(0))
+            .as("n_both"))
+    },
+    oracle = Some("""
+      SELECT count(*) AS n_rows,
+             sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_left_null,
+             sum(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END) AS n_right_null,
+             sum(CASE WHEN k IS NOT NULL AND k2 IS NOT NULL THEN 1 ELSE 0 END) AS n_both
+      FROM (SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_custkey < 700) l
+           FULL OUTER JOIN
+           (SELECT c_custkey AS k2, c_name FROM customer WHERE c_custkey >= 300) r
+        ON k = k2""")
+  )
+
+  /** SEMI join (reference SEMI, IN/EXISTS rewrite ha_in_sub.cpp:94). */
+  val semi: QueryDef = QueryDef(
+    "j_semi",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders").filter(col("o_orderstatus") === "O"),
+          col("c_custkey") === col("o_custkey"), "left_semi")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("c_mktsegment")),
+    oracle = Some("""
+      SELECT c_mktsegment, count(*) AS n
+      FROM customer
+      WHERE c_custkey IN (SELECT o_custkey FROM orders WHERE o_orderstatus = 'O')
+      GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
+  /** ANTI join (reference ANTI). */
+  val anti: QueryDef = QueryDef(
+    "j_anti",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .join(t(s, dir, "orders"),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .groupBy(col("c_nationkey"))
+        .agg(count(lit(1)).as("n_no_orders"))
+        .orderBy(col("c_nationkey")),
+    oracle = Some("""
+      SELECT c_nationkey, count(*) AS n_no_orders
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+  )
+
+  /** Null-aware NOT IN (reference MATCHNULLS anti join, ha_in_sub.cpp:238):
+    * when the subquery emits a NULL, NOT IN must reject every row. Expressed
+    * through our SQL surface so Catalyst's RewritePredicateSubquery plans the
+    * null-aware anti join. */
+  val antiNullAware: QueryDef = QueryDef(
+    "j_anti_null_aware",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT
+          (SELECT count(*) FROM customer
+           WHERE c_nationkey NOT IN
+             (SELECT nullif(n_nationkey, 99) FROM nation)) AS n_without_nulls,
+          (SELECT count(*) FROM customer
+           WHERE c_nationkey NOT IN
+             (SELECT nullif(n_nationkey, 3) FROM nation)) AS n_with_nulls,
+          (SELECT count(*) FROM customer
+           WHERE c_nationkey NOT IN
+             (SELECT n_nationkey FROM nation WHERE n_nationkey > 20)) AS n_plain
+      """)
+    },
+    oracle = Some("""
+      SELECT
+        (SELECT count(*) FROM customer
+         WHERE c_nationkey NOT IN
+           (SELECT nullif(n_nationkey, 99) FROM nation)) AS n_without_nulls,
+        (SELECT count(*) FROM customer
+         WHERE c_nationkey NOT IN
+           (SELECT nullif(n_nationkey, 3) FROM nation)) AS n_with_nulls,
+        (SELECT count(*) FROM customer
+         WHERE c_nationkey NOT IN
+           (SELECT n_nationkey FROM nation WHERE n_nationkey > 20)) AS n_plain""")
+  )
+
+  /** SCALAR join (reference SCALAR, errors if >1 row; Catalyst enforces the
+    * same): uncorrelated scalar subquery as a join input. */
+  val scalarSubquery: QueryDef = QueryDef(
+    "j_scalar_subquery",
+    (s, dir) => {
+      val ord = t(s, dir, "orders")
+      val avgPrice = ord.agg(avg(col("o_totalprice")).as("avg_price"))
+      ord.crossJoin(broadcast(avgPrice))
+        .filter(col("o_totalprice") > col("avg_price"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n_above_avg"))
+        .orderBy(col("o_orderstatus"))
+    },
+    oracle = Some("""
+      SELECT o_orderstatus, count(*) AS n_above_avg
+      FROM orders
+      WHERE o_totalprice > (SELECT avg(o_totalprice) FROM orders)
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  /** Cross join (small×small). */
+  val cross: QueryDef = QueryDef(
+    "j_cross",
+    (s, dir) =>
+      t(s, dir, "region").crossJoin(t(s, dir, "nation"))
+        .select(col("r_regionkey"), col("n_nationkey"),
+          (col("r_regionkey") === col("n_regionkey")).as("is_home"))
+        .orderBy(col("r_regionkey"), col("n_nationkey")),
+    oracle = Some("""
+      SELECT r_regionkey, n_nationkey,
+             (r_regionkey = n_regionkey) AS is_home
+      FROM region CROSS JOIN nation
+      ORDER BY r_regionkey, n_nationkey""")
+  )
+
+  /** Non-equi self join — the reference has no nested-loop operator; theta
+    * conditions ride as post-filters on a hash join over the equi prefix
+    * (jlf_execplantojoblist.cpp:1292 expressionToFuncJoin). Same here: the
+    * equi key (l_orderkey) drives the hash join, the < rides on top. */
+  val nonEquiSelf: QueryDef = QueryDef(
+    "j_non_equi_self",
+    (s, dir) => {
+      val a = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_linenumber").as("ln_a"),
+          col("l_quantity").as("qty_a"))
+      val b = t(s, dir, "lineitem")
+        .select(col("l_orderkey").as("ok_b"), col("l_linenumber").as("ln_b"),
+          col("l_quantity").as("qty_b"))
+      a.join(b, col("l_orderkey") === col("ok_b") &&
+          col("ln_a") < col("ln_b"))
+        .agg(count(lit(1)).as("n_pairs"),
+          sum(when(col("qty_a") > col("qty_b"), 1).otherwise(0))
+            .as("n_decreasing"))
+    },
+    oracle = Some("""
+      SELECT count(*) AS n_pairs,
+             sum(CASE WHEN a.l_quantity > b.l_quantity THEN 1 ELSE 0 END)
+               AS n_decreasing
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey
+       AND a.l_linenumber < b.l_linenumber""")
+  )
+
+  /** Function join: equi key is an expression of columns
+    * (reference: WITHFCNEXP / expressionToFuncJoin). */
+  val functionJoin: QueryDef = QueryDef(
+    "j_function_join",
+    (s, dir) => {
+      val cust = t(s, dir, "customer")
+        .select((col("c_custkey") % 100).as("bucket"), col("c_acctbal"))
+      val sup = t(s, dir, "supplier")
+        .select((col("s_suppkey") % 100).as("sbucket"), col("s_acctbal"))
+      cust.join(sup, col("bucket") === col("sbucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal") + col("s_acctbal")).as("sum_bal"))
+        .orderBy(col("bucket"))
+    },
+    oracle = Some("""
+      SELECT c_custkey % 100 AS bucket, count(*) AS n,
+             sum(c_acctbal + s_acctbal) AS sum_bal
+      FROM customer JOIN supplier ON c_custkey % 100 = s_suppkey % 100
+      GROUP BY c_custkey % 100 ORDER BY bucket""")
+  )
+
+  def defs: Seq[QueryDef] = Seq(innerShuffle, broadcastDim, leftOuter,
+    rightOuter, fullOuter, semi, anti, antiNullAware, scalarSubquery, cross,
+    nonEquiSelf, functionJoin)
 }

@@ -1,7 +1,306 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Scalar function parity (SURVEY §2.8).
+  *
+  * The reference registers 118 scalar functions in FuncExp::FuncMap
+  * (reference: utils/funcexp/funcexp.cpp:68-320, one file per function) and
+  * evaluates them either UM-side (ExpressionStep) or pushed to the PM
+  * (FuncExpWrapper). Here they are all `org.apache.spark.sql.functions`
+  * built-ins — codegen'd inside WholeStageCodegen, so they run inside the
+  * scan stage exactly like the reference's PM-pushed fe1/fe2 expressions.
+  *
+  * Functions with MySQL-only quirks (period_add/period_diff, week modes,
+  * conv, get_format) live in graft.functions.MySqlFunctions.
+  */
 object ScalarFunctionQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  /** String battery 1: case, trim, pad, substring, search.
+    * (reference: utils/funcexp/func_ucase.cpp, func_ltrim.cpp,
+    * func_lpad.cpp, func_substr.cpp, func_instr.cpp …) */
+  val stringBasic: QueryDef = QueryDef(
+    "fn_string_basic",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .select(
+          col("c_custkey"),
+          lower(col("c_name")).as("f_lower"),
+          upper(col("c_mktsegment")).as("f_upper"),
+          length(col("c_name")).as("f_length"),
+          substring(col("c_name"), 10, 5).as("f_substr"),
+          expr("left(c_name, 8)").as("f_left"),
+          expr("right(c_name, 6)").as("f_right"),
+          lpad(col("c_mktsegment"), 12, "*").as("f_lpad"),
+          rpad(col("c_mktsegment"), 12, "-").as("f_rpad"),
+          trim(lpad(col("c_mktsegment"), 12, " ")).as("f_trim"),
+          ltrim(concat(lit("  "), col("c_mktsegment"))).as("f_ltrim"),
+          rtrim(concat(col("c_mktsegment"), lit("  "))).as("f_rtrim"),
+          instr(col("c_name"), "#").as("f_instr"),
+          ascii(col("c_mktsegment")).as("f_ascii"),
+          reverse(col("c_mktsegment")).as("f_reverse"),
+          repeat(col("c_mktsegment"), 2).as("f_repeat"),
+          concat(col("c_mktsegment"), lit("/"), col("c_name")).as("f_concat"),
+          concat_ws("|", col("c_mktsegment"), col("c_name"), lit("z"))
+            .as("f_concat_ws"),
+          replace(col("c_name"), lit("Customer"), lit("Cust")).as("f_replace"))
+        .orderBy(col("c_custkey")),
+    oracle = Some("""
+      SELECT c_custkey,
+             lower(c_name) AS f_lower,
+             upper(c_mktsegment) AS f_upper,
+             length(c_name) AS f_length,
+             substring(c_name, 10, 5) AS f_substr,
+             left(c_name, 8) AS f_left,
+             right(c_name, 6) AS f_right,
+             lpad(c_mktsegment, 12, '*') AS f_lpad,
+             rpad(c_mktsegment, 12, '-') AS f_rpad,
+             trim(lpad(c_mktsegment, 12, ' ')) AS f_trim,
+             ltrim(concat('  ', c_mktsegment)) AS f_ltrim,
+             rtrim(concat(c_mktsegment, '  ')) AS f_rtrim,
+             strpos(c_name, '#') AS f_instr,
+             ascii(c_mktsegment) AS f_ascii,
+             reverse(c_mktsegment) AS f_reverse,
+             repeat(c_mktsegment, 2) AS f_repeat,
+             concat(c_mktsegment, '/', c_name) AS f_concat,
+             concat_ws('|', c_mktsegment, c_name, 'z') AS f_concat_ws,
+             replace(c_name, 'Customer', 'Cust') AS f_replace
+      FROM customer ORDER BY c_custkey""")
+  )
+
+  /** String battery 2: split/extract/hash family.
+    * (reference: func_substring_index.cpp, func_elt.cpp, func_find_in_set.cpp,
+    * func_md5.cpp, func_sha.cpp, func_char.cpp, func_strcmp.cpp) */
+  val stringAdvanced: QueryDef = QueryDef(
+    "fn_string_advanced",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          substring_index(col("p_name"), " ", 1).as("f_subidx"),
+          substring_index(col("p_name"), " ", -1).as("f_subidx_neg"),
+          element_at(split(col("p_name"), " "), 1).as("f_split1"),
+          expr("elt(1 + p_partkey % 2, 'alpha', 'beta')").as("f_elt"),
+          expr("find_in_set(p_brand, 'Brand#1,Brand#2,Brand#3')")
+            .as("f_find_in_set"),
+          md5(col("p_name")).as("f_md5"),
+          sha2(col("p_name"), 256).as("f_sha256"),
+          expr("char(65 + p_partkey % 26)").as("f_char"),
+          when(col("p_name") < col("p_brand"), -1)
+            .when(col("p_name") === col("p_brand"), 0).otherwise(1)
+            .as("f_strcmp"),
+          translate(col("p_brand"), "#B", "-b").as("f_translate"),
+          initcap(col("p_name")).as("f_initcap"))
+        .orderBy(col("p_partkey")),
+    oracle = Some("""
+      SELECT p_partkey,
+             split_part(p_name, ' ', 1) AS f_subidx,
+             split_part(p_name, ' ', -1) AS f_subidx_neg,
+             string_split(p_name, ' ')[1] AS f_split1,
+             CASE WHEN 1 + p_partkey % 2 = 1 THEN 'alpha' ELSE 'beta' END AS f_elt,
+             CASE WHEN p_brand = 'Brand#1' THEN 1
+                  WHEN p_brand = 'Brand#2' THEN 2
+                  WHEN p_brand = 'Brand#3' THEN 3 ELSE 0 END AS f_find_in_set,
+             md5(p_name) AS f_md5,
+             sha256(p_name) AS f_sha256,
+             chr(CAST(65 + p_partkey % 26 AS INTEGER)) AS f_char,
+             CASE WHEN p_name < p_brand THEN -1
+                  WHEN p_name = p_brand THEN 0 ELSE 1 END AS f_strcmp,
+             replace(replace(p_brand, '#', '-'), 'B', 'b') AS f_translate,
+             array_to_string(list_transform(string_split(p_name, ' '),
+               w -> concat(upper(w[1]), w[2:])), ' ') AS f_initcap
+      FROM part ORDER BY p_partkey""")
+  )
+
+  /** Math battery (reference: func_math.cpp, func_round.cpp, func_mod.cpp;
+    * bitshift/bitand func_bitwise.cpp). */
+  val mathBattery: QueryDef = QueryDef(
+    "fn_math",
+    (s, dir) =>
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          abs(col("p_retailprice") * -1).as("f_abs"),
+          ceil(col("p_retailprice")).as("f_ceil"),
+          floor(col("p_retailprice")).as("f_floor"),
+          round(col("p_retailprice"), 1).as("f_round1"),
+          round(col("p_retailprice"), -1).as("f_round_neg"),
+          signum(col("p_retailprice") - 1000).as("f_sign"),
+          sqrt(col("p_retailprice")).as("f_sqrt"),
+          exp(col("p_size") / lit(25.0)).as("f_exp"),
+          log(col("p_retailprice")).as("f_ln"),
+          log10(col("p_retailprice")).as("f_log10"),
+          log2(col("p_retailprice")).as("f_log2"),
+          pow(col("p_size"), 2).as("f_pow"),
+          expr("mod(p_partkey, 7)").as("f_mod"),
+          radians(col("p_size")).as("f_radians"),
+          degrees(col("p_size") / lit(10.0)).as("f_degrees"),
+          sin(col("p_size")).as("f_sin"),
+          cos(col("p_size")).as("f_cos"),
+          atan2(col("p_size"), lit(2.0)).as("f_atan2"),
+          (floor(col("p_retailprice") * 100) / 100).as("f_truncate2"),
+          shiftleft(col("p_partkey"), 3).as("f_lshift"),
+          shiftright(col("p_partkey"), 1).as("f_rshift"),
+          col("p_partkey").bitwiseAND(255).as("f_bitand"),
+          col("p_partkey").bitwiseOR(16).as("f_bitor"),
+          col("p_partkey").bitwiseXOR(85).as("f_bitxor"),
+          greatest(col("p_size"), lit(25), col("p_partkey") % 50)
+            .as("f_greatest"),
+          least(col("p_size"), lit(25), col("p_partkey") % 50).as("f_least"))
+        .orderBy(col("p_partkey")),
+    oracle = Some("""
+      SELECT p_partkey,
+             abs(p_retailprice * -1) AS f_abs,
+             ceil(p_retailprice) AS f_ceil,
+             floor(p_retailprice) AS f_floor,
+             round(p_retailprice, 1) AS f_round1,
+             round(p_retailprice, -1) AS f_round_neg,
+             CAST(CASE WHEN p_retailprice - 1000 > 0 THEN 1.0
+                  WHEN p_retailprice - 1000 < 0 THEN -1.0 ELSE 0.0 END
+                  AS DOUBLE) AS f_sign,
+             sqrt(p_retailprice) AS f_sqrt,
+             exp(p_size / 25.0) AS f_exp,
+             ln(p_retailprice) AS f_ln,
+             log10(p_retailprice) AS f_log10,
+             log2(p_retailprice) AS f_log2,
+             pow(p_size, 2) AS f_pow,
+             mod(p_partkey, 7) AS f_mod,
+             radians(p_size) AS f_radians,
+             degrees(p_size / 10.0) AS f_degrees,
+             sin(p_size) AS f_sin,
+             cos(p_size) AS f_cos,
+             atan2(p_size, 2.0) AS f_atan2,
+             floor(p_retailprice * 100) / 100 AS f_truncate2,
+             p_partkey << 3 AS f_lshift,
+             p_partkey >> 1 AS f_rshift,
+             p_partkey & 255 AS f_bitand,
+             p_partkey | 16 AS f_bitor,
+             xor(p_partkey, 85) AS f_bitxor,
+             greatest(p_size, 25, p_partkey % 50) AS f_greatest,
+             least(p_size, 25, p_partkey % 50) AS f_least
+      FROM part ORDER BY p_partkey""")
+  )
+
+  /** Date/time battery 1: field extraction.
+    * (reference: func_year.cpp … func_weekofyear.cpp, func_extract.cpp) */
+  val dateExtract: QueryDef = QueryDef(
+    "fn_date_extract",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          year(col("o_orderdate")).as("f_year"),
+          month(col("o_orderdate")).as("f_month"),
+          dayofmonth(col("o_orderdate")).as("f_day"),
+          dayofweek(col("o_orderdate")).as("f_dayofweek"),
+          dayofyear(col("o_orderdate")).as("f_dayofyear"),
+          weekofyear(col("o_orderdate")).as("f_weekofyear"),
+          quarter(col("o_orderdate")).as("f_quarter"),
+          hour(col("o_orderdate")).as("f_hour"),
+          minute(col("o_orderdate")).as("f_minute"),
+          second(col("o_orderdate")).as("f_second"),
+          expr("extract(YEAR FROM o_orderdate)").as("f_extract_year"))
+        .orderBy(col("o_orderkey")),
+    oracle = Some("""
+      SELECT o_orderkey,
+             year(o_orderdate) AS f_year,
+             month(o_orderdate) AS f_month,
+             day(o_orderdate) AS f_day,
+             CAST(date_part('dow', o_orderdate) + 1 AS BIGINT) AS f_dayofweek,
+             CAST(date_part('doy', o_orderdate) AS BIGINT) AS f_dayofyear,
+             CAST(date_part('week', o_orderdate) AS BIGINT) AS f_weekofyear,
+             quarter(o_orderdate) AS f_quarter,
+             hour(o_orderdate) AS f_hour,
+             minute(o_orderdate) AS f_minute,
+             second(o_orderdate) AS f_second,
+             extract(YEAR FROM o_orderdate) AS f_extract_year
+      FROM orders ORDER BY o_orderkey""")
+  )
+
+  /** Date/time battery 2: arithmetic & formatting.
+    * (reference: func_date_add_interval.cpp, func_last_day.cpp,
+    * func_from_unixtime.cpp, func_unix_timestamp.cpp, func_to_days.cpp) */
+  val dateArith: QueryDef = QueryDef(
+    "fn_date_arith",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          date_add(col("o_orderdate"), 7).as("f_date_add"),
+          date_sub(col("o_orderdate"), 30).as("f_date_sub"),
+          add_months(col("o_orderdate"), 3).as("f_add_months"),
+          last_day(col("o_orderdate")).as("f_last_day"),
+          datediff(lit("2000-01-01").cast("date"),
+            col("o_orderdate").cast("date")).as("f_datediff"),
+          date_trunc("month", col("o_orderdate")).as("f_trunc_month"),
+          date_trunc("quarter", col("o_orderdate")).as("f_trunc_quarter"),
+          unix_timestamp(col("o_orderdate").cast("timestamp"))
+            .as("f_unix_ts"),
+          (col("o_orderdate") + expr("INTERVAL 36 HOURS")).as("f_add_interval"),
+          make_date(year(col("o_orderdate")), month(col("o_orderdate")),
+            lit(1)).as("f_make_date"))
+        .orderBy(col("o_orderkey")),
+    oracle = Some("""
+      SELECT o_orderkey,
+             (o_orderdate::DATE + 7) AS f_date_add,
+             (o_orderdate::DATE - 30) AS f_date_sub,
+             (o_orderdate::DATE + INTERVAL 3 MONTH)::DATE AS f_add_months,
+             last_day(o_orderdate) AS f_last_day,
+             date_diff('day', o_orderdate::DATE, DATE '2000-01-01') AS f_datediff,
+             date_trunc('month', o_orderdate) AS f_trunc_month,
+             date_trunc('quarter', o_orderdate) AS f_trunc_quarter,
+             CAST(epoch(o_orderdate) AS BIGINT) AS f_unix_ts,
+             (o_orderdate + INTERVAL 36 HOUR) AS f_add_interval,
+             make_date(CAST(year(o_orderdate) AS BIGINT),
+                       CAST(month(o_orderdate) AS BIGINT), 1) AS f_make_date
+      FROM orders ORDER BY o_orderkey""")
+  )
+
+  /** Control flow: CASE/IF/IFNULL/NULLIF/COALESCE + NULL-yielding division.
+    * (reference: func_case.cpp, func_if.cpp, func_ifnull.cpp,
+    * func_nullif.cpp, func_coalesce.cpp; MySQL x/0 → NULL which both Spark
+    * (non-ANSI) and DuckDB reproduce for integer ops — double x/0 differs,
+    * so the battery uses guarded division). */
+  val controlFlow: QueryDef = QueryDef(
+    "fn_control_flow",
+    (s, dir) =>
+      t(s, dir, "supplier")
+        .select(
+          col("s_suppkey"),
+          when(col("s_acctbal") > 5000, "high")
+            .when(col("s_acctbal") > 0, "mid")
+            .otherwise("low").as("f_case_searched"),
+          when(col("s_nationkey") % 2 === 0, "even").otherwise("odd")
+            .as("f_case_simple"),
+          expr("if(s_acctbal > 0, 'pos', 'neg')").as("f_if"),
+          coalesce(nullif(col("s_nationkey"), lit(3)), lit(-1))
+            .as("f_ifnull"),
+          nullif(col("s_nationkey"), lit(5)).as("f_nullif"),
+          coalesce(nullif(col("s_nationkey"), lit(0)),
+            nullif(col("s_nationkey"), lit(1)), lit(99)).as("f_coalesce"),
+          (col("s_acctbal") / nullif(col("s_nationkey"), lit(0)))
+            .as("f_guarded_div"),
+          isnull(nullif(col("s_nationkey"), lit(7))).as("f_isnull"))
+        .orderBy(col("s_suppkey")),
+    oracle = Some("""
+      SELECT s_suppkey,
+             CASE WHEN s_acctbal > 5000 THEN 'high'
+                  WHEN s_acctbal > 0 THEN 'mid' ELSE 'low' END AS f_case_searched,
+             CASE WHEN s_nationkey % 2 = 0 THEN 'even' ELSE 'odd' END AS f_case_simple,
+             CASE WHEN s_acctbal > 0 THEN 'pos' ELSE 'neg' END AS f_if,
+             coalesce(nullif(s_nationkey, 3), -1) AS f_ifnull,
+             nullif(s_nationkey, 5) AS f_nullif,
+             coalesce(nullif(s_nationkey, 0), nullif(s_nationkey, 1), 99) AS f_coalesce,
+             s_acctbal / nullif(s_nationkey, 0) AS f_guarded_div,
+             nullif(s_nationkey, 7) IS NULL AS f_isnull
+      FROM supplier ORDER BY s_suppkey""")
+  )
+
+  def defs: Seq[QueryDef] = Seq(stringBasic, stringAdvanced, mathBattery,
+    dateExtract, dateArith, controlFlow)
 }
