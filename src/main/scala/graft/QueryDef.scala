@@ -26,6 +26,7 @@ object QueryDef {
     operators.AggregateQueries.defs,
     operators.WindowQueries.defs,
     operators.SetOpQueries.defs,
+    operators.SortLimitQueries.defs,
     operators.SubqueryQueries.defs,
     operators.DdlDmlQueries.defs,
     operators.DedupQueries.defs,

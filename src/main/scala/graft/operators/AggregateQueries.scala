@@ -1,7 +1,288 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.{GroupConcat, MySqlFunctions}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Aggregation parity (SURVEY §2.4).
+  *
+  * The reference runs two-phase hash aggregation — PM partial + UM final
+  * (reference: utils/rowgroup/rowaggregation.h:348, tupleaggregatestep.cpp:524,
+  * 4100) with COUNT/SUM/AVG/MIN/MAX, STDDEV/VAR (pop/samp), BIT_AND/OR/XOR,
+  * GROUP_CONCAT, and per-distinct-column sub-aggregations
+  * (RowAggregationMultiDistinct, rowaggregation.h:822). Spark plans the same
+  * shape automatically: partial HashAggregate → exchange → final
+  * HashAggregate, with distinct aggs expanded per distinct column.
+  */
 object AggregateQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  /** Core stats: SUM/AVG/MIN/MAX/COUNT + STDDEV/VARIANCE pop+samp.
+    * (reference: RowAggFunctionType rowaggregation.h:74-116; long-double
+    * variance path calpontsystemcatalog.h LONGDOUBLE) */
+  val basicStats: QueryDef = QueryDef(
+    "a_basic_stats",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n_rows"),
+          count(col("l_quantity")).as("n_qty"),
+          sum(col("l_quantity")).as("sum_qty"),
+          avg(col("l_quantity")).as("avg_qty"),
+          min(col("l_quantity")).as("min_qty"),
+          max(col("l_quantity")).as("max_qty"),
+          min(col("l_shipdate")).as("min_ship"),
+          max(col("l_shipdate")).as("max_ship"),
+          min(col("l_returnflag")).as("min_flag"),
+          stddev_pop(col("l_extendedprice")).as("sd_pop"),
+          stddev_samp(col("l_extendedprice")).as("sd_samp"),
+          var_pop(col("l_extendedprice")).as("v_pop"),
+          var_samp(col("l_extendedprice")).as("v_samp"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag,
+             count(*) AS n_rows,
+             count(l_quantity) AS n_qty,
+             sum(l_quantity) AS sum_qty,
+             avg(l_quantity) AS avg_qty,
+             min(l_quantity) AS min_qty,
+             max(l_quantity) AS max_qty,
+             min(l_shipdate) AS min_ship,
+             max(l_shipdate) AS max_ship,
+             min(l_returnflag) AS min_flag,
+             stddev_pop(l_extendedprice) AS sd_pop,
+             stddev_samp(l_extendedprice) AS sd_samp,
+             var_pop(l_extendedprice) AS v_pop,
+             var_samp(l_extendedprice) AS v_samp
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** DISTINCT aggregates incl. multi-distinct in one SELECT
+    * (reference: RowAggregationMultiDistinct rowaggregation.h:822). */
+  val distinctAggs: QueryDef = QueryDef(
+    "a_distinct_aggs",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_linestatus"))
+        .agg(
+          countDistinct(col("l_suppkey")).as("cd_supp"),
+          countDistinct(col("l_partkey")).as("cd_part"),
+          countDistinct(col("l_returnflag"), col("l_linenumber"))
+            .as("cd_multi"),
+          sum_distinct(col("l_quantity")).as("sum_d_qty"),
+          avg(col("l_quantity")).as("avg_qty"),
+          count(lit(1)).as("n"))
+        .orderBy(col("l_linestatus")),
+    oracle = Some("""
+      SELECT l_linestatus,
+             count(DISTINCT l_suppkey) AS cd_supp,
+             count(DISTINCT l_partkey) AS cd_part,
+             count(DISTINCT (l_returnflag, l_linenumber)) AS cd_multi,
+             sum(DISTINCT l_quantity) AS sum_d_qty,
+             avg(l_quantity) AS avg_qty,
+             count(*) AS n
+      FROM lineitem GROUP BY l_linestatus ORDER BY l_linestatus""")
+  )
+
+  /** BIT_AND / BIT_OR / BIT_XOR (reference: ROWAGG_BIT_AND/OR/XOR,
+    * rowaggregation.h:96-98). */
+  val bitAggs: QueryDef = QueryDef(
+    "a_bit_aggs",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          bit_and(col("l_linenumber")).as("b_and"),
+          bit_or(col("l_linenumber")).as("b_or"),
+          bit_xor(col("l_linenumber")).as("b_xor"),
+          bit_and(col("l_orderkey")).as("b_and_ok"),
+          bit_xor(col("l_orderkey")).as("b_xor_ok"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag,
+             bit_and(l_linenumber) AS b_and,
+             bit_or(l_linenumber) AS b_or,
+             bit_xor(l_linenumber) AS b_xor,
+             bit_and(l_orderkey) AS b_and_ok,
+             bit_xor(l_orderkey) AS b_xor_ok
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** GROUP_CONCAT via the custom ordered Aggregator
+    * (reference: dbcon/joblist/groupconcat.cpp — ORDER BY + SEPARATOR +
+    * max-len truncation). Customers per nation, ordered by custkey. */
+  val groupConcatCustom: QueryDef = QueryDef(
+    "a_group_concat",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .filter(col("c_custkey") < 200)
+        .groupBy(col("c_nationkey"))
+        .agg(GroupConcat.groupConcat(
+          lpad(col("c_custkey").cast("string"), 10, "0"), col("c_name"),
+          sep = ",", maxLen = 120).as("names"),
+          count(lit(1)).as("n"))
+        .orderBy(col("c_nationkey")),
+    oracle = Some("""
+      SELECT c_nationkey,
+             left(string_agg(c_name, ',' ORDER BY c_custkey), 120) AS names,
+             count(*) AS n
+      FROM customer WHERE c_custkey < 200
+      GROUP BY c_nationkey ORDER BY c_nationkey""")
+  )
+
+  /** GROUP_CONCAT(DISTINCT x ORDER BY x) via built-ins:
+    * array_join(array_sort(collect_set)) — the composition path. */
+  val groupConcatDistinct: QueryDef = QueryDef(
+    "a_group_concat_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(array_join(array_sort(collect_set(col("l_linestatus"))), "|")
+          .as("statuses"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag,
+             string_agg(DISTINCT l_linestatus, '|' ORDER BY l_linestatus)
+               AS statuses
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
+  /** HAVING post-aggregation filter (reference: TupleHavingStep,
+    * dbcon/joblist/tuplehavingstep.h:39). */
+  val having: QueryDef = QueryDef(
+    "a_having",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice")).as("sum_price"))
+        .filter(col("n_orders") >= 15 && col("sum_price") > 1000000)
+        .orderBy(col("o_custkey")),
+    oracle = Some("""
+      SELECT o_custkey, count(*) AS n_orders, sum(o_totalprice) AS sum_price
+      FROM orders GROUP BY o_custkey
+      HAVING count(*) >= 15 AND sum(o_totalprice) > 1000000
+      ORDER BY o_custkey""")
+  )
+
+  /** ROLLUP — parity-plus: the reference explicitly rejects it
+    * (ha_calpont_execplan.cpp:4088 ERR_ROLLUP_NOT_SUPPORT); Spark gives it
+    * free, so we surface it. */
+  val rollup: QueryDef = QueryDef(
+    "a_rollup",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity")).as("sum_qty"),
+          grouping(col("l_returnflag")).as("g_flag"),
+          grouping(col("l_linestatus")).as("g_status"))
+        .orderBy(col("g_flag"), col("g_status"), col("l_returnflag"),
+          col("l_linestatus")),
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+             CAST(grouping(l_linestatus) AS TINYINT) AS g_status
+      FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      ORDER BY g_flag, g_status, l_returnflag, l_linestatus""")
+  )
+
+  /** CUBE (parity-plus, same note as rollup). */
+  val cube: QueryDef = QueryDef(
+    "a_cube",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"), avg(col("o_totalprice")).as("avg_price"))
+        .orderBy(col("o_orderstatus").asc_nulls_first,
+          col("o_orderpriority").asc_nulls_first),
+    oracle = Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             avg(o_totalprice) AS avg_price
+      FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST""")
+  )
+
+  /** Aggregates over empty input: COUNT → 0, SUM/AVG/MIN/MAX → NULL. */
+  val emptyInput: QueryDef = QueryDef(
+    "a_empty_input",
+    (s, dir) =>
+      t(s, dir, "orders")
+        .filter(col("o_totalprice") < -1)
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("s"),
+          avg(col("o_totalprice")).as("a"), min(col("o_totalprice")).as("mn"),
+          max(col("o_orderpriority")).as("mx")),
+    oracle = Some("""
+      SELECT count(*) AS n, sum(o_totalprice) AS s, avg(o_totalprice) AS a,
+             min(o_totalprice) AS mn, max(o_orderpriority) AS mx
+      FROM orders WHERE o_totalprice < -1""")
+  )
+
+  /** High-cardinality two-phase aggregation: group on l_partkey (~20k groups
+    * at sf0.1) then re-aggregate the aggregate — the partial/final plan the
+    * reference hand-builds (threadedAggregateRowGroups,
+    * tupleaggregatestep.cpp:4100) falls out of Catalyst. */
+  val highCardinality: QueryDef = QueryDef(
+    "a_high_cardinality",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("part_qty"),
+          count(lit(1)).as("part_lines"))
+        .agg(count(lit(1)).as("n_parts"),
+          sum(col("part_qty")).as("total_qty"),
+          max(col("part_lines")).as("max_lines"),
+          avg(col("part_qty")).as("avg_part_qty")),
+    oracle = Some("""
+      SELECT count(*) AS n_parts, sum(part_qty) AS total_qty,
+             max(part_lines) AS max_lines, avg(part_qty) AS avg_part_qty
+      FROM (SELECT l_partkey, sum(l_quantity) AS part_qty,
+                   count(*) AS part_lines
+            FROM lineitem GROUP BY l_partkey) p""")
+  )
+
+  /** MySQL-flavor scalar shims used in aggregation context
+    * (reference: func_period.cpp, func_time_to_sec.cpp, func_to_days.cpp). */
+  val mysqlShims: QueryDef = QueryDef(
+    "fn_mysql_shims",
+    (s, dir) => {
+      val p = (year(col("o_orderdate")) * 100 + month(col("o_orderdate")))
+        .cast("long")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"), p.as("period"),
+          MySqlFunctions.periodAdd(p, lit(5)).as("f_period_add"),
+          MySqlFunctions.periodDiff(p, lit(199501L)).as("f_period_diff"),
+          MySqlFunctions.toDays(col("o_orderdate")).as("f_to_days"),
+          MySqlFunctions.fromDays(
+            MySqlFunctions.toDays(col("o_orderdate"))).as("f_from_days"),
+          MySqlFunctions.timeToSec(col("o_orderdate")).as("f_time_to_sec"),
+          MySqlFunctions.secToTime(
+            (col("o_orderkey") % 86400).cast("long")).as("f_sec_to_time"))
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      WITH b AS (SELECT o_orderkey,
+                        CAST(year(o_orderdate) * 100 + month(o_orderdate) AS BIGINT) AS period,
+                        CAST(year(o_orderdate) * 12 + month(o_orderdate) - 1 AS BIGINT) AS months,
+                        o_orderdate
+                 FROM orders)
+      SELECT o_orderkey, period,
+             ((months + 5) // 12) * 100 + ((months + 5) % 12) + 1 AS f_period_add,
+             months - (1995 * 12 + 1 - 1) AS f_period_diff,
+             date_diff('day', DATE '1970-01-01', o_orderdate::DATE) + 719528 AS f_to_days,
+             o_orderdate::DATE AS f_from_days,
+             CAST(hour(o_orderdate) * 3600 + minute(o_orderdate) * 60
+                  + second(o_orderdate) AS BIGINT) AS f_time_to_sec,
+             concat(lpad(CAST((o_orderkey % 86400) // 3600 AS VARCHAR), 2, '0'), ':',
+                    lpad(CAST(((o_orderkey % 86400) % 3600) // 60 AS VARCHAR), 2, '0'), ':',
+                    lpad(CAST((o_orderkey % 86400) % 60 AS VARCHAR), 2, '0')) AS f_sec_to_time
+      FROM b ORDER BY o_orderkey""")
+  )
+
+  def defs: Seq[QueryDef] = Seq(basicStats, distinctAggs, bitAggs,
+    groupConcatCustom, groupConcatDistinct, having, rollup, cube, emptyInput,
+    highCardinality, mysqlShims)
 }

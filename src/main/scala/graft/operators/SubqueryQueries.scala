@@ -1,7 +1,125 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Subquery + sort/limit parity (SURVEY §2.6, §2.9).
+  *
+  * The reference rewrites IN/EXISTS to semi/anti joins, extracts correlated
+  * predicates into join filters, and supports scalar subqueries incl.
+  * correlated (reference: dbcon/mysql/ha_in_sub.cpp:94-273,
+  * dbcon/joblist/jlf_subquery.cpp:196-215,560-685, subquerystep.h:39).
+  * Catalyst's RewritePredicateSubquery + decorrelation does all of this;
+  * these queries exercise each rewrite through the SQL surface so the
+  * optimizer path is the one being tested.
+  *
+  * Sort/limit: the reference's LimitedOrderBy is a bounded heap of
+  * offset+limit rows (dbcon/joblist/limitedorderby.cpp:99-162); Spark's
+  * TakeOrderedAndProjectExec is the identical algorithm, distributed
+  * (per-partition heaps merged on the driver) — asserted in PlanSpec.
+  */
 object SubqueryQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  private def sql(q: String): (SparkSession, String) => DataFrame =
+    (s, dir) => { Tables.registerAll(s, dir); s.sql(q) }
+
+  /** Correlated scalar subquery in the SELECT list
+    * (reference: ha_select_sub.cpp). */
+  val selectListScalar: QueryDef = {
+    val q = """
+      SELECT n_nationkey, n_name,
+             (SELECT count(*) FROM customer WHERE c_nationkey = n_nationkey)
+               AS n_customers,
+             (SELECT avg(s_acctbal) FROM supplier WHERE s_nationkey = n_nationkey)
+               AS avg_supp_bal
+      FROM nation ORDER BY n_nationkey"""
+    QueryDef("sub_select_list_scalar", sql(q), oracle = Some(q))
+  }
+
+  /** Correlated EXISTS with a compound correlation predicate
+    * (reference: ha_exists_sub.cpp, existsfilter.h). */
+  val correlatedExists: QueryDef = {
+    val q = """
+      SELECT c_mktsegment, count(*) AS n
+      FROM customer
+      WHERE EXISTS (SELECT 1 FROM orders
+                    WHERE o_custkey = c_custkey
+                      AND o_totalprice > c_acctbal * 10)
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+    QueryDef("sub_correlated_exists", sql(q), oracle = Some(q))
+  }
+
+  /** Correlated NOT EXISTS. */
+  val correlatedNotExists: QueryDef = {
+    val q = """
+      SELECT c_nationkey, count(*) AS n
+      FROM customer
+      WHERE NOT EXISTS (SELECT 1 FROM orders
+                        WHERE o_custkey = c_custkey
+                          AND o_orderstatus = 'F')
+      GROUP BY c_nationkey ORDER BY c_nationkey"""
+    QueryDef("sub_correlated_not_exists", sql(q), oracle = Some(q))
+  }
+
+  /** Derived table (FROM-subquery) with aggregation + outer filter pushed
+    * into it (reference: ha_from_sub.cpp:45-116 derived-table pruning +
+    * filter pushdown — free in Catalyst, asserted in PlanSpec). */
+  val derivedTable: QueryDef = {
+    val q = """
+      SELECT seg, n_orders, total
+      FROM (SELECT c_mktsegment AS seg, count(o_orderkey) AS n_orders,
+                   sum(o_totalprice) AS total
+            FROM customer JOIN orders ON c_custkey = o_custkey
+            GROUP BY c_mktsegment) d
+      WHERE n_orders > 100
+      ORDER BY seg"""
+    QueryDef("sub_derived_table", sql(q), oracle = Some(q))
+  }
+
+  /** Correlated scalar compare in WHERE (reference:
+    * jlf_subquery.cpp:560 doSimpleScalarFilter). */
+  val correlatedScalarWhere: QueryDef = {
+    val q = """
+      SELECT s_nationkey, count(*) AS n_above
+      FROM supplier s1
+      WHERE s_acctbal > (SELECT avg(s_acctbal) FROM supplier s2
+                         WHERE s2.s_nationkey = s1.s_nationkey)
+      GROUP BY s_nationkey ORDER BY s_nationkey"""
+    QueryDef("sub_correlated_scalar_where", sql(q), oracle = Some(q))
+  }
+
+  /** Uncorrelated IN + HAVING with subquery (reference:
+    * jlf_subquery.cpp:676 correlated-in-HAVING path). */
+  val havingSubquery: QueryDef = {
+    val q = """
+      SELECT o_custkey, count(*) AS n_orders
+      FROM orders
+      WHERE o_custkey IN (SELECT c_custkey FROM customer
+                          WHERE c_mktsegment = 'MACHINERY')
+      GROUP BY o_custkey
+      HAVING count(*) > (SELECT avg(cnt) FROM
+                          (SELECT count(*) AS cnt FROM orders GROUP BY o_custkey) t)
+      ORDER BY o_custkey"""
+    QueryDef("sub_having_subquery", sql(q), oracle = Some(q))
+  }
+
+  /** CTE / WITH (parity-plus — MySQL 5.x surface has none). */
+  val cte: QueryDef = {
+    val q = """
+      WITH nation_bal AS (
+        SELECT n_nationkey, n_name, sum(c_acctbal) AS bal
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_nationkey, n_name
+      ), ranked AS (
+        SELECT *, rank() OVER (ORDER BY bal DESC) AS rk FROM nation_bal
+      )
+      SELECT n_nationkey, n_name, bal, rk FROM ranked WHERE rk <= 10
+      ORDER BY rk, n_nationkey"""
+    QueryDef("sub_cte", sql(q), oracle = Some(q))
+  }
+
+  def defs: Seq[QueryDef] = Seq(selectListScalar, correlatedExists,
+    correlatedNotExists, derivedTable, correlatedScalarWhere, havingSubquery,
+    cte)
 }
