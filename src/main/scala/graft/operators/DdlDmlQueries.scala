@@ -1,7 +1,169 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.sources.{Catalog, Loader}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
 
+/** DDL / DML / bulk-load parity (SURVEY §2.1 DDL/DML rows, §3.2, §3.3).
+  *
+  * Each query performs the mutation into a scratch directory and returns a
+  * DataFrame over the final state, so the DuckDB oracle can assert the
+  * result from the immutable source tables.
+  */
 object DdlDmlQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  private def t(s: SparkSession, dir: String, n: String): DataFrame =
+    Tables.table(s, dir, n)
+
+  private def scratch(): String =
+    Files.createTempDirectory("graft_ddl").toString
+
+  /** CTAS → read back (reference: CREATE TABLE ddl.y:233 + INSERT_SELECT
+    * path exemgr/main.cpp:582). */
+  val ctasRoundtrip: QueryDef = QueryDef(
+    "d_ctas_roundtrip",
+    (s, dir) => {
+      val cat = new Catalog(s, scratch())
+      cat.createTableAs("order_summary",
+        t(s, dir, "orders")
+          .groupBy(col("o_orderstatus"))
+          .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total")))
+      cat.table("order_summary").orderBy(col("o_orderstatus"))
+    },
+    oracle = Some("""
+      SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
+  /** CREATE empty + INSERT INTO … SELECT twice (append) + TRUNCATE-check
+    * (reference: insertpackageprocessor.cpp). */
+  val insertIntoSelect: QueryDef = QueryDef(
+    "d_insert_into_select",
+    (s, dir) => {
+      val cat = new Catalog(s, scratch())
+      val cust = t(s, dir, "customer")
+      cat.createTable("cust_copy", cust.schema)
+      cat.insertIntoSelect("cust_copy", cust.filter(col("c_custkey") % 2 === 0))
+      cat.insertIntoSelect("cust_copy", cust.filter(col("c_custkey") % 2 === 1))
+      cat.table("cust_copy")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"), sum(col("c_acctbal")).as("bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    oracle = Some("""
+      SELECT c_mktsegment, count(*) AS n, sum(c_acctbal) AS bal
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
+  /** UPDATE + DELETE as read-modify-overwrite
+    * (reference: updatepackageprocessor.cpp, deletepackageprocessor.cpp;
+    * MVCC snapshot semantics → immutable overwrite). */
+  val updateDelete: QueryDef = QueryDef(
+    "d_update_delete",
+    (s, dir) => {
+      val cat = new Catalog(s, scratch())
+      cat.createTableAs("supp", t(s, dir, "supplier"))
+      // DELETE FROM supp WHERE s_acctbal < 0
+      cat.delete("supp", _.filter(col("s_acctbal") >= 0))
+      // UPDATE supp SET s_acctbal = s_acctbal * 1.1 WHERE s_nationkey < 10
+      cat.update("supp", df => df.withColumn("s_acctbal",
+        when(col("s_nationkey") < 10, col("s_acctbal") * 1.1)
+          .otherwise(col("s_acctbal"))))
+      cat.table("supp")
+        .agg(count(lit(1)).as("n"), sum(col("s_acctbal")).as("total_bal"))
+    },
+    oracle = Some("""
+      SELECT count(*) AS n,
+             sum(CASE WHEN s_nationkey < 10 THEN s_acctbal * 1.1
+                      ELSE s_acctbal END) AS total_bal
+      FROM supplier WHERE s_acctbal >= 0""")
+  )
+
+  /** ALTER TABLE ADD/DROP COLUMN (reference: ddl.y:477 alter_table). */
+  val alterTable: QueryDef = QueryDef(
+    "d_alter_table",
+    (s, dir) => {
+      val cat = new Catalog(s, scratch())
+      cat.createTableAs("nat", t(s, dir, "nation"))
+      cat.addColumn("nat", "n_key_sq", col("n_nationkey") * col("n_nationkey"))
+      cat.dropColumn("nat", "n_regionkey")
+      cat.table("nat").orderBy(col("n_nationkey"))
+    },
+    oracle = Some("""
+      SELECT n_nationkey, n_name, n_nationkey * n_nationkey AS n_key_sq
+      FROM nation ORDER BY n_nationkey""")
+  )
+
+  /** cpimport round-trip: nation → pipe-delimited CSV → Loader → parquet.
+    * The loaded table must be byte-identical to the source
+    * (reference: writeengine/bulk/we_bulkload.h:67). */
+  val csvRoundtrip: QueryDef = QueryDef(
+    "d_csv_roundtrip",
+    (s, dir) => {
+      val tmp = scratch()
+      val nation = t(s, dir, "nation")
+      Loader.exportCsv(nation, s"$tmp/nation_csv")
+      val res = Loader.loadCsv(s, s"$tmp/nation_csv", nation.schema,
+        s"$tmp/nation_parquet")
+      res.rejects.count() // force evaluation of the reject path
+      s.read.parquet(s"$tmp/nation_parquet").orderBy(col("n_nationkey"))
+    },
+    oracle = Some("SELECT * FROM nation ORDER BY n_nationkey")
+  )
+
+  /** Reject handling: malformed rows divert to the reject set, good rows
+    * load (reference: we_bulkloadbuffer.cpp error tracking → .bad files). */
+  val loaderRejects: QueryDef = QueryDef(
+    "d_loader_rejects",
+    (s, dir) => {
+      val tmp = scratch()
+      val csv = java.nio.file.Paths.get(tmp, "in.csv")
+      Files.writeString(csv,
+        """1|alpha|10.5
+          |2|beta|not_a_number
+          |3|gamma|30.25
+          |4|delta|40.0
+          |""".stripMargin)
+      val schema = org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("id",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("name",
+          org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("val",
+          org.apache.spark.sql.types.DoubleType)))
+      val res = Loader.loadCsv(s, csv.toString, schema, s"$tmp/out")
+      import s.implicits._
+      Seq((res.loaded, res.rejected)).toDF("n_loaded", "n_rejected")
+    },
+    oracle = Some("SELECT CAST(3 AS BIGINT) AS n_loaded, CAST(1 AS BIGINT) AS n_rejected")
+  )
+
+  /** JDBC-style cross-engine read (reference: CrossEngineStep,
+    * dbcon/joblist/crossenginestep.h:47 — reads a foreign MySQL table into
+    * the query). No MySQL in this container, so the foreign side is a CSV
+    * "external engine" read joined against a native table. */
+  val crossEngine: QueryDef = QueryDef(
+    "d_cross_engine",
+    (s, dir) => {
+      val tmp = scratch()
+      val region = t(s, dir, "region")
+      Loader.exportCsv(region, s"$tmp/region_ext")
+      val foreign = s.read.option("sep", "|").schema(region.schema)
+        .csv(s"$tmp/region_ext")
+      t(s, dir, "nation")
+        .join(broadcast(foreign), col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"))
+        .agg(count(lit(1)).as("n_nations"))
+        .orderBy(col("r_name"))
+    },
+    oracle = Some("""
+      SELECT r_name, count(*) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name ORDER BY r_name""")
+  )
+
+  def defs: Seq[QueryDef] = Seq(ctasRoundtrip, insertIntoSelect, updateDelete,
+    alterTable, csvRoundtrip, loaderRejects, crossEngine)
 }

@@ -1,0 +1,116 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+import java.nio.file.{Files, Path, Paths}
+import scala.collection.concurrent.TrieMap
+
+/** Thin table catalog over Parquet directories.
+  *
+  * Plays the role of the reference's CalpontSystemCatalog + DDL processors
+  * (reference: dbcon/execplan/calpontsystemcatalog.h:107;
+  * dbcon/ddlpackage/ddl.y:233-300 CREATE/DROP/TRUNCATE/ALTER;
+  * dbcon/ddlpackageproc/). A table is a named Parquet directory with a
+  * declared schema; all mutation is whole-file immutable-snapshot semantics
+  * (the reference's MVCC version buffer, versioning/BRM/dbrm.h:163-192, is
+  * subsumed by immutable Parquet + atomic directory swap).
+  *
+  * DML parity (reference: dbcon/dmlpackageproc insert/update/delete
+  * package processors):
+  * INSERT INTO…SELECT = append write; UPDATE/DELETE = read-modify-overwrite.
+  * At scale, `update`/`delete` rewrite only because Parquet is immutable —
+  * the operation is a full distributed scan+write, same cost class as the
+  * reference's block-rewrite through the version buffer.
+  */
+class Catalog(spark: SparkSession, root: String) {
+  private val tables = TrieMap.empty[String, StructType]
+  Files.createDirectories(Paths.get(root))
+
+  def tablePath(name: String): String = s"$root/$name"
+
+  /** CREATE TABLE name (schema) — an empty Parquet directory with schema. */
+  def createTable(name: String, schema: StructType): Unit = {
+    require(!tables.contains(name), s"table $name already exists")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+      .write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+    tables.put(name, schema)
+  }
+
+  /** CREATE TABLE AS SELECT. */
+  def createTableAs(name: String, df: DataFrame): Unit = {
+    require(!tables.contains(name), s"table $name already exists")
+    df.write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+    tables.put(name, df.schema)
+  }
+
+  def table(name: String): DataFrame = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"no such table: $name"))
+    spark.read.schema(schema).parquet(tablePath(name))
+  }
+
+  /** INSERT INTO name SELECT … (append). */
+  def insertIntoSelect(name: String, df: DataFrame): Unit = {
+    require(tables.contains(name), s"no such table: $name")
+    df.write.mode(SaveMode.Append).parquet(tablePath(name))
+  }
+
+  /** UPDATE name SET (via transform) WHERE (via predicate): read-modify-
+    * overwrite through a staging dir so a failed write never corrupts. */
+  def update(name: String, transform: DataFrame => DataFrame): Unit =
+    rewrite(name, transform)
+
+  /** DELETE FROM name WHERE cond: keep !cond rows. */
+  def delete(name: String, keep: DataFrame => DataFrame): Unit =
+    rewrite(name, keep)
+
+  private def rewrite(name: String, f: DataFrame => DataFrame): Unit = {
+    require(tables.contains(name), s"no such table: $name")
+    val staged = tablePath(name) + ".staging"
+    f(table(name)).write.mode(SaveMode.Overwrite).parquet(staged)
+    val live = Paths.get(tablePath(name))
+    deleteRecursively(live)
+    Files.move(Paths.get(staged), live)
+  }
+
+  /** TRUNCATE TABLE. */
+  def truncate(name: String): Unit = {
+    val schema = tables.getOrElse(name,
+      throw new IllegalArgumentException(s"no such table: $name"))
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        schema)
+      .write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+  }
+
+  /** DROP TABLE. */
+  def dropTable(name: String): Unit = {
+    tables.remove(name)
+    deleteRecursively(Paths.get(tablePath(name)))
+  }
+
+  /** ALTER TABLE ADD COLUMN (with default value, rewrite). */
+  def addColumn(name: String, colName: String,
+      value: org.apache.spark.sql.Column): Unit = {
+    rewrite(name, _.withColumn(colName, value))
+    tables.put(name, table0(name).schema)
+  }
+
+  /** ALTER TABLE DROP COLUMN. */
+  def dropColumn(name: String, colName: String): Unit = {
+    rewrite(name, _.drop(colName))
+    tables.put(name, table0(name).schema)
+  }
+
+  private def table0(name: String): DataFrame =
+    spark.read.parquet(tablePath(name))
+
+  def listTables: Seq[String] = tables.keys.toSeq.sorted
+
+  private def deleteRecursively(p: Path): Unit = {
+    if (Files.exists(p)) {
+      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .forEach(q => Files.delete(q))
+    }
+  }
+}
