@@ -35,6 +35,7 @@ object Tables {
     // events.parquet carries TIMESTAMP(NANOS) which the vectorized reader
     // rejects; read as long and convert (see table()).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    plans.GraftExtensions.registerAll(spark)
   }
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"

@@ -1,0 +1,148 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Vector kernels for the similarity-search operators (extension — the
+  * reference has no vector/array machinery; SURVEY §4 extension list).
+  *
+  * Native Catalyst expressions (not UDFs): inputs stay as ArrayData — no
+  * per-row boxing into Scala Seq — and evaluation happens inside
+  * whole-stage codegen via a static kernel, so a brute-force scan over
+  * billions of embeddings is a tight vectorizable loop per row.
+  */
+object VectorKernels {
+  /** dot(a,b) over float arrays, accumulated in double. */
+  def dot(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
+    s
+  }
+
+  def norm(a: ArrayData): Double = {
+    var s = 0.0
+    var i = 0
+    val n = a.numElements()
+    while (i < n) { val v = a.getFloat(i).toDouble; s += v * v; i += 1 }
+    math.sqrt(s)
+  }
+
+  def cosine(a: ArrayData, b: ArrayData): Double = {
+    val d = dot(a, b)
+    val na = norm(a)
+    val nb = norm(b)
+    if (na == 0.0 || nb == 0.0) 0.0 else d / (na * nb)
+  }
+
+  def l2(a: ArrayData, b: ArrayData): Double = {
+    val n = math.min(a.numElements(), b.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) {
+      val d = a.getFloat(i).toDouble - b.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    math.sqrt(s)
+  }
+
+  /** Random-hyperplane LSH bucket: sign bit per plane, planes derived
+    * deterministically from (planeIdx, dimIdx) hashes — no stored model. */
+  def lshBucket(a: ArrayData, planes: Int, seed: Long): Int = {
+    var bucket = 0
+    var p = 0
+    while (p < planes) {
+      var s = 0.0
+      var i = 0
+      val n = a.numElements()
+      while (i < n) {
+        // deterministic pseudo-gaussian weight in [-1,1) from FNV of (p,i)
+        val h = Fnv64.hashBytes(Array(
+          (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+          (i & 0xff).toByte, ((i >> 8) & 0xff).toByte), seed)
+        val w = (h.toDouble / Long.MaxValue.toDouble)
+        s += a.getFloat(i).toDouble * w
+        i += 1
+      }
+      if (s > 0) bucket |= (1 << p)
+      p += 1
+    }
+    bucket
+  }
+}
+
+abstract class BinaryVectorExpression extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  protected def kernel: String
+  protected def kernelFn: (ArrayData, ArrayData) => Double
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    kernelFn(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.$kernel($a, $b)")
+}
+
+/** COSINE_SIM(a, b) → double in [-1, 1]. */
+case class CosineSim(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "cosine_sim"
+  protected def kernel = "cosine"
+  protected def kernelFn = VectorKernels.cosine
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** DOT_PRODUCT(a, b) → double. */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "dot_product"
+  protected def kernel = "dot"
+  protected def kernelFn = VectorKernels.dot
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** L2_DISTANCE(a, b) → double. */
+case class L2Distance(left: Expression, right: Expression)
+    extends BinaryVectorExpression {
+  override def prettyName: String = "l2_distance"
+  protected def kernel = "l2"
+  protected def kernelFn = VectorKernels.l2
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** LSH_BUCKET(vec): random-hyperplane bucket id in [0, 2^planes). */
+case class LshBucket(child: Expression, planes: Int, seed: Long)
+    extends UnaryExpression {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "lsh_bucket"
+
+  protected override def nullSafeEval(input: Any): Any =
+    VectorKernels.lshBucket(input.asInstanceOf[ArrayData], planes, seed)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.lshBucket($c, $planes, ${seed}L)")
+
+  override protected def withNewChildInternal(newChild: Expression): LshBucket =
+    copy(child = newChild)
+}
+
+object VectorFunctions {
+  import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
+  def cosineSim(a: Column, b: Column): Column =
+    column(CosineSim(expression(a), expression(b)))
+  def dotProduct(a: Column, b: Column): Column =
+    column(DotProduct(expression(a), expression(b)))
+  def l2Distance(a: Column, b: Column): Column =
+    column(L2Distance(expression(a), expression(b)))
+  def lshBucket(v: Column, planes: Int = 8, seed: Long = 42L): Column =
+    column(LshBucket(expression(v), planes, seed))
+}

@@ -1,7 +1,191 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.HashFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Deduplication operators for training-data pipelines (extension suite —
+  * the reference's only dedup is DISTINCT / GROUP BY; these add the
+  * large-corpus near-dup machinery a 100 TB text pipeline needs).
+  *
+  * Scale design notes:
+  *  - exact dedup = hash-groupBy on a digest — one shuffle on the digest,
+  *    never on the document text;
+  *  - MinHash-LSH: per-doc signature is a codegen'd map (no shuffle), then
+  *    candidates come from a band-key equi-join — the join key is
+  *    (band_id, band_hash), so cost scales with collisions, not |docs|²;
+  *  - SimHash: 4×16-bit chunk banding gives the same join-not-crossjoin
+  *    property for hamming-distance near-dups.
+  */
 object DedupQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** Exact dedup via content digest: first occurrence wins, copies counted
+    * (hash-groupBy — the scalable exact-dedup plan). */
+  val exact: QueryDef = QueryDef(
+    "x_dedup_exact",
+    (s, dir) => {
+      val w = Window.partitionBy(col("digest")).orderBy(col("doc_id"))
+      docs(s, dir)
+        .withColumn("digest", md5(col("text")))
+        .withColumn("dup_rank", row_number().over(w))
+        .withColumn("n_copies", count(lit(1))
+          .over(Window.partitionBy(col("digest"))))
+        .select(col("doc_id"), col("digest"),
+          col("dup_rank"), col("n_copies"),
+          (col("dup_rank") === 1).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      SELECT doc_id, md5(text) AS digest,
+             row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) AS dup_rank,
+             count(*) OVER (PARTITION BY md5(text)) AS n_copies,
+             (row_number() OVER (PARTITION BY md5(text) ORDER BY doc_id) = 1)
+               AS is_canonical
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** Token-set Jaccard similarity between consecutive doc_ids — the exact
+    * n-gram-Jaccard verification kernel, oracle-checkable in SQL. */
+  val ngramJaccard: QueryDef = QueryDef(
+    "x_dedup_jaccard",
+    (s, dir) => {
+      val a = docs(s, dir).select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks_a"))
+      val b = docs(s, dir).select((col("doc_id") - 1).as("b_prev"),
+        array_distinct(split(col("text"), " ")).as("toks_b"))
+      a.join(b, col("doc_id") === col("b_prev"))
+        .select(col("doc_id"),
+          (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b"))))
+            .as("jaccard_next"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                 FROM documents)
+      SELECT a.doc_id,
+             CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) /
+             len(list_distinct(list_concat(a.toks, b.toks))) AS jaccard_next
+      FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+      ORDER BY a.doc_id""")
+  )
+
+  /** MinHash + LSH banding near-dup detection: k=32 hashes, 8 bands × 4.
+    * Candidate pairs come only from band-bucket equi-joins; each candidate
+    * is verified with exact token-set Jaccard. Output is per-doc (always
+    * |docs| rows): candidate count and best verified similarity. */
+  val minhashLsh: QueryDef = QueryDef(
+    "x_dedup_minhash_lsh",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("sig", minhashSig(col("toks"), 32))
+      val bands = base.select(col("doc_id"),
+          posexplode(expr("transform(sequence(0, 7), " +
+            "b -> hash(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]))")))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "band_hash")
+      val pairs = bands.alias("x")
+        .join(bands.alias("y"),
+          col("x.band_id") === col("y.band_id") &&
+            col("x.band_hash") === col("y.band_hash") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+        .distinct()
+      val toksOf = base.select(col("doc_id"), col("toks"))
+      val verified = pairs
+        .join(toksOf.withColumnRenamed("doc_id", "a")
+          .withColumnRenamed("toks", "toks_a"), Seq("a"))
+        .join(toksOf.withColumnRenamed("doc_id", "b")
+          .withColumnRenamed("toks", "toks_b"), Seq("b"))
+        .select(col("a"), col("b"),
+          (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
+            size(array_union(col("toks_a"), col("toks_b")))).as("jaccard"))
+      val perDoc = verified.select(col("a").as("doc_id"), col("jaccard"))
+        .union(verified.select(col("b").as("doc_id"), col("jaccard")))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_candidates"),
+          max(col("jaccard")).as("best_jaccard"))
+      base.select(col("doc_id")).join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("n_candidates"), lit(0L)).as("n_candidates"),
+          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = None // custom minhash signature — verified in DedupSpec instead
+  )
+
+  /** SimHash near-dup: 64-bit fingerprint per doc (custom codegen'd
+    * Expression), banded into 4×16-bit chunks for the candidate join,
+    * hamming ≤ 12 counts as near-dup. */
+  val simhash: QueryDef = QueryDef(
+    "x_dedup_simhash",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"),
+          simhash64(split(col("text"), " ")).as("sh"))
+      val chunks = base.select(col("doc_id"), col("sh"),
+          posexplode(expr(
+            "transform(sequence(0, 3), c -> (sh >> (c * 16)) & 65535)")))
+        .withColumnRenamed("pos", "chunk_id")
+        .withColumnRenamed("col", "chunk_val")
+      val cand = chunks.alias("x")
+        .join(chunks.alias("y"),
+          col("x.chunk_id") === col("y.chunk_id") &&
+            col("x.chunk_val") === col("y.chunk_val") &&
+            col("x.doc_id") < col("y.doc_id"))
+        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
+          col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+        .distinct()
+        .withColumn("hd", hamming64(col("sh_a"), col("sh_b")))
+        .filter(col("hd") <= 12)
+      val perDoc = cand.select(col("a").as("doc_id"))
+        .union(cand.select(col("b").as("doc_id")))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near_dups"))
+      base.join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("sh").as("simhash"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = None // custom simhash — verified in DedupSpec instead
+  )
+
+  /** Embedding-cosine near-dup: candidates restricted to LSH buckets
+    * (8 random hyperplanes → 256 buckets), cosine ≥ 0.9 flags a near-dup.
+    * This is the brute-force-free path that survives 100× scale. */
+  val embeddingNearDup: QueryDef = QueryDef(
+    "x_dedup_embedding",
+    (s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"),
+          graft.functions.VectorFunctions.lshBucket(col("embedding"))
+            .as("bucket"))
+      val cand = emb.alias("x")
+        .join(emb.alias("y"),
+          col("x.bucket") === col("y.bucket") &&
+            col("x.vec_id") < col("y.vec_id"))
+        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
+          graft.functions.VectorFunctions
+            .cosineSim(col("x.embedding"), col("y.embedding")).as("cos"))
+        .filter(col("cos") >= 0.9)
+      val perVec = cand.select(col("a").as("vec_id"))
+        .union(cand.select(col("b").as("vec_id")))
+        .groupBy(col("vec_id")).agg(count(lit(1)).as("n_near_dups"))
+      emb.select(col("vec_id"), col("bucket"))
+        .join(perVec, Seq("vec_id"), "left_outer")
+        .select(col("vec_id"), col("bucket"),
+          coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
+        .orderBy(col("vec_id"))
+    },
+    oracle = None // LSH bucketing is graft-specific — verified in VectorSpec
+  )
+
+  def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash,
+    embeddingNearDup)
 }

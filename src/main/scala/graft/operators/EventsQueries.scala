@@ -1,7 +1,167 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Batch analytics over the events table (extension suite — the reference
+  * has no streaming/eventing at all, SURVEY §2.10; the streaming versions
+  * of these same aggregations live in graft.streaming.EventsStream).
+  */
 object EventsQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  private def ev(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "events")
+
+  /** Tumbling 1-hour windows per event type (batch analog of the
+    * streaming tumbling-window aggregation). */
+  val tumbling: QueryDef = QueryDef(
+    "x_events_tumbling",
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+        .select(col("w.start").as("window_start"), col("event_type"),
+          col("n"), col("sum_value"))
+        .orderBy(col("window_start"), col("event_type")),
+    oracle = Some("""
+      SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
+             count(*) AS n, sum(value) AS sum_value
+      FROM events
+      GROUP BY 1, 2 ORDER BY window_start, event_type""")
+  )
+
+  /** Sliding 1-hour windows every 30 minutes (each event lands in two
+    * windows). */
+  val sliding: QueryDef = QueryDef(
+    "x_events_sliding",
+    (s, dir) =>
+      ev(s, dir)
+        .groupBy(window(col("ts"), "1 hour", "30 minutes").as("w"))
+        .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+        .select(col("w.start").as("window_start"), col("n"), col("avg_value"))
+        .orderBy(col("window_start")),
+    oracle = Some("""
+      WITH b AS (SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // 1800000000)
+                                       * 1800000000) AS s1, value
+                 FROM events),
+           x AS (SELECT unnest([s1, s1 - INTERVAL 30 MINUTE])
+                          AS window_start, value
+                 FROM b)
+      SELECT window_start, count(*) AS n, avg(value) AS avg_value
+      FROM x GROUP BY window_start ORDER BY window_start""")
+  )
+
+  /** Gap-based sessionization (10-minute inactivity gap): the classic
+    * lag + cumulative-sum session assignment, entirely window-function
+    * based — shuffles once on user_id. */
+  val sessionize: QueryDef = QueryDef(
+    "x_events_sessionize",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val wRun = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      ev(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("new_sess",
+          when(col("prev_us").isNull ||
+            unix_micros(col("ts")) - col("prev_us") > 600000000L, 1)
+            .otherwise(0))
+        .withColumn("session_id", sum(col("new_sess")).over(wRun))
+        .groupBy(col("user_id"), col("session_id"))
+        .agg(count(lit(1)).as("n_events"),
+          min(col("ts")).as("session_start"),
+          max(col("ts")).as("session_end"),
+          sum(col("value")).as("sum_value"))
+        .orderBy(col("user_id"), col("session_id"))
+    },
+    oracle = Some("""
+      WITH o AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+                        lag(ts::TIMESTAMP) OVER (PARTITION BY user_id
+                          ORDER BY ts::TIMESTAMP, event_id) AS prev
+                 FROM events),
+           f AS (SELECT *, CASE WHEN prev IS NULL
+                                  OR epoch_us(ts) - epoch_us(prev) > 600000000
+                                THEN 1 ELSE 0 END AS nf
+                 FROM o),
+           s AS (SELECT *, sum(nf) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+                 FROM f)
+      SELECT user_id, session_id, count(*) AS n_events,
+             min(ts) AS session_start, max(ts) AS session_end,
+             sum(value) AS sum_value
+      FROM s GROUP BY user_id, session_id
+      ORDER BY user_id, session_id""")
+  )
+
+  /** JSON property extraction from the props column. */
+  val jsonExtract: QueryDef = QueryDef(
+    "x_events_json",
+    (s, dir) =>
+      ev(s, dir)
+        .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"),
+          avg(col("k")).as("avg_k"), min(col("k")).as("min_k"),
+          max(col("k")).as("max_k"))
+        .orderBy(col("event_type")),
+    oracle = Some("""
+      WITH e AS (SELECT event_type,
+                        CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+                             AS BIGINT) AS k
+                 FROM events)
+      SELECT event_type, count(*) AS n, sum(k) AS sum_k, avg(k) AS avg_k,
+             min(k) AS min_k, max(k) AS max_k
+      FROM e GROUP BY event_type ORDER BY event_type""")
+  )
+
+  /** Stateful-dedup batch analog: one event per (user, type, hour) kept —
+    * the batch semantics that EventsStream.dedup reproduces incrementally
+    * with watermark state. */
+  val dedupKeyed: QueryDef = QueryDef(
+    "x_events_dedup",
+    (s, dir) =>
+      ev(s, dir)
+        .withColumn("hour_bucket", date_trunc("hour", col("ts")))
+        .dropDuplicates("user_id", "event_type", "hour_bucket")
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique"))
+        .orderBy(col("event_type")),
+    oracle = Some("""
+      SELECT event_type, count(*) AS n_unique
+      FROM (SELECT DISTINCT user_id, event_type,
+                   date_trunc('hour', ts::TIMESTAMP) AS hour_bucket
+            FROM events) d
+      GROUP BY event_type ORDER BY event_type""")
+  )
+
+  /** Top-k users by spend with rank over event-type split — composite
+    * "leaderboard" query shape. */
+  val leaderboard: QueryDef = QueryDef(
+    "x_events_leaderboard",
+    (s, dir) => {
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("total").desc, col("user_id"))
+      ev(s, dir)
+        .groupBy(col("event_type"), col("user_id"))
+        .agg(sum(col("value")).as("total"), count(lit(1)).as("n"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .orderBy(col("event_type"), col("rk"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT event_type, user_id, sum(value) AS total,
+                        count(*) AS n
+                 FROM events GROUP BY event_type, user_id),
+           r AS (SELECT *, row_number() OVER (PARTITION BY event_type
+                   ORDER BY total DESC, user_id) AS rk
+                 FROM t)
+      SELECT event_type, user_id, total, n, rk FROM r WHERE rk <= 5
+      ORDER BY event_type, rk""")
+  )
+
+  def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
+    dedupKeyed, leaderboard)
 }

@@ -1,7 +1,168 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.HashFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
+/** Text-analysis operators for training-data pipelines (extension suite):
+  * language ID, quality scoring, token counting, document fingerprinting.
+  * All are per-row maps over the scan (no shuffle) except the explicit
+  * token-histogram aggregation — exactly what a 100 TB text pipeline wants.
+  */
 object TextQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** Stopword profiles for the n-gram/stopword language-ID heuristic. */
+  val profiles: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "a", "of", "and", "to", "in", "is", "it", "that", "for"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "ein", "nicht", "mit",
+      "auf", "für"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "un", "une", "pas", "pour",
+      "dans"),
+    "es" -> Seq("el", "la", "los", "y", "es", "un", "una", "no", "por", "en"),
+    "zh" -> Seq("的", "是", "了", "在", "我", "有", "和", "不", "人", "这"))
+
+  /** Language ID: score = stopword hits per profile, argmax wins (ties
+    * break by profile order en,de,fr,es,zh). Deterministic; accuracy on
+    * real multilingual text asserted in TextSpec fixtures. */
+  val langId: QueryDef = QueryDef(
+    "x_text_langid",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .withColumn("toks", split(lower(col("text")), " "))
+      val scored = profiles.foldLeft(toks) { case (df, (lang, words)) =>
+        df.withColumn(s"score_$lang",
+          size(expr(s"filter(toks, t -> array_contains(" +
+            s"array(${words.map(w => s"'$w'").mkString(",")}), t))")))
+      }
+      val langs = profiles.keys.toSeq.sorted // de,en,es,fr,zh
+      val best = langs.map(l => struct(col(s"score_$l").as("score"),
+        lit(l).as("lang")))
+      scored
+        .withColumn("best", greatest(best: _*))
+        .select(col("doc_id"), col("lang").as("label"),
+          col("best.lang").as("pred_lang"),
+          col("best.score").as("pred_score"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = None // heuristic model — accuracy asserted in TextSpec
+  )
+
+  /** Quality scoring: length / token / punctuation / stopword / digit
+    * ratios + a composite score. Formula-identical oracle. */
+  val quality: QueryDef = QueryDef(
+    "x_text_quality",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .select(
+          col("doc_id"),
+          length(col("text")).as("n_chars"),
+          col("n_tokens"),
+          ((length(col("text")) - (col("n_tokens") - 1)).cast("double") /
+            col("n_tokens")).as("avg_token_len"),
+          (size(expr("filter(toks, t -> t IN ('the', 'a', 'of', 'and', 'to'))"))
+            .cast("double") / col("n_tokens")).as("stopword_ratio"),
+          (size(expr("filter(toks, t -> t rlike '^[0-9]+$')")).cast("double") /
+            col("n_tokens")).as("digit_token_ratio"),
+          (length(col("text")) -
+            length(regexp_replace(col("text"), "[.,!?;:]", "")))
+            .as("n_punct"))
+        .withColumn("quality_score",
+          when(col("n_tokens") >= 20 && col("avg_token_len").between(3, 10) &&
+            col("stopword_ratio") > 0.02, 1.0).otherwise(0.0))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, text, string_split(text, ' ') AS toks,
+                        len(string_split(text, ' ')) AS n_tokens
+                 FROM documents)
+      SELECT doc_id,
+             length(text) AS n_chars,
+             n_tokens,
+             CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens AS avg_token_len,
+             CAST(len(list_filter(toks,
+               t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+               / n_tokens AS stopword_ratio,
+             CAST(len(list_filter(toks,
+               t -> regexp_matches(t, '^[0-9]+$'))) AS DOUBLE)
+               / n_tokens AS digit_token_ratio,
+             length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+               AS n_punct,
+             CAST(CASE WHEN n_tokens >= 20
+                        AND CAST(length(text) - (n_tokens - 1) AS DOUBLE) / n_tokens
+                            BETWEEN 3 AND 10
+                        AND CAST(len(list_filter(toks,
+                              t -> t IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+                            / n_tokens > 0.02
+                  THEN 1.0 ELSE 0.0 END AS DOUBLE) AS quality_score
+      FROM t ORDER BY doc_id""")
+  )
+
+  /** Token counting: whitespace tokens + BPE-ish regex token count
+    * (letter-runs / digit-runs / single other chars). */
+  val tokenCount: QueryDef = QueryDef(
+    "x_text_tokens",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          regexp_count(col("text"), lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"))
+            .as("n_bpe_tokens"),
+          (length(col("text")).cast("double") /
+            size(split(col("text"), " "))).as("chars_per_token"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_ws_tokens,
+             len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]'))
+               AS n_bpe_tokens,
+             CAST(length(text) AS DOUBLE) / len(string_split(text, ' '))
+               AS chars_per_token
+      FROM documents ORDER BY doc_id""")
+  )
+
+  /** Corpus token histogram: top-30 tokens (the one shuffling text op —
+    * explode + two-phase count, skew-safe because partial aggregation
+    * collapses the heavy hitters map-side). */
+  val topTokens: QueryDef = QueryDef(
+    "x_text_top_tokens",
+    (s, dir) =>
+      docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("token"))
+        .limit(30),
+    oracle = Some("""
+      SELECT token, count(*) AS n
+      FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents) t
+      GROUP BY token ORDER BY n DESC, token LIMIT 30""")
+  )
+
+  /** Document fingerprinting: whole-doc rolling hash + shingle-level
+    * fingerprints (custom codegen'd Fingerprint64 inside a higher-order
+    * transform), plus the distinct-shingle count per doc. */
+  val fingerprint: QueryDef = QueryDef(
+    "x_text_fingerprint",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shingle_fps", expr(
+          """transform(sequence(0, greatest(size(toks) - 3, 0)),
+             i -> fingerprint64(concat_ws(' ', slice(toks, i + 1, 3))))"""))
+        .select(col("doc_id"),
+          fingerprint64(col("text")).as("doc_fp"),
+          size(array_distinct(col("shingle_fps"))).as("n_distinct_shingles"),
+          expr("aggregate(shingle_fps, 0L, (acc, x) -> acc ^ x)")
+            .as("xor_shingle_fp"))
+        .orderBy(col("doc_id")),
+    oracle = None // custom 64-bit fingerprints — determinism checked in TextSpec
+  )
+
+  def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
+    fingerprint)
 }

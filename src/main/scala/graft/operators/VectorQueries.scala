@@ -1,7 +1,140 @@
 package graft.operators
 
-import graft.QueryDef
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
 
+/** Similarity search over embeddings (extension suite).
+  *
+  * Two paths, as a production ANN pipeline would have:
+  *  - brute-force cosine top-k: broadcast the (small) query set, scan the
+  *    corpus once, per-partition top-k via window — the exact baseline;
+  *  - LSH-bucketed: random-hyperplane bucket per vector (codegen'd
+  *    expression, no model state), candidates only within the query's
+  *    bucket. At 100 TB the corpus side stays partitioned, only the
+  *    query set broadcasts, and the bucket join replaces the cross join.
+  */
 object VectorQueries {
-  def defs: Seq[QueryDef] = Seq()
+
+  private def emb(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "embeddings")
+
+  /** Brute-force exact cosine top-5 for 10 query vectors. */
+  val bruteTopK: QueryDef = QueryDef(
+    "x_ann_brute_topk",
+    (s, dir) => {
+      val corpus = emb(s, dir)
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      corpus.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineSim(col("q_emb"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    oracle = Some("""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+                 WHERE vec_id < 10),
+           scored AS (
+             SELECT q.q_id, e.vec_id,
+                    list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+                                           CAST(e.embedding AS DOUBLE[])) AS cos
+             FROM embeddings e CROSS JOIN q
+             WHERE e.vec_id <> q.q_id),
+           ranked AS (
+             SELECT q_id, vec_id, cos,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos DESC, vec_id) AS rk
+             FROM scored)
+      SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= 5
+      ORDER BY q_id, rk""")
+  )
+
+  /** L2 / dot-product scoring battery on a fixed pair set (id, id+1). */
+  val distanceBattery: QueryDef = QueryDef(
+    "x_ann_distances",
+    (s, dir) => {
+      val a = emb(s, dir).select(col("vec_id"), col("embedding").as("ea"))
+      val b = emb(s, dir).select((col("vec_id") - 1).as("prev_id"),
+        col("embedding").as("eb"))
+      a.join(b, col("vec_id") === col("prev_id"))
+        .select(col("vec_id"),
+          dotProduct(col("ea"), col("eb")).as("dot"),
+          l2Distance(col("ea"), col("eb")).as("l2"),
+          cosineSim(col("ea"), col("eb")).as("cos"))
+        .orderBy(col("vec_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e
+                 FROM embeddings)
+      SELECT a.vec_id,
+             list_dot_product(a.e, b.e) AS dot,
+             list_distance(a.e, b.e) AS l2,
+             list_cosine_similarity(a.e, b.e) AS cos
+      FROM t a JOIN t b ON b.vec_id = a.vec_id + 1
+      ORDER BY a.vec_id""")
+  )
+
+  /** LSH-bucketed ANN: same queries as bruteTopK, candidates restricted to
+    * the query's hyperplane bucket (the scale path; recall vs brute force
+    * asserted in VectorSpec). */
+  val lshTopK: QueryDef = QueryDef(
+    "x_ann_lsh_topk",
+    (s, dir) => {
+      val corpus = emb(s, dir)
+        .withColumn("bucket", lshBucket(col("embedding")))
+      val queries = corpus.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+          col("bucket").as("q_bucket"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      corpus.join(broadcast(queries), col("bucket") === col("q_bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineSim(col("q_emb"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    oracle = None // LSH bucketing is graft-specific — recall checked in VectorSpec
+  )
+
+  /** Centroid search: per-label mean vector (array aggregation via
+    * element-wise avg), then each label's medoid-ish closest member —
+    * exercises array aggregation at scale (zip_with + aggregate). */
+  val centroids: QueryDef = QueryDef(
+    "x_ann_centroids",
+    (s, dir) => {
+      val e = emb(s, dir)
+      val dims = 64
+      val sums = e.groupBy(col("label"))
+        .agg(count(lit(1)).as("n"),
+          array((0 until dims).map(i =>
+            sum(col("embedding").getItem(i))).toIndexedSeq: _*).as("sum_vec"))
+        .select(col("label"), col("n"),
+          expr("transform(sum_vec, v -> v / n)").as("centroid"))
+      val withDist = e.join(broadcast(sums), Seq("label"))
+        .select(col("label"), col("vec_id"), col("n"),
+          cosineSim(col("embedding"), col("centroid").cast("array<float>"))
+            .as("cos_to_centroid"))
+      val w = Window.partitionBy(col("label"))
+        .orderBy(col("cos_to_centroid").desc, col("vec_id"))
+      withDist.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("label"), col("n"), col("rk"), col("vec_id"),
+          col("cos_to_centroid"))
+        .orderBy(col("label"), col("rk"))
+    },
+    oracle = None // centroid pipeline — checked in VectorSpec
+  )
+
+  def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, centroids)
 }
