@@ -1,0 +1,110 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+
+/** Structured Streaming over the events stream (extension — the reference
+  * has NO streaming at all, SURVEY §2.10; its closest analog is the dwweek
+  * continuous-load scenario. These are the streaming duals of the batch
+  * EventsQueries, so a user gets identical semantics on bounded and
+  * unbounded input).
+  *
+  * All operators are incremental + watermark-bounded: state size is
+  * O(open windows × keys), late data beyond the watermark is dropped, and
+  * each micro-batch shuffles only on the grouping key — the standard
+  * scalable shape for 100 TB/day event volumes.
+  */
+object EventsStream {
+
+  /** The events schema as the stream sources deliver it. */
+  val schema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** File-based stream source over a directory of parquet events. */
+  def readStream(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(schema).parquet(dir)
+
+  /** Tumbling 1-hour counts per event type, 10-minute watermark
+    * (streaming dual of EventsQueries.tumbling). */
+  def tumblingCounts(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  /** Sliding 1-hour/30-minute averages (dual of EventsQueries.sliding). */
+  def slidingAvg(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+      .agg(count(lit(1)).as("n"), avg(col("value")).as("avg_value"))
+      .select(col("window.start").as("window_start"), col("n"),
+        col("avg_value"))
+
+  /** Session windows with a 10-minute gap (dual of
+    * EventsQueries.sessionize) — built-in session_window keeps state only
+    * for open sessions. */
+  def sessionWindows(events: DataFrame,
+      gap: String = "10 minutes",
+      watermark: String = "10 minutes"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col("user_id"),
+        col("n_events"), col("sum_value"))
+
+  /** Exactly-once event dedup by event_id within the watermark horizon
+    * (dual of EventsQueries.dedupKeyed; state = ids seen, GC'd by
+    * watermark). */
+  def dedupById(events: DataFrame,
+      watermark: String = "10 minutes"): DataFrame =
+    events.withWatermark("ts", watermark)
+      .dropDuplicates("event_id", "ts")
+
+  case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
+      max_value: Double)
+  case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double, props: String)
+
+  /** Custom per-key running state via mapGroupsWithState: running
+    * count/sum/max per user, emitted each micro-batch (the reference has
+    * no analog; this is the KeyValueGroupedDataset stateful surface). */
+  def userRunningTotals(events: Dataset[EventRow]): Dataset[UserRunning] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroupsWithState[UserRunning, UserRunning](
+        GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[UserRunning]) =>
+          val prev = state.getOption.getOrElse(UserRunning(uid, 0L, 0.0,
+            Double.MinValue))
+          val batch = rows.toSeq
+          val next = UserRunning(uid,
+            prev.n_events + batch.size,
+            prev.total_value + batch.map(_.value).sum,
+            math.max(prev.max_value, batch.map(_.value).max))
+          state.update(next)
+          next
+      }
+  }
+
+  /** JSON-enriched filtered stream (stateless transform chain). */
+  def enriched(events: DataFrame): DataFrame =
+    events
+      .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
+      .filter(col("value") > 0)
+      .withColumn("hour_bucket", date_trunc("hour", col("ts")))
+}

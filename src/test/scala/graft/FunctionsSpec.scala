@@ -1,0 +1,111 @@
+package graft
+
+import graft.functions._
+import graft.functions.HashFunctions._
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class FunctionsSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("group_concat orders by sort key, respects separator and max length") {
+    val df = Seq((1, "b", "bee"), (1, "a", "ay"), (1, "c", "see"),
+      (2, "x", "ex")).toDF("g", "k", "v")
+    val out = df.groupBy($"g")
+      .agg(GroupConcat.groupConcat($"k", $"v", sep = "|").as("gc"))
+      .orderBy($"g").collect()
+    assert(out(0).getString(1) == "ay|bee|see")
+    assert(out(1).getString(1) == "ex")
+
+    val trunc = df.groupBy($"g")
+      .agg(GroupConcat.groupConcat($"k", $"v", sep = "|", maxLen = 5).as("gc"))
+      .orderBy($"g").collect()
+    assert(trunc(0).getString(1) == "ay|be")
+  }
+
+  test("group_concat distinct") {
+    val df = Seq((1, "a", "dup"), (1, "b", "dup"), (1, "c", "uniq"))
+      .toDF("g", "k", "v")
+    val out = df.groupBy($"g")
+      .agg(GroupConcat.groupConcat($"k", $"v", distinct = true).as("gc"))
+      .collect()
+    assert(out(0).getString(1) == "dup,uniq")
+  }
+
+  test("union normalization promotes across legs like the reference lattice") {
+    import UnionNormalize._
+    assert(promote(IntegerType, LongType) == LongType)
+    assert(promote(LongType, DoubleType) == DoubleType)
+    assert(promote(DecimalType(10, 2), IntegerType) == DecimalType(22, 2))
+    assert(promote(StringType, DoubleType) == StringType)
+    assert(promote(DateType, TimestampType) == TimestampType)
+    val legs = Seq(Seq(1).toDF("v"), Seq(2.5).toDF("v"), Seq(3L).toDF("v"))
+    val u = unionNormalized(legs)
+    assert(u.schema.head.dataType == DoubleType)
+    assert(u.count() == 3)
+  }
+
+  test("period_add / period_diff match MySQL semantics") {
+    val df = Seq((199512L, 3L), (199512L, 1L), (200001L, -1L), (199506L, 18L))
+      .toDF("p", "n")
+      .select(MySqlFunctions.periodAdd($"p", $"n").as("pa"),
+        MySqlFunctions.periodDiff($"p", lit(199501L)).as("pd"))
+    val rows = df.collect()
+    assert(rows(0).getLong(0) == 199603L) // 199512 + 3
+    assert(rows(1).getLong(0) == 199601L) // 199512 + 1 rolls year
+    assert(rows(2).getLong(0) == 199912L) // 200001 - 1 rolls back
+    assert(rows(3).getLong(0) == 199612L)
+    assert(rows(0).getLong(1) == 11L) // 199512 vs 199501
+  }
+
+  test("simhash64: identical token sets agree, near-dups are close") {
+    val df = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "the quick brown fox jumps over the lazy dog again and again"),
+      (3L, "the quick brown fox leaps over the lazy dog again and again"),
+      (4L, "completely different content about spark query engines here now"))
+      .toDF("id", "text")
+      .select($"id", simhash64(split($"text", " ")).as("sh"))
+    val m = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(m(1L) == m(2L))
+    val near = java.lang.Long.bitCount(m(1L) ^ m(3L))
+    val far = java.lang.Long.bitCount(m(1L) ^ m(4L))
+    assert(near < far, s"near=$near far=$far")
+    assert(near <= 16)
+  }
+
+  test("hamming64 and fingerprint64 are deterministic") {
+    val r = Seq(("abc", "abd")).toDF("a", "b")
+      .select(fingerprint64($"a").as("fa"), fingerprint64($"b").as("fb"),
+        hamming64(fingerprint64($"a"), fingerprint64($"a")).as("zero"))
+      .collect()(0)
+    // polynomial hash: ((97*B)+98)*B+99 with B=1000003
+    val expected = (('a'.toLong * 1000003L + 'b') * 1000003L + 'c')
+    assert(r.getLong(0) == expected)
+    assert(r.getLong(0) != r.getLong(1))
+    assert(r.getInt(2) == 0)
+  }
+
+  test("minhash signature estimates jaccard") {
+    val a = (1 to 100).map(i => s"tok$i")
+    val b = (51 to 150).map(i => s"tok$i") // true jaccard = 50/150 = 1/3
+    val df = Seq((1L, a), (2L, b)).toDF("id", "toks")
+      .select($"id", minhashSig($"toks", 128).as("sig"))
+    val sigs = df.collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    val matches = sigs(1L).zip(sigs(2L)).count { case (x, y) => x == y }
+    val est = matches.toDouble / 128
+    assert(math.abs(est - 1.0 / 3.0) < 0.15, s"estimate $est")
+  }
+
+  test("custom expressions work through SQL and inside lambdas") {
+    plans.GraftExtensions.registerAll(spark)
+    val r = spark.sql(
+      """SELECT fingerprint64('abc') AS fp,
+                hamming64(12, 10) AS hd,
+                transform(array('x', 'y'), t -> fingerprint64(t)) AS fps""")
+      .collect()(0)
+    assert(r.getLong(0) == (('a'.toLong * 1000003L + 'b') * 1000003L + 'c'))
+    assert(r.getInt(1) == java.lang.Long.bitCount(12L ^ 10L))
+    assert(r.getSeq[Long](2).length == 2)
+  }
+}

@@ -1,0 +1,98 @@
+package graft
+
+import graft.streaming.EventsStream
+import graft.streaming.EventsStream.EventRow
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import java.sql.Timestamp
+
+class StreamingSpec extends GraftSuite {
+  import spark.implicits._
+  implicit lazy val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+
+  private def ts(minute: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 10:$minute%02d:00")
+
+  private def ev(id: Long, minute: Int, user: Long, typ: String,
+      value: Double): EventRow =
+    EventRow(id, ts(minute), user, typ, value, s"""{"k": $id}""")
+
+  test("tumbling window counts aggregate a micro-batch") {
+    val mem = MemoryStream[EventRow]
+    mem.addData(ev(1, 0, 1, "click", 1.0), ev(2, 10, 1, "click", 2.0),
+      ev(3, 20, 2, "view", 3.0))
+    val q = EventsStream.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("tumbling")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val rows = spark.table("tumbling").collect()
+    q.stop()
+    assert(rows.length == 2) // click + view in one 1h window
+    val click = rows.find(_.getString(1) == "click").get
+    assert(click.getLong(2) == 2L)
+    assert(math.abs(click.getDouble(3) - 3.0) < 1e-9)
+  }
+
+  test("session windows split on the gap") {
+    val mem = MemoryStream[EventRow]
+    // user 1: events at :00,:05 (one session), :30 (new session, gap 25m)
+    mem.addData(ev(1, 0, 1, "a", 1.0), ev(2, 5, 1, "a", 1.0),
+      ev(3, 30, 1, "a", 1.0))
+    val q = EventsStream.sessionWindows(mem.toDF())
+      .writeStream.format("memory").queryName("sessions")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val rows = spark.table("sessions").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows.map(_.getLong(3)).sorted.toSeq == Seq(1L, 2L))
+  }
+
+  test("dedupById drops duplicate event ids within the watermark") {
+    val mem = MemoryStream[EventRow]
+    mem.addData(ev(1, 0, 1, "a", 1.0), ev(1, 0, 1, "a", 1.0),
+      ev(2, 1, 1, "a", 1.0))
+    val q = EventsStream.dedupById(mem.toDF())
+      .writeStream.format("memory").queryName("deduped")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val n = spark.table("deduped").count()
+    q.stop()
+    assert(n == 2L)
+  }
+
+  test("mapGroupsWithState keeps running totals across micro-batches") {
+    val mem = MemoryStream[EventRow]
+    val q = EventsStream.userRunningTotals(mem.toDS())
+      .writeStream.format("memory").queryName("running")
+      .outputMode("update").start()
+    mem.addData(ev(1, 0, 7, "a", 2.0), ev(2, 1, 7, "a", 3.0))
+    q.processAllAvailable()
+    mem.addData(ev(3, 2, 7, "a", 5.0))
+    q.processAllAvailable()
+    val last = spark.table("running").collect()
+      .filter(_.getLong(0) == 7L).maxBy(_.getLong(1))
+    q.stop()
+    assert(last.getLong(1) == 3L) // 3 events total
+    assert(math.abs(last.getDouble(2) - 10.0) < 1e-9)
+    assert(math.abs(last.getDouble(3) - 5.0) < 1e-9)
+  }
+
+  test("streaming tumbling matches batch tumbling on the same data") {
+    val batch = operators.EventsQueries.tumbling.run(spark, sf)
+      .select(col("window_start"), col("event_type"), col("n"))
+    val mem = MemoryStream[EventRow]
+    val events = Tables.table(spark, sf, "events").as[EventRow].collect()
+    mem.addData(events.toIndexedSeq)
+    val q = EventsStream.tumblingCounts(mem.toDF())
+      .writeStream.format("memory").queryName("stream_batch_parity")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    val streamed = spark.table("stream_batch_parity")
+      .select(col("window_start"), col("event_type"), col("n"))
+    val diff = batch.exceptAll(streamed).count() +
+      streamed.exceptAll(batch).count()
+    q.stop()
+    assert(diff == 0, "streaming and batch tumbling disagree")
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import graft.functions.VectorFunctions._
+import org.apache.spark.sql.functions._
+
+class VectorTextSpec extends GraftSuite {
+  import spark.implicits._
+
+  test("vector kernels match hand-computed values") {
+    val df = Seq((Array(1.0f, 2.0f, 2.0f), Array(2.0f, 0.0f, 1.0f)))
+      .toDF("a", "b")
+      .select(dotProduct($"a", $"b").as("dot"),
+        l2Distance($"a", $"b").as("l2"),
+        cosineSim($"a", $"b").as("cos"),
+        cosineSim($"a", $"a").as("self"))
+    val r = df.collect()(0)
+    assert(math.abs(r.getDouble(0) - 4.0) < 1e-12)
+    assert(math.abs(r.getDouble(1) - math.sqrt(6.0)) < 1e-12) // (−1,2,1)
+    assert(math.abs(r.getDouble(2) - 4.0 / (3.0 * math.sqrt(5.0))) < 1e-12)
+    assert(math.abs(r.getDouble(3) - 1.0) < 1e-12)
+  }
+
+  test("lsh bucket is deterministic and respects similarity") {
+    val v = Array.tabulate(64)(i => (math.sin(i + 1)).toFloat)
+    val df = Seq((1L, v), (2L, v)).toDF("id", "e")
+      .select($"id", lshBucket($"e").as("b"))
+    val buckets = df.collect().map(_.getInt(1))
+    assert(buckets(0) == buckets(1))
+    assert(buckets(0) >= 0 && buckets(0) < 256)
+  }
+
+  test("lsh ANN results are a subset of brute-force candidates with sane recall") {
+    val brute = operators.VectorQueries.bruteTopK.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val lsh = operators.VectorQueries.lshTopK.run(spark, sf).collect()
+    assert(lsh.nonEmpty)
+    // every LSH hit must score identically to the brute metric (cos in [-1,1])
+    lsh.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0))
+    // at least some overlap with exact top-5 (recall sanity, not exactness)
+    val overlap = lsh.map(r => (r.getLong(0), r.getLong(2))).count(brute)
+    assert(overlap > 0, "LSH found nothing from the exact top-k")
+  }
+
+  test("language id picks the profile language on real sentences") {
+    val fixtures = Seq(
+      (1L, "the cat sat on the mat and looked at the dog", "en"),
+      (2L, "der hund und die katze sind nicht auf der straße", "de"),
+      (3L, "le chat est dans la maison et il est content pas triste", "fr"),
+      (4L, "el perro y el gato no son amigos pero viven en la casa", "es"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_lang").toString
+    fixtures.toDF("doc_id", "text", "lang")
+      .withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = operators.TextQueries.langId.run(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(out(1L) == "en")
+    assert(out(2L) == "de")
+    assert(out(3L) == "fr")
+    assert(out(4L) == "es")
+  }
+
+  test("minhash LSH dedup finds planted near-duplicates") {
+    val base = (1 to 40).map(i => s"token$i").mkString(" ")
+    val nearDup = ((1 to 38).map(i => s"token$i") ++ Seq("other", "words"))
+      .mkString(" ")
+    val unrelated = (100 to 140).map(i => s"word$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup").toString
+    Seq((1L, base), (2L, nearDup), (3L, unrelated), (4L, base))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fx"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = operators.DedupQueries.minhashLsh.run(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(out(1L)._1 >= 1, "exact dup 1~4 not found")
+    assert(out(1L)._2 > 0.9, "doc 1 best jaccard should be ~1 (doc 4)")
+    assert(out(2L)._2 > 0.8, "near dup 2 should match 1 with high jaccard")
+    assert(out(3L)._1 == 0, "unrelated doc flagged")
+
+    val sim = operators.DedupQueries.simhash.run(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(sim(1L) >= 1, "simhash missed exact dup")
+    assert(sim(3L) == 0, "simhash false positive on unrelated doc")
+  }
+
+  test("exact dedup marks canonical rows correctly on planted dups") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_dedup2").toString
+    Seq((1L, "same text"), (2L, "same text"), (3L, "different"))
+      .toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fx"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = operators.DedupQueries.exact.run(spark, tmp).collect()
+    val byId = rows.map(r => r.getLong(0) ->
+      (r.getInt(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(byId(1L) == ((1, 2L, true)))
+    assert(byId(2L) == ((2, 2L, false)))
+    assert(byId(3L) == ((1, 1L, true)))
+  }
+}
