@@ -1,24 +1,71 @@
 package graft
+
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main — driver contract: print ONE JSON line
+  * {"metric":…,"value":…,"unit":"sec","queries":{…},"sf":…}.
+  *
+  * Headline queries span every operator family (scan/agg, join snowflake,
+  * window, high-cardinality two-phase agg, and the extension dedup/ann/
+  * events/text pipelines). Each query executes to completion through the
+  * noop sink (full plan runs, nothing materializes driver-side), after a
+  * warmup query absorbs JVM/session startup.
+  */
 object Bench {
+  val headline: Seq[String] = Seq(
+    "q01_pricing_summary",
+    "q03_shipping_priority",
+    "q05_local_supplier_volume",
+    "q06_forecast_revenue",
+    "q13_customer_distribution",
+    "q18_large_volume_customer",
+    "q21_suppliers_waiting",
+    "j_inner_large",
+    "a_high_cardinality",
+    "w_rows_frames",
+    "o_topk",
+    "x_dedup_exact",
+    "x_dedup_minhash_lsh",
+    "x_ann_brute_topk",
+    "x_events_sessionize",
+    "x_text_quality")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    Tables.tune(spark)
+
+    def run(name: String): Double = {
+      val df = SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      df.write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    // warmup: absorb session/codegen startup cost outside the timings
+    try run("q06_forecast_revenue")
+    catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
+
+    val results = headline.map { name =>
+      val sec =
+        try run(name)
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1.0
+        }
+      name -> sec
+    }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val total = results.map(_._2).filter(_ >= 0).sum
+    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

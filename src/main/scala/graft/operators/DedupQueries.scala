@@ -91,12 +91,18 @@ object DedupQueries {
             "b -> hash(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]))")))
         .withColumnRenamed("pos", "band_id")
         .withColumnRenamed("col", "band_hash")
-      val pairs = bands.alias("x")
-        .join(bands.alias("y"),
-          col("x.band_id") === col("y.band_id") &&
-            col("x.band_hash") === col("y.band_hash") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"))
+      // Pair each bucket member with the bucket's representative (min doc)
+      // instead of all-pairs: candidates are O(docs × bands) even when a
+      // bucket is huge, which is what survives a 100 TB homogeneous corpus
+      // (all-pairs in a hot bucket is O(n²)). Transitive dups still land on
+      // the same representative, so cluster membership is preserved.
+      val reps = bands.groupBy(col("band_id"), col("band_hash"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > 1)
+      val pairs = bands
+        .join(reps, Seq("band_id", "band_hash"))
+        .filter(col("doc_id") =!= col("rep_id"))
+        .select(col("rep_id").as("a"), col("doc_id").as("b"))
         .distinct()
       val toksOf = base.select(col("doc_id"), col("toks"))
       val verified = pairs
@@ -135,14 +141,19 @@ object DedupQueries {
             "transform(sequence(0, 3), c -> (sh >> (c * 16)) & 65535)")))
         .withColumnRenamed("pos", "chunk_id")
         .withColumnRenamed("col", "chunk_val")
-      val cand = chunks.alias("x")
-        .join(chunks.alias("y"),
-          col("x.chunk_id") === col("y.chunk_id") &&
-            col("x.chunk_val") === col("y.chunk_val") &&
-            col("x.doc_id") < col("y.doc_id"))
-        .select(col("x.doc_id").as("a"), col("y.doc_id").as("b"),
-          col("x.sh").as("sh_a"), col("y.sh").as("sh_b"))
+      // same representative-pairing trick as minhashLsh: O(docs × chunks)
+      val reps = chunks.groupBy(col("chunk_id"), col("chunk_val"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > 1)
+      val repHash = base.select(col("doc_id").as("rep_id"),
+        col("sh").as("sh_a"))
+      val cand = chunks
+        .join(reps, Seq("chunk_id", "chunk_val"))
+        .filter(col("doc_id") =!= col("rep_id"))
+        .select(col("rep_id"), col("doc_id").as("b"), col("sh").as("sh_b"))
         .distinct()
+        .join(repHash, Seq("rep_id"))
+        .withColumnRenamed("rep_id", "a")
         .withColumn("hd", hamming64(col("sh_a"), col("sh_b")))
         .filter(col("hd") <= 12)
       val perDoc = cand.select(col("a").as("doc_id"))
