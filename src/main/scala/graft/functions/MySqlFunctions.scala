@@ -55,4 +55,48 @@ object MySqlFunctions {
     val daysBeforeFirstSunday = (lit(8) - jan1Dow) % 7
     floor((doy - 1 - daysBeforeFirstSunday) / 7) + 1
   }
+
+  /** MySQL WEEKDAY: 0 = Monday … 6 = Sunday. */
+  def weekday(d: Column): Column = (dayofweek(d) + 5) % 7
+
+  /** MySQL format specifier → Java DateTimeFormatter pattern
+    * (the subset the reference's func_date_format.cpp handles). */
+  def mysqlFormatToJava(fmt: String): String = {
+    val map = Seq(
+      "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%c" -> "M",
+      "%d" -> "dd", "%e" -> "d", "%H" -> "HH", "%k" -> "H",
+      "%h" -> "hh", "%i" -> "mm", "%s" -> "ss", "%S" -> "ss",
+      "%j" -> "DDD", "%a" -> "EEE", "%b" -> "MMM", "%W" -> "EEEE",
+      "%M" -> "MMMM", "%p" -> "a", "%%" -> "%")
+    map.foldLeft(fmt) { case (s, (k, v)) => s.replace(k, v) }
+  }
+
+  /** MySQL DATE_FORMAT(ts, '%Y-%m-%d …'). */
+  def dateFormat(ts: Column, mysqlFmt: String): Column =
+    date_format(ts, mysqlFormatToJava(mysqlFmt))
+
+  /** MySQL STR_TO_DATE(str, '%Y…') → timestamp. */
+  def strToDate(s: Column, mysqlFmt: String): Column =
+    to_timestamp(s, mysqlFormatToJava(mysqlFmt))
+
+  /** MySQL MAKEDATE(year, dayofyear). */
+  def makeDate(y: Column, doy: Column): Column =
+    date_add(make_date(y, lit(1), lit(1)), (doy - 1).cast("int"))
+
+  /** MySQL INET_ATON('a.b.c.d'). */
+  def inetAton(ip: Column): Column = {
+    val p = split(ip, "\\.")
+    p.getItem(0).cast("long") * 16777216L + p.getItem(1).cast("long") * 65536L +
+      p.getItem(2).cast("long") * 256L + p.getItem(3).cast("long")
+  }
+
+  /** MySQL INET_NTOA(n). */
+  def inetNtoa(n: Column): Column = {
+    val v = n.cast("long")
+    concat_ws(".",
+      ((v / 16777216L) % 256).cast("long").cast("string"),
+      ((v / 65536L) % 256).cast("long").cast("string"),
+      ((v / 256L) % 256).cast("long").cast("string"),
+      (v % 256).cast("string"))
+  }
 }

@@ -301,6 +301,125 @@ object ScalarFunctionQueries {
       FROM supplier ORDER BY s_suppkey""")
   )
 
+  /** MySQL-flavor battery 2: base conversion, hex, overlay/INSERT, locate,
+    * space, inet_aton/ntoa (reference: func_conv.cpp, func_hex.cpp,
+    * func_insert.cpp, func_locate.cpp, func_inet.cpp). */
+  val mysqlStrings: QueryDef = QueryDef(
+    "fn_string_mysql",
+    (s, dir) => {
+      import graft.functions.MySqlFunctions._
+      val ip = concat(lit("10.0."), (col("p_partkey") % 256).cast("string"),
+        lit("."), ((col("p_partkey") * 7) % 256).cast("string"))
+      t(s, dir, "part")
+        .select(
+          col("p_partkey"),
+          conv(col("p_partkey").cast("string"), 10, 16).as("f_conv16"),
+          conv(col("p_partkey").cast("string"), 10, 2).as("f_conv2"),
+          hex(col("p_partkey")).as("f_hex"),
+          expr("char_length(p_name)").as("f_char_length"),
+          locate("e", col("p_name")).as("f_locate"),
+          expr("position('a' IN p_name)").as("f_position"),
+          substring(col("p_name"), 3, 4).as("f_mid"),
+          overlay(col("p_name"), lit("XX"), lit(2), lit(3)).as("f_insert"),
+          concat(lit("["), expr("space(3)"), lit("]")).as("f_space"),
+          ip.as("ip"),
+          inetAton(ip).as("f_inet_aton"),
+          inetNtoa(inetAton(ip)).as("f_inet_ntoa"))
+        .orderBy(col("p_partkey"))
+    },
+    oracle = Some("""
+      WITH b AS (SELECT p_partkey, p_name,
+                        concat('10.0.', CAST(p_partkey % 256 AS VARCHAR), '.',
+                               CAST((p_partkey * 7) % 256 AS VARCHAR)) AS ip
+                 FROM part),
+           n AS (SELECT *,
+                        CAST(string_split(ip, '.')[1] AS BIGINT) * 16777216
+                        + CAST(string_split(ip, '.')[2] AS BIGINT) * 65536
+                        + CAST(string_split(ip, '.')[3] AS BIGINT) * 256
+                        + CAST(string_split(ip, '.')[4] AS BIGINT) AS aton
+                 FROM b)
+      SELECT p_partkey,
+             upper(to_hex(p_partkey)) AS f_conv16,
+             bin(p_partkey) AS f_conv2,
+             upper(to_hex(p_partkey)) AS f_hex,
+             length(p_name) AS f_char_length,
+             strpos(p_name, 'e') AS f_locate,
+             strpos(p_name, 'a') AS f_position,
+             substring(p_name, 3, 4) AS f_mid,
+             concat(p_name[1:1], 'XX', p_name[5:]) AS f_insert,
+             '[   ]' AS f_space,
+             ip,
+             aton AS f_inet_aton,
+             concat(CAST((aton // 16777216) % 256 AS VARCHAR), '.',
+                    CAST((aton // 65536) % 256 AS VARCHAR), '.',
+                    CAST((aton // 256) % 256 AS VARCHAR), '.',
+                    CAST(aton % 256 AS VARCHAR)) AS f_inet_ntoa
+      FROM n ORDER BY p_partkey""")
+  )
+
+  /** MySQL-flavor date battery 2: DATE_FORMAT/STR_TO_DATE via the format-
+    * string translator, dayname/monthname, weekday, week mode 0, makedate,
+    * microsecond (reference: func_date_format.cpp, func_str_to_date.cpp,
+    * func_dayname.cpp, func_week.cpp, func_makedate.cpp). */
+  val mysqlDates: QueryDef = QueryDef(
+    "fn_date_mysql",
+    (s, dir) => {
+      import graft.functions.MySqlFunctions._
+      t(s, dir, "orders")
+        .select(
+          col("o_orderkey"),
+          dateFormat(col("o_orderdate"), "%Y/%m/%d %H:%i:%s")
+            .as("f_date_format"),
+          dateFormat(col("o_orderdate"), "%a %b").as("f_date_format_names"),
+          strToDate(dateFormat(col("o_orderdate"), "%Y*%m*%d"), "%Y*%m*%d")
+            .as("f_str_to_date"),
+          expr("dayname(o_orderdate)").as("f_dayname"),
+          expr("monthname(o_orderdate)").as("f_monthname"),
+          weekday(col("o_orderdate")).as("f_weekday"),
+          weekMode0(col("o_orderdate")).as("f_week0"),
+          makeDate(year(col("o_orderdate")), dayofyear(col("o_orderdate")))
+            .as("f_makedate"))
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      SELECT o_orderkey,
+             strftime(o_orderdate, '%Y/%m/%d %H:%M:%S') AS f_date_format,
+             strftime(o_orderdate, '%a %b') AS f_date_format_names,
+             strptime(strftime(o_orderdate, '%Y*%m*%d'), '%Y*%m*%d')
+               AS f_str_to_date,
+             strftime(o_orderdate, '%a') AS f_dayname,
+             strftime(o_orderdate, '%b') AS f_monthname,
+             CAST((date_part('dow', o_orderdate) + 6) % 7 AS BIGINT)
+               AS f_weekday,
+             CAST(floor((date_part('doy', o_orderdate) - 1
+                    - (7 - date_part('dow', date_trunc('year', o_orderdate))) % 7)
+                   / 7) + 1 AS BIGINT) AS f_week0,
+             (make_date(CAST(year(o_orderdate) AS BIGINT), 1, 1)
+              + CAST(date_part('doy', o_orderdate) - 1 AS INTEGER)) AS f_makedate
+      FROM orders ORDER BY o_orderkey""")
+  )
+
+  /** Pseudo-columns (reference: PseudoColStep primitivestep.h:1348 —
+    * idbdbroot/idbpm/idbsegment/idbextentrelativerid): Spark's equivalents
+    * are input_file_name / spark_partition_id / monotonically_increasing_id.
+    * Output is aggregated to stay deterministic. */
+  val pseudoColumns: QueryDef = QueryDef(
+    "f_pseudo_columns",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .select(input_file_name().as("file"),
+          spark_partition_id().as("pid"),
+          monotonically_increasing_id().as("mid"))
+        .agg(
+          countDistinct(col("file")).as("n_files"),
+          countDistinct(col("mid")).as("n_distinct_rids"),
+          count(lit(1)).as("n_rows"),
+          (countDistinct(col("mid")) === count(lit(1))).as("rids_unique"),
+          min(length(col("file"))).as("min_file_name_len")),
+    oracle = None // engine-specific pseudo-columns; invariants in the output
+  )
+
   def defs: Seq[QueryDef] = Seq(stringBasic, stringAdvanced, mathBattery,
-    dateExtract, dateArith, controlFlow)
+    dateExtract, dateArith, controlFlow, mysqlStrings, mysqlDates,
+    pseudoColumns)
 }

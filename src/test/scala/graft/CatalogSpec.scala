@@ -1,0 +1,63 @@
+package graft
+
+import graft.sources.{Catalog, Loader}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+class CatalogSpec extends GraftSuite {
+  import spark.implicits._
+
+  private def freshCatalog(): Catalog =
+    new Catalog(spark,
+      java.nio.file.Files.createTempDirectory("graft_cat").toString)
+
+  test("create / insert / truncate / drop lifecycle") {
+    val cat = freshCatalog()
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("name", StringType)))
+    cat.createTable("t1", schema)
+    assert(cat.table("t1").count() == 0)
+    cat.insertIntoSelect("t1", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    assert(cat.table("t1").count() == 2)
+    cat.truncate("t1")
+    assert(cat.table("t1").count() == 0)
+    assert(cat.listTables == Seq("t1"))
+    cat.dropTable("t1")
+    assert(cat.listTables.isEmpty)
+    intercept[IllegalArgumentException](cat.table("t1"))
+  }
+
+  test("create rejects duplicate table names") {
+    val cat = freshCatalog()
+    cat.createTableAs("dup", Seq(1).toDF("v"))
+    intercept[IllegalArgumentException](
+      cat.createTableAs("dup", Seq(2).toDF("v")))
+  }
+
+  test("update only rewrites matching rows; staging survives failures") {
+    val cat = freshCatalog()
+    cat.createTableAs("t", Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v"))
+    cat.update("t", df => df.withColumn("v",
+      when($"id" === 1, $"v" * 2).otherwise($"v")))
+    val rows = cat.table("t").orderBy("id").collect()
+    assert(rows(0).getDouble(1) == 20.0 && rows(1).getDouble(1) == 20.0)
+    // a failing transform must not clobber the live table
+    intercept[Exception](cat.update("t",
+      df => df.select(expr("assert_true(false)").as("v"))))
+    assert(cat.table("t").count() == 2)
+  }
+
+  test("loader honors custom delimiter and quote") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
+    java.nio.file.Files.writeString(tmp.resolve("in.csv"),
+      "1;\"x;y\";2.5\n2;plain;3.5\n")
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val res = Loader.loadCsv(spark, tmp.resolve("in.csv").toString, schema,
+      tmp.resolve("out").toString, delimiter = ";")
+    assert(res.loaded == 2 && res.rejected == 0)
+    val rows = spark.read.parquet(tmp.resolve("out").toString)
+      .orderBy("id").collect()
+    assert(rows(0).getString(1) == "x;y")
+  }
+}
