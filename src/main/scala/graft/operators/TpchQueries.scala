@@ -183,6 +183,124 @@ object TpchQueries {
         AND l_quantity < 24""")
   )
 
+  /** Q7: volume shipping between two nations — double nation join with a
+    * disjunctive pair predicate (reference: dbcon/doc/tpch07.sql). */
+  val q07: QueryDef = QueryDef(
+    "q07_volume_shipping",
+    (s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate").between("1996-01-01", "1997-12-31"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+        .join(broadcast(n2), col("c_nationkey") === col("n2_key"))
+        .filter((col("supp_nation") === "NATION_1" &&
+          col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" &&
+            col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("revenue"))
+        .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
+    },
+    oracle = Some("""
+      SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+             year(l_shipdate) AS l_year,
+             sum(l_extendedprice * (1 - l_discount)) AS revenue
+      FROM supplier, lineitem, orders, customer, nation n1, nation n2
+      WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
+        AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
+        AND c_nationkey = n2.n_nationkey
+        AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+          OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                           AND TIMESTAMP '1997-12-31 00:00:00'
+      GROUP BY supp_nation, cust_nation, l_year
+      ORDER BY supp_nation, cust_nation, l_year""")
+  )
+
+  /** Q8: national market share — 8-way join + conditional ratio per year
+    * (reference: dbcon/doc/tpch08.sql). */
+  val q08: QueryDef = QueryDef(
+    "q08_market_share",
+    (s, dir) => {
+      val n1 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("cn_key"), col("n_regionkey").as("cr_key"))
+      val n2 = t(s, dir, "nation")
+        .select(col("n_nationkey").as("sn_key"), col("n_name").as("supp_nation"))
+      val region = t(s, dir, "region").filter(col("r_name") === "AMERICA")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_type") === "ECONOMY"),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders")
+          .filter(col("o_orderdate").between("1996-01-01", "1997-12-31")),
+          col("l_orderkey") === col("o_orderkey"))
+        .join(t(s, dir, "customer"), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n1), col("c_nationkey") === col("cn_key"))
+        .join(broadcast(region), col("cr_key") === col("r_regionkey"))
+        .join(broadcast(n2), col("s_nationkey") === col("sn_key"))
+        .withColumn("volume", col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .groupBy(year(col("o_orderdate")).as("o_year"))
+        .agg((sum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(0.0)) / sum(col("volume"))).as("mkt_share"))
+        .orderBy(col("o_year"))
+    },
+    oracle = Some("""
+      SELECT year(o_orderdate) AS o_year,
+             sum(CASE WHEN n2.n_name = 'NATION_3'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0 END)
+               / sum(l_extendedprice * (1 - l_discount)) AS mkt_share
+      FROM part, supplier, lineitem, orders, customer,
+           nation n1, nation n2, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+        AND c_nationkey = n1.n_nationkey AND n1.n_regionkey = r_regionkey
+        AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+        AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                            AND TIMESTAMP '1997-12-31 00:00:00'
+        AND p_type = 'ECONOMY'
+      GROUP BY o_year ORDER BY o_year""")
+  )
+
+  /** Q9: product-type profit by nation/year — LIKE + 6-way join (adapted:
+    * no partsupp table in the testdata, so cost = 0.6·qty·retailprice;
+    * reference: dbcon/doc/tpch09.sql). */
+  val q09: QueryDef = QueryDef(
+    "q09_product_profit",
+    (s, dir) => {
+      val nation = t(s, dir, "nation")
+      t(s, dir, "lineitem")
+        .join(t(s, dir, "part").filter(col("p_name").like("%re%")),
+          col("l_partkey") === col("p_partkey"))
+        .join(t(s, dir, "supplier"), col("l_suppkey") === col("s_suppkey"))
+        .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"),
+          year(col("o_orderdate")).as("o_year"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.6) * col("l_quantity") * col("p_retailprice")).as("sum_profit"))
+        .orderBy(col("nation"), col("o_year").desc)
+    },
+    oracle = Some("""
+      SELECT n_name AS nation, year(o_orderdate) AS o_year,
+             sum(l_extendedprice * (1 - l_discount)
+                 - 0.6 * l_quantity * p_retailprice) AS sum_profit
+      FROM lineitem, part, supplier, orders, nation
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%re%'
+      GROUP BY n_name, o_year
+      ORDER BY nation, o_year DESC""")
+  )
+
   /** Q10: returned item reporting — join + group on many keys + top-k.
     * (reference: dbcon/doc/tpch10.sql) */
   val q10: QueryDef = QueryDef(
@@ -310,6 +428,40 @@ object TpchQueries {
       WHERE l_partkey = p_partkey
         AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
         AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""")
+  )
+
+  /** Q15: top supplier — derived revenue view + scalar-max selection
+    * (reference: dbcon/doc/tpch15.sql). */
+  val q15: QueryDef = QueryDef(
+    "q15_top_supplier",
+    (s, dir) => {
+      val revenue = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1996-04-01"))
+        .groupBy(col("l_suppkey").as("supplier_no"))
+        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .as("total_revenue"))
+      val maxRev = revenue.agg(max(col("total_revenue")).as("max_revenue"))
+      t(s, dir, "supplier")
+        .join(revenue, col("s_suppkey") === col("supplier_no"))
+        .crossJoin(broadcast(maxRev))
+        .filter(col("total_revenue") === col("max_revenue"))
+        .select(col("s_suppkey"), col("s_name"), col("total_revenue"))
+        .orderBy(col("s_suppkey"))
+    },
+    oracle = Some("""
+      WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey)
+      SELECT s_suppkey, s_name, total_revenue
+      FROM supplier, revenue
+      WHERE s_suppkey = supplier_no
+        AND total_revenue = (SELECT max(total_revenue) FROM revenue)
+      ORDER BY s_suppkey""")
   )
 
   /** Q16: parts/supplier relationship — anti-join + count(distinct).
@@ -521,5 +673,6 @@ object TpchQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(
-    q01, q03, q04, q05, q06, q10, q12, q13, q14, q16, q17, q18, q19, q21, q22)
+    q01, q03, q04, q05, q06, q07, q08, q09, q10, q12, q13, q14, q15, q16,
+    q17, q18, q19, q21, q22)
 }
