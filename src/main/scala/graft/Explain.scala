@@ -1,0 +1,33 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Plan-inspection main: prints the formatted plan (and post-AQE executed
+  * plan) for the named queries. Usage:
+  *   scripts/run_class.sh graft.Explain <sfDir> q01_pricing_summary …
+  */
+object Explain {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val names = if (args.length > 1) args.drop(1).toSeq else Bench.headline
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    Tables.tune(spark)
+    names.foreach { name =>
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      println(s"\n===== $name (formatted, pre-execution) =====")
+      println(df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      df.write.mode("overwrite").format("noop").save()
+      println(s"===== $name (executed, post-AQE) =====")
+      println(df.queryExecution.executedPlan.toString.take(4000))
+    }
+    spark.stop()
+  }
+}

@@ -59,6 +59,51 @@ object TpchQueries {
       ORDER BY l_returnflag, l_linestatus""")
   )
 
+  /** Q2: minimum-cost supplier — correlated min subquery over a snowflake
+    * (adapted: no partsupp table, so the "cost" is s_acctbal and the
+    * part→supplier relation comes from lineitem; reference:
+    * dbcon/doc/tpch02.sql). */
+  val q02: QueryDef = QueryDef(
+    "q02_min_cost_supplier",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+        FROM part, supplier, lineitem, nation, region
+        WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+          AND p_size = 15 AND p_type = 'LARGE'
+          AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+          AND r_name = 'EUROPE'
+          AND s_acctbal = (SELECT min(s_acctbal)
+                           FROM supplier, lineitem, nation, region
+                           WHERE p_partkey = l_partkey
+                             AND s_suppkey = l_suppkey
+                             AND s_nationkey = n_nationkey
+                             AND n_regionkey = r_regionkey
+                             AND r_name = 'EUROPE')
+        GROUP BY s_acctbal, s_name, n_name, p_partkey, p_brand
+        ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+        LIMIT 100""")
+    },
+    oracle = Some("""
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+      FROM part, supplier, lineitem, nation, region
+      WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+        AND p_size = 15 AND p_type = 'LARGE'
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+        AND s_acctbal = (SELECT min(s_acctbal)
+                         FROM supplier s2, lineitem l2, nation n2, region r2
+                         WHERE part.p_partkey = l2.l_partkey
+                           AND s2.s_suppkey = l2.l_suppkey
+                           AND s2.s_nationkey = n2.n_nationkey
+                           AND n2.n_regionkey = r2.r_regionkey
+                           AND r2.r_name = 'EUROPE')
+      GROUP BY s_acctbal, s_name, n_name, p_partkey, p_brand
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100""")
+  )
+
   /** Q3: shipping priority — 3-way join, filter each side, top-k.
     * (reference: dbcon/doc/tpch03.sql) */
   val q03: QueryDef = QueryDef(
@@ -336,6 +381,42 @@ object TpchQueries {
       LIMIT 20""")
   )
 
+  /** Q11: important stock — grouped value vs a global-fraction scalar
+    * subquery (adapted: stock value = supplier-part revenue from lineitem;
+    * reference: dbcon/doc/tpch11.sql). */
+  val q11: QueryDef = QueryDef(
+    "q11_important_stock",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val sup = t(s, dir, "supplier")
+      val nation = t(s, dir, "nation").filter(col("n_nationkey") < 8)
+      val base = li
+        .join(sup, col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        .select(col("l_partkey"), col("l_extendedprice"))
+      val total = base.agg((sum(col("l_extendedprice")) * 0.001)
+        .as("threshold"))
+      base.groupBy(col("l_partkey"))
+        .agg(sum(col("l_extendedprice")).as("part_value"))
+        .crossJoin(broadcast(total))
+        .filter(col("part_value") > col("threshold"))
+        .select(col("l_partkey"), col("part_value"))
+        .orderBy(col("part_value").desc, col("l_partkey"))
+    },
+    oracle = Some("""
+      SELECT l_partkey, sum(l_extendedprice) AS part_value
+      FROM lineitem, supplier, nation
+      WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_nationkey < 8
+      GROUP BY l_partkey
+      HAVING sum(l_extendedprice) >
+             (SELECT sum(l_extendedprice) * 0.001
+              FROM lineitem, supplier, nation
+              WHERE l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+                AND n_nationkey < 8)
+      ORDER BY part_value DESC, l_partkey""")
+  )
+
   /** Q12: shipping modes — join + CASE-conditional aggregation.
     * (reference: dbcon/doc/tpch12.sql; CASE via func_case.cpp) */
   val q12: QueryDef = QueryDef(
@@ -593,6 +674,50 @@ object TpchQueries {
               AND l_quantity BETWEEN 20 AND 40))""")
   )
 
+  /** Q20: suppliers with excess stock — nested semi-join chain (adapted:
+    * "availqty" = the supplier's lineitem quantity per part; reference:
+    * dbcon/doc/tpch20.sql). */
+  val q20: QueryDef = QueryDef(
+    "q20_excess_stock",
+    (s, dir) => {
+      val greenParts = t(s, dir, "part")
+        .filter(col("p_name").like("%green%") || col("p_name").like("%red%"))
+        .select(col("p_partkey"))
+      val shipped96 = t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1996-01-01") &&
+          col("l_shipdate") < lit("1997-01-01"))
+      val excess = shipped96
+        .join(broadcast(greenParts), col("l_partkey") === col("p_partkey"),
+          "left_semi")
+        .groupBy(col("l_suppkey"), col("l_partkey"))
+        .agg(sum(col("l_quantity")).as("avail_qty"))
+        .filter(col("avail_qty") > 50)
+        .select(col("l_suppkey")).distinct()
+      t(s, dir, "supplier")
+        .join(excess, col("s_suppkey") === col("l_suppkey"), "left_semi")
+        .join(broadcast(t(s, dir, "nation")
+          .filter(col("n_regionkey") === 2)),
+          col("s_nationkey") === col("n_nationkey"), "left_semi")
+        .select(col("s_suppkey"), col("s_name"))
+        .orderBy(col("s_suppkey"))
+    },
+    oracle = Some("""
+      SELECT s_suppkey, s_name
+      FROM supplier
+      WHERE s_suppkey IN (
+          SELECT l_suppkey FROM lineitem
+          WHERE l_partkey IN (SELECT p_partkey FROM part
+                              WHERE p_name LIKE '%green%'
+                                 OR p_name LIKE '%red%')
+            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          GROUP BY l_suppkey, l_partkey
+          HAVING sum(l_quantity) > 50)
+        AND s_nationkey IN (SELECT n_nationkey FROM nation
+                            WHERE n_regionkey = 2)
+      ORDER BY s_suppkey""")
+  )
+
   /** Q21: suppliers who kept orders waiting — semi + anti self-joins.
     * (reference: dbcon/doc/tpch21.sql) */
   val q21: QueryDef = QueryDef(
@@ -673,6 +798,6 @@ object TpchQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(
-    q01, q03, q04, q05, q06, q07, q08, q09, q10, q12, q13, q14, q15, q16,
-    q17, q18, q19, q21, q22)
+    q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
+    q15, q16, q17, q18, q19, q20, q21, q22)
 }
