@@ -53,7 +53,13 @@ object Bench {
     try run("q06_forecast_revenue")
     catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
-    val results = headline.map { name =>
+    // SPARK_GRAFT_BENCH_ALL=1 times every registered query (slow-outlier
+    // hunting); default is the headline set the driver records.
+    val names =
+      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+        SparkEntry.queries.keys.toSeq.sorted
+      else headline
+    val results = names.map { name =>
       val sec =
         try run(name)
         catch { case e: Throwable =>

@@ -282,7 +282,28 @@ object AggregateQueries {
       FROM b ORDER BY o_orderkey""")
   )
 
+  /** Approximate distinct (HLL) — parity-plus: the reference's
+    * COUNT(DISTINCT) is always exact (SURVEY §2.4 "no HLL anywhere");
+    * at 100 TB the sketch is what you actually run. The oracle checks the
+    * exact counts and that the sketch landed within its error bound. */
+  val approxDistinct: QueryDef = QueryDef(
+    "a_approx_distinct",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(countDistinct(col("l_partkey")).as("exact_parts"),
+          approx_count_distinct(col("l_partkey"), 0.02).as("approx_parts"))
+        .select(col("l_returnflag"), col("exact_parts"),
+          (abs(col("approx_parts") - col("exact_parts")) <
+            col("exact_parts") * 0.1).as("within_bounds"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag, count(DISTINCT l_partkey) AS exact_parts,
+             true AS within_bounds
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   def defs: Seq[QueryDef] = Seq(basicStats, distinctAggs, bitAggs,
     groupConcatCustom, groupConcatDistinct, having, rollup, cube, emptyInput,
-    highCardinality, mysqlShims)
+    highCardinality, mysqlShims, approxDistinct)
 }

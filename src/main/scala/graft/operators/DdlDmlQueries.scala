@@ -164,6 +164,41 @@ object DdlDmlQueries {
       GROUP BY r_name ORDER BY r_name""")
   )
 
+  /** Bucketed co-located join: both sides bucketed 8× on the join key →
+    * the join runs with NO exchange (asserted in PlanSpec). This is the
+    * pre-partitioning strategy that turns a 100 TB fact⋈fact join from a
+    * full network shuffle into local merges (the reference's analog is
+    * dbroot placement of extents, tuple-bps.cpp:203 extent-to-PM maps). */
+  val bucketedJoin: QueryDef = QueryDef(
+    "d_bucketed_join",
+    (s, dir) => {
+      val tmp = scratch()
+      val tag = java.lang.Long.toHexString(System.nanoTime())
+      val ordT = s"graft_orders_$tag"
+      val liT = s"graft_lineitem_$tag"
+      Tables.table(s, dir, "orders")
+        .write.option("path", s"$tmp/orders_b")
+        .bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+        .saveAsTable(ordT)
+      Tables.table(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_extendedprice"), col("l_quantity"))
+        .write.option("path", s"$tmp/lineitem_b")
+        .bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+        .saveAsTable(liT)
+      s.table(liT)
+        .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"),
+          avg(col("l_quantity")).as("avg_qty"))
+        .orderBy(col("o_orderstatus"))
+    },
+    oracle = Some("""
+      SELECT o_orderstatus, count(*) AS n, sum(l_extendedprice) AS rev,
+             avg(l_quantity) AS avg_qty
+      FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   def defs: Seq[QueryDef] = Seq(ctasRoundtrip, insertIntoSelect, updateDelete,
-    alterTable, csvRoundtrip, loaderRejects, crossEngine)
+    alterTable, csvRoundtrip, loaderRejects, crossEngine, bucketedJoin)
 }

@@ -197,6 +197,35 @@ object DedupQueries {
     oracle = None // LSH bucketing is graft-specific — verified in VectorSpec
   )
 
+  /** Cluster assignment: each doc's cluster id = the min representative
+    * across its LSH buckets (one-hop union-find approximation — the
+    * standard single-pass clustering a 100 TB dedup pipeline runs before
+    * keeping one doc per cluster). */
+  val clusters: QueryDef = QueryDef(
+    "x_dedup_clusters",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("sig", minhashSig(col("toks"), 32))
+      val bands = base.select(col("doc_id"),
+          posexplode(expr("transform(sequence(0, 7), " +
+            "b -> hash(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]))")))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "band_hash")
+      val bucketMin = bands.groupBy(col("band_id"), col("band_hash"))
+        .agg(min(col("doc_id")).as("bucket_min"))
+      val clusterOf = bands
+        .join(bucketMin, Seq("band_id", "band_hash"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("bucket_min")).as("cluster_id"))
+      clusterOf
+        .withColumn("is_cluster_head", col("doc_id") === col("cluster_id"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = None // custom minhash signature — cluster sanity in DedupSpec
+  )
+
   def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash,
-    embeddingNearDup)
+    embeddingNearDup, clusters)
 }

@@ -283,7 +283,47 @@ object JoinQueries {
       GROUP BY c_custkey % 100 ORDER BY bucket""")
   )
 
+  /** Salted skew join: 10% of fact rows share one hot key; the dim side is
+    * replicated ×8 and the fact key salted, so the hot key spreads over 8
+    * tasks instead of one straggler. (AQE skew-join handles this
+    * automatically post-shuffle; salting is the plan-level variant that
+    * also works pre-AQE and for aggregations.) Results must equal the
+    * unsalted join. */
+  val skewSalted: QueryDef = QueryDef(
+    "j_skew_salted",
+    (s, dir) => {
+      val salts = 8
+      val fact = t(s, dir, "lineitem")
+        .withColumn("key",
+          when(col("l_orderkey") % 10 === 0, 0L)
+            .otherwise(col("l_orderkey") % 1000))
+        .withColumn("salt", pmod(hash(col("l_orderkey"), col("l_linenumber")),
+          lit(salts)))
+      val dim = t(s, dir, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select((col("o_orderkey") % 1000).as("dkey"),
+          col("o_totalprice"))
+        .withColumn("salt", explode(array((0 until salts).map(lit): _*)))
+      fact
+        .join(dim, col("key") === col("dkey") && fact("salt") === dim("salt"))
+        .agg(count(lit(1)).as("n_joined"),
+          sum(col("l_extendedprice") + col("o_totalprice")).as("checksum"),
+          countDistinct(col("key")).as("n_keys"))
+    },
+    oracle = Some("""
+      WITH fact AS (SELECT CASE WHEN l_orderkey % 10 = 0 THEN 0
+                                ELSE l_orderkey % 1000 END AS key,
+                           l_extendedprice
+                    FROM lineitem),
+           dim AS (SELECT o_orderkey % 1000 AS dkey, o_totalprice
+                   FROM orders WHERE o_orderkey < 1000)
+      SELECT count(*) AS n_joined,
+             sum(l_extendedprice + o_totalprice) AS checksum,
+             count(DISTINCT key) AS n_keys
+      FROM fact JOIN dim ON key = dkey""")
+  )
+
   def defs: Seq[QueryDef] = Seq(innerShuffle, broadcastDim, leftOuter,
     rightOuter, fullOuter, semi, anti, antiNullAware, scalarSubquery, cross,
-    nonEquiSelf, functionJoin)
+    nonEquiSelf, functionJoin, skewSalted)
 }

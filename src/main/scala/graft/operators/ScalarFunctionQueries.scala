@@ -419,7 +419,53 @@ object ScalarFunctionQueries {
     oracle = None // engine-specific pseudo-columns; invariants in the output
   )
 
+  /** Time-difference battery over the microsecond-resolution events table
+    * (reference: func_timestampdiff.cpp, func_timediff.cpp,
+    * func_add_time.cpp, func_microsecond.cpp). */
+  val timeBattery: QueryDef = QueryDef(
+    "fn_time_battery",
+    (s, dir) =>
+      t(s, dir, "events")
+        .filter(col("event_id") < 2000)
+        .select(
+          col("event_id"),
+          expr("timestampdiff(DAY, TIMESTAMP '2024-01-01 00:00:00', ts)")
+            .as("f_tsdiff_day"),
+          expr("timestampdiff(HOUR, TIMESTAMP '2024-01-01 00:00:00', ts)")
+            .as("f_tsdiff_hour"),
+          expr("timestampdiff(MINUTE, TIMESTAMP '2024-01-01 00:00:00', ts)")
+            .as("f_tsdiff_min"),
+          (unix_micros(col("ts")) -
+            unix_micros(lit("2024-01-01 00:00:00").cast("timestamp")))
+            .as("f_timediff_us"),
+          (col("ts") + expr("INTERVAL 1 HOUR 30 MINUTES")).as("f_addtime"),
+          (unix_micros(col("ts")) % 1000000L).as("f_microsecond"),
+          from_unixtime(unix_micros(col("ts")).cast("double") / 1e6)
+            .cast("timestamp").as("f_from_unixtime"))
+        .orderBy(col("event_id")),
+    oracle = Some("""
+      SELECT event_id,
+             -- MySQL/Spark TIMESTAMPDIFF counts FULL units (duck date_diff
+             -- counts boundary crossings) — emulate with floor division
+             (epoch_us(ts::TIMESTAMP)
+              - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 86400000000
+               AS f_tsdiff_day,
+             (epoch_us(ts::TIMESTAMP)
+              - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 3600000000
+               AS f_tsdiff_hour,
+             (epoch_us(ts::TIMESTAMP)
+              - epoch_us(TIMESTAMP '2024-01-01 00:00:00')) // 60000000
+               AS f_tsdiff_min,
+             epoch_us(ts::TIMESTAMP)
+               - epoch_us(TIMESTAMP '2024-01-01 00:00:00') AS f_timediff_us,
+             (ts::TIMESTAMP + INTERVAL '90 MINUTE') AS f_addtime,
+             epoch_us(ts::TIMESTAMP) % 1000000 AS f_microsecond,
+             make_timestamp((epoch_us(ts::TIMESTAMP) // 1000000) * 1000000)
+               AS f_from_unixtime
+      FROM events WHERE event_id < 2000 ORDER BY event_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(stringBasic, stringAdvanced, mathBattery,
     dateExtract, dateArith, controlFlow, mysqlStrings, mysqlDates,
-    pseudoColumns)
+    pseudoColumns, timeBattery)
 }

@@ -64,6 +64,39 @@ class PlanSpec extends GraftSuite {
     assert(df.agg(min(col("c"))).collect()(0).getDouble(0) > 0.999)
   }
 
+  test("bucketed join runs without exchanging the join key") {
+    // disable broadcast so the test exercises the big×big path bucketing
+    // exists for (at sf0.001 Catalyst would rightly broadcast the dim side)
+    // build first: run() → Tables.tune resets the threshold, so the
+    // override must come after the DataFrame is constructed (planning
+    // happens at action time against the live conf)
+    val df = operators.DdlDmlQueries.bucketedJoin.run(spark, sf)
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = planOf(df)
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey") &&
+        !plan.contains("Exchange hashpartitioning(o_orderkey"), plan)
+      assert(plan.contains("SortMergeJoin") ||
+        plan.contains("ShuffledHashJoin"), plan)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+
+  test("salted skew join matches the unsalted result") {
+    val r = operators.JoinQueries.skewSalted.run(spark, sf).collect()(0)
+    val unsalted = Tables.table(spark, sf, "lineitem")
+      .withColumn("key", when(col("l_orderkey") % 10 === 0, 0L)
+        .otherwise(col("l_orderkey") % 1000))
+      .join(Tables.table(spark, sf, "orders")
+        .filter(col("o_orderkey") < 1000)
+        .select((col("o_orderkey") % 1000).as("dkey"), col("o_totalprice")),
+        col("key") === col("dkey"))
+      .agg(count(lit(1)), sum(col("l_extendedprice") + col("o_totalprice")))
+      .collect()(0)
+    assert(r.getLong(0) == unsalted.getLong(0))
+    assert(math.abs(r.getDouble(1) - unsalted.getDouble(1)) < 1e-4)
+  }
+
   test("where-false folds to an empty local relation (no scan)") {
     val plan = operators.FilterQueries.whereFalse.run(spark, sf)
       .queryExecution.optimizedPlan.toString

@@ -83,6 +83,12 @@ class VectorTextSpec extends GraftSuite {
       .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
     assert(sim(1L) >= 1, "simhash missed exact dup")
     assert(sim(3L) == 0, "simhash false positive on unrelated doc")
+
+    val clusters = operators.DedupQueries.clusters.run(spark, tmp)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(clusters(1L) == clusters(4L), "exact dups must share a cluster")
+    assert(clusters(1L) == clusters(2L), "near dups must share a cluster")
+    assert(clusters(3L) == 3L, "unrelated doc should head its own cluster")
   }
 
   test("exact dedup marks canonical rows correctly on planted dups") {
