@@ -303,7 +303,69 @@ object AggregateQueries {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** LISTAGG (SQL:2023, Spark 4 built-in) — the standard-SQL face of
+    * GROUP_CONCAT, exercised through the SQL surface. */
+  val listAgg: QueryDef = QueryDef(
+    "a_listagg",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n_regionkey,
+               listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name) AS names
+        FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+    },
+    oracle = Some("""
+      SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS names
+      FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""")
+  )
+
+  /** Explicit GROUPING SETS (parity-plus; reference rejects all grouping
+    * extensions). */
+  val groupingSets: QueryDef = QueryDef(
+    "a_grouping_sets",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+               CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+               CAST(grouping(l_linestatus) AS TINYINT) AS g_status
+        FROM lineitem
+        GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                                (l_returnflag, l_linestatus))
+        ORDER BY g_flag, g_status, l_returnflag, l_linestatus""")
+    },
+    oracle = Some("""
+      SELECT l_returnflag, l_linestatus, sum(l_quantity) AS sum_qty,
+             CAST(grouping(l_returnflag) AS TINYINT) AS g_flag,
+             CAST(grouping(l_linestatus) AS TINYINT) AS g_status
+      FROM lineitem
+      GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus),
+                              (l_returnflag, l_linestatus))
+      ORDER BY g_flag, g_status, l_returnflag, l_linestatus""")
+  )
+
+  /** PIVOT: event counts per type column-wise (the conditional-agg dual —
+    * free in Spark, absent from the reference's MySQL 5 surface). */
+  val pivot: QueryDef = QueryDef(
+    "a_pivot",
+    (s, dir) =>
+      Tables.table(s, dir, "events")
+        .groupBy(date_trunc("day", col("ts")).as("day"))
+        .pivot("event_type", Seq("click", "view", "purchase", "signup", "error"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .orderBy(col("day")),
+    oracle = Some("""
+      SELECT date_trunc('day', ts::TIMESTAMP) AS day,
+             count(*) FILTER (WHERE event_type = 'click') AS click,
+             count(*) FILTER (WHERE event_type = 'view') AS "view",
+             count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+             count(*) FILTER (WHERE event_type = 'signup') AS signup,
+             count(*) FILTER (WHERE event_type = 'error') AS error
+      FROM events GROUP BY day ORDER BY day""")
+  )
+
   def defs: Seq[QueryDef] = Seq(basicStats, distinctAggs, bitAggs,
     groupConcatCustom, groupConcatDistinct, having, rollup, cube, emptyInput,
-    highCardinality, mysqlShims, approxDistinct)
+    highCardinality, mysqlShims, approxDistinct, listAgg, groupingSets, pivot)
 }

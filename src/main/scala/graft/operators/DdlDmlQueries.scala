@@ -199,6 +199,32 @@ object DdlDmlQueries {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** Partitioned write + partition-pruned read: the Hive-style layout that
+    * replaces the reference's extent map + casual partitioning
+    * (versioning/BRM/extentmap.h:99 min/max) at the directory level. The
+    * year filter must prune to one partition directory (PlanSpec asserts
+    * PartitionFilters). */
+  val partitionedWrite: QueryDef = QueryDef(
+    "d_partitioned_write",
+    (s, dir) => {
+      val tmp = scratch()
+      Tables.table(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite")
+        .parquet(s"$tmp/orders_part")
+      s.read.parquet(s"$tmp/orders_part")
+        .filter(col("o_year") === 1997)
+        .groupBy(col("o_orderstatus"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_orderstatus"))
+    },
+    oracle = Some("""
+      SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total
+      FROM orders WHERE year(o_orderdate) = 1997
+      GROUP BY o_orderstatus ORDER BY o_orderstatus""")
+  )
+
   def defs: Seq[QueryDef] = Seq(ctasRoundtrip, insertIntoSelect, updateDelete,
-    alterTable, csvRoundtrip, loaderRejects, crossEngine, bucketedJoin)
+    alterTable, csvRoundtrip, loaderRejects, crossEngine, bucketedJoin,
+    partitionedWrite)
 }

@@ -107,4 +107,63 @@ object EventsStream {
       .withColumn("k", get_json_object(col("props"), "$.k").cast("bigint"))
       .filter(col("value") > 0)
       .withColumn("hour_bucket", date_trunc("hour", col("ts")))
+
+  case class SessionState(start: Long, end: Long, n: Long, total: Double)
+  case class SessionOut(user_id: Long, session_start: java.sql.Timestamp,
+      session_end: java.sql.Timestamp, n_events: Long, sum_value: Double)
+
+  /** Custom gap-sessionization via flatMapGroupsWithState with event-time
+    * timeout: sessions are emitted only when the watermark passes the gap
+    * (the hand-rolled dual of session_window, showing the full custom-state
+    * surface — per-key state is one open session, GC'd by timeout). */
+  def customSessions(events: Dataset[EventRow],
+      gapMs: Long = 10 * 60 * 1000): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout) {
+        case (uid, rows, state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator(SessionOut(uid, new java.sql.Timestamp(s.start),
+              new java.sql.Timestamp(s.end), s.n, s.total))
+          } else {
+            val sorted = rows.toSeq.sortBy(_.ts.getTime)
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            sorted.foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.end <= gapMs =>
+                  cur = Some(SessionState(s.start, math.max(s.end, t),
+                    s.n + 1, s.total + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(uid, new java.sql.Timestamp(s.start),
+                    new java.sql.Timestamp(s.end), s.n, s.total)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.end + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }
+  }
+
+  /** foreachBatch sink: append each micro-batch atomically to a parquet
+    * table (the idempotent-write pattern for exactly-once file sinks). */
+  def writeViaForeachBatch(agg: DataFrame, outPath: String) =
+    agg.writeStream
+      .outputMode("update")
+      .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
+        batch.withColumn("batch_id", lit(id))
+          .write.mode("append").parquet(outPath)
+      }
 }

@@ -97,6 +97,13 @@ class PlanSpec extends GraftSuite {
     assert(math.abs(r.getDouble(1) - unsalted.getDouble(1)) < 1e-4)
   }
 
+  test("partitioned layout prunes to the matching partition directories") {
+    val plan = formatted(
+      operators.DdlDmlQueries.partitionedWrite.run(spark, sf))
+    assert(plan.contains("PartitionFilters: [isnotnull(o_year"), plan)
+    assert(plan.contains("(o_year"), plan)
+  }
+
   test("where-false folds to an empty local relation (no scan)") {
     val plan = operators.FilterQueries.whereFalse.run(spark, sf)
       .queryExecution.optimizedPlan.toString

@@ -78,6 +78,40 @@ class StreamingSpec extends GraftSuite {
     assert(math.abs(last.getDouble(3) - 5.0) < 1e-9)
   }
 
+  test("custom flatMapGroupsWithState sessions close after the gap") {
+    val mem = MemoryStream[EventRow]
+    val q = EventsStream.customSessions(mem.toDS())
+      .writeStream.format("memory").queryName("custom_sessions")
+      .outputMode("append").start()
+    // session A at :00-:05; a later event at :40 advances the watermark
+    // (40m - 10m wm = :30) past A's gap deadline (:15) → A closes
+    mem.addData(ev(1, 0, 1, "a", 1.0), ev(2, 5, 1, "a", 2.0))
+    q.processAllAvailable()
+    mem.addData(ev(3, 40, 1, "a", 5.0))
+    q.processAllAvailable()
+    mem.addData(ev(4, 59, 2, "b", 0.5)) // push watermark further
+    q.processAllAvailable()
+    val rows = spark.table("custom_sessions").collect()
+    q.stop()
+    assert(rows.length >= 1, "first session never emitted")
+    val s = rows.minBy(_.getTimestamp(1).getTime)
+    assert(s.getLong(0) == 1L && s.getLong(3) == 2L &&
+      math.abs(s.getDouble(4) - 3.0) < 1e-9)
+  }
+
+  test("foreachBatch sink appends micro-batches to parquet") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fb").toString
+    val mem = MemoryStream[EventRow]
+    val agg = EventsStream.tumblingCounts(mem.toDF())
+    val q = EventsStream.writeViaForeachBatch(agg, s"$tmp/out").start()
+    mem.addData(ev(1, 0, 1, "click", 1.0), ev(2, 10, 1, "view", 2.0))
+    q.processAllAvailable()
+    q.stop()
+    val written = spark.read.parquet(s"$tmp/out")
+    assert(written.count() >= 1)
+    assert(written.columns.contains("batch_id"))
+  }
+
   test("streaming tumbling matches batch tumbling on the same data") {
     val batch = operators.EventsQueries.tumbling.run(spark, sf)
       .select(col("window_start"), col("event_type"), col("n"))
