@@ -465,7 +465,48 @@ object ScalarFunctionQueries {
       FROM events WHERE event_id < 2000 ORDER BY event_id""")
   )
 
+  /** Division/modulo-by-zero → NULL (MySQL semantics the reference
+    * inherits; Spark non-ANSI and DuckDB agree) + decimal arithmetic and
+    * the UBIGINT range carried as DECIMAL(20,0) (SURVEY §7.3 risk:
+    * reference UBIGINT exceeds LongType). */
+  val divZeroDecimal: QueryDef = QueryDef(
+    "fn_div_zero_decimal",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 200)
+        .select(
+          col("l_orderkey"), col("l_linenumber"),
+          // Spark 4 runs ANSI by default (x/0 errors); the MySQL-style
+          // NULL-on-zero the reference inherits is the try_* family
+          expr("try_divide(l_quantity, l_linenumber - l_linenumber)")
+            .as("f_div0"),
+          expr("cast(try_divide(l_orderkey, 0) as bigint)").as("f_intdiv0"),
+          expr("try_mod(l_orderkey, 0)").as("f_mod0"),
+          expr("l_orderkey div 3").as("f_intdiv"),
+          col("l_extendedprice").cast("decimal(18,2)")
+            .multiply(col("l_quantity").cast("decimal(10,2)"))
+            .cast("decimal(30,4)").as("f_dec_mul"),
+          (lit("18446744073709551615").cast("decimal(20,0)") -
+            col("l_orderkey").cast("decimal(20,0)")).cast("decimal(21,0)")
+            .as("f_ubigint_range"))
+        .orderBy(col("l_orderkey"), col("l_linenumber")),
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber,
+             l_quantity / nullif(l_linenumber - l_linenumber, 0) AS f_div0,
+             l_orderkey // nullif(0, 0) AS f_intdiv0,
+             mod(l_orderkey, 0) AS f_mod0,
+             l_orderkey // 3 AS f_intdiv,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+                  * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(30,4))
+               AS f_dec_mul,
+             CAST(CAST('18446744073709551615' AS DECIMAL(20,0))
+                  - CAST(l_orderkey AS DECIMAL(20,0)) AS DECIMAL(21,0))
+               AS f_ubigint_range
+      FROM lineitem WHERE l_orderkey < 200
+      ORDER BY l_orderkey, l_linenumber""")
+  )
+
   def defs: Seq[QueryDef] = Seq(stringBasic, stringAdvanced, mathBattery,
     dateExtract, dateArith, controlFlow, mysqlStrings, mysqlDates,
-    pseudoColumns, timeBattery)
+    pseudoColumns, timeBattery, divZeroDecimal)
 }

@@ -119,6 +119,39 @@ object SetOpQueries {
       ORDER BY k""")
   )
 
+  /** EXCEPT ALL / INTERSECT ALL — multiset semantics (parity-plus). */
+  val allVariants: QueryDef = QueryDef(
+    "s_except_intersect_all",
+    (s, dir) => {
+      val a = t(s, dir, "lineitem").select(col("l_linenumber").as("k"))
+      val b = t(s, dir, "orders")
+        .select((col("o_orderkey") % 5 + 1).cast("int").as("k"))
+      val ea = a.exceptAll(b).groupBy(col("k"))
+        .agg(count(lit(1)).as("n_except_all"))
+      val ia = a.intersectAll(b).groupBy(col("k"))
+        .agg(count(lit(1)).as("n_intersect_all"))
+      ea.join(ia, Seq("k"), "full_outer")
+        .select(col("k"),
+          coalesce(col("n_except_all"), lit(0L)).as("n_except_all"),
+          coalesce(col("n_intersect_all"), lit(0L)).as("n_intersect_all"))
+        .orderBy(col("k"))
+    },
+    oracle = Some("""
+      WITH a AS (SELECT l_linenumber AS k FROM lineitem),
+           b AS (SELECT CAST(o_orderkey % 5 + 1 AS INTEGER) AS k FROM orders),
+           ea AS (SELECT k, count(*) AS n_except_all
+                  FROM (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+                  GROUP BY k),
+           ia AS (SELECT k, count(*) AS n_intersect_all
+                  FROM (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+                  GROUP BY k)
+      SELECT coalesce(ea.k, ia.k) AS k,
+             coalesce(n_except_all, 0) AS n_except_all,
+             coalesce(n_intersect_all, 0) AS n_intersect_all
+      FROM ea FULL OUTER JOIN ia ON ea.k = ia.k
+      ORDER BY k""")
+  )
+
   def defs: Seq[QueryDef] = Seq(unionAll, unionDistinct, unionTypeNorm,
-    intersectDistinct, exceptDistinct)
+    intersectDistinct, exceptDistinct, allVariants)
 }
