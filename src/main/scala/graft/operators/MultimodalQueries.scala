@@ -8,12 +8,14 @@ import org.apache.spark.sql.functions._
   * columns + typed metadata, with decode / feature-extract / frame-sample
   * kernels run per-partition in batches.
   *
-  * The decode step is STUBBED with a deterministic fake (no image/audio
-  * libraries in this container — see MediaKernels.decodeStub); everything
-  * around it — binary column handling, schema, batched mapPartitions
-  * shape, partition sizing — is real and tested. At 100 TB the media
-  * bytes never leave their partition: the kernel is a map, and only the
-  * small extracted features flow onward.
+  * The pixel/sample decode is STUBBED (no image/audio libraries in this
+  * container — see MediaKernels.decodeStub), but the container-format
+  * parsing is REAL: image rows carry a valid PNG signature + IHDR chunk and
+  * the kernel parses width/height from the bytes big-endian, exactly as a
+  * production decoder's header sniffing does. Everything around the stub —
+  * binary columns, schema, batched mapPartitions shape — is the real
+  * pipeline. At 100 TB the media bytes never leave their partition: the
+  * kernel is a map, and only small extracted features flow onward.
   */
 object MultimodalQueries {
 
@@ -27,11 +29,29 @@ object MultimodalQueries {
       checksum: Long, fake_score: Double)
 
   object MediaKernels {
-    /** STUB for the real decoder (would be libjpeg/ffmpeg/soundfile via a
-      * native batch API). Deterministic fake derived from the bytes so
-      * results are oracle-checkable; replace body with the real decode
-      * when the libraries exist. */
+    val PngSignature: Array[Byte] =
+      Array(0x89, 0x50, 0x4e, 0x47, 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+    private def beInt(b: Array[Byte], off: Int): Int =
+      ((b(off) & 0xff) << 24) | ((b(off + 1) & 0xff) << 16) |
+        ((b(off + 2) & 0xff) << 8) | (b(off + 3) & 0xff)
+
+    /** REAL header parse: PNG IHDR width/height (offsets 16/20 after the
+      * 8-byte signature + 8-byte chunk header). Returns None if the bytes
+      * are not a PNG. */
+    def parsePngDims(b: Array[Byte]): Option[(Int, Int)] =
+      if (b.length >= 24 && PngSignature.indices.forall(i =>
+        b(i) == PngSignature(i)))
+        Some((beInt(b, 16), beInt(b, 20)))
+      else None
+
+    /** STUB for the pixel/sample decode (would be libjpeg/ffmpeg/soundfile
+      * via a native batch API). Header parsing above is real; the pixel
+      * features below are a deterministic fake so results stay
+      * oracle-checkable — replace with the real decode when the libraries
+      * exist. */
     def decodeStub(r: MediaRow): MediaFeatures = {
+      val dims = parsePngDims(r.media)
       val first = if (r.media.nonEmpty) r.media(0) & 0xff else -1
       var crc = 0L
       var i = 0
@@ -40,8 +60,8 @@ object MultimodalQueries {
         doc_id = r.doc_id,
         media_type = r.media_type,
         n_bytes = r.n_bytes,
-        width = (first % 64) + 1, // fake "decoded" dimensions
-        height = ((r.n_bytes % 64) + 1).toInt,
+        width = dims.map(_._1).getOrElse(-1),
+        height = dims.map(_._2).getOrElse(-1),
         n_frames = (r.n_bytes / 1000 + 1).toInt, // fake frame-sample count
         first_byte = first,
         checksum = crc,
@@ -58,21 +78,32 @@ object MultimodalQueries {
       }
   }
 
-  /** Binary ingest → batched decode → feature table. The media column here
-    * is the utf-8 bytes of documents.text (the container has no real media
-    * files); schema/partitioning/kernel shape are identical for real bytes. */
+  /** Binary ingest → batched decode → feature table. Image rows get a real
+    * PNG signature+IHDR prepended (width = doc_id%64+1, height =
+    * n_chars%64+1, assembled byte-exact with hex functions); the kernel
+    * must recover those dims by parsing the bytes. */
   val decodePipeline: QueryDef = QueryDef(
     "x_media_decode",
     (s, dir) => {
       import s.implicits._
+      val width = (col("doc_id") % 64 + 1).cast("int")
+      val height = (col("n_chars") % 64 + 1).cast("int")
+      val pngHeader = concat(
+        lit("89504E470D0A1A0A"), // signature
+        lit("0000000D49484452"), // IHDR length + type
+        lpad(hex(width), 8, "0"),
+        lpad(hex(height), 8, "0"),
+        lit("0806000000")) // bit depth / color / compression / filter / interlace
       val media = Tables.table(s, dir, "documents")
+        .withColumn("is_image", col("doc_id") % 3 === 0)
         .select(col("doc_id"),
-          encode(col("text"), "UTF-8").as("media"),
-          when(col("doc_id") % 3 === 0, "image")
+          when(col("is_image"),
+            concat(unhex(pngHeader), encode(col("text"), "UTF-8")))
+            .otherwise(encode(col("text"), "UTF-8")).as("media"),
+          when(col("is_image"), "image")
             .when(col("doc_id") % 3 === 1, "audio")
-            .otherwise("video").as("media_type"),
-          octet_length(encode(col("text"), "UTF-8")).cast("bigint")
-            .as("n_bytes"))
+            .otherwise("video").as("media_type"))
+        .withColumn("n_bytes", octet_length(col("media")).cast("bigint"))
         .as[MediaRow]
       media.mapPartitions(rows => MediaKernels.decodePartition(rows))
         .toDF()
@@ -82,17 +113,28 @@ object MultimodalQueries {
         .orderBy(col("doc_id"))
     },
     oracle = Some("""
+      WITH d AS (SELECT doc_id, text, n_chars,
+                        (doc_id % 3 = 0) AS is_image,
+                        octet_length(text::BLOB) AS text_bytes
+                 FROM documents)
       SELECT doc_id,
-             CASE WHEN doc_id % 3 = 0 THEN 'image'
+             CASE WHEN is_image THEN 'image'
                   WHEN doc_id % 3 = 1 THEN 'audio'
                   ELSE 'video' END AS media_type,
-             CAST(octet_length(text::BLOB) AS BIGINT) AS n_bytes,
-             (ascii(text[1]) % 64) + 1 AS width,
-             CAST((octet_length(text::BLOB) % 64) + 1 AS INTEGER) AS height,
-             CAST(octet_length(text::BLOB) // 1000 + 1 AS INTEGER) AS n_frames,
-             ascii(text[1]) AS first_byte,
-             CAST(octet_length(text::BLOB) % 256 AS DOUBLE) / 255.0 AS fake_score
-      FROM documents ORDER BY doc_id""")
+             CAST(CASE WHEN is_image THEN text_bytes + 29
+                       ELSE text_bytes END AS BIGINT) AS n_bytes,
+             CAST(CASE WHEN is_image THEN doc_id % 64 + 1
+                       ELSE -1 END AS INTEGER) AS width,
+             CAST(CASE WHEN is_image THEN n_chars % 64 + 1
+                       ELSE -1 END AS INTEGER) AS height,
+             CAST((CASE WHEN is_image THEN text_bytes + 29
+                        ELSE text_bytes END) // 1000 + 1 AS INTEGER)
+               AS n_frames,
+             CASE WHEN is_image THEN 137 ELSE ascii(text[1]) END AS first_byte,
+             CAST((CASE WHEN is_image THEN text_bytes + 29
+                        ELSE text_bytes END) % 256 AS DOUBLE) / 255.0
+               AS fake_score
+      FROM d ORDER BY doc_id""")
   )
 
   /** Frame sampling: slice the binary into fixed-stride "frames" and emit
