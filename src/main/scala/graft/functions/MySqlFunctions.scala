@@ -83,6 +83,16 @@ object MySqlFunctions {
   def makeDate(y: Column, doy: Column): Column =
     date_add(make_date(y, lit(1), lit(1)), (doy - 1).cast("int"))
 
+  /** MySQL string→number coercion: the longest numeric prefix parses, the
+    * rest is ignored, and a non-numeric string is 0 ('12abc'+0 = 12,
+    * 'abc'+0 = 0). Spark's cast (ANSI error / NULL) differs; the reference
+    * inherits this MySQL accident, so migrations need the shim. */
+  def mysqlToNumber(s: Column): Column =
+    coalesce(
+      regexp_extract(trim(s), "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?", 0)
+        .try_cast("double"), // no numeric prefix → empty match → NULL
+      lit(0.0))
+
   /** MySQL INET_ATON('a.b.c.d'). */
   def inetAton(ip: Column): Column = {
     val p = split(ip, "\\.")

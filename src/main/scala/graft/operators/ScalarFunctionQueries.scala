@@ -324,7 +324,9 @@ object ScalarFunctionQueries {
           concat(lit("["), expr("space(3)"), lit("]")).as("f_space"),
           ip.as("ip"),
           inetAton(ip).as("f_inet_aton"),
-          inetNtoa(inetAton(ip)).as("f_inet_ntoa"))
+          inetNtoa(inetAton(ip)).as("f_inet_ntoa"),
+          mysqlToNumber(concat(col("p_partkey"), col("p_brand")))
+            .as("f_str_to_num"))
         .orderBy(col("p_partkey"))
     },
     oracle = Some("""
@@ -353,7 +355,8 @@ object ScalarFunctionQueries {
              concat(CAST((aton // 16777216) % 256 AS VARCHAR), '.',
                     CAST((aton // 65536) % 256 AS VARCHAR), '.',
                     CAST((aton // 256) % 256 AS VARCHAR), '.',
-                    CAST(aton % 256 AS VARCHAR)) AS f_inet_ntoa
+                    CAST(aton % 256 AS VARCHAR)) AS f_inet_ntoa,
+             CAST(p_partkey AS DOUBLE) AS f_str_to_num
       FROM n ORDER BY p_partkey""")
   )
 

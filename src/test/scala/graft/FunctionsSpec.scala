@@ -97,6 +97,20 @@ class FunctionsSpec extends GraftSuite {
     assert(math.abs(est - 1.0 / 3.0) < 0.15, s"estimate $est")
   }
 
+  test("mysqlToNumber coerces like MySQL string arithmetic") {
+    val rows = Seq("12abc", "abc", "  3.5x", "-2e2yz", ".5", "", "7")
+      .toDF("s")
+      .select($"s", MySqlFunctions.mysqlToNumber($"s").as("n"))
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(rows("12abc") == 12.0)
+    assert(rows("abc") == 0.0)
+    assert(rows("  3.5x") == 3.5)
+    assert(rows("-2e2yz") == -200.0)
+    assert(rows(".5") == 0.5)
+    assert(rows("") == 0.0)
+    assert(rows("7") == 7.0)
+  }
+
   test("custom expressions work through SQL and inside lambdas") {
     plans.GraftExtensions.registerAll(spark)
     val r = spark.sql(
