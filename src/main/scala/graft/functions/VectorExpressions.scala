@@ -50,22 +50,46 @@ object VectorKernels {
     math.sqrt(s)
   }
 
+  /** Deterministic pseudo-random plane weights, memoized per
+    * (planes, seed, dims) — recomputing the FNV-derived weights per ROW
+    * would dominate the kernel at scale; the cache makes the per-row cost
+    * a pure dims×planes dot product. */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Long, Int), Array[Double]]()
+
+  def planeWeights(planes: Int, seed: Long, dims: Int): Array[Double] =
+    planeCache.computeIfAbsent((planes, seed, dims), { key =>
+      val (p0, s0, n0) = key
+      val w = new Array[Double](p0 * n0)
+      var p = 0
+      while (p < p0) {
+        var i = 0
+        while (i < n0) {
+          // deterministic pseudo-gaussian weight in [-1,1) from FNV of (p,i)
+          val h = Fnv64.hashBytes(Array(
+            (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
+            (i & 0xff).toByte, ((i >> 8) & 0xff).toByte), s0)
+          w(p * n0 + i) = h.toDouble / Long.MaxValue.toDouble
+          i += 1
+        }
+        p += 1
+      }
+      w
+    })
+
   /** Random-hyperplane LSH bucket: sign bit per plane, planes derived
     * deterministically from (planeIdx, dimIdx) hashes — no stored model. */
   def lshBucket(a: ArrayData, planes: Int, seed: Long): Int = {
+    val n = a.numElements()
+    val w = planeWeights(planes, seed, n)
     var bucket = 0
     var p = 0
     while (p < planes) {
       var s = 0.0
       var i = 0
-      val n = a.numElements()
+      val base = p * n
       while (i < n) {
-        // deterministic pseudo-gaussian weight in [-1,1) from FNV of (p,i)
-        val h = Fnv64.hashBytes(Array(
-          (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
-          (i & 0xff).toByte, ((i >> 8) & 0xff).toByte), seed)
-        val w = (h.toDouble / Long.MaxValue.toDouble)
-        s += a.getFloat(i).toDouble * w
+        s += a.getFloat(i).toDouble * w(base + i)
         i += 1
       }
       if (s > 0) bucket |= (1 << p)

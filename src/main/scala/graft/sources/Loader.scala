@@ -53,10 +53,14 @@ object Loader {
     // projecting only the internal corrupt-record column
     val bad = raw.filter(col("_corrupt_record").isNotNull)
     good.write.mode(SaveMode.Overwrite).parquet(outputPath)
+    // rejects go to a sidecar table (cpimport's .bad file, as parquet) so
+    // the result stays lazy/distributed and the scan cache can be dropped
+    val rejectsPath = outputPath.stripSuffix("/") + "_rejects"
+    bad.write.mode(SaveMode.Overwrite).parquet(rejectsPath)
     val total = raw.count()
     val loaded = spark.read.parquet(outputPath).count()
-    val result = LoadResult(loaded, total - loaded, bad)
-    result
+    raw.unpersist()
+    LoadResult(loaded, total - loaded, spark.read.parquet(rejectsPath))
   }
 
   /** Export a DataFrame as delimited text (round-trip support). */
