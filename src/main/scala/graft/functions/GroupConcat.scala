@@ -31,7 +31,8 @@ class GroupConcat(sep: String, maxLen: Int, distinct: Boolean)
   override def merge(b1: Seq[Seq[String]], b2: Seq[Seq[String]]): Seq[Seq[String]] =
     b1 ++ b2
   override def finish(b: Seq[Seq[String]]): String = {
-    val sorted = b.sortBy(r => (r(0), r(1))).map(_(1))
+    // NULL sort keys order first, matching MySQL's ORDER BY ASC default
+    val sorted = b.sortBy(r => (Option(r(0)), r(1))).map(_(1))
     val vals = if (distinct) sorted.distinct else sorted
     val out = vals.mkString(sep)
     if (out.length > maxLen) out.substring(0, maxLen) else out

@@ -60,15 +60,46 @@ object MySqlFunctions {
   def weekday(d: Column): Column = (dayofweek(d) + 5) % 7
 
   /** MySQL format specifier → Java DateTimeFormatter pattern
-    * (the subset the reference's func_date_format.cpp handles). */
+    * (the subset the reference's func_date_format.cpp handles).
+    * Tokenized left-to-right: %% emits a literal percent, literal letters
+    * are single-quoted so they can't be misread as pattern letters, and an
+    * unmapped specifier fails fast with a clear message. */
   def mysqlFormatToJava(fmt: String): String = {
-    val map = Seq(
-      "%Y" -> "yyyy", "%y" -> "yy", "%m" -> "MM", "%c" -> "M",
-      "%d" -> "dd", "%e" -> "d", "%H" -> "HH", "%k" -> "H",
-      "%h" -> "hh", "%i" -> "mm", "%s" -> "ss", "%S" -> "ss",
-      "%j" -> "DDD", "%a" -> "EEE", "%b" -> "MMM", "%W" -> "EEEE",
-      "%M" -> "MMMM", "%p" -> "a", "%%" -> "%")
-    map.foldLeft(fmt) { case (s, (k, v)) => s.replace(k, v) }
+    val map = Map(
+      'Y' -> "yyyy", 'y' -> "yy", 'm' -> "MM", 'c' -> "M",
+      'd' -> "dd", 'e' -> "d", 'H' -> "HH", 'k' -> "H",
+      'h' -> "hh", 'i' -> "mm", 's' -> "ss", 'S' -> "ss",
+      'j' -> "DDD", 'a' -> "EEE", 'b' -> "MMM", 'W' -> "EEEE",
+      'M' -> "MMMM", 'p' -> "a")
+    val out = new StringBuilder
+    val literal = new StringBuilder
+    def flushLiteral(): Unit = if (literal.nonEmpty) {
+      // quote the whole run once; letters would otherwise read as pattern
+      // chars, and adjacent single-char quotes ('T''h') mis-parse as an
+      // escaped quote
+      if (literal.exists(c => c.isLetter || c == '\'')) {
+        out.append('\'').append(literal.toString.replace("'", "''"))
+          .append('\'')
+      } else out.append(literal)
+      literal.clear()
+    }
+    var i = 0
+    while (i < fmt.length) {
+      val c = fmt.charAt(i)
+      if (c == '%') {
+        require(i + 1 < fmt.length, s"dangling % in format '$fmt'")
+        val spec = fmt.charAt(i + 1)
+        if (spec == '%') { literal.append('%'); i += 2 }
+        else {
+          flushLiteral()
+          out.append(map.getOrElse(spec, throw new IllegalArgumentException(
+            s"unsupported MySQL format specifier %$spec in '$fmt'")))
+          i += 2
+        }
+      } else { literal.append(c); i += 1 }
+    }
+    flushLiteral()
+    out.toString
   }
 
   /** MySQL DATE_FORMAT(ts, '%Y-%m-%d …'). */
@@ -88,10 +119,11 @@ object MySqlFunctions {
     * 'abc'+0 = 0). Spark's cast (ANSI error / NULL) differs; the reference
     * inherits this MySQL accident, so migrations need the shim. */
   def mysqlToNumber(s: Column): Column =
-    coalesce(
-      regexp_extract(trim(s), "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?", 0)
-        .try_cast("double"), // no numeric prefix → empty match → NULL
-      lit(0.0))
+    when(s.isNull, lit(null).cast("double")) // MySQL: NULL propagates
+      .otherwise(coalesce(
+        regexp_extract(trim(s), "^[+-]?([0-9]+\\.?[0-9]*|\\.[0-9]+)([eE][+-]?[0-9]+)?", 0)
+          .try_cast("double"), // no numeric prefix → empty match → NULL
+        lit(0.0)))
 
   /** MySQL INET_ATON('a.b.c.d'). */
   def inetAton(ip: Column): Column = {

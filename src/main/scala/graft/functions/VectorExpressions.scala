@@ -104,6 +104,23 @@ abstract class BinaryVectorExpression extends BinaryExpression {
   protected def kernel: String
   protected def kernelFn: (ArrayData, ArrayData) => Double
 
+  // the kernels read elements with getFloat: anything but array<float>
+  // would silently produce garbage under codegen, so reject it at analysis
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val ok = ArrayType(FloatType)
+    if (Seq(left, right).forall(e =>
+      e.dataType match {
+        case ArrayType(FloatType, _) => true
+        case _ => false
+      }))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires two $ok arguments, got " +
+          s"(${left.dataType.simpleString}, ${right.dataType.simpleString})")
+  }
+
   protected override def nullSafeEval(a: Any, b: Any): Any =
     kernelFn(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
 
@@ -147,6 +164,16 @@ case class LshBucket(child: Expression, planes: Int, seed: Long)
     extends UnaryExpression {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "lsh_bucket"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
 
   protected override def nullSafeEval(input: Any): Any =
     VectorKernels.lshBucket(input.asInstanceOf[ArrayData], planes, seed)

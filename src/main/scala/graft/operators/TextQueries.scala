@@ -38,9 +38,13 @@ object TextQueries {
           size(expr(s"filter(toks, t -> array_contains(" +
             s"array(${words.map(w => s"'$w'").mkString(",")}), t))")))
       }
-      val langs = profiles.keys.toSeq.sorted // de,en,es,fr,zh
-      val best = langs.map(l => struct(col(s"score_$l").as("score"),
-        lit(l).as("lang")))
+      // ties break by profile priority (en > de > fr > es > zh): greatest()
+      // compares structs field-by-field, so priority must be the second
+      // field — comparing lang strings directly would hand every tie to 'zh'
+      val priority = Seq("en", "de", "fr", "es", "zh").reverse.zipWithIndex.toMap
+      val best = profiles.keys.toSeq.map(l =>
+        struct(col(s"score_$l").as("score"),
+          lit(priority(l)).as("prio"), lit(l).as("lang")))
       scored
         .withColumn("best", greatest(best: _*))
         .select(col("doc_id"), col("lang").as("label"),

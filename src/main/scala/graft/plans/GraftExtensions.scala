@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.functions._
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, so they
   * are usable from spark.sql text, inside higher-order-function lambdas
@@ -39,16 +39,40 @@ object GraftExtensions {
       s"$what must be a long literal, got $other")
   }
 
+  private def arity(name: String, es: Seq[Expression], lo: Int,
+      hi: Int): Unit =
+    if (es.length < lo || es.length > hi)
+      throw new IllegalArgumentException(
+        s"$name expects ${if (lo == hi) s"$lo" else s"$lo to $hi"} " +
+          s"argument(s), got ${es.length}")
+
+  /** SQL-side float-vector coercion: array literals in SQL are
+    * array<double>/array<decimal>; the vector kernels need array<float>.
+    * Children are unresolved at builder time (no dataType yet), so cast
+    * unconditionally — SimplifyCasts removes the no-op case. */
+  private def asFloatVec(e: Expression): Expression =
+    Cast(e, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.FloatType))
+
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
-    "simhash64" -> (es => SimHash64(es.head)),
-    "hamming64" -> (es => Hamming64(es(0), es(1))),
-    "fingerprint64" -> (es => Fingerprint64(es.head)),
-    "minhash_sig" -> (es => MinHashSig(es(0), intArg(es(1), "k"))),
-    "cosine_sim" -> (es => CosineSim(es(0), es(1))),
-    "dot_product" -> (es => DotProduct(es(0), es(1))),
-    "l2_distance" -> (es => L2Distance(es(0), es(1))),
-    "lsh_bucket" -> (es => LshBucket(es(0), intArg(es(1), "planes"),
-      longArg(es(2), "seed")))
+    "simhash64" -> (es => { arity("simhash64", es, 1, 1)
+      SimHash64(es.head) }),
+    "hamming64" -> (es => { arity("hamming64", es, 2, 2)
+      Hamming64(es(0), es(1)) }),
+    "fingerprint64" -> (es => { arity("fingerprint64", es, 1, 1)
+      Fingerprint64(es.head) }),
+    "minhash_sig" -> (es => { arity("minhash_sig", es, 2, 2)
+      MinHashSig(es(0), intArg(es(1), "k")) }),
+    "cosine_sim" -> (es => { arity("cosine_sim", es, 2, 2)
+      CosineSim(asFloatVec(es(0)), asFloatVec(es(1))) }),
+    "dot_product" -> (es => { arity("dot_product", es, 2, 2)
+      DotProduct(asFloatVec(es(0)), asFloatVec(es(1))) }),
+    "l2_distance" -> (es => { arity("l2_distance", es, 2, 2)
+      L2Distance(asFloatVec(es(0)), asFloatVec(es(1))) }),
+    "lsh_bucket" -> (es => { arity("lsh_bucket", es, 1, 3)
+      LshBucket(asFloatVec(es(0)),
+        if (es.length > 1) intArg(es(1), "planes") else 8,
+        if (es.length > 2) longArg(es(2), "seed") else 42L) })
   )
 
   /** Idempotent registration on a live session. */

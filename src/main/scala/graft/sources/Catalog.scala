@@ -69,9 +69,14 @@ class Catalog(spark: SparkSession, root: String) {
     require(tables.contains(name), s"no such table: $name")
     val staged = tablePath(name) + ".staging"
     f(table(name)).write.mode(SaveMode.Overwrite).parquet(staged)
+    // swap via rename-aside so a crash mid-sequence never leaves the table
+    // missing: worst case the data survives in .old or .staging
     val live = Paths.get(tablePath(name))
-    deleteRecursively(live)
+    val old = Paths.get(tablePath(name) + ".old")
+    deleteRecursively(old)
+    Files.move(live, old)
     Files.move(Paths.get(staged), live)
+    deleteRecursively(old)
   }
 
   /** TRUNCATE TABLE. */

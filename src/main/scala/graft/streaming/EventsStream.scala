@@ -66,13 +66,13 @@ object EventsStream {
         col("session_window.end").as("session_end"), col("user_id"),
         col("n_events"), col("sum_value"))
 
-  /** Exactly-once event dedup by event_id within the watermark horizon
-    * (dual of EventsQueries.dedupKeyed; state = ids seen, GC'd by
-    * watermark). */
+  /** Event dedup by event_id alone within the watermark horizon — a
+    * redelivered id with a re-stamped timestamp still dedups (state = ids
+    * seen, GC'd once the watermark passes each event's time). */
   def dedupById(events: DataFrame,
       watermark: String = "10 minutes"): DataFrame =
     events.withWatermark("ts", watermark)
-      .dropDuplicates("event_id", "ts")
+      .dropDuplicatesWithinWatermark("event_id")
 
   case class UserRunning(user_id: Long, n_events: Long, total_value: Double,
       max_value: Double)
@@ -137,9 +137,11 @@ object EventsStream {
             sorted.foreach { e =>
               val t = e.ts.getTime
               cur match {
-                case Some(s) if t - s.end <= gapMs =>
-                  cur = Some(SessionState(s.start, math.max(s.end, t),
-                    s.n + 1, s.total + e.value))
+                // within gap of either session boundary (late-but-in-
+                // watermark events can precede the open session's start)
+                case Some(s) if t >= s.start - gapMs && t <= s.end + gapMs =>
+                  cur = Some(SessionState(math.min(s.start, t),
+                    math.max(s.end, t), s.n + 1, s.total + e.value))
                 case Some(s) =>
                   closed ::= SessionOut(uid, new java.sql.Timestamp(s.start),
                     new java.sql.Timestamp(s.end), s.n, s.total)
@@ -157,13 +159,15 @@ object EventsStream {
       }
   }
 
-  /** foreachBatch sink: append each micro-batch atomically to a parquet
-    * table (the idempotent-write pattern for exactly-once file sinks). */
+  /** foreachBatch sink, idempotent per micro-batch: each batch OVERWRITES
+    * its own batch_id=N partition directory, so a replayed batch (failure
+    * before the checkpoint commit) rewrites the same files instead of
+    * appending duplicates — the standard exactly-once file-sink pattern.
+    * Readers take the latest state per key via the max batch_id. */
   def writeViaForeachBatch(agg: DataFrame, outPath: String) =
     agg.writeStream
       .outputMode("update")
       .foreachBatch { (batch: org.apache.spark.sql.Dataset[org.apache.spark.sql.Row], id: Long) =>
-        batch.withColumn("batch_id", lit(id))
-          .write.mode("append").parquet(outPath)
+        batch.write.mode("overwrite").parquet(s"$outPath/batch_id=$id")
       }
 }

@@ -111,6 +111,55 @@ class FunctionsSpec extends GraftSuite {
     assert(rows("7") == 7.0)
   }
 
+  test("group_concat tolerates NULL sort keys (ordered first, MySQL-style)") {
+    val out = Seq((1, Option("b"), "bee"), (1, Option.empty[String], "nil"),
+      (1, Option("a"), "ay")).toDF("g", "k", "v")
+      .groupBy($"g")
+      .agg(GroupConcat.groupConcat($"k", $"v").as("gc")).collect()
+    assert(out(0).getString(1) == "nil,ay,bee")
+  }
+
+  test("mysqlToNumber propagates NULL input") {
+    val r = Seq((Option("5x"), Option.empty[String])).toDF("a", "b")
+      .select(MySqlFunctions.mysqlToNumber($"a").as("a"),
+        MySqlFunctions.mysqlToNumber($"b").as("b")).collect()(0)
+    assert(r.getDouble(0) == 5.0)
+    assert(r.isNullAt(1))
+  }
+
+  test("mysql format translator handles %% escapes and literal letters") {
+    import MySqlFunctions.mysqlFormatToJava
+    assert(mysqlFormatToJava("%%Y") == "'%Y'")
+    assert(mysqlFormatToJava("%Y-%m-%dT%H") == "yyyy-MM-dd'T'HH")
+    intercept[IllegalArgumentException](mysqlFormatToJava("%f"))
+    val rendered = Seq(java.sql.Timestamp.valueOf("2024-03-05 07:08:09"))
+      .toDF("ts")
+      .select(MySqlFunctions.dateFormat($"ts", "%Y-%m-%dT%H %% ok")
+        .as("s")).collect()(0).getString(0)
+    assert(rendered == "2024-03-05T07 % ok")
+  }
+
+  test("sql vector functions coerce double arrays and apply defaults") {
+    plans.GraftExtensions.registerAll(spark)
+    val r = spark.sql("""
+      SELECT cosine_sim(array(1.0, 0.0), array(1.0, 0.0)) AS c,
+             lsh_bucket(array(0.5, -0.25)) AS b""").collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-9)
+    assert(r.getInt(1) >= 0 && r.getInt(1) < 256)
+    val err = intercept[Exception](spark.sql("SELECT hamming64(1)").collect())
+    assert(err.getMessage.contains("hamming64"))
+  }
+
+  test("language id ties break toward the priority order, not 'zh'") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tie").toString
+    Seq((1L, "xyzzy plugh")).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fx"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = operators.TextQueries.langId.run(spark, tmp).collect()(0)
+    assert(out.getString(2) == "en") // all-zero scores → priority order wins
+  }
+
   test("custom expressions work through SQL and inside lambdas") {
     plans.GraftExtensions.registerAll(spark)
     val r = spark.sql(
