@@ -22,9 +22,14 @@ object Tables {
   val extension: Seq[String] = Seq("events", "documents", "embeddings")
   val all: Seq[String] = starSchema ++ extension
 
+  private val tuned = java.util.Collections.synchronizedSet(
+    new java.util.HashSet[org.apache.spark.sql.SparkSession]())
+
   /** Session defaults we care about regardless of how the driver built the
-    * session. Idempotent, runtime-settable confs only. */
+    * session. Idempotent, runtime-settable confs only; applied once per
+    * session (table() calls this on every read). */
   def tune(spark: SparkSession): Unit = {
+    if (!tuned.add(spark)) return
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
