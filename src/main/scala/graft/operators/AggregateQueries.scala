@@ -38,10 +38,12 @@ object AggregateQueries {
           min(col("l_shipdate")).as("min_ship"),
           max(col("l_shipdate")).as("max_ship"),
           min(col("l_returnflag")).as("min_flag"),
-          stddev_pop(col("l_extendedprice")).as("sd_pop"),
-          stddev_samp(col("l_extendedprice")).as("sd_samp"),
-          var_pop(col("l_extendedprice")).as("v_pop"),
-          var_samp(col("l_extendedprice")).as("v_samp"))
+          // variance accumulates in partial-agg order; round to a fixed
+          // precision on both sides so the byte-exact gate is deterministic
+          round(stddev_pop(col("l_extendedprice")), 4).as("sd_pop"),
+          round(stddev_samp(col("l_extendedprice")), 4).as("sd_samp"),
+          round(var_pop(col("l_extendedprice")), 4).as("v_pop"),
+          round(var_samp(col("l_extendedprice")), 4).as("v_samp"))
         .orderBy(col("l_returnflag")),
     oracle = Some("""
       SELECT l_returnflag,
@@ -54,10 +56,10 @@ object AggregateQueries {
              min(l_shipdate) AS min_ship,
              max(l_shipdate) AS max_ship,
              min(l_returnflag) AS min_flag,
-             stddev_pop(l_extendedprice) AS sd_pop,
-             stddev_samp(l_extendedprice) AS sd_samp,
-             var_pop(l_extendedprice) AS v_pop,
-             var_samp(l_extendedprice) AS v_samp
+             round(stddev_pop(l_extendedprice), 4) AS sd_pop,
+             round(stddev_samp(l_extendedprice), 4) AS sd_samp,
+             round(var_pop(l_extendedprice), 4) AS v_pop,
+             round(var_samp(l_extendedprice), 4) AS v_samp
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 

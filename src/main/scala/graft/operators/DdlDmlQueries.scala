@@ -188,12 +188,17 @@ object DdlDmlQueries {
       s.table(liT)
         .join(s.table(ordT), col("l_orderkey") === col("o_orderkey"))
         .groupBy(col("o_orderstatus"))
-        .agg(count(lit(1)).as("n"), sum(col("l_extendedprice")).as("rev"),
+        .agg(count(lit(1)).as("n"),
+          // exact decimal sum → double: partial-agg order can't perturb
+          // the byte-exact gate's hash of the revenue column
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("rev"),
           avg(col("l_quantity")).as("avg_qty"))
         .orderBy(col("o_orderstatus"))
     },
     oracle = Some("""
-      SELECT o_orderstatus, count(*) AS n, sum(l_extendedprice) AS rev,
+      SELECT o_orderstatus, count(*) AS n,
+             CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS rev,
              avg(l_quantity) AS avg_qty
       FROM lineitem JOIN orders ON l_orderkey = o_orderkey
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")

@@ -89,7 +89,8 @@ object EventsQueries {
                    ORDER BY ts, event_id
                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
                  FROM f)
-      SELECT user_id, session_id, count(*) AS n_events,
+      SELECT user_id, CAST(session_id AS BIGINT) AS session_id,
+             count(*) AS n_events,
              min(ts) AS session_start, max(ts) AS session_end,
              sum(value) AS sum_value
       FROM s GROUP BY user_id, session_id
@@ -112,7 +113,7 @@ object EventsQueries {
                         CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
                              AS BIGINT) AS k
                  FROM events)
-      SELECT event_type, count(*) AS n, sum(k) AS sum_k, avg(k) AS avg_k,
+      SELECT event_type, count(*) AS n, CAST(sum(k) AS BIGINT) AS sum_k, avg(k) AS avg_k,
              min(k) AS min_k, max(k) AS max_k
       FROM e GROUP BY event_type ORDER BY event_type""")
   )

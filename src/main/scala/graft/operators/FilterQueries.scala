@@ -42,20 +42,22 @@ object FilterQueries {
           1).otherwise(0)).as("n_xor"),
         sum(when(!(col("l_quantity") < 10), 1).otherwise(0)).as("n_not"))
     },
+    // DuckDB sum(int) yields HUGEINT (float64 once in pandas); cast to
+    // BIGINT so the byte-exact gate sees the same integer type as Spark.
     oracle = Some("""
       SELECT
-        sum(CASE WHEN l_linenumber = 3 THEN 1 ELSE 0 END) AS n_eq,
-        sum(CASE WHEN l_linenumber <> 3 THEN 1 ELSE 0 END) AS n_ne,
-        sum(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS n_lt,
-        sum(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS n_le,
-        sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS n_gt,
-        sum(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS n_ge,
-        sum(CASE WHEN l_quantity BETWEEN 20 AND 30 THEN 1 ELSE 0 END) AS n_between,
-        sum(CASE WHEN l_returnflag IN ('A', 'N') THEN 1 ELSE 0 END) AS n_in,
-        sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_and,
-        sum(CASE WHEN l_returnflag = 'R' OR l_linestatus = 'O' THEN 1 ELSE 0 END) AS n_or,
-        sum(CASE WHEN (l_returnflag = 'R') <> (l_linestatus = 'O') THEN 1 ELSE 0 END) AS n_xor,
-        sum(CASE WHEN NOT (l_quantity < 10) THEN 1 ELSE 0 END) AS n_not
+        CAST(sum(CASE WHEN l_linenumber = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_eq,
+        CAST(sum(CASE WHEN l_linenumber <> 3 THEN 1 ELSE 0 END) AS BIGINT) AS n_ne,
+        CAST(sum(CASE WHEN l_quantity < 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_lt,
+        CAST(sum(CASE WHEN l_quantity <= 10 THEN 1 ELSE 0 END) AS BIGINT) AS n_le,
+        CAST(sum(CASE WHEN l_quantity > 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_gt,
+        CAST(sum(CASE WHEN l_quantity >= 40 THEN 1 ELSE 0 END) AS BIGINT) AS n_ge,
+        CAST(sum(CASE WHEN l_quantity BETWEEN 20 AND 30 THEN 1 ELSE 0 END) AS BIGINT) AS n_between,
+        CAST(sum(CASE WHEN l_returnflag IN ('A', 'N') THEN 1 ELSE 0 END) AS BIGINT) AS n_in,
+        CAST(sum(CASE WHEN l_returnflag = 'R' AND l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_and,
+        CAST(sum(CASE WHEN l_returnflag = 'R' OR l_linestatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_or,
+        CAST(sum(CASE WHEN (l_returnflag = 'R') <> (l_linestatus = 'O') THEN 1 ELSE 0 END) AS BIGINT) AS n_xor,
+        CAST(sum(CASE WHEN NOT (l_quantity < 10) THEN 1 ELSE 0 END) AS BIGINT) AS n_not
       FROM lineitem""")
   )
 
@@ -77,13 +79,13 @@ object FilterQueries {
             .otherwise(0)).as("n_regexp")),
     oracle = Some("""
       SELECT
-        sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS n_contains,
-        sum(CASE WHEN p_name LIKE 'red%' THEN 1 ELSE 0 END) AS n_prefix,
-        sum(CASE WHEN p_name LIKE '%bolt' THEN 1 ELSE 0 END) AS n_suffix,
-        sum(CASE WHEN p_name LIKE '_ot%' THEN 1 ELSE 0 END) AS n_underscore,
-        sum(CASE WHEN p_name NOT LIKE '%e%' THEN 1 ELSE 0 END) AS n_nlike,
-        sum(CASE WHEN regexp_matches(p_name, '^(red|blue) (bolt|gear)$')
-            THEN 1 ELSE 0 END) AS n_regexp
+        CAST(sum(CASE WHEN p_name LIKE '%widget%' THEN 1 ELSE 0 END) AS BIGINT) AS n_contains,
+        CAST(sum(CASE WHEN p_name LIKE 'red%' THEN 1 ELSE 0 END) AS BIGINT) AS n_prefix,
+        CAST(sum(CASE WHEN p_name LIKE '%bolt' THEN 1 ELSE 0 END) AS BIGINT) AS n_suffix,
+        CAST(sum(CASE WHEN p_name LIKE '_ot%' THEN 1 ELSE 0 END) AS BIGINT) AS n_underscore,
+        CAST(sum(CASE WHEN p_name NOT LIKE '%e%' THEN 1 ELSE 0 END) AS BIGINT) AS n_nlike,
+        CAST(sum(CASE WHEN regexp_matches(p_name, '^(red|blue) (bolt|gear)$')
+            THEN 1 ELSE 0 END) AS BIGINT) AS n_regexp
       FROM part""")
   )
 
@@ -126,8 +128,8 @@ object FilterQueries {
         .orderBy(col("l_returnflag")),
     oracle = Some("""
       SELECT l_returnflag,
-        sum(CASE WHEN nullif(l_quantity, 1.0) IS NULL THEN 1 ELSE 0 END) AS n_null,
-        sum(CASE WHEN nullif(l_quantity, 1.0) IS NOT NULL THEN 1 ELSE 0 END) AS n_notnull,
+        CAST(sum(CASE WHEN nullif(l_quantity, 1.0) IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+        CAST(sum(CASE WHEN nullif(l_quantity, 1.0) IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_notnull,
         count(nullif(l_quantity, 1.0)) AS cnt_skips_null,
         sum(nullif(l_quantity, 1.0)) AS sum_skips_null,
         sum(coalesce(nullif(l_quantity, 1.0), 0.0)
@@ -174,10 +176,13 @@ object FilterQueries {
           col("l_orderkey"), col("l_linenumber"),
           col("l_quantity").cast("int").as("qty_int"),
           col("l_quantity").cast("bigint").as("qty_bigint"),
-          col("l_extendedprice").cast("decimal(18,2)").as("price_dec"),
+          // decimal and date round-trip through double/string so both engines
+          // surface the identical wire value to the byte-exact gate
+          col("l_extendedprice").cast("decimal(18,2)").cast("double")
+            .as("price_dec"),
           col("l_linenumber").cast("double").as("ln_dbl"),
           col("l_orderkey").cast("string").as("ok_str"),
-          col("l_shipdate").cast("date").as("ship_date"),
+          col("l_shipdate").cast("date").cast("string").as("ship_date"),
           concat(lit(""), col("l_linenumber")).cast("bigint").as("str_to_int"),
           col("l_linenumber").cast("smallint").as("ln_small"),
           col("l_linenumber").cast("tinyint").as("ln_tiny"))
@@ -186,10 +191,10 @@ object FilterQueries {
       SELECT l_orderkey, l_linenumber,
              CAST(l_quantity AS INTEGER) AS qty_int,
              CAST(l_quantity AS BIGINT) AS qty_bigint,
-             CAST(l_extendedprice AS DECIMAL(18,2)) AS price_dec,
+             CAST(CAST(l_extendedprice AS DECIMAL(18,2)) AS DOUBLE) AS price_dec,
              CAST(l_linenumber AS DOUBLE) AS ln_dbl,
              CAST(l_orderkey AS VARCHAR) AS ok_str,
-             CAST(l_shipdate AS DATE) AS ship_date,
+             CAST(CAST(l_shipdate AS DATE) AS VARCHAR) AS ship_date,
              CAST(CAST(l_linenumber AS VARCHAR) AS BIGINT) AS str_to_int,
              CAST(l_linenumber AS SMALLINT) AS ln_small,
              CAST(l_linenumber AS TINYINT) AS ln_tiny

