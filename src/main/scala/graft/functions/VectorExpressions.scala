@@ -15,9 +15,19 @@ import org.apache.spark.sql.types._
   * billions of embeddings is a tight vectorizable loop per row.
   */
 object VectorKernels {
+  private def checkDims(a: ArrayData, b: ArrayData): Int = {
+    val n = a.numElements()
+    // silently truncating to min(len) would turn corrupt embeddings into
+    // plausible-but-wrong similarity scores — fail loudly instead
+    if (b.numElements() != n)
+      throw new IllegalArgumentException(
+        s"vector dimension mismatch: $n vs ${b.numElements()}")
+    n
+  }
+
   /** dot(a,b) over float arrays, accumulated in double. */
   def dot(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var s = 0.0
     var i = 0
     while (i < n) { s += a.getFloat(i).toDouble * b.getFloat(i).toDouble; i += 1 }
@@ -40,7 +50,7 @@ object VectorKernels {
   }
 
   def l2(a: ArrayData, b: ArrayData): Double = {
-    val n = math.min(a.numElements(), b.numElements())
+    val n = checkDims(a, b)
     var s = 0.0
     var i = 0
     while (i < n) {

@@ -167,28 +167,48 @@ object DedupQueries {
     oracle = None // custom simhash — verified in DedupSpec instead
   )
 
-  /** Embedding-cosine near-dup: candidates restricted to LSH buckets
-    * (8 random hyperplanes → 256 buckets), cosine ≥ 0.9 flags a near-dup.
-    * This is the brute-force-free path that survives 100× scale. */
+  /** Embedding-cosine near-dup: 4 independent LSH tables × 16 hyperplanes
+    * (65536 buckets per table), candidates via bucket-representative
+    * pairing — the same trick as minhashLsh — so candidate volume is
+    * O(vectors × tables) even in degenerate buckets, never all-pairs.
+    * cosine ≥ 0.9 against the representative flags a near-dup. */
   val embeddingNearDup: QueryDef = QueryDef(
     "x_dedup_embedding",
     (s, dir) => {
+      val tables = 4
+      val planes = 16
       val emb = Tables.table(s, dir, "embeddings")
-        .select(col("vec_id"), col("embedding"),
-          graft.functions.VectorFunctions.lshBucket(col("embedding"))
-            .as("bucket"))
-      val cand = emb.alias("x")
-        .join(emb.alias("y"),
-          col("x.bucket") === col("y.bucket") &&
-            col("x.vec_id") < col("y.vec_id"))
-        .select(col("x.vec_id").as("a"), col("y.vec_id").as("b"),
-          graft.functions.VectorFunctions
-            .cosineSim(col("x.embedding"), col("y.embedding")).as("cos"))
+        .select(col("vec_id"), col("embedding"))
+      // ids only through the explode+shuffle; the 64-float payload stays
+      // behind and is re-joined per candidate, not per (vec, table)
+      val bucketed = emb.select(col("vec_id"),
+          posexplode(array((0 until tables).map(tbl =>
+            graft.functions.VectorFunctions
+              .lshBucket(col("embedding"), planes, 42L + tbl)): _*)))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "bucket")
+      val reps = bucketed.groupBy(col("tbl"), col("bucket"))
+        .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > 1)
+      val cand = bucketed.join(reps, Seq("tbl", "bucket"))
+        .filter(col("vec_id") =!= col("rep_id"))
+        .select(col("rep_id").as("a"), col("vec_id").as("b"))
+        .distinct()
+      val scored = cand
+        .join(emb.withColumnRenamed("vec_id", "a")
+          .withColumnRenamed("embedding", "va"), Seq("a"))
+        .join(emb.withColumnRenamed("vec_id", "b")
+          .withColumnRenamed("embedding", "vb"), Seq("b"))
+        .select(col("a"), col("b"),
+          graft.functions.VectorFunctions.cosineSim(col("va"), col("vb"))
+            .as("cos"))
         .filter(col("cos") >= 0.9)
-      val perVec = cand.select(col("a").as("vec_id"))
-        .union(cand.select(col("b").as("vec_id")))
+      val perVec = scored.select(col("a").as("vec_id"))
+        .union(scored.select(col("b").as("vec_id")))
         .groupBy(col("vec_id")).agg(count(lit(1)).as("n_near_dups"))
-      emb.select(col("vec_id"), col("bucket"))
+      emb.select(col("vec_id"),
+          graft.functions.VectorFunctions
+            .lshBucket(col("embedding"), planes, 42L).as("bucket"))
         .join(perVec, Seq("vec_id"), "left_outer")
         .select(col("vec_id"), col("bucket"),
           coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))

@@ -91,6 +91,43 @@ class VectorTextSpec extends GraftSuite {
     assert(clusters(3L) == 3L, "unrelated doc should head its own cluster")
   }
 
+  test("embedding near-dup finds planted duplicate vectors via multi-table LSH") {
+    val rng = new scala.util.Random(7)
+    def randVec(): Array[Float] = Array.fill(64)(rng.nextGaussian().toFloat)
+    val base = randVec()
+    // near-dup: tiny perturbation keeps cosine > 0.99
+    val near = base.map(v => v + 0.01f * rng.nextGaussian().toFloat)
+    val vecs = Seq((1L, base, 0), (2L, base, 0), (3L, near, 0)) ++
+      (4L to 200L).map(i => (i, randVec(), 1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_embdup").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val out = operators.DedupQueries.embeddingNearDup.run(spark, tmp)
+    val rows = out.collect()
+    assert(rows.length == vecs.length, "must return one row per vector")
+    val byId = rows.map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(byId(1L) >= 1, "exact dup vector 1~2 not found")
+    assert(byId(2L) >= 1, "exact dup vector 2~1 not found")
+    assert(byId(3L) >= 1, "near-dup vector 3 not found")
+    // random 64-dim gaussians are near-orthogonal: no false positives
+    assert((100L to 200L).forall(i => byId(i) == 0), "false positive on random vec")
+    // scale shape: the candidate join must be keyed (tbl, bucket) + rep
+    // pairing, never an unbounded bucket self-join
+    val plan = out.queryExecution.optimizedPlan.toString
+    assert(!plan.contains("vec_id#") || !plan.contains("< vec_id"),
+      "all-pairs self-join reappeared:\n" + plan)
+  }
+
+  test("vector kernels reject dimension mismatch instead of truncating") {
+    val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
+    val e = intercept[Exception] {
+      df.select(dotProduct($"a", $"b")).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => x.getMessage +: msgs(x.getCause))
+    assert(msgs(e).exists(m => m != null && m.contains("dimension mismatch")))
+  }
+
   test("exact dedup marks canonical rows correctly on planted dups") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_dedup2").toString
     Seq((1L, "same text"), (2L, "same text"), (3L, "different"))
