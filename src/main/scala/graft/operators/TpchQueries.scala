@@ -488,11 +488,13 @@ object TpchQueries {
   val q14: QueryDef = QueryDef(
     "q14_promo_effect",
     (s, dir) => {
+      // no broadcast hint: part scales with SF (~gigabytes at SF100), so the
+      // join strategy must stay threshold/AQE-driven (PlanSpec asserts this)
       val part = t(s, dir, "part")
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") >= lit("1996-09-01") &&
           col("l_shipdate") < lit("1996-10-01"))
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
         .agg((lit(100.0) *
           sum(when(col("p_type") === "PROMO",
             col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -558,8 +560,10 @@ object TpchQueries {
       val badSup = t(s, dir, "supplier")
         .filter(col("s_name").like("%0001%"))
         .select(col("s_suppkey"))
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
-        .join(broadcast(badSup), col("l_suppkey") === col("s_suppkey"),
+      // part/badSup both scale with SF — leave the join strategy to the
+      // 64 MB threshold + AQE instead of forcing a broadcast
+      li.join(part, col("l_partkey") === col("p_partkey"))
+        .join(badSup, col("l_suppkey") === col("s_suppkey"),
           "left_anti")
         .groupBy(col("p_brand"), col("p_type"), col("p_size"))
         .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
@@ -590,7 +594,7 @@ object TpchQueries {
       val li = t(s, dir, "lineitem")
       val avgQty = li.groupBy(col("l_partkey").as("aq_partkey"))
         .agg((avg(col("l_quantity")) * 0.5).as("half_avg_qty"))
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
         .join(avgQty, col("l_partkey") === col("aq_partkey"))
         .filter(col("l_quantity") < col("half_avg_qty"))
         .agg((sum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
@@ -648,9 +652,14 @@ object TpchQueries {
   val q19: QueryDef = QueryDef(
     "q19_discounted_revenue",
     (s, dir) => {
+      // the part-only component of the disjunction pre-filters the part scan
+      // (PushedFilters reach parquet), shrinking the join's build side at any
+      // SF; the full disjunction still applies above the join for exactness
       val part = t(s, dir, "part")
+        .filter(col("p_brand").isin("Brand#12", "Brand#23", "Brand#34") &&
+          col("p_size").between(1, 45))
       val li = t(s, dir, "lineitem")
-      li.join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      li.join(part, col("l_partkey") === col("p_partkey"))
         .filter(
           (col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
             col("l_quantity").between(1, 21)) ||
@@ -687,7 +696,7 @@ object TpchQueries {
         .filter(col("l_shipdate") >= lit("1996-01-01") &&
           col("l_shipdate") < lit("1997-01-01"))
       val excess = shipped96
-        .join(broadcast(greenParts), col("l_partkey") === col("p_partkey"),
+        .join(greenParts, col("l_partkey") === col("p_partkey"),
           "left_semi")
         .groupBy(col("l_suppkey"), col("l_partkey"))
         .agg(sum(col("l_quantity")).as("avail_qty"))

@@ -251,20 +251,27 @@ object WindowQueries {
   val nullsOrdering: QueryDef = QueryDef(
     "w_nulls_ordering",
     (s, dir) => {
+      // partitioned by nation: same NULLS FIRST/LAST semantics, but the
+      // window parallelizes across partitions instead of collapsing all
+      // rows onto one task (|supplier| = 1M at SF100)
       val base = t(s, dir, "supplier")
         .withColumn("balq", nullif((col("s_suppkey") % 4), lit(0)))
-      val wNf = Window.orderBy(col("balq").asc_nulls_first, col("s_suppkey"))
-      val wNl = Window.orderBy(col("balq").desc_nulls_last, col("s_suppkey"))
-      base.select(col("s_suppkey"), col("balq"),
+      val wNf = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("balq").asc_nulls_first, col("s_suppkey"))
+      val wNl = Window.partitionBy(col("s_nationkey"))
+        .orderBy(col("balq").desc_nulls_last, col("s_suppkey"))
+      base.select(col("s_suppkey"), col("s_nationkey"), col("balq"),
           row_number().over(wNf).as("rn_nulls_first"),
           row_number().over(wNl).as("rn_desc_nulls_last"))
         .orderBy(col("s_suppkey"))
     },
     oracle = Some("""
-      SELECT s_suppkey, nullif(s_suppkey % 4, 0) AS balq,
-             row_number() OVER (ORDER BY nullif(s_suppkey % 4, 0) ASC NULLS FIRST,
+      SELECT s_suppkey, s_nationkey, nullif(s_suppkey % 4, 0) AS balq,
+             row_number() OVER (PARTITION BY s_nationkey
+                                ORDER BY nullif(s_suppkey % 4, 0) ASC NULLS FIRST,
                                 s_suppkey) AS rn_nulls_first,
-             row_number() OVER (ORDER BY nullif(s_suppkey % 4, 0) DESC NULLS LAST,
+             row_number() OVER (PARTITION BY s_nationkey
+                                ORDER BY nullif(s_suppkey % 4, 0) DESC NULLS LAST,
                                 s_suppkey) AS rn_desc_nulls_last
       FROM supplier ORDER BY s_suppkey""")
   )

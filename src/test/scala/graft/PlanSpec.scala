@@ -41,6 +41,29 @@ class PlanSpec extends GraftSuite {
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
 
+  test("part joins are threshold-driven, not hint-forced (q14/q16/q19)") {
+    // part scales with SF — a forced broadcast would OOM at SF100. The
+    // analyzed plan must carry no join hints; the small-SF broadcast here
+    // must come from autoBroadcastJoinThreshold/AQE alone.
+    for (q <- Seq(operators.TpchQueries.q14, operators.TpchQueries.q16,
+        operators.TpchQueries.q19)) {
+      val df = q.run(spark, sf)
+      val analyzed = df.queryExecution.analyzed.toString
+      assert(!analyzed.contains("ResolvedHint"),
+        s"${q.name} still carries a join hint:\n$analyzed")
+      // at sf0.001 the threshold should still choose broadcast for part
+      assert(planOf(df).contains("BroadcastHashJoin"), q.name)
+    }
+  }
+
+  test("q19 pushes the part-only predicate component into the part scan") {
+    val plan = formatted(operators.TpchQueries.q19.run(spark, sf))
+    assert(plan.contains("In(p_brand") || plan.contains("p_brand"), plan)
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("p_brand") && pushed.contains("p_size"), plan)
+  }
+
   test("top-k plans as TakeOrderedAndProject (bounded heap)") {
     val plan = operators.SortLimitQueries.topK.run(spark, sf)
       .queryExecution.executedPlan.toString
