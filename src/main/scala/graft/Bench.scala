@@ -78,7 +78,44 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+
+    // concurrency mini-bench — the reference's multi-user story
+    // (utils/scenarios/perf/testcase/grptest.sh:17-23 runs the query group
+    // from 2 concurrent users): N threads drive the same headline set
+    // against one session; report per-query p50/max across users.
+    val users = sys.env.getOrElse("SPARK_GRAFT_BENCH_USERS", "4").toInt
+    val concurrentJson: String =
+      if (users <= 1) "{}"
+      else {
+        val times =
+          new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
+        val threads = (1 to users).map { _ =>
+          new Thread(() => names.foreach { n =>
+            try times.add(n -> run(n))
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] concurrent $n: ${e.getMessage}")
+              times.add(n -> -1.0)
+            }
+          })
+        }
+        threads.foreach(_.start())
+        threads.foreach(_.join())
+        import scala.jdk.CollectionConverters._
+        val byName = times.asScala.toSeq.groupBy(_._1)
+        names.flatMap(n => byName.get(n).map { vs =>
+          val ok = vs.map(_._2).filter(_ >= 0).sorted
+          val p50 = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+          val mx = if (ok.isEmpty) -1.0 else ok.last
+          "\"" + n + "\":{\"p50\":" + p50 + ",\"max\":" + mx + "}"
+        }).mkString("{", ",", "}")
+      }
+
+    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"concurrent":{"sessions":$users,"queries":$concurrentJson},"sf":"$sfDir"}"""
+    println(line)
+    // also a clean file: sbt wraps stdout in [info] noise, so the driver
+    // gets a machine-parseable copy regardless of how Bench was launched
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get("bench_out.json"), line + "\n")
     spark.stop()
   }
 }

@@ -47,7 +47,27 @@ class Catalog(spark: SparkSession, root: String) {
   def table(name: String): DataFrame = {
     val schema = tables.getOrElse(name,
       throw new IllegalArgumentException(s"no such table: $name"))
+    recover(name)
     spark.read.schema(schema).parquet(tablePath(name))
+  }
+
+  /** Crash recovery: a failure between the two moves in rewrite() can leave
+    * no live dir while .old (pre-image) and/or .staging (post-image) exist.
+    * Restore the staged post-image if its write completed (_SUCCESS marker),
+    * else fall back to the pre-image — so readers never see a missing table. */
+  private def recover(name: String): Unit = {
+    val live = Paths.get(tablePath(name))
+    if (!Files.exists(live)) {
+      val staged = Paths.get(tablePath(name) + ".staging")
+      val old = Paths.get(tablePath(name) + ".old")
+      if (Files.exists(staged) && Files.exists(staged.resolve("_SUCCESS"))) {
+        Files.move(staged, live)
+        deleteRecursively(old)
+      } else if (Files.exists(old)) {
+        Files.move(old, live)
+        deleteRecursively(staged)
+      }
+    }
   }
 
   /** INSERT INTO name SELECT … (append). */
@@ -67,6 +87,7 @@ class Catalog(spark: SparkSession, root: String) {
 
   private def rewrite(name: String, f: DataFrame => DataFrame): Unit = {
     require(tables.contains(name), s"no such table: $name")
+    recover(name)
     val staged = tablePath(name) + ".staging"
     f(table(name)).write.mode(SaveMode.Overwrite).parquet(staged)
     // swap via rename-aside so a crash mid-sequence never leaves the table

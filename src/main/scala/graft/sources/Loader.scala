@@ -46,21 +46,21 @@ object Loader {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt)
       .csv(input)
-      .cache()
     val good = raw.filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record")
     // keep data columns alongside the corrupt record: Spark disallows
     // projecting only the internal corrupt-record column
     val bad = raw.filter(col("_corrupt_record").isNotNull)
     good.write.mode(SaveMode.Overwrite).parquet(outputPath)
-    // rejects go to a sidecar table (cpimport's .bad file, as parquet) so
-    // the result stays lazy/distributed and the scan cache can be dropped
+    // rejects go to a sidecar table (cpimport's .bad file, as parquet);
+    // counts come from the two written outputs — no cache of the raw
+    // input (at 100 TB caching the whole corpus to count it is a
+    // non-starter; two streaming passes over the splits are fine)
     val rejectsPath = outputPath.stripSuffix("/") + "_rejects"
     bad.write.mode(SaveMode.Overwrite).parquet(rejectsPath)
-    val total = raw.count()
     val loaded = spark.read.parquet(outputPath).count()
-    raw.unpersist()
-    LoadResult(loaded, total - loaded, spark.read.parquet(rejectsPath))
+    val rejected = spark.read.parquet(rejectsPath).count()
+    LoadResult(loaded, rejected, spark.read.parquet(rejectsPath))
   }
 
   /** Export a DataFrame as delimited text (round-trip support). */
