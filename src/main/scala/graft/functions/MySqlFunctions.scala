@@ -125,6 +125,48 @@ object MySqlFunctions {
           .try_cast("double"), // no numeric prefix → empty match → NULL
         lit(0.0)))
 
+  /** MySQL GET_FORMAT(type, region) lookup table
+    * (reference: utils/funcexp/func_get_format.cpp:50-56
+    * known_date_time_formats). Full MySQL semantics: the reference's own
+    * getStrVal (func_get_format.cpp:101-110) only answers for DATE and
+    * returns the DATETIME column — a fidelity bug we do not reproduce. */
+  private val getFormatTable: Map[(String, String), String] = Map(
+    ("DATE", "USA") -> "%m.%d.%Y",
+    ("DATE", "JIS") -> "%Y-%m-%d",
+    ("DATE", "ISO") -> "%Y-%m-%d",
+    ("DATE", "EUR") -> "%d.%m.%Y",
+    ("DATE", "INTERNAL") -> "%Y%m%d",
+    ("DATETIME", "USA") -> "%Y-%m-%d %H.%i.%s",
+    ("DATETIME", "JIS") -> "%Y-%m-%d %H:%i:%s",
+    ("DATETIME", "ISO") -> "%Y-%m-%d %H:%i:%s",
+    ("DATETIME", "EUR") -> "%Y-%m-%d %H.%i.%s",
+    ("DATETIME", "INTERNAL") -> "%Y%m%d%H%i%s",
+    ("TIME", "USA") -> "%h:%i:%s %p",
+    ("TIME", "JIS") -> "%H:%i:%s",
+    ("TIME", "ISO") -> "%H:%i:%s",
+    ("TIME", "EUR") -> "%H.%i.%s",
+    ("TIME", "INTERNAL") -> "%H%i%s")
+
+  /** MySQL GET_FORMAT(DATE|DATETIME|TIME, 'USA'|'JIS'|'ISO'|'EUR'|'INTERNAL');
+    * unknown combinations yield NULL (MySQL behavior). */
+  def getFormat(tpe: String, region: String): Column =
+    getFormatTable.get((tpe.toUpperCase, region.toUpperCase))
+      .map(lit).getOrElse(lit(null).cast("string"))
+
+  /** MySQL MAKETIME(h, m, s) → 'HH:MM:SS' string; hour clamps to ±838
+    * (MySQL TIME range), minute/second outside 0-59 → NULL
+    * (reference: utils/funcexp/func_maketime.cpp:166-183). */
+  def makeTime(h: Column, m: Column, s: Column): Column = {
+    val hc = greatest(least(h.cast("long"), lit(838L)), lit(-838L))
+    val mm = m.cast("long")
+    val ss = s.cast("long")
+    // format_string mirrors the reference's snprintf("%02d:%02d:%02d", …)
+    // exactly (lpad would truncate 3-digit clamped hours)
+    when(mm.between(0, 59) && ss.between(0, 59),
+      format_string("%02d:%02d:%02d", hc, mm, ss))
+      .otherwise(lit(null).cast("string"))
+  }
+
   /** MySQL INET_ATON('a.b.c.d'). */
   def inetAton(ip: Column): Column = {
     val p = split(ip, "\\.")

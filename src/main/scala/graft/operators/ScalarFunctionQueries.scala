@@ -515,7 +515,115 @@ object ScalarFunctionQueries {
       ORDER BY l_orderkey, l_linenumber""")
   )
 
+  /** WEEK()/YEARWEEK() in all 8 MySQL modes via the calc_mysql_week kernel
+    * (reference: utils/funcexp/func_week.cpp, func_yearweek.cpp,
+    * funchelpers.h:253-345 calc_mysql_week). The oracle replicates the
+    * same baseday arithmetic in SQL; mode 3 ≡ ISO week, cross-checked
+    * against DuckDB's native week()/isoyear(). */
+  val weekModes: QueryDef = QueryDef(
+    "fn_week_modes",
+    (s, dir) => {
+      import graft.functions.DateFunctions.{week, yearweek}
+      val d = col("o_orderdate")
+      t(s, dir, "orders")
+        .select(col("o_orderkey"),
+          week(d, 0).as("f_week0"), week(d, 1).as("f_week1"),
+          week(d, 2).as("f_week2"), week(d, 3).as("f_week3"),
+          week(d, 4).as("f_week4"), week(d, 5).as("f_week5"),
+          week(d, 6).as("f_week6"), week(d, 7).as("f_week7"),
+          yearweek(d, 0).as("f_yearweek0"),
+          yearweek(d, 3).as("f_yearweek3"))
+        .orderBy(col("o_orderkey"))
+    },
+    oracle = Some("""
+      WITH w AS (
+        SELECT o_orderkey, o_orderdate::DATE AS d,
+          year(o_orderdate) AS y,
+          datediff('day', DATE '1970-01-01', o_orderdate::DATE) AS jd,
+          dayofweek(make_date(year(o_orderdate),1,1)) AS j1s,
+          (dayofweek(make_date(year(o_orderdate),1,1)) + 6) % 7 AS j1m,
+          dayofweek(make_date(year(o_orderdate)-1,1,1)) AS p1s,
+          (dayofweek(make_date(year(o_orderdate)-1,1,1)) + 6) % 7 AS p1m,
+          datediff('day', DATE '1970-01-01', make_date(year(o_orderdate),1,1)) AS jan1,
+          datediff('day', DATE '1970-01-01', make_date(year(o_orderdate)-1,1,1)) AS pjan1,
+          day(o_orderdate) AS dd, dayofweek(o_orderdate) AS ds
+        FROM orders
+      ), base AS (
+        SELECT *,
+          jan1 + CASE WHEN j1s <> 0 THEN 7 - j1s ELSE 0 END AS bs,
+          jan1 + CASE WHEN j1m <> 0 THEN 7 - j1m ELSE 0 END AS bm,
+          jan1 + CASE WHEN j1s <> 0 THEN 7 - j1s ELSE 0 END
+               - CASE WHEN j1s BETWEEN 1 AND 3 THEN 7 ELSE 0 END AS bs3,
+          jan1 + CASE WHEN j1m <> 0 THEN 7 - j1m ELSE 0 END
+               - CASE WHEN j1m BETWEEN 1 AND 3 THEN 7 ELSE 0 END AS bm3,
+          pjan1 + CASE WHEN p1s <> 0 THEN 7 - p1s ELSE 0 END AS pbs,
+          pjan1 + CASE WHEN p1s <> 0 THEN 7 - p1s ELSE 0 END
+                - CASE WHEN p1s BETWEEN 1 AND 3 THEN 7 ELSE 0 END AS pbs3,
+          pjan1 + CASE WHEN p1m <> 0 THEN 7 - p1m ELSE 0 END AS pbm
+        FROM w
+      )
+      SELECT o_orderkey,
+        CAST(CASE WHEN jd >= bs THEN (jd - bs)//7 + 1 ELSE 0 END AS INTEGER) AS f_week0,
+        CAST(CASE WHEN jd >= bm3 THEN (jd - bm3)//7 + 1 ELSE 0 END AS INTEGER) AS f_week1,
+        CAST(CASE WHEN jd < bs THEN (jd - pbs)//7 + 1
+             ELSE (jd - bs)//7 + 1 END AS INTEGER) AS f_week2,
+        CAST(week(d) AS INTEGER) AS f_week3,
+        CAST(CASE WHEN jd >= bs3 THEN (jd - bs3)//7 + 1 ELSE 0 END AS INTEGER) AS f_week4,
+        CAST(CASE WHEN jd >= bm THEN (jd - bm)//7 + 1 ELSE 0 END AS INTEGER) AS f_week5,
+        CAST(CASE WHEN jd < bs3 THEN (jd - pbs3)//7 + 1
+             WHEN (jd - bs3)//7 + 1 > 52 AND ds + (32 - dd) < 4 THEN 1
+             ELSE (jd - bs3)//7 + 1 END AS INTEGER) AS f_week6,
+        CAST(CASE WHEN jd < bm THEN (jd - pbm)//7 + 1
+             ELSE (jd - bm)//7 + 1 END AS INTEGER) AS f_week7,
+        CAST(CASE WHEN jd < bs THEN (y-1)*100 + (jd - pbs)//7 + 1
+             ELSE y*100 + (jd - bs)//7 + 1 END AS INTEGER) AS f_yearweek0,
+        CAST(isoyear(d)*100 + week(d) AS INTEGER) AS f_yearweek3
+      FROM base ORDER BY o_orderkey""")
+  )
+
+  /** Registry tail: crc32, unhex, cot, maketime, get_format — the last
+    * FuncMap entries without coverage (reference: utils/funcexp/
+    * func_crc32.cpp, func_unhex.cpp, funcexp.cpp cot registration,
+    * func_maketime.cpp, func_get_format.cpp). crc32 of a fixed string is
+    * checked against MySQL's documented value (DuckDB has no crc32);
+    * per-row crc32 determinism is covered in FunctionsSpec. */
+  val registryTail: QueryDef = QueryDef(
+    "fn_registry_tail",
+    (s, dir) => {
+      import graft.functions.MySqlFunctions.{getFormat, makeTime}
+      t(s, dir, "part")
+        .select(col("p_partkey"),
+          crc32(lit("MySQL")).as("f_crc32_const"),
+          // hex → unhex → decode round-trip exercises both directions
+          decode(unhex(hex(col("p_name"))), "UTF-8").as("f_unhex_rt"),
+          round(expr("cot(p_partkey % 10 + 1)"), 6).as("f_cot"),
+          makeTime(col("p_partkey") % 24, col("p_partkey") % 60,
+            (col("p_partkey") * 7) % 60).as("f_maketime"),
+          makeTime(lit(5), lit(75), lit(10)).as("f_maketime_bad_min"),
+          getFormat("DATE", "USA").as("f_fmt_date_usa"),
+          getFormat("DATETIME", "EUR").as("f_fmt_dt_eur"),
+          getFormat("TIME", "ISO").as("f_fmt_time_iso"),
+          getFormat("DATE", "INTERNAL").as("f_fmt_date_int"))
+        .orderBy(col("p_partkey"))
+    },
+    oracle = Some("""
+      SELECT p_partkey,
+             CAST(3259397556 AS BIGINT) AS f_crc32_const,
+             p_name AS f_unhex_rt,
+             round(cot(p_partkey % 10 + 1), 6) AS f_cot,
+             lpad(CAST(p_partkey % 24 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST(p_partkey % 60 AS VARCHAR), 2, '0') || ':' ||
+               lpad(CAST((p_partkey * 7) % 60 AS VARCHAR), 2, '0')
+               AS f_maketime,
+             CAST(NULL AS VARCHAR) AS f_maketime_bad_min,
+             '%m.%d.%Y' AS f_fmt_date_usa,
+             '%Y-%m-%d %H.%i.%s' AS f_fmt_dt_eur,
+             '%H:%i:%s' AS f_fmt_time_iso,
+             '%Y%m%d' AS f_fmt_date_int
+      FROM part ORDER BY p_partkey""")
+  )
+
   def defs: Seq[QueryDef] = Seq(stringBasic, stringAdvanced, mathBattery,
     dateExtract, dateArith, controlFlow, mysqlStrings, mysqlDates,
-    pseudoColumns, timeBattery, divZeroDecimal)
+    pseudoColumns, timeBattery, divZeroDecimal, weekModes, registryTail)
 }

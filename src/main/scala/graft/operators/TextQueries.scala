@@ -52,7 +52,24 @@ object TextQueries {
           col("best.score").as("pred_score"))
         .orderBy(col("doc_id"))
     },
-    oracle = None // heuristic model — accuracy asserted in TextSpec
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, lang AS label,
+                        string_split(lower(text), ' ') AS toks
+                 FROM documents),
+      s AS (SELECT doc_id, label,
+        len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it','that','for'))) AS s_en,
+        len(list_filter(toks, t -> t IN ('der','die','das','und','ist','ein','nicht','mit','auf','für'))) AS s_de,
+        len(list_filter(toks, t -> t IN ('le','la','les','et','est','un','une','pas','pour','dans'))) AS s_fr,
+        len(list_filter(toks, t -> t IN ('el','la','los','y','es','un','una','no','por','en'))) AS s_es,
+        len(list_filter(toks, t -> t IN ('的','是','了','在','我','有','和','不','人','这'))) AS s_zh
+      FROM t)
+      SELECT doc_id, label,
+        CASE WHEN s_en >= s_de AND s_en >= s_fr AND s_en >= s_es AND s_en >= s_zh THEN 'en'
+             WHEN s_de >= s_fr AND s_de >= s_es AND s_de >= s_zh THEN 'de'
+             WHEN s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+             WHEN s_es >= s_zh THEN 'es' ELSE 'zh' END AS pred_lang,
+        CAST(greatest(s_en, s_de, s_fr, s_es, s_zh) AS INTEGER) AS pred_score
+      FROM s ORDER BY doc_id""")
   )
 
   /** Quality scoring: length / token / punctuation / stopword / digit
@@ -164,7 +181,46 @@ object TextQueries {
           expr("aggregate(shingle_fps, 0L, (acc, x) -> acc ^ x)")
             .as("xor_shingle_fp"))
         .orderBy(col("doc_id")),
-    oracle = None // custom 64-bit fingerprints — determinism checked in TextSpec
+    // the polynomial fingerprint is replicated in DuckDB with HUGEINT
+    // wrap-around arithmetic over the UTF-8 bytes (hex(encode(…)) nibbles)
+    oracle = Some("""
+      WITH t AS (
+        SELECT doc_id, text, string_split(text, ' ') AS toks FROM documents
+      ), sh AS (
+        SELECT doc_id, text, toks,
+          list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+            i -> array_to_string(toks[i+1:i+3], ' ')) AS shingles
+        FROM t
+      ), fps AS (
+        SELECT doc_id, text,
+          list_reduce(
+            list_prepend(0::HUGEINT,
+              list_transform(range(1, octet_length(encode(text)) + 1),
+                i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2-1, 1)) - 1) * 16
+                   + (strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2, 1)) - 1) AS HUGEINT))),
+            (acc, b) -> (acc * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT) AS doc_acc,
+          list_transform(shingles, s ->
+            list_reduce(
+              list_prepend(0::HUGEINT,
+                list_transform(range(1, octet_length(encode(s)) + 1),
+                  i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2-1, 1)) - 1) * 16
+                     + (strpos('0123456789ABCDEF', substr(hex(encode(s)), i*2, 1)) - 1) AS HUGEINT))),
+              (acc, b) -> (acc * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT)) AS sh_accs
+        FROM sh
+      ), signed AS (
+        SELECT doc_id,
+          CAST(CASE WHEN doc_acc >= 9223372036854775808::HUGEINT
+               THEN doc_acc - 18446744073709551616::HUGEINT ELSE doc_acc END AS BIGINT) AS doc_fp,
+          list_transform(sh_accs, a ->
+            CAST(CASE WHEN a >= 9223372036854775808::HUGEINT
+                 THEN a - 18446744073709551616::HUGEINT ELSE a END AS BIGINT)) AS sh_fps
+        FROM fps
+      )
+      SELECT doc_id, doc_fp,
+        CAST(len(list_distinct(sh_fps)) AS INTEGER) AS n_distinct_shingles,
+        list_reduce(list_prepend(0::BIGINT, sh_fps), (a, b) -> xor(a, b))
+          AS xor_shingle_fp
+      FROM signed ORDER BY doc_id""")
   )
 
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,

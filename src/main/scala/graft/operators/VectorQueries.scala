@@ -144,7 +144,29 @@ object VectorQueries {
           col("cos_to_centroid"))
         .orderBy(col("label"), col("rk"))
     },
-    oracle = None // centroid pipeline — checked in VectorSpec
+    // DuckDB rebuilds the same centroid: per-dim mean via unnest WITH
+    // ORDINALITY, rounded through FLOAT to mirror the Spark side's
+    // array<float> cast (which also absorbs partial-agg summation noise)
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS emb
+                 FROM embeddings),
+      ex AS (SELECT vec_id, label, unnest(emb) AS val,
+                    unnest(range(1, len(emb) + 1)) AS idx
+             FROM e),
+      cen AS (SELECT label, idx, avg(val) AS c FROM ex GROUP BY label, idx),
+      cvec AS (SELECT label,
+                 CAST(CAST(list(c ORDER BY idx) AS FLOAT[]) AS DOUBLE[])
+                   AS centroid
+               FROM cen GROUP BY label),
+      nn AS (SELECT label, count(*) AS n FROM e GROUP BY label),
+      d AS (SELECT e.label, e.vec_id, nn.n,
+                   list_cosine_similarity(e.emb, cvec.centroid)
+                     AS cos_to_centroid
+            FROM e JOIN cvec USING (label) JOIN nn USING (label)),
+      r AS (SELECT *, row_number() OVER (PARTITION BY label
+              ORDER BY cos_to_centroid DESC, vec_id) AS rk FROM d)
+      SELECT label, n, rk, vec_id, cos_to_centroid
+      FROM r WHERE rk <= 3 ORDER BY label, rk""")
   )
 
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, centroids)

@@ -160,6 +160,49 @@ class FunctionsSpec extends GraftSuite {
     assert(out.getString(2) == "en") // all-zero scores → priority order wins
   }
 
+  test("week/yearweek match MySQL-documented values in every mode") {
+    import graft.functions.DateFunctions.{week, yearweek}
+    val df = Seq("2008-02-20", "2008-12-31", "2000-01-01", "1987-01-01",
+      "2019-12-30", "2024-12-31", "2005-01-01").toDF("s")
+      .select($"s", to_date($"s").as("d"))
+    val rows = df.select($"s",
+      week($"d", 0).as("w0"), week($"d", 1).as("w1"), week($"d", 2).as("w2"),
+      week($"d", 3).as("w3"), week($"d", 4).as("w4"), week($"d", 6).as("w6"),
+      yearweek($"d", 0).as("yw0"), yearweek($"d", 3).as("yw3"))
+      .collect().map(r => r.getString(0) -> r).toMap
+    // values from the MySQL reference manual / server behavior
+    assert(rows("2008-02-20").getInt(1) == 7)   // WEEK(d,0)
+    assert(rows("2008-02-20").getInt(2) == 8)   // WEEK(d,1)
+    assert(rows("2008-12-31").getInt(2) == 53)  // WEEK(d,1)
+    assert(rows("2000-01-01").getInt(1) == 0)   // WEEK(d,0)
+    assert(rows("2000-01-01").getInt(3) == 52)  // WEEK(d,2)
+    assert(rows("1987-01-01").getInt(7) == 198652)  // YEARWEEK(d)
+    assert(rows("2019-12-30").getInt(4) == 1)   // ISO week 1 of 2020
+    assert(rows("2019-12-30").getInt(8) == 202001)  // YEARWEEK(d,3)
+    assert(rows("2024-12-31").getInt(4) == 1)
+    assert(rows("2005-01-01").getInt(5) == 0)   // WEEK(d,4)
+    assert(rows("2005-01-01").getInt(6) == 52)  // WEEK(d,6)
+  }
+
+  test("registry tail: crc32 known value, unhex round-trip, maketime edges") {
+    import graft.functions.MySqlFunctions.{makeTime, getFormat}
+    val r = spark.range(1).select(
+      crc32(lit("MySQL")).as("c"),
+      decode(unhex(hex(lit("graft"))), "UTF-8").as("rt"),
+      makeTime(lit(12), lit(15), lit(30)).as("mt"),
+      makeTime(lit(900), lit(0), lit(0)).as("mt_clamp"),
+      makeTime(lit(1), lit(61), lit(0)).as("mt_bad"),
+      getFormat("TIME", "USA").as("fmt"),
+      getFormat("DATE", "nope").as("fmt_bad")).collect()(0)
+    assert(r.getLong(0) == 3259397556L) // MySQL doc: CRC32('MySQL')
+    assert(r.getString(1) == "graft")
+    assert(r.getString(2) == "12:15:30")
+    assert(r.getString(3) == "838:00:00") // clamped to MySQL TIME max
+    assert(r.isNullAt(4))
+    assert(r.getString(5) == "%h:%i:%s %p")
+    assert(r.isNullAt(6))
+  }
+
   test("custom expressions work through SQL and inside lambdas") {
     plans.GraftExtensions.registerAll(spark)
     val r = spark.sql(
