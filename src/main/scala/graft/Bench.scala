@@ -83,7 +83,8 @@ object Bench {
     // (utils/scenarios/perf/testcase/grptest.sh:17-23 runs the query group
     // from 2 concurrent users): N threads drive the same headline set
     // against one session; report per-query p50/max across users.
-    val users = sys.env.getOrElse("SPARK_GRAFT_BENCH_USERS", "4").toInt
+    // 2 users mirrors the reference's grptest.sh concurrency level
+    val users = sys.env.getOrElse("SPARK_GRAFT_BENCH_USERS", "2").toInt
     val concurrentJson: String =
       if (users <= 1) "{}"
       else {

@@ -160,18 +160,43 @@ object DdlDmlQueries {
     oracle = Some("SELECT CAST(3 AS BIGINT) AS n_loaded, CAST(1 AS BIGINT) AS n_rejected")
   )
 
-  /** JDBC-style cross-engine read (reference: CrossEngineStep,
-    * dbcon/joblist/crossenginestep.h:47 — reads a foreign MySQL table into
-    * the query). No MySQL in this container, so the foreign side is a CSV
-    * "external engine" read joined against a native table. */
+  /** Cross-engine read over a live JDBC connection (reference:
+    * CrossEngineStep, dbcon/joblist/crossenginestep.h:47 — reads a foreign
+    * MySQL table into the query). The foreign DBMS here is embedded Derby
+    * (already on the Spark classpath): the region table is seeded through
+    * plain JDBC, then read back with spark.read.format("jdbc") — the same
+    * code path a deployment would point at a network MySQL/Postgres URL. */
   val crossEngine: QueryDef = QueryDef(
     "d_cross_engine",
     (s, dir) => {
+      // shut the Derby instance down before the scratch wipe: a prior run
+      // in this JVM may still have the database booted on deleted files
+      try java.sql.DriverManager.getConnection(
+        s"jdbc:derby:${scratchRoot.resolve("cross")}/foreign_db;shutdown=true")
+      catch { case _: java.sql.SQLException => () } // success throws 08006
       val tmp = scratch("cross")
-      val region = t(s, dir, "region")
-      Loader.exportCsv(region, s"$tmp/region_ext")
-      val foreign = s.read.option("sep", "|").schema(region.schema)
-        .csv(s"$tmp/region_ext")
+      val dbPath = s"$tmp/foreign_db"
+      val rows = t(s, dir, "region").collect() // 5 rows: foreign-side seed
+      val conn = java.sql.DriverManager
+        .getConnection(s"jdbc:derby:$dbPath;create=true")
+      try {
+        val st = conn.createStatement()
+        st.execute(
+          "CREATE TABLE region_ext (r_regionkey BIGINT, r_name VARCHAR(64))")
+        val ps = conn.prepareStatement("INSERT INTO region_ext VALUES (?, ?)")
+        rows.foreach { r =>
+          ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1))
+          ps.executeUpdate()
+        }
+      } finally conn.close()
+      val foreign = s.read.format("jdbc")
+        .option("url", s"jdbc:derby:$dbPath")
+        .option("dbtable", "region_ext")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+        // Derby reports uppercase identifiers; re-alias for the output schema
+        .select(col("R_REGIONKEY").as("r_regionkey"),
+          col("R_NAME").as("r_name"))
       t(s, dir, "nation")
         .join(broadcast(foreign), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("r_name"))
