@@ -277,7 +277,69 @@ object DdlDmlQueries {
       GROUP BY o_orderstatus ORDER BY o_orderstatus""")
   )
 
+  /** SHOW PARTITIONS analog — the reference's calshowpartitions UDF lists
+    * per-partition min/max/status from the extent map
+    * (reference: dbcon/mysql/ha_calpont_partition.cpp:790-894). Here the
+    * partition directory IS the extent, and parquet footer min/max are the
+    * casual-partitioning stats; this surfaces both per partition. */
+  val showPartitions: QueryDef = QueryDef(
+    "d_show_partitions",
+    (s, dir) => {
+      val tmp = scratch("showpart")
+      Tables.table(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+        .write.partitionBy("o_year").mode("overwrite")
+        .parquet(s"$tmp/orders_part")
+      s.read.parquet(s"$tmp/orders_part")
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n_rows"),
+          min(col("o_totalprice")).as("min_price"),
+          max(col("o_totalprice")).as("max_price"),
+          min(col("o_orderdate")).as("min_date"),
+          max(col("o_orderdate")).as("max_date"))
+        .select(concat(lit("o_year="), col("o_year")).as("partition"),
+          col("n_rows"), col("min_price"), col("max_price"),
+          col("min_date"), col("max_date"))
+        .orderBy(col("partition"))
+    },
+    oracle = Some("""
+      SELECT 'o_year=' || CAST(year(o_orderdate) AS VARCHAR) AS partition,
+             count(*) AS n_rows,
+             min(o_totalprice) AS min_price, max(o_totalprice) AS max_price,
+             min(o_orderdate) AS min_date, max(o_orderdate) AS max_date
+      FROM orders GROUP BY year(o_orderdate) ORDER BY partition""")
+  )
+
+  /** Table-stats introspection — the calgetstats analog
+    * (reference: dbcon/mysql/ha_calpont_udf.cpp calgetstats): per-column
+    * row/null/distinct counts and min/max, i.e. the stats the extent map
+    * keeps per extent and the optimizer reads for pruning. */
+  val tableStats: QueryDef = QueryDef(
+    "d_table_stats",
+    (s, dir) =>
+      t(s, dir, "lineitem").agg(
+        count(lit(1)).as("n_rows"),
+        countDistinct(col("l_orderkey")).as("nd_orderkey"),
+        (count(lit(1)) - count(col("l_orderkey"))).as("nulls_orderkey"),
+        min(col("l_orderkey")).as("min_orderkey"),
+        max(col("l_orderkey")).as("max_orderkey"),
+        min(col("l_quantity")).as("min_qty"),
+        max(col("l_quantity")).as("max_qty"),
+        min(col("l_shipdate")).as("min_shipdate"),
+        max(col("l_shipdate")).as("max_shipdate"),
+        countDistinct(col("l_returnflag")).as("nd_returnflag")),
+    oracle = Some("""
+      SELECT count(*) AS n_rows,
+             count(DISTINCT l_orderkey) AS nd_orderkey,
+             count(*) - count(l_orderkey) AS nulls_orderkey,
+             min(l_orderkey) AS min_orderkey, max(l_orderkey) AS max_orderkey,
+             min(l_quantity) AS min_qty, max(l_quantity) AS max_qty,
+             min(l_shipdate) AS min_shipdate, max(l_shipdate) AS max_shipdate,
+             count(DISTINCT l_returnflag) AS nd_returnflag
+      FROM lineitem""")
+  )
+
   def defs: Seq[QueryDef] = Seq(ctasRoundtrip, insertIntoSelect, updateDelete,
     alterTable, csvRoundtrip, loaderRejects, crossEngine, bucketedJoin,
-    partitionedWrite)
+    partitionedWrite, showPartitions, tableStats)
 }

@@ -72,7 +72,13 @@ object GraftExtensions {
     "lsh_bucket" -> (es => { arity("lsh_bucket", es, 1, 3)
       LshBucket(asFloatVec(es(0)),
         if (es.length > 1) intArg(es(1), "planes") else 8,
-        if (es.length > 2) longArg(es(2), "seed") else 42L) })
+        if (es.length > 2) longArg(es(2), "seed") else 42L) }),
+    "mysql_week" -> (es => { arity("mysql_week", es, 1, 2)
+      MySqlWeek(Cast(es.head, org.apache.spark.sql.types.DateType),
+        if (es.length > 1) intArg(es(1), "mode") else 0, yearWeek = false) }),
+    "mysql_yearweek" -> (es => { arity("mysql_yearweek", es, 1, 2)
+      MySqlWeek(Cast(es.head, org.apache.spark.sql.types.DateType),
+        if (es.length > 1) intArg(es(1), "mode") else 0, yearWeek = true) })
   )
 
   /** Idempotent registration on a live session. */

@@ -208,10 +208,14 @@ class FunctionsSpec extends GraftSuite {
     val r = spark.sql(
       """SELECT fingerprint64('abc') AS fp,
                 hamming64(12, 10) AS hd,
-                transform(array('x', 'y'), t -> fingerprint64(t)) AS fps""")
+                transform(array('x', 'y'), t -> fingerprint64(t)) AS fps,
+                mysql_week(DATE '2008-02-20', 1) AS wk,
+                mysql_yearweek(DATE '1987-01-01') AS yw""")
       .collect()(0)
     assert(r.getLong(0) == (('a'.toLong * 1000003L + 'b') * 1000003L + 'c'))
     assert(r.getInt(1) == java.lang.Long.bitCount(12L ^ 10L))
     assert(r.getSeq[Long](2).length == 2)
+    assert(r.getInt(3) == 8)
+    assert(r.getInt(4) == 198652)
   }
 }
