@@ -88,10 +88,14 @@ object Bench {
     val concurrentJson: String =
       if (users <= 1) "{}"
       else {
+        // concurrency always runs the headline set, never BENCH_ALL's full
+        // list: the d_* queries mutate fixed scratch paths / metastore
+        // tables and would race across user threads
+        val concNames = headline
         val times =
           new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
         val threads = (1 to users).map { _ =>
-          new Thread(() => names.foreach { n =>
+          new Thread(() => concNames.foreach { n =>
             try times.add(n -> run(n))
             catch { case e: Throwable =>
               System.err.println(s"[bench] concurrent $n: ${e.getMessage}")
@@ -103,9 +107,10 @@ object Bench {
         threads.foreach(_.join())
         import scala.jdk.CollectionConverters._
         val byName = times.asScala.toSeq.groupBy(_._1)
-        names.flatMap(n => byName.get(n).map { vs =>
+        concNames.flatMap(n => byName.get(n).map { vs =>
           val ok = vs.map(_._2).filter(_ >= 0).sorted
-          val p50 = if (ok.isEmpty) -1.0 else ok(ok.size / 2)
+          // lower median: with 2 users the upper median is just the max
+          val p50 = if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
           val mx = if (ok.isEmpty) -1.0 else ok.last
           "\"" + n + "\":{\"p50\":" + p50 + ",\"max\":" + mx + "}"
         }).mkString("{", ",", "}")

@@ -19,32 +19,42 @@ import org.apache.spark.sql.types._
   */
 object DateKernels {
 
-  private def weekdayOfJan1(year: Int, sundayFirst: Boolean): Int = {
-    // java.time: 1=Monday..7=Sunday → 0=Sunday..6=Saturday
-    val dowSun = java.time.LocalDate.of(year, 1, 1).getDayOfWeek.getValue % 7
-    if (sundayFirst) dowSun else (dowSun + 6) % 7
-  }
-
-  /** Epoch day of the first day of year's week 1 under the given flags
-    * (reference: funchelpers.h:276-296 baseday computation). */
-  private def baseday(year: Int, sundayFirst: Boolean, gt3: Boolean): Long = {
-    val fw = weekdayOfJan1(year, sundayFirst)
-    var base = java.time.LocalDate.of(year, 1, 1).toEpochDay +
-      (if (fw != 0) 7 - fw else 0)
-    if (gt3 && fw > 0 && fw < 4) base -= 7
-    base
-  }
-
-  /** calc_mysql_week (funchelpers.h:253-345): returns weekyear*1000+weeknum
-    * so the week and yearweek surfaces share one kernel. */
-  def weekYearNum(epochDay: Int, mode: Int): Int = {
+  /** convert_mysql_mode_to_modeflags (funchelpers.h:237-240): monday-first
+    * modes flip the GT_THREE_DAYS bit. */
+  private def normalize(mode: Int): Int = {
     val m0 = mode & 7
-    val modeflags = if ((m0 & 1) != 0) m0 ^ 4 else m0
+    if ((m0 & 1) != 0) m0 ^ 4 else m0
+  }
+
+  /** Epoch day of the first day of year's week 1, memoized per
+    * (year, flags) — the hot kernel runs per row, and recomputing the two
+    * LocalDate objects per call would dominate it
+    * (reference: funchelpers.h:276-296 baseday computation). */
+  private val basedayCache =
+    new java.util.concurrent.ConcurrentHashMap[Int, java.lang.Long]()
+
+  private def baseday(year: Int, sundayFirst: Boolean, gt3: Boolean): Long =
+    basedayCache.computeIfAbsent(
+      (year << 2) | (if (sundayFirst) 2 else 0) | (if (gt3) 1 else 0),
+      { _ =>
+        // java.time: 1=Monday..7=Sunday → 0=Sunday..6=Saturday
+        val dowSun =
+          java.time.LocalDate.of(year, 1, 1).getDayOfWeek.getValue % 7
+        val fw = if (sundayFirst) dowSun else (dowSun + 6) % 7
+        var base = java.time.LocalDate.of(year, 1, 1).toEpochDay +
+          (if (fw != 0) 7 - fw else 0)
+        if (gt3 && fw > 0 && fw < 4) base -= 7
+        java.lang.Long.valueOf(base)
+      }).longValue()
+
+  /** calc_mysql_week (funchelpers.h:253-345) over pre-normalized modeflags:
+    * returns weekyear*1000+weeknum so week and yearweek share one kernel. */
+  private def calcWeek(epochDay: Int, modeflags: Int): Int = {
     val sundayFirst = (modeflags & 1) == 0
     val gt3 = (modeflags & 4) != 0
     val noZero = (modeflags & 2) != 0
     val d = java.time.LocalDate.ofEpochDay(epochDay.toLong)
-    val jd = d.toEpochDay
+    val jd = epochDay.toLong
     val y = d.getYear
     val base = baseday(y, sundayFirst, gt3)
     if (jd < base && noZero) {
@@ -66,40 +76,14 @@ object DateKernels {
     }
   }
 
-  def week(epochDay: Int, mode: Int): Int = weekYearNum(epochDay, mode) % 1000
+  def week(epochDay: Int, mode: Int): Int =
+    calcWeek(epochDay, normalize(mode)) % 1000
 
   /** YEARWEEK forces NO_ZERO after mode normalization
     * (reference: func_yearweek.cpp:133-134). */
   def yearweek(epochDay: Int, mode: Int): Int = {
-    val m0 = mode & 7
-    val modeflags = (if ((m0 & 1) != 0) m0 ^ 4 else m0) | 2
-    val r = weekYearNum2(epochDay, modeflags)
+    val r = calcWeek(epochDay, normalize(mode) | 2)
     (r / 1000) * 100 + (r % 1000)
-  }
-
-  /** Same as weekYearNum but takes pre-normalized modeflags. */
-  private def weekYearNum2(epochDay: Int, modeflags: Int): Int = {
-    val sundayFirst = (modeflags & 1) == 0
-    val gt3 = (modeflags & 4) != 0
-    val noZero = (modeflags & 2) != 0
-    val d = java.time.LocalDate.ofEpochDay(epochDay.toLong)
-    val jd = d.toEpochDay
-    val y = d.getYear
-    val base = baseday(y, sundayFirst, gt3)
-    if (jd < base && noZero) {
-      val wk = ((jd - baseday(y - 1, sundayFirst, gt3)) / 7 + 1).toInt
-      (y - 1) * 1000 + wk
-    } else {
-      var weekyear = y
-      var weeknum = if (jd >= base) ((jd - base) / 7 + 1).toInt else 0
-      if (gt3 && noZero && weeknum > 52) {
-        val daysThisYear = 32 - d.getDayOfMonth
-        val dowSun = d.getDayOfWeek.getValue % 7
-        val fwd = if (sundayFirst) dowSun else (dowSun + 6) % 7
-        if (fwd + daysThisYear < 4) { weeknum = 1; weekyear = y + 1 }
-      }
-      weekyear * 1000 + weeknum
-    }
   }
 }
 

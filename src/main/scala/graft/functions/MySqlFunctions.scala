@@ -153,16 +153,21 @@ object MySqlFunctions {
     getFormatTable.get((tpe.toUpperCase, region.toUpperCase))
       .map(lit).getOrElse(lit(null).cast("string"))
 
-  /** MySQL MAKETIME(h, m, s) → 'HH:MM:SS' string; hour clamps to ±838
-    * (MySQL TIME range), minute/second outside 0-59 → NULL
-    * (reference: utils/funcexp/func_maketime.cpp:166-183). */
+  /** MAKETIME(h, m, s) → 'HH:MM:SS' string. Out-of-range minute/second →
+    * NULL; an hour beyond ±838 saturates the whole TIME to ±838:59:59
+    * (reference: utils/funcexp/func_maketime.cpp:160-183, matching MySQL's
+    * TIME range endpoint). */
   def makeTime(h: Column, m: Column, s: Column): Column = {
-    val hc = greatest(least(h.cast("long"), lit(838L)), lit(-838L))
-    val mm = m.cast("long")
-    val ss = s.cast("long")
+    val h0 = h.cast("long")
+    val m0 = m.cast("long")
+    val s0 = s.cast("long")
+    val overflow = h0 > 838 || h0 < -838
+    val hc = greatest(least(h0, lit(838L)), lit(-838L))
+    val mm = when(overflow, lit(59L)).otherwise(m0)
+    val ss = when(overflow, lit(59L)).otherwise(s0)
     // format_string mirrors the reference's snprintf("%02d:%02d:%02d", …)
     // exactly (lpad would truncate 3-digit clamped hours)
-    when(mm.between(0, 59) && ss.between(0, 59),
+    when(m0.between(0, 59) && s0.between(0, 59),
       format_string("%02d:%02d:%02d", hc, mm, ss))
       .otherwise(lit(null).cast("string"))
   }

@@ -17,14 +17,17 @@ object DdlDmlQueries {
   private def t(s: SparkSession, dir: String, n: String): DataFrame =
     Tables.table(s, dir, n)
 
-  // fixed per-JVM scratch root, wiped lazily on first use: repeated
-  // Verify/Bench invocations (best-of-N re-runs the side-effecting defs)
-  // reuse the same directories instead of accumulating temp dirs
+  // per-process scratch root (pid-suffixed so concurrent JVMs can't wipe
+  // each other's live data), reused within the JVM so repeated Verify/Bench
+  // invocations don't accumulate temp dirs; removed on normal JVM exit
   private lazy val scratchRoot: java.nio.file.Path = {
     val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"), "graft_ddl_scratch")
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ddl_scratch_${ProcessHandle.current().pid()}")
     deleteRecursively(p)
     Files.createDirectories(p)
+    Runtime.getRuntime.addShutdownHook(new Thread(() =>
+      try deleteRecursively(p) catch { case _: Exception => () }))
     p
   }
 
@@ -185,7 +188,9 @@ object DdlDmlQueries {
           "CREATE TABLE region_ext (r_regionkey BIGINT, r_name VARCHAR(64))")
         val ps = conn.prepareStatement("INSERT INTO region_ext VALUES (?, ?)")
         rows.foreach { r =>
-          ps.setLong(1, r.getLong(0)); ps.setString(2, r.getString(1))
+          // r_regionkey is int32 in the testdata; Row.getLong doesn't widen
+          ps.setLong(1, r.getAs[Number](0).longValue())
+          ps.setString(2, r.getString(1))
           ps.executeUpdate()
         }
       } finally conn.close()

@@ -168,10 +168,14 @@ object DedupQueries {
   )
 
   /** Embedding-cosine near-dup: 4 independent LSH tables × 16 hyperplanes
-    * (65536 buckets per table), candidates via bucket-representative
-    * pairing — the same trick as minhashLsh — so candidate volume is
-    * O(vectors × tables) even in degenerate buckets, never all-pairs.
-    * cosine ≥ 0.9 against the representative flags a near-dup. */
+    * (65536 buckets per table), candidates via chain pairing — each bucket
+    * member pairs with its id-successor in the same bucket — so candidate
+    * volume is O(vectors × tables) even in degenerate buckets, never
+    * all-pairs. Chain beats star-to-representative on recall: two similar
+    * vectors sharing a bucket with an unrelated min-id collider still get
+    * compared (directly when adjacent, or in another table's chain), while
+    * a star pairing scores everyone only against the possibly-unrelated
+    * representative. cosine ≥ 0.9 flags a near-dup. */
   val embeddingNearDup: QueryDef = QueryDef(
     "x_dedup_embedding",
     (s, dir) => {
@@ -187,12 +191,12 @@ object DedupQueries {
               .lshBucket(col("embedding"), planes, 42L + tbl)): _*)))
         .withColumnRenamed("pos", "tbl")
         .withColumnRenamed("col", "bucket")
-      val reps = bucketed.groupBy(col("tbl"), col("bucket"))
-        .agg(min(col("vec_id")).as("rep_id"), count(lit(1)).as("bucket_n"))
-        .filter(col("bucket_n") > 1)
-      val cand = bucketed.join(reps, Seq("tbl", "bucket"))
-        .filter(col("vec_id") =!= col("rep_id"))
-        .select(col("rep_id").as("a"), col("vec_id").as("b"))
+      val chain = Window.partitionBy(col("tbl"), col("bucket"))
+        .orderBy(col("vec_id"))
+      val cand = bucketed
+        .withColumn("nxt", lead(col("vec_id"), 1).over(chain))
+        .filter(col("nxt").isNotNull)
+        .select(col("vec_id").as("a"), col("nxt").as("b"))
         .distinct()
       val scored = cand
         .join(emb.withColumnRenamed("vec_id", "a")

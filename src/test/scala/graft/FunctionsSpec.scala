@@ -197,7 +197,7 @@ class FunctionsSpec extends GraftSuite {
     assert(r.getLong(0) == 3259397556L) // MySQL doc: CRC32('MySQL')
     assert(r.getString(1) == "graft")
     assert(r.getString(2) == "12:15:30")
-    assert(r.getString(3) == "838:00:00") // clamped to MySQL TIME max
+    assert(r.getString(3) == "838:59:59") // saturates to the TIME endpoint
     assert(r.isNullAt(4))
     assert(r.getString(5) == "%h:%i:%s %p")
     assert(r.isNullAt(6))
