@@ -31,7 +31,7 @@ object DdlDmlQueries {
     p
   }
 
-  private def scratch(sub: String): String = {
+  private[operators] def scratch(sub: String): String = {
     val p = scratchRoot.resolve(sub)
     deleteRecursively(p)
     Files.createDirectories(p)

@@ -163,6 +163,45 @@ object EventsQueries {
       ORDER BY event_type, rk""")
   )
 
+  /** Structured Streaming end-to-end, driver-verifiable (SURVEY §2.10):
+    * the events table is staged as a multi-file parquet source, consumed
+    * with readStream + Trigger.AvailableNow through the same windowed
+    * aggregation as `x_events_tumbling`, and emitted via complete-mode
+    * foreachBatch (each batch overwrites the sink with the full aggregate
+    * state, so the final output equals the batch answer exactly — the
+    * batch≡stream equivalence the streaming suite promises, here checked
+    * by the DuckDB oracle instead of only by StreamingSpec). */
+  val streamTumbling: QueryDef = QueryDef(
+    "x_stream_tumbling",
+    (s, dir) => {
+      val tmp = DdlDmlQueries.scratch("stream_tumbling")
+      val staged = s"$tmp/events_src"
+      val out = s"$tmp/out"
+      ev(s, dir).repartition(4).write.mode("overwrite").parquet(staged)
+      val agg = graft.streaming.EventsStream.tumblingCounts(
+        graft.streaming.EventsStream.readStream(s, staged))
+      val q = agg.writeStream
+        .outputMode("complete")
+        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+          batch.write.mode("overwrite").parquet(out)
+        }
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      // the staged repartition changes double-summation order vs the
+      // oracle; round both sides so the byte-exact gate is deterministic
+      s.read.parquet(out)
+        .withColumn("sum_value", round(col("sum_value"), 4))
+        .orderBy(col("window_start"), col("event_type"))
+    },
+    oracle = Some("""
+      SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
+             count(*) AS n, round(sum(value), 4) AS sum_value
+      FROM events
+      GROUP BY 1, 2 ORDER BY window_start, event_type""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
-    dedupKeyed, leaderboard)
+    dedupKeyed, leaderboard, streamTumbling)
 }

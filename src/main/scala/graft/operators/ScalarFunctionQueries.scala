@@ -623,7 +623,47 @@ object ScalarFunctionQueries {
       FROM part ORDER BY p_partkey""")
   )
 
+  /** UDF SDK surface, driver-verifiable (SURVEY §2.11): the custom
+    * Catalyst expressions registered by GraftExtensions are exercised
+    * through plain SQL text — the analog of the reference's funcexp::Func
+    * registration making a C++ function callable from MySQL SQL. The
+    * DuckDB oracle recomputes fingerprint64 with HUGEINT wrap arithmetic
+    * and popcounts it, so even the custom-hash output is hash-compared. */
+  val udfSqlSurface: QueryDef = QueryDef(
+    "fn_udf_sql_surface",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT doc_id,
+               fingerprint64(text) AS doc_fp,
+               hamming64(fingerprint64(text), 0) AS fp_bits,
+               mysql_week(DATE '2008-02-20', 1) AS wk_const
+        FROM documents ORDER BY doc_id""")
+    },
+    oracle = Some("""
+      WITH raw AS (
+        SELECT doc_id,
+          list_reduce(
+            list_prepend(0::HUGEINT,
+              list_transform(range(1, octet_length(encode(text)) + 1),
+                i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2-1, 1)) - 1) * 16
+                   + (strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2, 1)) - 1) AS HUGEINT))),
+            (acc, b) -> (acc * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT) AS acc
+        FROM documents
+      ), signed AS (
+        SELECT doc_id,
+          CAST(CASE WHEN acc >= 9223372036854775808::HUGEINT
+               THEN acc - 18446744073709551616::HUGEINT ELSE acc END AS BIGINT) AS doc_fp
+        FROM raw
+      )
+      SELECT doc_id, doc_fp,
+             CAST(bit_count(doc_fp) AS INTEGER) AS fp_bits,
+             CAST(8 AS INTEGER) AS wk_const
+      FROM signed ORDER BY doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(stringBasic, stringAdvanced, mathBattery,
     dateExtract, dateArith, controlFlow, mysqlStrings, mysqlDates,
-    pseudoColumns, timeBattery, divZeroDecimal, weekModes, registryTail)
+    pseudoColumns, timeBattery, divZeroDecimal, weekModes, registryTail,
+    udfSqlSurface)
 }
