@@ -72,11 +72,14 @@ object DdlDmlQueries {
       cat.insertIntoSelect("cust_copy", cust.filter(col("c_custkey") % 2 === 1))
       cat.table("cust_copy")
         .groupBy(col("c_mktsegment"))
-        .agg(count(lit(1)).as("n"), sum(col("c_acctbal")).as("bal"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("bal"))
         .orderBy(col("c_mktsegment"))
     },
     oracle = Some("""
-      SELECT c_mktsegment, count(*) AS n, sum(c_acctbal) AS bal
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   )
 

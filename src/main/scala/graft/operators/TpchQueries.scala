@@ -119,14 +119,15 @@ object TpchQueries {
         .join(ord, col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double")
           .as("revenue"))
         .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
         .limit(10)
     },
     oracle = Some("""
       SELECT l_orderkey, o_orderdate,
-             sum(l_extendedprice * (1 - l_discount)) AS revenue
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM customer, orders, lineitem
       WHERE c_mktsegment = 'BUILDING'
         AND c_custkey = o_custkey AND l_orderkey = o_orderkey
@@ -187,12 +188,13 @@ object TpchQueries {
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double")
           .as("revenue"))
         .orderBy(col("revenue").desc, col("n_name"))
     },
     oracle = Some("""
-      SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+      SELECT n_name, CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM customer, orders, lineitem, supplier, nation, region
       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -250,14 +252,15 @@ object TpchQueries {
             col("cust_nation") === "NATION_1"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double")
           .as("revenue"))
         .orderBy(col("supp_nation"), col("cust_nation"), col("l_year"))
     },
     oracle = Some("""
       SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
              year(l_shipdate) AS l_year,
-             sum(l_extendedprice * (1 - l_discount)) AS revenue
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM supplier, lineitem, orders, customer, nation n1, nation n2
       WHERE s_suppkey = l_suppkey AND o_orderkey = l_orderkey
         AND c_custkey = o_custkey AND s_nationkey = n1.n_nationkey
@@ -330,14 +333,16 @@ object TpchQueries {
         .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
         .groupBy(col("n_name").as("nation"),
           year(col("o_orderdate")).as("o_year"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")) -
-          lit(0.6) * col("l_quantity") * col("p_retailprice")).as("sum_profit"))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")) -
+          lit(0.6) * col("l_quantity") * col("p_retailprice"))
+          .cast("decimal(18,4)")).cast("double").as("sum_profit"))
         .orderBy(col("nation"), col("o_year").desc)
     },
     oracle = Some("""
       SELECT n_name AS nation, year(o_orderdate) AS o_year,
-             sum(l_extendedprice * (1 - l_discount)
-                 - 0.6 * l_quantity * p_retailprice) AS sum_profit
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 - 0.6 * l_quantity * p_retailprice AS DECIMAL(18,4)))
+               AS DOUBLE) AS sum_profit
       FROM lineitem, part, supplier, orders, nation
       WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
         AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
@@ -363,14 +368,15 @@ object TpchQueries {
         .join(broadcast(nation), col("c_nationkey") === col("n_nationkey"))
         .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"),
           col("n_name"))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double")
           .as("revenue"))
         .orderBy(col("revenue").desc, col("c_custkey"))
         .limit(20)
     },
     oracle = Some("""
       SELECT c_custkey, c_name, c_acctbal, n_name,
-             sum(l_extendedprice * (1 - l_discount)) AS revenue
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue
       FROM customer, orders, lineitem, nation
       WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
         AND o_orderdate >= TIMESTAMP '1996-10-01 00:00:00'
@@ -597,11 +603,12 @@ object TpchQueries {
       li.join(part, col("l_partkey") === col("p_partkey"))
         .join(avgQty, col("l_partkey") === col("aq_partkey"))
         .filter(col("l_quantity") < col("half_avg_qty"))
-        .agg((sum(col("l_extendedprice")) / 7.0).as("avg_yearly"),
+        .agg((sum(col("l_extendedprice").cast("decimal(18,2)"))
+          .cast("double") / 7.0).as("avg_yearly"),
           count(lit(1)).as("n_rows"))
     },
     oracle = Some("""
-      SELECT sum(l_extendedprice) / 7.0 AS avg_yearly,
+      SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) / 7.0 AS avg_yearly,
              count(*) AS n_rows
       FROM lineitem, part
       WHERE p_partkey = l_partkey
@@ -667,11 +674,12 @@ object TpchQueries {
             col("l_quantity").between(10, 30)) ||
           (col("p_brand") === "Brand#34" && col("p_size").between(1, 45) &&
             col("l_quantity").between(20, 40)))
-        .agg(sum(col("l_extendedprice") * (lit(1) - col("l_discount")))
+        .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
+          .cast("decimal(18,4)")).cast("double")
           .as("revenue"), count(lit(1)).as("n_rows"))
     },
     oracle = Some("""
-      SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue,
+      SELECT CAST(sum(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE) AS revenue,
              count(*) AS n_rows
       FROM lineitem, part
       WHERE p_partkey = l_partkey

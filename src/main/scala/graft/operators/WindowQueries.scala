@@ -117,24 +117,26 @@ object WindowQueries {
       t(s, dir, "orders")
         .filter(col("o_custkey") < 300)
         .select(col("o_custkey"), col("o_orderkey"),
-          sum(col("o_totalprice"))
+          sum(col("o_totalprice").cast("decimal(18,2)"))
             .over(wTime.rangeBetween(Window.unboundedPreceding,
-              Window.currentRow)).as("running_peers"),
+              Window.currentRow)).cast("double").as("running_peers"),
           count(lit(1))
             .over(wPrice.rangeBetween(-50000, 0)).as("cnt_within_50k"),
-          sum(col("o_totalprice"))
+          sum(col("o_totalprice").cast("decimal(18,2)"))
             .over(wPrice.rangeBetween(Window.currentRow,
-              Window.unboundedFollowing)).as("sum_ge"))
+              Window.unboundedFollowing)).cast("double").as("sum_ge"))
         .orderBy(col("o_custkey"), col("o_orderkey"))
     },
     oracle = Some("""
       SELECT o_custkey, o_orderkey,
-             sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_orderdate
-               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS running_peers,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_peers,
              count(*) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
                RANGE BETWEEN 50000 PRECEDING AND CURRENT ROW) AS cnt_within_50k,
-             sum(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice
-               RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS sum_ge
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+               OVER (PARTITION BY o_custkey ORDER BY o_totalprice
+               RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS DOUBLE) AS sum_ge
       FROM orders WHERE o_custkey < 300
       ORDER BY o_custkey, o_orderkey""")
   )
