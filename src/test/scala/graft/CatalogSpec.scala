@@ -47,6 +47,26 @@ class CatalogSpec extends GraftSuite {
     assert(cat.table("t").count() == 2)
   }
 
+  test("catalog recovers a table whose live dir vanished mid-rewrite") {
+    import java.nio.file.{Files, Paths}
+    val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val cat = new Catalog(spark, root)
+    cat.createTableAs("t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    val live = Paths.get(s"$root/t")
+    // crash case 1: between move(live, old) and move(staged, live) with no
+    // complete staged post-image → must restore the .old pre-image
+    Files.move(live, Paths.get(s"$root/t.old"))
+    assert(cat.table("t").count() == 2)
+    assert(Files.exists(live) && !Files.exists(Paths.get(s"$root/t.old")))
+    // crash case 2: staged post-image finished writing (_SUCCESS present)
+    // → must promote the staged version, not the pre-image
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .write.parquet(s"$root/t.staging")
+    Files.move(live, Paths.get(s"$root/t.old"))
+    assert(cat.table("t").count() == 3)
+    assert(!Files.exists(Paths.get(s"$root/t.staging")))
+  }
+
   test("loader honors custom delimiter and quote") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
     java.nio.file.Files.writeString(tmp.resolve("in.csv"),

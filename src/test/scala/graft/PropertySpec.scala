@@ -11,6 +11,36 @@ import org.scalacheck.Gen
   * loop over ScalaCheck generators (no scalatest-plus bridge offline). */
 class PropertySpec extends AnyFunSuite {
 
+  test("week mode 3 equals ISO week-of-year over random dates") {
+    import java.time.LocalDate
+    import java.time.temporal.WeekFields
+    val wf = WeekFields.ISO
+    val rnd = new scala.util.Random(11)
+    (1 to 3000).foreach { _ =>
+      val epochDay = rnd.between(7305, 25567) // 1990-01-01 .. 2039-12-31
+      val d = LocalDate.ofEpochDay(epochDay.toLong)
+      val iso = d.get(wf.weekOfWeekBasedYear)
+      val isoYear = d.get(wf.weekBasedYear)
+      assert(graft.functions.DateKernels.week(epochDay, 3) == iso,
+        s"week mode 3 vs ISO at $d")
+      assert(graft.functions.DateKernels.yearweek(epochDay, 3) ==
+        isoYear * 100 + iso, s"yearweek mode 3 vs ISO at $d")
+    }
+  }
+
+  test("week modes agree on shared invariants over random dates") {
+    val rnd = new scala.util.Random(13)
+    (1 to 3000).foreach { _ =>
+      val epochDay = rnd.between(7305, 25567)
+      (0 to 7).foreach { m =>
+        val w = graft.functions.DateKernels.week(epochDay, m)
+        assert(w >= 0 && w <= 53, s"week $w out of range (mode $m)")
+        // NO_ZERO modes (2,3,6,7) never return week 0
+        if ((m & 2) != 0) assert(w >= 1, s"mode $m returned week 0")
+      }
+    }
+  }
+
   private def forAll[A](g: Gen[A], n: Int = 100)(f: A => Unit): Unit =
     (1 to n).foreach { i =>
       g.sample.foreach(f)
