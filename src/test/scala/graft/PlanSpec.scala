@@ -126,6 +126,19 @@ class PlanSpec extends GraftSuite {
     assert(plan.contains("(o_year"), plan)
   }
 
+  test("no query plans an unbroadcast cartesian product") {
+    // CartesianProductExec materializes |A|×|B| across the cluster — the
+    // one plan shape that can never survive a 100× scale-up. Cross joins
+    // are allowed only against broadcast singletons/dims
+    // (BroadcastNestedLoopJoin), which these plans use instead.
+    val allowed = Set[String]() // no exceptions: every cross must broadcast
+    QueryDef.all.filterNot(q => allowed(q.name)).foreach { q =>
+      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product:\n${plan.take(2000)}")
+    }
+  }
+
   test("where-false folds to an empty local relation (no scan)") {
     val plan = operators.FilterQueries.whereFalse.run(spark, sf)
       .queryExecution.optimizedPlan.toString
