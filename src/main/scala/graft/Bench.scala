@@ -116,7 +116,42 @@ object Bench {
         }).mkString("{", ",", "}")
       }
 
-    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"concurrent":{"sessions":$users,"queries":$concurrentJson},"sf":"$sfDir"}"""
+    // dwweek soak analog (reference: utils/scenarios/dwweek/ — nightly bulk
+    // load alternating with daytime query groups): each cycle reloads a
+    // slice of orders through the cpimport path, then runs a query group.
+    val soakCycles = sys.env.getOrElse("SPARK_GRAFT_SOAK_CYCLES", "2").toInt
+    val soakJson: String =
+      if (soakCycles <= 0) "[]"
+      else {
+        import org.apache.spark.sql.functions.col
+        val tmp = java.nio.file.Files.createTempDirectory("graft_soak")
+        val group = Seq("q01_pricing_summary", "q06_forecast_revenue",
+          "j_inner_large", "a_high_cardinality")
+        val cycles = (1 to soakCycles).map { i =>
+          val t0 = System.nanoTime()
+          val slice = Tables.table(spark, sfDir, "orders")
+            .filter(col("o_orderkey") % soakCycles === i - 1)
+          sources.Loader.exportCsv(slice, s"$tmp/c$i/csv")
+          sources.Loader.loadCsv(spark, s"$tmp/c$i/csv", slice.schema,
+            s"$tmp/c$i/parquet")
+          val loadSec = (System.nanoTime() - t0) / 1e9
+          val q0 = System.nanoTime()
+          group.foreach(n =>
+            try run(n)
+            catch { case e: Throwable =>
+              System.err.println(s"[bench] soak $n: ${e.getMessage}") })
+          val querySec = (System.nanoTime() - q0) / 1e9
+          s"""{"cycle":$i,"load_sec":$loadSec,"query_sec":$querySec}"""
+        }
+        try { // soak data is throwaway
+          java.nio.file.Files.walk(tmp)
+            .sorted(java.util.Comparator.reverseOrder())
+            .forEach(p => java.nio.file.Files.delete(p))
+        } catch { case _: Exception => () }
+        cycles.mkString("[", ",", "]")
+      }
+
+    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"concurrent":{"sessions":$users,"queries":$concurrentJson},"soak":$soakJson,"sf":"$sfDir"}"""
     println(line)
     // also a clean file: sbt wraps stdout in [info] noise, so the driver
     // gets a machine-parseable copy regardless of how Bench was launched
