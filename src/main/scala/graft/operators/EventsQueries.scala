@@ -202,6 +202,43 @@ object EventsQueries {
       GROUP BY 1, 2 ORDER BY window_start, event_type""")
   )
 
+  /** Stateful streaming dedup end-to-end, driver-verifiable: the events
+    * stream deduped to one event per (user, type, hour) in append mode —
+    * dedup rows emit on first arrival, so no watermark-flush caveat —
+    * then aggregated in batch to the same shape as `x_events_dedup`.
+    * The unique-key SET is arrival-order independent, so the stream output
+    * matches the batch DISTINCT exactly. */
+  val streamDedup: QueryDef = QueryDef(
+    "x_stream_dedup",
+    (s, dir) => {
+      val tmp = DdlDmlQueries.scratch("stream_dedup")
+      val staged = s"$tmp/events_src"
+      val out = s"$tmp/out"
+      ev(s, dir).repartition(4).write.mode("overwrite").parquet(staged)
+      val deduped = graft.streaming.EventsStream.readStream(s, staged)
+        .withColumn("hour_bucket", date_trunc("hour", col("ts")))
+        .dropDuplicates("user_id", "event_type", "hour_bucket")
+      val q = deduped.writeStream
+        .outputMode("append")
+        .format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(out)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_unique"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      SELECT event_type, count(*) AS n_unique
+      FROM (SELECT DISTINCT user_id, event_type,
+                   date_trunc('hour', ts::TIMESTAMP) AS hour_bucket
+            FROM events) d
+      GROUP BY event_type ORDER BY event_type""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
-    dedupKeyed, leaderboard, streamTumbling)
+    dedupKeyed, leaderboard, streamTumbling, streamDedup)
 }
