@@ -113,8 +113,11 @@ object DedupQueries {
         .select(col("a"), col("b"),
           (size(array_intersect(col("toks_a"), col("toks_b"))).cast("double") /
             size(array_union(col("toks_a"), col("toks_b")))).as("jaccard"))
-      val perDoc = verified.select(col("a").as("doc_id"), col("jaccard"))
-        .union(verified.select(col("b").as("doc_id"), col("jaccard")))
+      // explode both endpoints in ONE pass — a union of two selects over
+      // `verified` would re-execute the whole candidate-scoring pipeline
+      val perDoc = verified
+        .select(explode(array(col("a"), col("b"))).as("doc_id"),
+          col("jaccard"))
         .groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_candidates"),
           max(col("jaccard")).as("best_jaccard"))
@@ -156,8 +159,8 @@ object DedupQueries {
         .withColumnRenamed("rep_id", "a")
         .withColumn("hd", hamming64(col("sh_a"), col("sh_b")))
         .filter(col("hd") <= 12)
-      val perDoc = cand.select(col("a").as("doc_id"))
-        .union(cand.select(col("b").as("doc_id")))
+      val perDoc = cand
+        .select(explode(array(col("a"), col("b"))).as("doc_id"))
         .groupBy(col("doc_id")).agg(count(lit(1)).as("n_near_dups"))
       base.join(perDoc, Seq("doc_id"), "left_outer")
         .select(col("doc_id"), col("sh").as("simhash"),
@@ -207,8 +210,8 @@ object DedupQueries {
           graft.functions.VectorFunctions.cosineSim(col("va"), col("vb"))
             .as("cos"))
         .filter(col("cos") >= 0.9)
-      val perVec = scored.select(col("a").as("vec_id"))
-        .union(scored.select(col("b").as("vec_id")))
+      val perVec = scored
+        .select(explode(array(col("a"), col("b"))).as("vec_id"))
         .groupBy(col("vec_id")).agg(count(lit(1)).as("n_near_dups"))
       emb.select(col("vec_id"),
           graft.functions.VectorFunctions
