@@ -82,34 +82,53 @@ object VectorQueries {
       ORDER BY a.vec_id""")
   )
 
-  /** Multiprobe LSH ANN: same queries as bruteTopK, but candidates come
-    * from the query's hyperplane bucket PLUS every bucket at hamming
-    * distance 1 (9 probes over 256 buckets ≈ 3.5% of the corpus scanned).
-    * This is the IVF-style scale path: the corpus side stays partitioned
-    * by bucket, only the probe list broadcasts; recall vs brute force is
+  /** Multi-table multiprobe LSH ANN: 4 independent tables × 16 hyperplanes,
+    * probing each table at the query's bucket plus every bucket at hamming
+    * distance 1 (17 probes × 4 tables). Candidate ids are deduped BEFORE
+    * scoring, then each candidate is scored once against the query vector.
+    * This is the IVF-style scale path: the corpus side stays partitioned,
+    * only the probe list broadcasts, and recall comes from table diversity
+    * rather than coarse single-table buckets; recall vs brute force is
     * asserted in VectorSpec. */
   val lshTopK: QueryDef = QueryDef(
     "x_ann_lsh_topk",
     (s, dir) => {
-      val planes = 8
-      val corpus = emb(s, dir)
-        .withColumn("bucket", lshBucket(col("embedding"), planes))
-      val queries = corpus.filter(col("vec_id") < 10)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
-          col("bucket").as("q_bucket"))
-        // probe set: exact bucket + each single-bit flip
+      val tables = 4
+      val planes = 16
+      val base = emb(s, dir)
+      // ids only through the explode: (vec, table, bucket)
+      val corpusBuckets = base.select(col("vec_id"),
+          posexplode(array((0 until tables).map(t =>
+            lshBucket(col("embedding"), planes, 42L + t)): _*)))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "bucket")
+      val queryEmb = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      // probe list per query: per table, the exact bucket + one-bit flips
+      val probes = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"),
+          posexplode(array((0 until tables).map(t =>
+            lshBucket(col("embedding"), planes, 42L + t)): _*)))
+        .withColumnRenamed("pos", "tbl")
+        .withColumnRenamed("col", "q_bucket")
         .withColumn("probe", explode(array(
           (lit(0) +: (0 until planes).map(b => lit(1 << b))): _*)))
-        .withColumn("probe_bucket",
-          expr("int(q_bucket ^ probe)"))
-        .select(col("q_id"), col("q_emb"), col("probe_bucket"))
+        .select(col("q_id"), col("tbl"),
+          expr("int(q_bucket ^ probe)").as("probe_bucket"))
+      val candIds = corpusBuckets
+        .join(broadcast(probes),
+          corpusBuckets("tbl") === probes("tbl") &&
+            col("bucket") === col("probe_bucket"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+        .distinct()
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("cos").desc, col("vec_id"))
-      corpus.join(broadcast(queries), col("bucket") === col("probe_bucket"))
-        .filter(col("vec_id") =!= col("q_id"))
+      candIds
+        .join(base, Seq("vec_id"))
+        .join(broadcast(queryEmb), Seq("q_id"))
         .select(col("q_id"), col("vec_id"),
           cosineSim(col("q_emb"), col("embedding")).as("cos"))
-        .distinct()
         .withColumn("rk", row_number().over(w))
         .filter(col("rk") <= 3)
         .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))

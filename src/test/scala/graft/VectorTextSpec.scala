@@ -36,9 +36,12 @@ class VectorTextSpec extends GraftSuite {
     assert(lsh.nonEmpty)
     // every LSH hit must score identically to the brute metric (cos in [-1,1])
     lsh.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0))
-    // at least some overlap with exact top-5 (recall sanity, not exactness)
+    // quantified recall floor vs exact top-5: the 4-table × 16-plane
+    // multiprobe finds ≥20% of the true neighbors even on near-orthogonal
+    // random vectors (deterministic seeded testdata; measured 40%)
     val overlap = lsh.map(r => (r.getLong(0), r.getLong(2))).count(brute)
-    assert(overlap > 0, "LSH found nothing from the exact top-k")
+    assert(overlap * 5 >= lsh.length,
+      s"LSH recall too low: $overlap of ${lsh.length}")
   }
 
   test("language id picks the profile language on real sentences") {
