@@ -120,9 +120,11 @@ object Bench {
     // load alternating with daytime query groups): each cycle reloads a
     // slice of orders through the cpimport path, then runs a query group.
     val soakCycles = sys.env.getOrElse("SPARK_GRAFT_SOAK_CYCLES", "2").toInt
+    // a soak failure must never destroy the already-measured headline and
+    // concurrency results, so the whole section is fallible
     val soakJson: String =
       if (soakCycles <= 0) "[]"
-      else {
+      else try {
         import org.apache.spark.sql.functions.col
         val tmp = java.nio.file.Files.createTempDirectory("graft_soak")
         val group = Seq("q01_pricing_summary", "q06_forecast_revenue",
@@ -143,12 +145,18 @@ object Bench {
           val querySec = (System.nanoTime() - q0) / 1e9
           s"""{"cycle":$i,"load_sec":$loadSec,"query_sec":$querySec}"""
         }
-        try { // soak data is throwaway
-          java.nio.file.Files.walk(tmp)
-            .sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => java.nio.file.Files.delete(p))
-        } catch { case _: Exception => () }
+        // soak data is throwaway; close the walk stream and keep deleting
+        // past individual failures
+        scala.util.Using(java.nio.file.Files.walk(tmp)) { st =>
+          st.sorted(java.util.Comparator.reverseOrder())
+            .forEach(p =>
+              try java.nio.file.Files.delete(p)
+              catch { case _: Exception => () })
+        }
         cycles.mkString("[", ",", "]")
+      } catch { case e: Throwable =>
+        System.err.println(s"[bench] soak failed: ${e.getMessage}")
+        "[]"
       }
 
     val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"concurrent":{"sessions":$users,"queries":$concurrentJson},"soak":$soakJson,"sf":"$sfDir"}"""

@@ -163,41 +163,59 @@ object EventsQueries {
       ORDER BY event_type, rk""")
   )
 
+  /** Shared staging for the end-to-end streaming queries: write the events
+    * table as a multi-file parquet source, run `transform(readStream)` to
+    * completion with Trigger.AvailableNow into `out`, and hand back the
+    * sink path for the batch read-back. `complete` selects complete-mode
+    * foreachBatch (for aggregations, whose final state equals the batch
+    * answer) vs a plain append file sink (for row-emitting operators). */
+  private def runAvailableNow(s: SparkSession, dir: String, name: String,
+      complete: Boolean)(
+      transform: DataFrame => DataFrame): String = {
+    val tmp = DdlDmlQueries.scratch(name)
+    val staged = s"$tmp/events_src"
+    val out = s"$tmp/out"
+    ev(s, dir).repartition(4).write.mode("overwrite").parquet(staged)
+    val transformed =
+      transform(graft.streaming.EventsStream.readStream(s, staged))
+    val writer =
+      if (complete)
+        transformed.writeStream
+          .outputMode("complete")
+          .foreachBatch { (batch: DataFrame, _: Long) =>
+            batch.write.mode("overwrite").parquet(out)
+          }
+      else
+        transformed.writeStream
+          .outputMode("append")
+          .format("parquet")
+          .option("path", out)
+    val q = writer
+      .option("checkpointLocation", s"$tmp/cp")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    q.awaitTermination()
+    out
+  }
+
   /** Structured Streaming end-to-end, driver-verifiable (SURVEY §2.10):
-    * the events table is staged as a multi-file parquet source, consumed
-    * with readStream + Trigger.AvailableNow through the same windowed
-    * aggregation as `x_events_tumbling`, and emitted via complete-mode
-    * foreachBatch (each batch overwrites the sink with the full aggregate
-    * state, so the final output equals the batch answer exactly — the
-    * batch≡stream equivalence the streaming suite promises, here checked
-    * by the DuckDB oracle instead of only by StreamingSpec). */
+    * the events stream runs through the same windowed aggregation as
+    * `x_events_tumbling` with exact decimal value sums, emitted via
+    * complete-mode foreachBatch — the batch≡stream equivalence the
+    * streaming suite promises, here checked by the DuckDB oracle instead
+    * of only by StreamingSpec. */
   val streamTumbling: QueryDef = QueryDef(
     "x_stream_tumbling",
     (s, dir) => {
-      val tmp = DdlDmlQueries.scratch("stream_tumbling")
-      val staged = s"$tmp/events_src"
-      val out = s"$tmp/out"
-      ev(s, dir).repartition(4).write.mode("overwrite").parquet(staged)
-      val agg = graft.streaming.EventsStream.tumblingCounts(
-        graft.streaming.EventsStream.readStream(s, staged))
-      val q = agg.writeStream
-        .outputMode("complete")
-        .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
-          batch.write.mode("overwrite").parquet(out)
-        }
-        .option("checkpointLocation", s"$tmp/cp")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
-      // the staged repartition changes double-summation order vs the
-      // oracle; round both sides so the byte-exact gate is deterministic
+      val out = runAvailableNow(s, dir, "stream_tumbling", complete = true)(
+        graft.streaming.EventsStream.tumblingCounts(_, exactSums = true))
       s.read.parquet(out)
-        .withColumn("sum_value", round(col("sum_value"), 4))
         .orderBy(col("window_start"), col("event_type"))
     },
     oracle = Some("""
       SELECT date_trunc('hour', ts::TIMESTAMP) AS window_start, event_type,
-             count(*) AS n, round(sum(value), 4) AS sum_value
+             count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
       FROM events
       GROUP BY 1, 2 ORDER BY window_start, event_type""")
   )
@@ -211,21 +229,9 @@ object EventsQueries {
   val streamDedup: QueryDef = QueryDef(
     "x_stream_dedup",
     (s, dir) => {
-      val tmp = DdlDmlQueries.scratch("stream_dedup")
-      val staged = s"$tmp/events_src"
-      val out = s"$tmp/out"
-      ev(s, dir).repartition(4).write.mode("overwrite").parquet(staged)
-      val deduped = graft.streaming.EventsStream.readStream(s, staged)
-        .withColumn("hour_bucket", date_trunc("hour", col("ts")))
-        .dropDuplicates("user_id", "event_type", "hour_bucket")
-      val q = deduped.writeStream
-        .outputMode("append")
-        .format("parquet")
-        .option("path", out)
-        .option("checkpointLocation", s"$tmp/cp")
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
-      q.awaitTermination()
+      val out = runAvailableNow(s, dir, "stream_dedup", complete = false)(
+        _.withColumn("hour_bucket", date_trunc("hour", col("ts")))
+          .dropDuplicates("user_id", "event_type", "hour_bucket"))
       s.read.parquet(out)
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_unique"))

@@ -32,15 +32,23 @@ object EventsStream {
     spark.readStream.schema(schema).parquet(dir)
 
   /** Tumbling 1-hour counts per event type, 10-minute watermark
-    * (streaming dual of EventsQueries.tumbling). */
+    * (streaming dual of EventsQueries.tumbling). With `exactSums` the
+    * value column sums through exact DECIMAL so the output is
+    * byte-identical regardless of micro-batch/merge order — what the
+    * oracle-gated x_stream_tumbling needs. */
   def tumblingCounts(events: DataFrame,
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes",
+      exactSums: Boolean = false): DataFrame = {
+    val sumValue =
+      if (exactSums) sum(col("value").cast("decimal(28,10)")).cast("double")
+      else sum(col("value"))
     events
       .withWatermark("ts", watermark)
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
-      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n"), sumValue.as("sum_value"))
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
+  }
 
   /** Sliding 1-hour/30-minute averages (dual of EventsQueries.sliding). */
   def slidingAvg(events: DataFrame,

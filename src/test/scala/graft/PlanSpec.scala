@@ -131,8 +131,11 @@ class PlanSpec extends GraftSuite {
     // one plan shape that can never survive a 100× scale-up. Cross joins
     // are allowed only against broadcast singletons/dims
     // (BroadcastNestedLoopJoin), which these plans use instead.
-    val allowed = Set[String]() // no exceptions: every cross must broadcast
-    QueryDef.all.filterNot(q => allowed(q.name)).foreach { q =>
+    // x_stream_* excluded: their returned DataFrame is only the read-back
+    // of an already-terminated stream, so the assertion would inspect a
+    // trivial scan while paying for two full streaming executions
+    val excluded = Set("x_stream_tumbling", "x_stream_dedup")
+    QueryDef.all.filterNot(q => excluded(q.name)).foreach { q =>
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"${q.name} plans a cartesian product:\n${plan.take(2000)}")

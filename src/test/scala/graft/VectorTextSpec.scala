@@ -36,12 +36,14 @@ class VectorTextSpec extends GraftSuite {
     assert(lsh.nonEmpty)
     // every LSH hit must score identically to the brute metric (cos in [-1,1])
     lsh.foreach(r => assert(math.abs(r.getDouble(3)) <= 1.0))
-    // quantified recall floor vs exact top-5: the 4-table × 16-plane
-    // multiprobe finds ≥20% of the true neighbors even on near-orthogonal
-    // random vectors (deterministic seeded testdata; measured 40%)
+    // full result shape: 10 queries × top 3 — a shrunken result set must
+    // fail here rather than silently weaken the recall bound below
+    assert(lsh.length == 30, s"expected 30 LSH rows, got ${lsh.length}")
+    // quantified recall floor vs the exact top-5 set (50 pairs): the
+    // 4-table × 16-plane multiprobe finds ≥6 true neighbors even on
+    // near-orthogonal random vectors (deterministic testdata; measured 12)
     val overlap = lsh.map(r => (r.getLong(0), r.getLong(2))).count(brute)
-    assert(overlap * 5 >= lsh.length,
-      s"LSH recall too low: $overlap of ${lsh.length}")
+    assert(overlap >= 6, s"LSH recall too low: $overlap of 30 in brute top-5")
   }
 
   test("language id picks the profile language on real sentences") {
