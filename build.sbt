@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-run output straight through instead of logging it line-by-line:
+// sbt's default LoggedOutput prefixes every stdout line with "[info] ", which
+// corrupts the one-line JSON contract of graft.Bench/Verify when the driver
+// captures `sbt run` output.
+run / outputStrategy := Some(StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -127,33 +127,36 @@ object Bench {
       else try {
         import org.apache.spark.sql.functions.col
         val tmp = java.nio.file.Files.createTempDirectory("graft_soak")
-        val group = Seq("q01_pricing_summary", "q06_forecast_revenue",
-          "j_inner_large", "a_high_cardinality")
-        val cycles = (1 to soakCycles).map { i =>
-          val t0 = System.nanoTime()
-          val slice = Tables.table(spark, sfDir, "orders")
-            .filter(col("o_orderkey") % soakCycles === i - 1)
-          sources.Loader.exportCsv(slice, s"$tmp/c$i/csv")
-          sources.Loader.loadCsv(spark, s"$tmp/c$i/csv", slice.schema,
-            s"$tmp/c$i/parquet")
-          val loadSec = (System.nanoTime() - t0) / 1e9
-          val q0 = System.nanoTime()
-          group.foreach(n =>
-            try run(n)
-            catch { case e: Throwable =>
-              System.err.println(s"[bench] soak $n: ${e.getMessage}") })
-          val querySec = (System.nanoTime() - q0) / 1e9
-          s"""{"cycle":$i,"load_sec":$loadSec,"query_sec":$querySec}"""
+        // soak data is throwaway; the finally guarantees the scratch dir is
+        // removed even when a mid-cycle failure aborts the loop
+        try {
+          val group = Seq("q01_pricing_summary", "q06_forecast_revenue",
+            "j_inner_large", "a_high_cardinality")
+          val cycles = (1 to soakCycles).map { i =>
+            val t0 = System.nanoTime()
+            val slice = Tables.table(spark, sfDir, "orders")
+              .filter(col("o_orderkey") % soakCycles === i - 1)
+            sources.Loader.exportCsv(slice, s"$tmp/c$i/csv")
+            sources.Loader.loadCsv(spark, s"$tmp/c$i/csv", slice.schema,
+              s"$tmp/c$i/parquet")
+            val loadSec = (System.nanoTime() - t0) / 1e9
+            val q0 = System.nanoTime()
+            group.foreach(n =>
+              try run(n)
+              catch { case e: Throwable =>
+                System.err.println(s"[bench] soak $n: ${e.getMessage}") })
+            val querySec = (System.nanoTime() - q0) / 1e9
+            s"""{"cycle":$i,"load_sec":$loadSec,"query_sec":$querySec}"""
+          }
+          cycles.mkString("[", ",", "]")
+        } finally {
+          scala.util.Using(java.nio.file.Files.walk(tmp)) { st =>
+            st.sorted(java.util.Comparator.reverseOrder())
+              .forEach(p =>
+                try java.nio.file.Files.delete(p)
+                catch { case _: Exception => () })
+          }
         }
-        // soak data is throwaway; close the walk stream and keep deleting
-        // past individual failures
-        scala.util.Using(java.nio.file.Files.walk(tmp)) { st =>
-          st.sorted(java.util.Comparator.reverseOrder())
-            .forEach(p =>
-              try java.nio.file.Files.delete(p)
-              catch { case _: Exception => () })
-        }
-        cycles.mkString("[", ",", "]")
       } catch { case e: Throwable =>
         System.err.println(s"[bench] soak failed: ${e.getMessage}")
         "[]"

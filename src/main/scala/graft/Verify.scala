@@ -23,11 +23,21 @@ object Verify {
         failed += name
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
         // delete any output from a previous run: a stale parquet dir would
-        // silently pass the oracle compare for a now-broken query
-        val dir = Paths.get(s"$outDir/$name")
-        if (Files.exists(dir))
-          Files.walk(dir).sorted(java.util.Comparator.reverseOrder())
-            .forEach(p => Files.delete(p))
+        // silently pass the oracle compare for a now-broken query. The
+        // cleanup itself must not abort the run (a locked/partial file would
+        // otherwise skip every later query AND the oracle_sql.json emission).
+        try {
+          val dir = Paths.get(s"$outDir/$name")
+          if (Files.exists(dir))
+            scala.util.Using(Files.walk(dir)) { st =>
+              st.sorted(java.util.Comparator.reverseOrder())
+                .forEach(p =>
+                  try Files.delete(p)
+                  catch { case _: Exception => () })
+            }
+        } catch { case c: Throwable =>
+          System.err.println(s"[verify] $name stale-output cleanup: $c")
+        }
       }
     }
     if (failed.nonEmpty)

@@ -156,7 +156,13 @@ object MySqlFunctions {
   /** MAKETIME(h, m, s) → 'HH:MM:SS' string. Out-of-range minute/second →
     * NULL; an hour beyond ±838 saturates the whole TIME to ±838:59:59
     * (reference: utils/funcexp/func_maketime.cpp:160-183, matching MySQL's
-    * TIME range endpoint). */
+    * TIME range endpoint).
+    *
+    * Known deviation from MySQL proper (reference-faithful on purpose): for
+    * single-digit negative hours the reference's snprintf("%02d", h) counts
+    * the sign toward the field width, so maketime(-5,10,10) = '-5:10:10'
+    * where MySQL returns '-05:10:10'. We pin the reference behavior
+    * (FunctionsSpec "maketime negative hours"). */
   def makeTime(h: Column, m: Column, s: Column): Column = {
     val h0 = h.cast("long")
     val m0 = m.cast("long")

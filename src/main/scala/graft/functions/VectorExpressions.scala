@@ -75,10 +75,16 @@ object VectorKernels {
       while (p < p0) {
         var i = 0
         while (i < n0) {
-          // deterministic pseudo-gaussian weight in [-1,1) from FNV of (p,i)
-          val h = Fnv64.hashBytes(Array(
+          // deterministic pseudo-uniform weight in [-1,1) from FNV of (p,i).
+          // The murmur finalizer is LOAD-BEARING: raw FNV over these four
+          // low-entropy bytes has no avalanche — each weight decomposes into
+          // a per-plane constant plus a term depending only on the low bits
+          // of i, which made plane SIGNS repeat with period 8 and collapsed
+          // 2^16 buckets into a handful (caught by the non-adjacent
+          // planted-dup recall test).
+          val h = Fnv64.mix(Fnv64.hashBytes(Array(
             (p & 0xff).toByte, ((p >> 8) & 0xff).toByte,
-            (i & 0xff).toByte, ((i >> 8) & 0xff).toByte), s0)
+            (i & 0xff).toByte, ((i >> 8) & 0xff).toByte), s0))
           w(p * n0 + i) = h.toDouble / Long.MaxValue.toDouble
           i += 1
         }

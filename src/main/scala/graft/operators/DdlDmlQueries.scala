@@ -40,8 +40,10 @@ object DdlDmlQueries {
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p))
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => Files.delete(q))
+      scala.util.Using.resource(Files.walk(p)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.delete(q))
+      }
 
   /** CTAS → read back (reference: CREATE TABLE ddl.y:233 + INSERT_SELECT
     * path exemgr/main.cpp:582). */
@@ -318,6 +320,39 @@ object DdlDmlQueries {
       FROM orders GROUP BY year(o_orderdate) ORDER BY partition""")
   )
 
+  /** Partition lifecycle — the caldisablepartitions / calenablepartitions /
+    * caldroppartitions analog (reference:
+    * dbcon/mysql/ha_calpont_partition.cpp:790-894; ddl.y partition
+    * mark/drop/restore): disable 1996 (offline, data intact), re-enable it,
+    * then drop 1998 outright. The final read must show every year EXCEPT
+    * 1998 — a wrong enable or a wrong drop both hash-mismatch. Dropping is
+    * a directory delete, never a table rewrite, which is what makes
+    * retention deletes O(1) at 100 TB. */
+  val dropPartition: QueryDef = QueryDef(
+    "d_drop_partition",
+    (s, dir) => {
+      val cat = new Catalog(s, scratch("droppart"))
+      cat.createTablePartitionedAs("orders_part",
+        t(s, dir, "orders").withColumn("o_year", year(col("o_orderdate"))),
+        "o_year")
+      cat.disablePartition("orders_part", "o_year=1996")
+      cat.enablePartition("orders_part", "o_year=1996")
+      cat.disablePartition("orders_part", "o_year=1998")
+      cat.dropPartition("orders_part", "o_year=1998")
+      cat.table("orders_part")
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double")
+            .as("total"))
+        .orderBy(col("o_year"))
+    },
+    oracle = Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders WHERE year(o_orderdate) <> 1998
+      GROUP BY 1 ORDER BY o_year""")
+  )
+
   /** Table-stats introspection — the calgetstats analog
     * (reference: dbcon/mysql/ha_calpont_udf.cpp calgetstats): per-column
     * row/null/distinct counts and min/max, i.e. the stats the extent map
@@ -349,5 +384,5 @@ object DdlDmlQueries {
 
   def defs: Seq[QueryDef] = Seq(ctasRoundtrip, insertIntoSelect, updateDelete,
     alterTable, csvRoundtrip, loaderRejects, crossEngine, bucketedJoin,
-    partitionedWrite, showPartitions, tableStats)
+    partitionedWrite, showPartitions, dropPartition, tableStats)
 }

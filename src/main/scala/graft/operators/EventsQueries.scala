@@ -245,6 +245,42 @@ object EventsQueries {
       GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Streaming session windows end-to-end, driver-verifiable: the events
+    * stream through session_window(gap=10min) with exact decimal sums in
+    * complete-mode foreachBatch, so the final state equals the batch
+    * answer. Note session_window semantics differ from the lag-based
+    * sessionize on two points the oracle mirrors exactly: a gap EQUAL to
+    * 10min starts a new session (window overlap is strict), and
+    * session_end = last event + gap. */
+  val streamSession: QueryDef = QueryDef(
+    "x_stream_session",
+    (s, dir) => {
+      val out = runAvailableNow(s, dir, "stream_session", complete = true)(
+        graft.streaming.EventsStream.sessionWindows(_, exactSums = true))
+      s.read.parquet(out)
+        .orderBy(col("user_id"), col("session_start"))
+    },
+    oracle = Some("""
+      WITH o AS (SELECT user_id, event_id, ts::TIMESTAMP AS ts, value,
+                        lag(ts::TIMESTAMP) OVER (PARTITION BY user_id
+                          ORDER BY ts::TIMESTAMP, event_id) AS prev
+                 FROM events),
+           f AS (SELECT *, CASE WHEN prev IS NULL
+                                  OR epoch_us(ts) - epoch_us(prev) >= 600000000
+                                THEN 1 ELSE 0 END AS nf
+                 FROM o),
+           s AS (SELECT *, sum(nf) OVER (PARTITION BY user_id
+                   ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+                 FROM f)
+      SELECT min(ts) AS session_start,
+             max(ts) + INTERVAL 10 MINUTE AS session_end,
+             user_id, count(*) AS n_events,
+             CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) AS sum_value
+      FROM s GROUP BY user_id, sid
+      ORDER BY user_id, session_start""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
-    dedupKeyed, leaderboard, streamTumbling, streamDedup)
+    dedupKeyed, leaderboard, streamTumbling, streamDedup, streamSession)
 }

@@ -220,7 +220,44 @@ object FilterQueries {
       GROUP BY l_orderkey ORDER BY l_orderkey""")
   )
 
+  /** Unsigned BIGINT boundary: the reference's UBIGINT maps to
+    * DECIMAL(20,0) (SURVEY §1.3, reference:
+    * dbcon/execplan/calpontsystemcatalog.h:129-158 UBIGINT) — exercise
+    * values ABOVE Long.MaxValue end to end: construction, comparison
+    * filtering, min/max/sum aggregation, all in exact decimal space. */
+  val unsignedBigint: QueryDef = QueryDef(
+    "f_unsigned_bigint",
+    (s, dir) => {
+      val longMax = new java.math.BigDecimal("9223372036854775807")
+      val ubig = (col("o_orderkey").cast("decimal(20,0)") +
+        lit(longMax).cast("decimal(20,0)")).cast("decimal(20,0)")
+      t(s, dir, "orders")
+        .select(ubig.as("ubig"))
+        // predicate strictly above the int64 range: proves comparisons
+        // don't round-trip through Long anywhere
+        .filter(col("ubig") > lit(new java.math.BigDecimal(
+          "9223372036854775900")).cast("decimal(20,0)"))
+        // results rendered as decimal strings: exact above-int64 values
+        // survive the comparison layer byte-for-byte (DuckDB's pandas
+        // bridge degrades >18-digit decimals to float64)
+        .agg(count(lit(1)).as("n"),
+          min(col("ubig")).cast("decimal(20,0)").cast("string").as("min_ubig"),
+          max(col("ubig")).cast("decimal(20,0)").cast("string").as("max_ubig"),
+          sum(col("ubig")).cast("decimal(38,0)").cast("string").as("sum_ubig"))
+    },
+    oracle = Some("""
+      WITH u AS (SELECT CAST(CAST(o_orderkey AS DECIMAL(20,0)) +
+                             CAST(9223372036854775807 AS DECIMAL(20,0))
+                        AS DECIMAL(20,0)) AS ubig
+                 FROM orders)
+      SELECT count(*) AS n,
+             CAST(CAST(min(ubig) AS DECIMAL(20,0)) AS VARCHAR) AS min_ubig,
+             CAST(CAST(max(ubig) AS DECIMAL(20,0)) AS VARCHAR) AS max_ubig,
+             CAST(CAST(sum(ubig) AS DECIMAL(38,0)) AS VARCHAR) AS sum_ubig
+      FROM u WHERE ubig > CAST(9223372036854775900 AS DECIMAL(20,0))""")
+  )
+
   def defs: Seq[QueryDef] = Seq(predicateMatrix, likePatterns,
     constantFilterOrChain, nullSemantics, whereFalse, constantProjection,
-    casts, pruneProject)
+    casts, pruneProject, unsignedBigint)
 }

@@ -600,6 +600,11 @@ object ScalarFunctionQueries {
           makeTime(col("p_partkey") % 24, col("p_partkey") % 60,
             (col("p_partkey") * 7) % 60).as("f_maketime"),
           makeTime(lit(5), lit(75), lit(10)).as("f_maketime_bad_min"),
+          // negative hours keep the reference's snprintf %02d behavior:
+          // the sign counts toward the width, so -5 prints as '-5', and
+          // hours beyond -838 saturate to the TIME range endpoint
+          makeTime(lit(-5), lit(10), lit(10)).as("f_maketime_neg"),
+          makeTime(lit(-900), lit(1), lit(1)).as("f_maketime_neg_sat"),
           getFormat("DATE", "USA").as("f_fmt_date_usa"),
           getFormat("DATETIME", "EUR").as("f_fmt_dt_eur"),
           getFormat("TIME", "ISO").as("f_fmt_time_iso"),
@@ -616,6 +621,8 @@ object ScalarFunctionQueries {
                lpad(CAST((p_partkey * 7) % 60 AS VARCHAR), 2, '0')
                AS f_maketime,
              CAST(NULL AS VARCHAR) AS f_maketime_bad_min,
+             '-5:10:10' AS f_maketime_neg,
+             '-838:59:59' AS f_maketime_neg_sat,
              '%m.%d.%Y' AS f_fmt_date_usa,
              '%Y-%m-%d %H.%i.%s' AS f_fmt_dt_eur,
              '%H:%i:%s' AS f_fmt_time_iso,

@@ -94,7 +94,13 @@ object VectorQueries {
     "x_ann_lsh_topk",
     (s, dir) => {
       val tables = 4
-      val planes = 16
+      // bucket granularity must track corpus density: 2^planes buckets per
+      // table should be ~n/target_bucket_size, so planes ≈ log2(n) - 1 — at
+      // the test corpus (500-2000 vectors) 8 planes keeps buckets at 2-8
+      // members; a billion-vector corpus would use ~24. (16 planes here
+      // gives singleton buckets and zero candidates on near-orthogonal
+      // data.)
+      val planes = 8
       val base = emb(s, dir)
       // ids only through the explode: (vec, table, bucket)
       val corpusBuckets = base.select(col("vec_id"),
@@ -135,6 +141,74 @@ object VectorQueries {
         .orderBy(col("q_id"), col("rk"))
     },
     oracle = None // LSH bucketing is graft-specific — recall checked in VectorSpec
+  )
+
+  /** IVF-style ANN: a coarse k-means quantizer (deterministic hash init +
+    * 2 Lloyd iterations, centroids always broadcast — never a shuffle of
+    * the corpus by centroid), then each query probes its `nprobe` nearest
+    * centroids and scans only those inverted lists. This is the other
+    * standard ANN scale path next to LSH (x_ann_lsh_topk): at 100 TB the
+    * corpus stays partitioned, the k×64-float centroid table is the only
+    * broadcast state, and candidate volume is corpus_size × nprobe / k.
+    * Recall vs the exact brute-force baseline is asserted in
+    * VectorTextSpec. */
+  val ivfTopK: QueryDef = QueryDef(
+    "x_ann_ivf_topk",
+    (s, dir) => {
+      val k = 16
+      val nprobe = 4
+      val iters = 2
+      val dims = 64
+      val base = emb(s, dir)
+      def centroidsOf(assign: DataFrame): DataFrame =
+        assign.join(base, Seq("vec_id"))
+          .groupBy(col("cid"))
+          .agg(count(lit(1)).as("n"),
+            array((0 until dims).map(i =>
+              sum(col("embedding").getItem(i))).toIndexedSeq: _*)
+              .as("sum_vec"))
+          .select(col("cid"),
+            expr("transform(sum_vec, v -> float(v / n))")
+              .cast("array<float>").as("centroid"))
+      def reassign(cents: DataFrame): DataFrame =
+        base.crossJoin(broadcast(cents))
+          .select(col("vec_id"), col("cid"),
+            cosineSim(col("embedding"), col("centroid")).as("ccos"))
+          .groupBy(col("vec_id"))
+          // argmax via struct max: highest cosine wins, ties to larger cid
+          .agg(max(struct(col("ccos"), col("cid"))).getField("cid").as("cid"))
+      // init: deterministic hash of the id — no driver-side sampling, no
+      // global sort, works identically at any corpus size
+      var assign = base.select(col("vec_id"),
+        pmod(hash(col("vec_id")), lit(k)).as("cid"))
+      for (_ <- 1 to iters) assign = reassign(centroidsOf(assign))
+      val cents = centroidsOf(assign)
+      val queries = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wp = Window.partitionBy(col("q_id"))
+        .orderBy(col("qcos").desc, col("cid"))
+      val probes = queries.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cid"),
+          cosineSim(col("q_emb"), col("centroid")).as("qcos"))
+        .withColumn("rk", row_number().over(wp))
+        .filter(col("rk") <= nprobe)
+        .select(col("q_id"), col("cid"))
+      val cands = assign.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+        .distinct()
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      cands.join(base, Seq("vec_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineSim(col("q_emb"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    oracle = None // IVF assignment is graft-specific — recall in VectorSpec
   )
 
   /** Centroid search: per-label mean vector (array aggregation via
@@ -188,5 +262,6 @@ object VectorQueries {
       FROM r WHERE rk <= 3 ORDER BY label, rk""")
   )
 
-  def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, centroids)
+  def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
+    centroids)
 }

@@ -278,6 +278,52 @@ object WindowQueries {
       FROM supplier ORDER BY s_suppkey""")
   )
 
+  /** LEAD/LAG/FIRST/LAST/NTH_VALUE with IGNORE NULLS (reference:
+    * wf_lead_lag.cpp RESPECT|IGNORE NULLS flag; wf_nth_value.cpp). The
+    * testdata has no NULLs, so every third price is nulled out first —
+    * each output column must skip those rows, not return them. */
+  val ignoreNulls: QueryDef = QueryDef(
+    "w_ignore_nulls",
+    (s, dir) => {
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val wf =
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      t(s, dir, "orders")
+        .filter(col("o_custkey") < 300)
+        .withColumn("price_n",
+          when(col("o_orderkey") % 3 === 0, lit(null).cast("double"))
+            .otherwise(col("o_totalprice")))
+        .select(col("o_custkey"), col("o_orderkey"), col("price_n"),
+          lag(col("price_n"), 1, null, ignoreNulls = true).over(w)
+            .as("prev_nn"),
+          lead(col("price_n"), 1, null, ignoreNulls = true).over(w)
+            .as("next_nn"),
+          first(col("price_n"), ignoreNulls = true).over(wf).as("first_nn"),
+          last(col("price_n"), ignoreNulls = true).over(wf).as("last_nn"),
+          nth_value(col("price_n"), 2, ignoreNulls = true).over(wf)
+            .as("second_nn"))
+        .orderBy(col("o_custkey"), col("o_orderkey"))
+    },
+    oracle = Some("""
+      WITH o AS (SELECT o_custkey, o_orderkey, o_orderdate,
+                        CASE WHEN o_orderkey % 3 = 0 THEN NULL
+                             ELSE o_totalprice END AS price_n
+                 FROM orders WHERE o_custkey < 300)
+      SELECT o_custkey, o_orderkey, price_n,
+             lag(price_n, 1 IGNORE NULLS) OVER w AS prev_nn,
+             lead(price_n, 1 IGNORE NULLS) OVER w AS next_nn,
+             first_value(price_n IGNORE NULLS) OVER wf AS first_nn,
+             last_value(price_n IGNORE NULLS) OVER wf AS last_nn,
+             nth_value(price_n, 2 IGNORE NULLS) OVER wf AS second_nn
+      FROM o
+      WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey),
+             wf AS (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      ORDER BY o_custkey, o_orderkey""")
+  )
+
   def defs: Seq[QueryDef] = Seq(ranking, rankTies, rowsFrames, rangeFrames,
-    offsets, ntileBuckets, percentiles, distinctOverWindow, nullsOrdering)
+    offsets, ntileBuckets, percentiles, distinctOverWindow, nullsOrdering,
+    ignoreNulls)
 }

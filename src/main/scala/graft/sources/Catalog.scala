@@ -44,6 +44,48 @@ class Catalog(spark: SparkSession, root: String) {
     tables.put(name, df.schema)
   }
 
+  /** CREATE TABLE AS SELECT, Hive-partitioned on `partCol` — the directory
+    * layout that replaces the reference's extent-map partition placement
+    * (reference: versioning/BRM/extentmap.h:116-132 partition/segment in
+    * EMEntry). */
+  def createTablePartitionedAs(name: String, df: DataFrame,
+      partCol: String): Unit = {
+    require(!tables.contains(name), s"table $name already exists")
+    df.write.partitionBy(partCol).mode(SaveMode.Overwrite)
+      .parquet(tablePath(name))
+    tables.put(name, table0(name).schema)
+  }
+
+  private def partDir(name: String, spec: String): Path =
+    Paths.get(tablePath(name), spec)
+
+  /** caldisablepartitions analog (reference:
+    * dbcon/mysql/ha_calpont_partition.cpp:790-894 partition mark): take a
+    * partition offline without deleting it, by renaming its directory to a
+    * dot-prefixed name Spark's file listing ignores. `spec` is the
+    * Hive-style dir name, e.g. "o_year=1995". */
+  def disablePartition(name: String, spec: String): Unit = {
+    val d = partDir(name, spec)
+    require(Files.exists(d), s"no partition $spec in table $name")
+    Files.move(d, d.resolveSibling("." + d.getFileName.toString))
+  }
+
+  /** calenablepartitions analog: bring a disabled partition back online. */
+  def enablePartition(name: String, spec: String): Unit = {
+    val d = partDir(name, spec)
+    val hidden = d.resolveSibling("." + d.getFileName.toString)
+    require(Files.exists(hidden), s"partition $spec of $name is not disabled")
+    Files.move(hidden, d)
+  }
+
+  /** caldroppartitions analog: permanently remove a partition (live or
+    * disabled) — a directory delete, never a table rewrite. */
+  def dropPartition(name: String, spec: String): Unit = {
+    val d = partDir(name, spec)
+    deleteRecursively(d)
+    deleteRecursively(d.resolveSibling("." + d.getFileName.toString))
+  }
+
   def table(name: String): DataFrame = {
     val schema = tables.getOrElse(name,
       throw new IllegalArgumentException(s"no such table: $name"))
@@ -133,10 +175,10 @@ class Catalog(spark: SparkSession, root: String) {
 
   def listTables: Seq[String] = tables.keys.toSeq.sorted
 
-  private def deleteRecursively(p: Path): Unit = {
-    if (Files.exists(p)) {
-      Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .forEach(q => Files.delete(q))
-    }
-  }
+  private def deleteRecursively(p: Path): Unit =
+    if (Files.exists(p))
+      scala.util.Using.resource(Files.walk(p)) { st =>
+        st.sorted(java.util.Comparator.reverseOrder())
+          .forEach(q => Files.delete(q))
+      }
 }

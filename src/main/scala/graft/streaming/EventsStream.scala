@@ -62,17 +62,25 @@ object EventsStream {
 
   /** Session windows with a 10-minute gap (dual of
     * EventsQueries.sessionize) — built-in session_window keeps state only
-    * for open sessions. */
+    * for open sessions. With `exactSums` the value column sums through
+    * exact DECIMAL so output is byte-identical regardless of
+    * micro-batch/session-merge order (what the oracle-gated
+    * x_stream_session needs). */
   def sessionWindows(events: DataFrame,
       gap: String = "10 minutes",
-      watermark: String = "10 minutes"): DataFrame =
+      watermark: String = "10 minutes",
+      exactSums: Boolean = false): DataFrame = {
+    val sumValue =
+      if (exactSums) sum(col("value").cast("decimal(28,10)")).cast("double")
+      else sum(col("value"))
     events
       .withWatermark("ts", watermark)
       .groupBy(session_window(col("ts"), gap), col("user_id"))
-      .agg(count(lit(1)).as("n_events"), sum(col("value")).as("sum_value"))
+      .agg(count(lit(1)).as("n_events"), sumValue.as("sum_value"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col("user_id"),
         col("n_events"), col("sum_value"))
+  }
 
   /** Event dedup by event_id alone within the watermark horizon — a
     * redelivered id with a re-stamped timestamp still dedups (state = ids

@@ -80,4 +80,28 @@ class CatalogSpec extends GraftSuite {
       .orderBy("id").collect()
     assert(rows(0).getString(1) == "x;y")
   }
+
+  test("partition disable/enable/drop lifecycle") {
+    val cat = freshCatalog()
+    val df = (0L until 30L).map(i => (i, i % 3)).toDF("id", "pk")
+    cat.createTablePartitionedAs("pt", df, "pk")
+    assert(cat.table("pt").count() == 30)
+    // disable takes the partition offline but keeps the data
+    cat.disablePartition("pt", "pk=0")
+    assert(cat.table("pt").count() == 20)
+    assert(cat.table("pt").filter(col("pk") === 0).count() == 0)
+    // enable restores it byte-identically
+    cat.enablePartition("pt", "pk=0")
+    assert(cat.table("pt").count() == 30)
+    // drop removes it permanently — also when currently disabled
+    cat.disablePartition("pt", "pk=1")
+    cat.dropPartition("pt", "pk=1")
+    assert(cat.table("pt").count() == 20)
+    cat.dropPartition("pt", "pk=2")
+    assert(cat.table("pt").select("pk").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(0))
+    // guards: unknown partition / not-disabled partition
+    intercept[IllegalArgumentException](cat.disablePartition("pt", "pk=9"))
+    intercept[IllegalArgumentException](cat.enablePartition("pt", "pk=0"))
+  }
 }

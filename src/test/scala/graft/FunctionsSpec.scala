@@ -192,6 +192,8 @@ class FunctionsSpec extends GraftSuite {
       makeTime(lit(12), lit(15), lit(30)).as("mt"),
       makeTime(lit(900), lit(0), lit(0)).as("mt_clamp"),
       makeTime(lit(1), lit(61), lit(0)).as("mt_bad"),
+      makeTime(lit(-5), lit(10), lit(10)).as("mt_neg"),
+      makeTime(lit(-900), lit(1), lit(1)).as("mt_neg_clamp"),
       getFormat("TIME", "USA").as("fmt"),
       getFormat("DATE", "nope").as("fmt_bad")).collect()(0)
     assert(r.getLong(0) == 3259397556L) // MySQL doc: CRC32('MySQL')
@@ -199,8 +201,12 @@ class FunctionsSpec extends GraftSuite {
     assert(r.getString(2) == "12:15:30")
     assert(r.getString(3) == "838:59:59") // saturates to the TIME endpoint
     assert(r.isNullAt(4))
-    assert(r.getString(5) == "%h:%i:%s %p")
-    assert(r.isNullAt(6))
+    // reference-faithful deviation from MySQL proper: snprintf %02d counts
+    // the sign toward the width (MySQL would print '-05:10:10')
+    assert(r.getString(5) == "-5:10:10")
+    assert(r.getString(6) == "-838:59:59")
+    assert(r.getString(7) == "%h:%i:%s %p")
+    assert(r.isNullAt(8))
   }
 
   test("custom expressions work through SQL and inside lambdas") {
