@@ -75,6 +75,57 @@ object DedupQueries {
       ORDER BY a.doc_id""")
   )
 
+  /** DuckDB reimplementation of the MinHash signature + banding pipeline
+    * (mirrors HashKernels.minhash exactly): FNV-1a 64 per token folded in
+    * HUGEINT wrap arithmetic, the murmur finalizer's two 64×64-bit
+    * multiplies emulated by 32-bit split multiplication mod 2^64, signed
+    * min per hash slot (Scala Long comparison is signed), then 8 bands
+    * keyed on the raw 4-long signature slices — byte-identical to the
+    * Spark side, so the driver's hash gate covers the custom kernel too.
+    * Constants: 14695981039346656037=FNV offset, 1099511628211=FNV prime,
+    * 11400714819323198485=golden-ratio increment, 18397679294719823053 /
+    * 14181476777654086739=murmur mix multipliers (3981806797 / 444984403
+    * are their low 32 bits). */
+  private val minhashBandsSql = """
+      WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+                 FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+      fh AS (SELECT doc_id,
+               list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(1, length(tok)+1),
+                                i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))),
+                 (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT
+                            * 1099511628211) % 18446744073709551616) AS fh
+             FROM tok),
+      z0 AS (SELECT doc_id, j,
+               (fh + (j+1) * CAST(11400714819323198485 AS HUGEINT))
+                 % 18446744073709551616 AS z
+             FROM fh CROSS JOIN (SELECT unnest(range(0, 32)) AS j) js),
+      x0 AS (SELECT doc_id, j,
+               xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM z0),
+      m1 AS (SELECT doc_id, j,
+               ((z % 4294967296) * CAST(18397679294719823053 AS HUGEINT)
+                + ((z // 4294967296) * 3981806797 % 4294967296) * 4294967296)
+               % 18446744073709551616 AS z FROM x0),
+      x1 AS (SELECT doc_id, j,
+               xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM m1),
+      m2 AS (SELECT doc_id, j,
+               ((z % 4294967296) * CAST(14181476777654086739 AS HUGEINT)
+                + ((z // 4294967296) * 444984403 % 4294967296) * 4294967296)
+               % 18446744073709551616 AS z FROM x1),
+      x2 AS (SELECT doc_id, j,
+               xor(z::UBIGINT, z::UBIGINT >> 33) AS u FROM m2),
+      hs AS (SELECT doc_id, j,
+               CAST(CASE WHEN u >= 9223372036854775808
+                         THEN u::HUGEINT - 18446744073709551616
+                         ELSE u::HUGEINT END AS BIGINT) AS h FROM x2),
+      sig AS (SELECT doc_id, j, min(h) AS h FROM hs GROUP BY doc_id, j),
+      sigs AS (SELECT doc_id, list(h ORDER BY j) AS sig FROM sig
+               GROUP BY doc_id),
+      bands AS (SELECT doc_id, b, sig[4*b+1] AS h0, sig[4*b+2] AS h1,
+                       sig[4*b+3] AS h2, sig[4*b+4] AS h3
+                FROM sigs CROSS JOIN (SELECT unnest(range(0, 8)) AS b) bs)"""
+
   /** MinHash + LSH banding near-dup detection: k=32 hashes, 8 bands × 4.
     * Candidate pairs come only from band-bucket equi-joins; each candidate
     * is verified with exact token-set Jaccard. Output is per-doc (always
@@ -86,21 +137,25 @@ object DedupQueries {
         .select(col("doc_id"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sig", minhashSig(col("toks"), 32))
+      // band key = the raw 4-long signature slice (a struct), not an opaque
+      // re-hash: same shuffle properties, zero collision risk, and the
+      // DuckDB oracle can rebuild the identical key
       val bands = base.select(col("doc_id"),
           posexplode(expr("transform(sequence(0, 7), " +
-            "b -> hash(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]))")))
+            "b -> struct(sig[b*4] AS h0, sig[b*4+1] AS h1, " +
+            "sig[b*4+2] AS h2, sig[b*4+3] AS h3))")))
         .withColumnRenamed("pos", "band_id")
-        .withColumnRenamed("col", "band_hash")
+        .withColumnRenamed("col", "band_key")
       // Pair each bucket member with the bucket's representative (min doc)
       // instead of all-pairs: candidates are O(docs × bands) even when a
       // bucket is huge, which is what survives a 100 TB homogeneous corpus
       // (all-pairs in a hot bucket is O(n²)). Transitive dups still land on
       // the same representative, so cluster membership is preserved.
-      val reps = bands.groupBy(col("band_id"), col("band_hash"))
+      val reps = bands.groupBy(col("band_id"), col("band_key"))
         .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("bucket_n"))
         .filter(col("bucket_n") > 1)
       val pairs = bands
-        .join(reps, Seq("band_id", "band_hash"))
+        .join(reps, Seq("band_id", "band_key"))
         .filter(col("doc_id") =!= col("rep_id"))
         .select(col("rep_id").as("a"), col("doc_id").as("b"))
         .distinct()
@@ -127,7 +182,25 @@ object DedupQueries {
           coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"))
         .orderBy(col("doc_id"))
     },
-    oracle = None // custom minhash signature — verified in DedupSpec instead
+    oracle = Some(minhashBandsSql + """,
+      reps AS (SELECT b, h0, h1, h2, h3, min(doc_id) AS rep_id
+               FROM bands GROUP BY b, h0, h1, h2, h3 HAVING count(*) > 1),
+      pairs AS (SELECT DISTINCT r.rep_id AS pa, x.doc_id AS pb
+                FROM bands x JOIN reps r USING (b, h0, h1, h2, h3)
+                WHERE x.doc_id <> r.rep_id),
+      scored AS (SELECT pa, pb,
+                   CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) /
+                   len(list_distinct(list_concat(da.toks, db.toks))) AS jaccard
+                 FROM pairs
+                 JOIN d da ON da.doc_id = pa
+                 JOIN d db ON db.doc_id = pb),
+      per AS (SELECT unnest([pa, pb]) AS doc_id, jaccard FROM scored),
+      agg AS (SELECT doc_id, count(*) AS n_candidates,
+                     max(jaccard) AS best_jaccard
+              FROM per GROUP BY doc_id)
+      SELECT d.doc_id, coalesce(agg.n_candidates, 0) AS n_candidates,
+             coalesce(agg.best_jaccard, 0.0) AS best_jaccard
+      FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
   )
 
   /** SimHash near-dup: 64-bit fingerprint per doc (custom codegen'd
@@ -167,7 +240,56 @@ object DedupQueries {
           coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
         .orderBy(col("doc_id"))
     },
-    oracle = None // custom simhash — verified in DedupSpec instead
+    // DuckDB rebuilds the 64-bit simhash bit-exactly: FNV-1a per raw token
+    // (duplicates kept — simhash votes are weighted by occurrence), ±1
+    // votes per bit position, sign-pack through UBIGINT, then the same
+    // 4×16-bit chunk banding + hamming filter (bit_count of signed xor
+    // matches Long.bitCount).
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
+      fh AS (SELECT doc_id,
+               list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(1, length(tok)+1),
+                                i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))),
+                 (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT
+                            * 1099511628211) % 18446744073709551616) AS fh
+             FROM tok),
+      votes AS (SELECT doc_id, b,
+                  sum(CASE WHEN ((fh::UBIGINT >> b) & 1) = 1
+                           THEN 1 ELSE -1 END) AS v
+                FROM fh CROSS JOIN (SELECT unnest(range(0, 64)) AS b) bs
+                GROUP BY doc_id, b),
+      shu AS (SELECT doc_id,
+                sum(CASE WHEN v > 0
+                         THEN (CAST(1 AS UBIGINT) << b)::HUGEINT
+                         ELSE 0 END) AS z
+              FROM votes GROUP BY doc_id),
+      sh AS (SELECT doc_id,
+               CAST(CASE WHEN z >= 9223372036854775808
+                         THEN z - 18446744073709551616
+                         ELSE z END AS BIGINT) AS simhash,
+               z::UBIGINT AS zu
+             FROM shu),
+      chunks AS (SELECT doc_id, c,
+                   CAST((zu >> (16*c)) & 65535 AS BIGINT) AS cv
+                 FROM sh CROSS JOIN (SELECT unnest(range(0, 4)) AS c) cs),
+      reps AS (SELECT c, cv, min(doc_id) AS rep_id
+               FROM chunks GROUP BY c, cv HAVING count(*) > 1),
+      cand AS (SELECT DISTINCT r.rep_id AS pa, x.doc_id AS pb
+               FROM chunks x JOIN reps r USING (c, cv)
+               WHERE x.doc_id <> r.rep_id),
+      near AS (SELECT pa, pb FROM cand
+               JOIN sh sa ON sa.doc_id = pa
+               JOIN sh sb ON sb.doc_id = pb
+               WHERE bit_count(xor(sa.simhash, sb.simhash)) <= 12),
+      per AS (SELECT unnest([pa, pb]) AS doc_id FROM near),
+      agg AS (SELECT doc_id, count(*) AS n_near_dups
+              FROM per GROUP BY doc_id)
+      SELECT sh.doc_id, sh.simhash,
+             coalesce(agg.n_near_dups, 0) AS n_near_dups
+      FROM sh LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
   )
 
   /** Embedding-cosine near-dup: 4 independent LSH tables × 16 hyperplanes
@@ -221,7 +343,84 @@ object DedupQueries {
           coalesce(col("n_near_dups"), lit(0L)).as("n_near_dups"))
         .orderBy(col("vec_id"))
     },
-    oracle = None // LSH bucketing is graft-specific — verified in VectorSpec
+    // DuckDB rebuilds the whole path bit-exactly: hyperplane weights =
+    // murmur-mixed FNV of (plane, dim) bytes over seed 42+table, scaled by
+    // Long.MaxValue; dot products and cosines via list_reduce ordered folds
+    // (same IEEE operation order as the Scala kernel, so the sign tests and
+    // the 0.9 threshold see identical doubles).
+    oracle = Some("""
+      WITH e AS (SELECT vec_id, embedding FROM embeddings),
+      pit AS (SELECT t, p, i
+              FROM (SELECT unnest(range(0, 4)) AS t) ts,
+                   (SELECT unnest(range(0, 16)) AS p) ps,
+                   (SELECT unnest(range(0, 64)) AS i) dims),
+      wf AS (SELECT t, p, i,
+               list_reduce(list_prepend(
+                   xor(CAST(14695981039346656037 AS UBIGINT),
+                       CAST(42 + t AS UBIGINT))::HUGEINT,
+                   [CAST(p % 256 AS HUGEINT), CAST(p // 256 AS HUGEINT),
+                    CAST(i % 256 AS HUGEINT), CAST(i // 256 AS HUGEINT)]),
+                 (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT
+                            * 1099511628211) % 18446744073709551616) AS z
+             FROM pit),
+      wx0 AS (SELECT t, p, i,
+                xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM wf),
+      wm1 AS (SELECT t, p, i,
+                ((z % 4294967296) * CAST(18397679294719823053 AS HUGEINT)
+                 + ((z // 4294967296) * 3981806797 % 4294967296) * 4294967296)
+                % 18446744073709551616 AS z FROM wx0),
+      wx1 AS (SELECT t, p, i,
+                xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM wm1),
+      wm2 AS (SELECT t, p, i,
+                ((z % 4294967296) * CAST(14181476777654086739 AS HUGEINT)
+                 + ((z // 4294967296) * 444984403 % 4294967296) * 4294967296)
+                % 18446744073709551616 AS z FROM wx1),
+      w AS (SELECT t, p, i,
+              CAST(CASE WHEN xor(z::UBIGINT, z::UBIGINT >> 33)
+                             >= 9223372036854775808
+                        THEN xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT
+                             - 18446744073709551616
+                        ELSE xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT
+                   END AS BIGINT)::DOUBLE / 9223372036854775807 AS w
+            FROM wm2),
+      wl AS (SELECT t, p, list(w ORDER BY i) AS wv FROM w GROUP BY t, p),
+      dots AS (SELECT vec_id, t, p,
+                 list_reduce(list_transform(range(1, 65),
+                   i -> CAST(embedding[i] AS DOUBLE) * wv[i]),
+                   (a, b) -> a + b) AS s
+               FROM e CROSS JOIN wl),
+      buckets AS (SELECT vec_id, t,
+                    CAST(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END)
+                         AS INTEGER) AS bucket
+                  FROM dots GROUP BY vec_id, t),
+      chain AS (SELECT vec_id, t, bucket,
+                  lead(vec_id) OVER (PARTITION BY t, bucket
+                                     ORDER BY vec_id) AS nxt
+                FROM buckets),
+      cand AS (SELECT DISTINCT vec_id AS pa, nxt AS pb
+               FROM chain WHERE nxt IS NOT NULL),
+      cosed AS (SELECT pa, pb,
+                  list_reduce(list_transform(range(1, 65),
+                    i -> CAST(ea.embedding[i] AS DOUBLE)
+                         * CAST(eb.embedding[i] AS DOUBLE)),
+                    (x, y) -> x + y)
+                  / (sqrt(list_reduce(list_transform(range(1, 65),
+                       i -> CAST(ea.embedding[i] AS DOUBLE)
+                            * CAST(ea.embedding[i] AS DOUBLE)),
+                       (x, y) -> x + y))
+                     * sqrt(list_reduce(list_transform(range(1, 65),
+                         i -> CAST(eb.embedding[i] AS DOUBLE)
+                              * CAST(eb.embedding[i] AS DOUBLE)),
+                         (x, y) -> x + y))) AS c
+                FROM cand
+                JOIN e ea ON ea.vec_id = pa
+                JOIN e eb ON eb.vec_id = pb),
+      per AS (SELECT unnest([pa, pb]) AS vec_id FROM cosed WHERE c >= 0.9),
+      agg AS (SELECT vec_id, count(*) AS n_near_dups
+              FROM per GROUP BY vec_id)
+      SELECT b0.vec_id, b0.bucket, coalesce(agg.n_near_dups, 0) AS n_near_dups
+      FROM (SELECT vec_id, bucket FROM buckets WHERE t = 0) b0
+      LEFT JOIN agg USING (vec_id) ORDER BY vec_id""")
   )
 
   /** Cluster assignment: each doc's cluster id = the min representative
@@ -237,20 +436,28 @@ object DedupQueries {
         .withColumn("sig", minhashSig(col("toks"), 32))
       val bands = base.select(col("doc_id"),
           posexplode(expr("transform(sequence(0, 7), " +
-            "b -> hash(sig[b*4], sig[b*4+1], sig[b*4+2], sig[b*4+3]))")))
+            "b -> struct(sig[b*4] AS h0, sig[b*4+1] AS h1, " +
+            "sig[b*4+2] AS h2, sig[b*4+3] AS h3))")))
         .withColumnRenamed("pos", "band_id")
-        .withColumnRenamed("col", "band_hash")
-      val bucketMin = bands.groupBy(col("band_id"), col("band_hash"))
+        .withColumnRenamed("col", "band_key")
+      val bucketMin = bands.groupBy(col("band_id"), col("band_key"))
         .agg(min(col("doc_id")).as("bucket_min"))
       val clusterOf = bands
-        .join(bucketMin, Seq("band_id", "band_hash"))
+        .join(bucketMin, Seq("band_id", "band_key"))
         .groupBy(col("doc_id"))
         .agg(min(col("bucket_min")).as("cluster_id"))
       clusterOf
         .withColumn("is_cluster_head", col("doc_id") === col("cluster_id"))
         .orderBy(col("doc_id"))
     },
-    oracle = None // custom minhash signature — cluster sanity in DedupSpec
+    oracle = Some(minhashBandsSql + """,
+      bucket_min AS (SELECT b, h0, h1, h2, h3, min(doc_id) AS m
+                     FROM bands GROUP BY b, h0, h1, h2, h3),
+      cl AS (SELECT x.doc_id, min(bm.m) AS cluster_id
+             FROM bands x JOIN bucket_min bm USING (b, h0, h1, h2, h3)
+             GROUP BY x.doc_id)
+      SELECT doc_id, cluster_id, doc_id = cluster_id AS is_cluster_head
+      FROM cl ORDER BY doc_id""")
   )
 
   def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash,
