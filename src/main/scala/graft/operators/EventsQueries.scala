@@ -281,6 +281,37 @@ object EventsQueries {
       ORDER BY user_id, session_start""")
   )
 
+  /** Streaming sliding windows end-to-end, driver-verifiable: 1-hour
+    * windows every 30 minutes (each event lands in two), exact decimal
+    * sums, complete-mode foreachBatch → final state equals the batch
+    * answer. The average is emitted as exact-sum / count so micro-batch
+    * merge order can't perturb a byte. */
+  val streamSliding: QueryDef = QueryDef(
+    "x_stream_sliding",
+    (s, dir) => {
+      val out = runAvailableNow(s, dir, "stream_sliding", complete = true)(
+        _.withWatermark("ts", "10 minutes")
+          .groupBy(window(col("ts"), "1 hour", "30 minutes"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast("decimal(28,10)")).as("sum_dec"))
+          .select(col("window.start").as("window_start"), col("n"),
+            (col("sum_dec").cast("double") / col("n")).as("avg_value")))
+      s.read.parquet(out).orderBy(col("window_start"))
+    },
+    oracle = Some("""
+      WITH b AS (SELECT make_timestamp((epoch_us(ts::TIMESTAMP) // 1800000000)
+                                       * 1800000000) AS s1, value
+                 FROM events),
+           x AS (SELECT unnest([s1, s1 - INTERVAL 30 MINUTE])
+                          AS window_start, value
+                 FROM b)
+      SELECT window_start, count(*) AS n,
+             CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE) / count(*)
+               AS avg_value
+      FROM x GROUP BY window_start ORDER BY window_start""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
-    dedupKeyed, leaderboard, streamTumbling, streamDedup, streamSession)
+    dedupKeyed, leaderboard, streamTumbling, streamDedup, streamSession,
+    streamSliding)
 }

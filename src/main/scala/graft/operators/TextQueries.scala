@@ -223,6 +223,51 @@ object TextQueries {
       FROM signed ORDER BY doc_id""")
   )
 
+  /** The standard pretraining curation funnel composed end-to-end:
+    * quality gate (token count + token length) → language keep-list →
+    * exact dedup keeping the canonical (min doc_id per digest) → per-
+    * language yield stats. One window shuffle on the digest and one
+    * aggregation shuffle on lang — the whole funnel stays two shuffles at
+    * any corpus size. */
+  val curate: QueryDef = QueryDef(
+    "x_pipeline_curate",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val base = docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("avg_token_len",
+          (length(col("text")) - (col("n_tokens") - 1)).cast("double") /
+            col("n_tokens"))
+        .filter(col("n_tokens") >= 20 && col("avg_token_len").between(3, 10))
+        .filter(col("lang").isin("en", "de", "fr", "es"))
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      base.withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("total_tokens"),
+          avg(col("n_tokens")).as("avg_tokens"))
+        .orderBy(col("lang"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, lang, text,
+                        len(string_split(text, ' ')) AS n_tokens,
+                        CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                             AS DOUBLE) / len(string_split(text, ' '))
+                          AS avg_token_len
+                 FROM documents),
+      f AS (SELECT * FROM t
+            WHERE n_tokens >= 20 AND avg_token_len BETWEEN 3 AND 10
+              AND lang IN ('en', 'de', 'fr', 'es')),
+      d AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+            FROM f)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+             avg(n_tokens) AS avg_tokens
+      FROM d WHERE rn = 1 GROUP BY lang ORDER BY lang""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
-    fingerprint)
+    fingerprint, curate)
 }

@@ -134,7 +134,8 @@ class PlanSpec extends GraftSuite {
     // x_stream_* excluded: their returned DataFrame is only the read-back
     // of an already-terminated stream, so the assertion would inspect a
     // trivial scan while paying for two full streaming executions
-    val excluded = Set("x_stream_tumbling", "x_stream_dedup")
+    val excluded = Set("x_stream_tumbling", "x_stream_dedup",
+      "x_stream_session", "x_stream_sliding")
     QueryDef.all.filterNot(q => excluded(q.name)).foreach { q =>
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
