@@ -605,6 +605,13 @@ object ScalarFunctionQueries {
           // hours beyond -838 saturate to the TIME range endpoint
           makeTime(lit(-5), lit(10), lit(10)).as("f_maketime_neg"),
           makeTime(lit(-900), lit(1), lit(1)).as("f_maketime_neg_sat"),
+          // sha/sha1 + FORMAT(X,D) close out the §2.8 registry: sha1 against
+          // the FIPS-180 test vector (DuckDB has no sha1), sha2-256 per-row
+          // against DuckDB's sha256, and MySQL FORMAT's comma grouping via
+          // format_number
+          sha1(lit("abc")).as("f_sha1_const"),
+          sha2(col("p_name"), 256).as("f_sha256"),
+          format_number(col("p_retailprice") * 1000, 2).as("f_format"),
           getFormat("DATE", "USA").as("f_fmt_date_usa"),
           getFormat("DATETIME", "EUR").as("f_fmt_dt_eur"),
           getFormat("TIME", "ISO").as("f_fmt_time_iso"),
@@ -623,6 +630,10 @@ object ScalarFunctionQueries {
              CAST(NULL AS VARCHAR) AS f_maketime_bad_min,
              '-5:10:10' AS f_maketime_neg,
              '-838:59:59' AS f_maketime_neg_sat,
+             'a9993e364706816aba3e25717850c26c9cd0d89d' AS f_sha1_const,
+             sha256(p_name) AS f_sha256,
+             substr(printf('%.2f', p_retailprice * 1000), 1, 3) || ',' ||
+               substr(printf('%.2f', p_retailprice * 1000), 4) AS f_format,
              '%m.%d.%Y' AS f_fmt_date_usa,
              '%Y-%m-%d %H.%i.%s' AS f_fmt_dt_eur,
              '%H:%i:%s' AS f_fmt_time_iso,

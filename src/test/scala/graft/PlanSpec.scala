@@ -143,6 +143,15 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("curation funnel pushes the language keep-list into the scan") {
+    // the lang IN (…) filter must reach the parquet reader: at 100 TB the
+    // keep-list prunes row groups before any token math runs
+    val plan = formatted(operators.TextQueries.curate.run(spark, sf))
+    val pushed = plan.linesIterator
+      .filter(_.contains("PushedFilters")).mkString("\n")
+    assert(pushed.contains("In(lang") || pushed.contains("lang"), plan)
+  }
+
   test("where-false folds to an empty local relation (no scan)") {
     val plan = operators.FilterQueries.whereFalse.run(spark, sf)
       .queryExecution.optimizedPlan.toString
