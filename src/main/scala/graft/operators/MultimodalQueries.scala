@@ -8,14 +8,16 @@ import org.apache.spark.sql.functions._
   * columns + typed metadata, with decode / feature-extract / frame-sample
   * kernels run per-partition in batches.
   *
-  * The pixel/sample decode is STUBBED (no image/audio libraries in this
-  * container — see MediaKernels.decodeStub), but the container-format
-  * parsing is REAL: image rows carry a valid PNG signature + IHDR chunk and
-  * the kernel parses width/height from the bytes big-endian, exactly as a
-  * production decoder's header sniffing does. Everything around the stub —
-  * binary columns, schema, batched mapPartitions shape — is the real
-  * pipeline. At 100 TB the media bytes never leave their partition: the
-  * kernel is a map, and only small extracted features flow onward.
+  * The IMAGE path is a real codec: `x_media_pixel_decode` deflates, CRCs
+  * and filter-encodes genuine PNGs and decodes them back with the
+  * dependency-free PngCodec (JVM zlib + full filter reconstruction,
+  * cross-validated against the JDK's ImageIO in MultimodalSpec). The
+  * audio/video sample decode remains STUBBED (no such codecs in the JVM —
+  * see MediaKernels.decodeStub), but its container-format parsing is real
+  * header sniffing. Everything around the kernels — binary columns,
+  * schema, batched mapPartitions shape — is the real pipeline. At 100 TB
+  * the media bytes never leave their partition: the kernel is a map, and
+  * only small extracted features flow onward.
   */
 object MultimodalQueries {
 
@@ -175,5 +177,52 @@ object MultimodalQueries {
       ORDER BY doc_id, frame_idx""")
   )
 
-  def defs: Seq[QueryDef] = Seq(decodePipeline, frameSample)
+  /** REAL pixel decode end-to-end (upgrades the decodeStub pixel path):
+    * each row synthesizes a genuine PNG — deflate-compressed scanlines,
+    * per-row filters cycling through all five types, CRC-checked chunks —
+    * from a deterministic pixel formula, then the dependency-free
+    * PngCodec decoder (JVM zlib inflate + full filter reconstruction)
+    * recovers the pixels and emits features. The oracle recomputes the
+    * same features from the pixel formula, so a decoder that mangles any
+    * filter path hash-mismatches. Audio/video remain stubbed (no codecs
+    * in the JVM), images are now a real codec path. */
+  case class PixelFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, sum_pixels: Long, min_pixel: Int, max_pixel: Int)
+
+  val pixelDecode: QueryDef = QueryDef(
+    "x_media_pixel_decode",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (col("doc_id") % 64 + 1).cast("int").as("w"),
+          (col("n_chars") % 64 + 1).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+      rows.mapPartitions(_.map { case (id, w, h) =>
+        val png = graft.functions.PngCodec.encodeGray(w, h,
+          (x, y) => ((x * 31 + y * 17 + id) % 256).toInt)
+        val (dw, dh, px) = graft.functions.PngCodec.decodeGray(png)
+        val ints = px.map(_ & 0xff)
+        PixelFeatures(id, dw, dh, ints.length.toLong,
+          ints.foldLeft(0L)(_ + _), ints.min, ints.max)
+      }).toDF()
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 64 + 1 AS INTEGER) AS w,
+                        CAST(n_chars % 64 + 1 AS INTEGER) AS h
+                 FROM documents WHERE doc_id < 200),
+      gx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+      gxy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM gx),
+      px AS (SELECT doc_id, w, h, (x*31 + y*17 + doc_id) % 256 AS p FROM gxy)
+      SELECT doc_id, w AS width, h AS height,
+             count(*) AS n_pixels,
+             CAST(sum(p) AS BIGINT) AS sum_pixels,
+             CAST(min(p) AS INTEGER) AS min_pixel,
+             CAST(max(p) AS INTEGER) AS max_pixel
+      FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")
+  )
+
+  def defs: Seq[QueryDef] = Seq(decodePipeline, frameSample, pixelDecode)
 }

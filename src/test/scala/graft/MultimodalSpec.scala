@@ -1,0 +1,65 @@
+package graft
+
+import graft.functions.PngCodec
+import graft.operators.MultimodalQueries.MediaKernels
+
+class MultimodalSpec extends GraftSuite {
+
+  private def formula(id: Long)(x: Int, y: Int): Int =
+    ((x * 31 + y * 17 + id) % 256).toInt
+
+  test("png codec round-trips pixels through every filter type") {
+    // heights ≥ 5 force the encoder through all five per-row filters
+    for ((w, h) <- Seq((1, 1), (1, 7), (64, 5), (13, 29), (64, 64))) {
+      val png = PngCodec.encodeGray(w, h, formula(w * 1000L + h))
+      val (dw, dh, px) = PngCodec.decodeGray(png)
+      assert(dw == w && dh == h)
+      for (y <- 0 until h; x <- 0 until w)
+        assert((px(y * w + x) & 0xff) == formula(w * 1000L + h)(x, y),
+          s"pixel ($x,$y) of ${w}x$h")
+    }
+  }
+
+  test("jdk ImageIO decodes our PNGs pixel-exactly (independent decoder)") {
+    // rules out symmetric encode/decode bugs: the JDK's own PNG reader
+    // must agree with PngCodec.decodeGray on PngCodec.encodeGray output
+    val (w, h) = (37, 23)
+    val png = PngCodec.encodeGray(w, h, formula(5L))
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(png))
+    assert(img != null, "ImageIO rejected the PNG")
+    assert(img.getWidth == w && img.getHeight == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert(img.getRaster.getSample(x, y, 0) == formula(5L)(x, y),
+        s"ImageIO pixel ($x,$y)")
+  }
+
+  test("our decoder reads jdk ImageIO-written PNGs (independent encoder)") {
+    val (w, h) = (29, 31)
+    val img = new java.awt.image.BufferedImage(w, h,
+      java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+    for (y <- 0 until h; x <- 0 until w)
+      img.getRaster.setSample(x, y, 0, formula(9L)(x, y))
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    val (dw, dh, px) = PngCodec.decodeGray(bos.toByteArray)
+    assert(dw == w && dh == h)
+    for (y <- 0 until h; x <- 0 until w)
+      assert((px(y * w + x) & 0xff) == formula(9L)(x, y),
+        s"decoded pixel ($x,$y)")
+  }
+
+  test("header sniffing still parses dims from real codec output") {
+    val png = PngCodec.encodeGray(48, 12, formula(1L))
+    assert(MediaKernels.parsePngDims(png).contains((48, 12)))
+    assert(MediaKernels.parsePngDims("not a png".getBytes).isEmpty)
+  }
+
+  test("decoder rejects corrupt input loudly") {
+    intercept[IllegalArgumentException](
+      PngCodec.decodeGray("JFIF not png at all".getBytes))
+    val png = PngCodec.encodeGray(8, 8, formula(2L))
+    val truncated = png.take(png.length - 20)
+    intercept[Exception](PngCodec.decodeGray(truncated))
+  }
+}
