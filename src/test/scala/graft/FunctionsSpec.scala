@@ -184,6 +184,18 @@ class FunctionsSpec extends GraftSuite {
     assert(rows("2005-01-01").getInt(6) == 52)  // WEEK(d,6)
   }
 
+  test("rand(seed) is deterministic for a fixed partition layout, in [0,1)") {
+    // the reference registers rand() (utils/funcexp/funcexp.cpp); Spark's
+    // rand is seed-deterministic per partition — pin the contract
+    def run() = spark.range(0, 100, 1, 1)
+      .select(rand(42).as("r")).collect().map(_.getDouble(0))
+    val a = run()
+    val b = run()
+    assert(a.sameElements(b), "rand(42) not reproducible")
+    assert(a.forall(v => v >= 0.0 && v < 1.0))
+    assert(a.distinct.length > 90, "rand values suspiciously repetitive")
+  }
+
   test("registry tail: crc32 known value, unhex round-trip, maketime edges") {
     import graft.functions.MySqlFunctions.{makeTime, getFormat}
     val r = spark.range(1).select(

@@ -120,4 +120,29 @@ class PropertySpec extends AnyFunSuite {
       }
     }
   }
+
+  test("png codec round-trips arbitrary grayscale images") {
+    val dims = for {
+      w <- Gen.choose(1, 80)
+      h <- Gen.choose(1, 40)
+    } yield (w, h)
+    forAll(dims, Gen.choose(Long.MinValue, Long.MaxValue)) {
+      case ((w, h), seed) =>
+        val rng = new scala.util.Random(seed)
+        val px = Array.fill(h, w)(rng.nextInt(256))
+        val png = graft.functions.PngCodec.encodeGray(w, h, (x, y) => px(y)(x))
+        val (dw, dh, out) = graft.functions.PngCodec.decodeGray(png)
+        assert(dw == w && dh == h, s"dims ${dw}x$dh != ${w}x$h")
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            assert((out(y * w + x) & 0xff) == px(y)(x),
+              s"pixel ($x,$y) of ${w}x$h seed=$seed")
+            x += 1
+          }
+          y += 1
+        }
+    }
+  }
 }
