@@ -143,6 +143,30 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("dedup shuffles move ids and hashes, never the payload columns") {
+    // the 100 TB contract of the dedup suite: document text / embedding
+    // payloads stay in their scan partitions — every shuffle exchange
+    // carries only ids, signatures, band keys, or verified-candidate token
+    // sets for the (small) pair set, never the raw text column
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    for (q <- Seq(operators.DedupQueries.simhash,
+      operators.DedupQueries.embeddingNearDup)) {
+      val df = q.run(spark, sf)
+      df.collect() // force AQE to finalize
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffled = finalPlan.collect {
+        case s: ShuffleExchangeLike => s.output.map(_.name)
+      }.flatten
+      assert(!shuffled.exists(n => n.startsWith("text") ||
+        n.startsWith("embedding")),
+        s"${q.name} shuffles a payload column: $shuffled")
+    }
+  }
+
   test("curation funnel pushes the language keep-list into the scan") {
     // the lang IN (…) filter must reach the parquet reader: at 100 TB the
     // keep-list prunes row groups before any token math runs
