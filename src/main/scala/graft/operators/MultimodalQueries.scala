@@ -224,5 +224,60 @@ object MultimodalQueries {
       FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")
   )
 
-  def defs: Seq[QueryDef] = Seq(decodePipeline, frameSample, pixelDecode)
+  /** Image resize through the real codec: decode the synthesized PNG,
+    * nearest-neighbor resample to a fixed 8×8 thumbnail (the shape every
+    * vision-model preprocessing pipeline needs), and emit thumbnail
+    * features. The oracle recomputes the same resample from the pixel
+    * formula — integer index math `src = dst * srcDim / 8` is exact on
+    * both engines. */
+  case class ThumbFeatures(doc_id: Long, width: Int, height: Int,
+      thumb_sum: Long, thumb_min: Int, thumb_max: Int, corner_pixel: Int)
+
+  val resize: QueryDef = QueryDef(
+    "x_media_resize",
+    (s, dir) => {
+      import s.implicits._
+      val T = 8
+      val rows = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (col("doc_id") % 64 + 1).cast("int").as("w"),
+          (col("n_chars") % 64 + 1).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+      rows.mapPartitions(_.map { case (id, w, h) =>
+        val png = graft.functions.PngCodec.encodeGray(w, h,
+          (x, y) => ((x * 31 + y * 17 + id) % 256).toInt)
+        val (dw, dh, px) = graft.functions.PngCodec.decodeGray(png)
+        // nearest-neighbor resample to T×T
+        val thumb = Array.tabulate(T * T) { k =>
+          val tx = k % T
+          val ty = k / T
+          px((ty * dh / T) * dw + (tx * dw / T)) & 0xff
+        }
+        ThumbFeatures(id, dw, dh, thumb.foldLeft(0L)(_ + _),
+          thumb.min, thumb.max, thumb(0))
+      }).toDF()
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 64 + 1 AS INTEGER) AS w,
+                        CAST(n_chars % 64 + 1 AS INTEGER) AS h
+                 FROM documents WHERE doc_id < 200),
+      gx AS (SELECT doc_id, w, h, unnest(range(0, 8)) AS tx FROM d),
+      gxy AS (SELECT doc_id, w, h, tx, unnest(range(0, 8)) AS ty FROM gx),
+      px AS (SELECT doc_id, w, h, tx, ty,
+                    ((tx * w // 8) * 31 + (ty * h // 8) * 17 + doc_id) % 256
+                      AS p
+             FROM gxy)
+      SELECT doc_id, w AS width, h AS height,
+             CAST(sum(p) AS BIGINT) AS thumb_sum,
+             CAST(min(p) AS INTEGER) AS thumb_min,
+             CAST(max(p) AS INTEGER) AS thumb_max,
+             CAST(min(CASE WHEN tx = 0 AND ty = 0 THEN p END) AS INTEGER)
+               AS corner_pixel
+      FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")
+  )
+
+  def defs: Seq[QueryDef] = Seq(decodePipeline, frameSample, pixelDecode,
+    resize)
 }
