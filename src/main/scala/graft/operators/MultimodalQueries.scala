@@ -8,16 +8,19 @@ import org.apache.spark.sql.functions._
   * columns + typed metadata, with decode / feature-extract / frame-sample
   * kernels run per-partition in batches.
   *
-  * The IMAGE path is a real codec: `x_media_pixel_decode` deflates, CRCs
-  * and filter-encodes genuine PNGs and decodes them back with the
-  * dependency-free PngCodec (JVM zlib + full filter reconstruction,
-  * cross-validated against the JDK's ImageIO in MultimodalSpec). The
-  * audio/video sample decode remains STUBBED (no such codecs in the JVM —
-  * see MediaKernels.decodeStub), but its container-format parsing is real
-  * header sniffing. Everything around the kernels — binary columns,
-  * schema, batched mapPartitions shape — is the real pipeline. At 100 TB
-  * the media bytes never leave their partition: the kernel is a map, and
-  * only small extracted features flow onward.
+  * The IMAGE path is a real codec: `x_media_pixel_decode` /
+  * `x_media_resize` deflate, CRC and filter-encode genuine PNGs and
+  * decode them back with the dependency-free PngCodec (JVM zlib + full
+  * filter reconstruction, cross-validated against the JDK's ImageIO in
+  * MultimodalSpec). The AUDIO path is real too: `x_media_audio_decode`
+  * writes and parses genuine PCM WAV files (WavCodec, cross-validated
+  * against javax.sound AudioSystem). Only the VIDEO sample decode remains
+  * STUBBED (no video codec ships in the JVM — see
+  * MediaKernels.decodeStub), with real header sniffing around it.
+  * Everything around the kernels — binary columns, schema, batched
+  * mapPartitions shape — is the real pipeline. At 100 TB the media bytes
+  * never leave their partition: the kernel is a map, and only small
+  * extracted features flow onward.
   */
 object MultimodalQueries {
 
@@ -278,6 +281,52 @@ object MultimodalQueries {
       FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")
   )
 
+  /** REAL audio decode end-to-end: each row synthesizes a genuine PCM WAV
+    * (RIFF container, fmt + data chunks, 16-bit LE mono) from a
+    * deterministic sample formula, then WavCodec parses the container and
+    * decodes the samples back. Features are integer-exact (sum of
+    * absolute amplitudes, peak, duration), so the oracle recomputes them
+    * from the formula with no floating point involved. */
+  case class AudioFeatures(doc_id: Long, sample_rate: Int, n_samples: Long,
+      duration_us: Long, sum_abs: Long, peak: Int)
+
+  val audioDecode: QueryDef = QueryDef(
+    "x_media_audio_decode",
+    (s, dir) => {
+      import s.implicits._
+      val rate = 16000
+      val rows = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (col("n_chars") % 800 + 400).cast("int").as("n"))
+        .as[(Long, Int)]
+      rows.mapPartitions(_.map { case (id, n) =>
+        val samples = Array.tabulate(n)(i =>
+          (((i * 37 + id * 11) % 65536) - 32768).toShort)
+        val wav = graft.functions.WavCodec.encodePcm16(rate, samples)
+        val (dr, ds) = graft.functions.WavCodec.decodePcm16(wav)
+        AudioFeatures(id, dr, ds.length.toLong,
+          ds.length.toLong * 1000000L / dr,
+          ds.foldLeft(0L)((a, v) => a + math.abs(v.toInt)),
+          ds.foldLeft(0)((a, v) => math.max(a, math.abs(v.toInt))))
+      }).toDF()
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, CAST(n_chars % 800 + 400 AS INTEGER) AS n
+                 FROM documents WHERE doc_id < 200),
+      sm AS (SELECT doc_id, n, unnest(range(0, n)) AS i FROM d),
+      px AS (SELECT doc_id, n,
+                    ((i * 37 + doc_id * 11) % 65536) - 32768 AS v
+             FROM sm)
+      SELECT doc_id, 16000 AS sample_rate,
+             count(*) AS n_samples,
+             CAST(count(*) * 1000000 // 16000 AS BIGINT) AS duration_us,
+             CAST(sum(abs(v)) AS BIGINT) AS sum_abs,
+             CAST(max(abs(v)) AS INTEGER) AS peak
+      FROM px GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(decodePipeline, frameSample, pixelDecode,
-    resize)
+    resize, audioDecode)
 }

@@ -55,6 +55,40 @@ class MultimodalSpec extends GraftSuite {
     assert(MediaKernels.parsePngDims("not a png".getBytes).isEmpty)
   }
 
+  test("wav codec round-trips samples and jdk AudioSystem agrees") {
+    import graft.functions.WavCodec
+    val samples = Array.tabulate(1000)(i =>
+      (((i * 37 + 55) % 65536) - 32768).toShort)
+    val wav = WavCodec.encodePcm16(16000, samples)
+    val (rate, back) = WavCodec.decodePcm16(wav)
+    assert(rate == 16000)
+    assert(back.sameElements(samples))
+    // the JDK's independent RIFF parser must agree on format + frames
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    assert(ais.getFormat.getSampleRate == 16000f)
+    assert(ais.getFormat.getChannels == 1)
+    assert(ais.getFormat.getSampleSizeInBits == 16)
+    assert(ais.getFrameLength == samples.length)
+    // and byte-for-byte on the PCM payload
+    val pcm = ais.readAllBytes()
+    assert(pcm.length == samples.length * 2)
+    for (i <- samples.indices) {
+      val v = ((pcm(2 * i) & 0xff) | ((pcm(2 * i + 1) & 0xff) << 8)).toShort
+      assert(v == samples(i), s"sample $i")
+    }
+  }
+
+  test("wav decoder rejects non-PCM and malformed input") {
+    import graft.functions.WavCodec
+    intercept[IllegalArgumentException](
+      WavCodec.decodePcm16("nope not a riff file".getBytes))
+    val ok = WavCodec.encodePcm16(8000, Array[Short](1, 2, 3))
+    // corrupt the audio-format field (PCM=1 → 2)
+    val bad = ok.clone(); bad(20) = 2
+    intercept[IllegalArgumentException](WavCodec.decodePcm16(bad))
+  }
+
   test("decoder rejects corrupt input loudly") {
     intercept[IllegalArgumentException](
       PngCodec.decodeGray("JFIF not png at all".getBytes))
