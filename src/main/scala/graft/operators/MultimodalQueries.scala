@@ -14,13 +14,15 @@ import org.apache.spark.sql.functions._
   * filter reconstruction, cross-validated against the JDK's ImageIO in
   * MultimodalSpec). The AUDIO path is real too: `x_media_audio_decode`
   * writes and parses genuine PCM WAV files (WavCodec, cross-validated
-  * against javax.sound AudioSystem). Only the VIDEO sample decode remains
-  * STUBBED (no video codec ships in the JVM — see
-  * MediaKernels.decodeStub), with real header sniffing around it.
-  * Everything around the kernels — binary columns, schema, batched
-  * mapPartitions shape — is the real pipeline. At 100 TB the media bytes
-  * never leave their partition: the kernel is a map, and only small
-  * extracted features flow onward.
+  * against javax.sound AudioSystem). The VIDEO path is real at the
+  * container level: `x_media_video_frames` writes and parses genuine
+  * YUV4MPEG2 streams (uncompressed standard interchange format) with true
+  * frame extraction. Only COMPRESSED-codec decode (JPEG/H.264/MP3-class)
+  * stays behind the honest stub in MediaKernels.decodeStub — those codecs
+  * don't ship in the JVM. Everything around the kernels — binary columns,
+  * schema, batched mapPartitions shape — is the real pipeline. At 100 TB
+  * the media bytes never leave their partition: the kernel is a map, and
+  * only small extracted features flow onward.
   */
 object MultimodalQueries {
 
@@ -327,6 +329,59 @@ object MultimodalQueries {
       FROM px GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** REAL video path: each row synthesizes a genuine YUV4MPEG2 stream
+    * (mono colorspace — a standard uncompressed container, so no codec
+    * library is involved), then Y4mCodec parses the header and extracts
+    * the frames, and every SECOND frame is sampled for features — the
+    * decode → frame-sample → per-frame-features pipeline with a real
+    * container instead of byte slicing. Integer-exact features keep the
+    * oracle float-free. */
+  case class VideoFeatures(doc_id: Long, width: Int, height: Int,
+      n_frames: Int, n_sampled: Int, sampled_sum: Long, sampled_max: Int)
+
+  val videoDecode: QueryDef = QueryDef(
+    "x_media_video_frames",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (col("doc_id") % 24 + 4).cast("int").as("w"),
+          (col("n_chars") % 24 + 4).cast("int").as("h"),
+          (col("doc_id") % 7 + 2).cast("int").as("nf"))
+        .as[(Long, Int, Int, Int)]
+      rows.mapPartitions(_.map { case (id, w, h, nf) =>
+        val y4m = graft.functions.Y4mCodec.encodeMono(w, h, nf, 25, 1,
+          (x, y, f) => ((x * 7 + y * 13 + f * 29 + id) % 256).toInt)
+        val v = graft.functions.Y4mCodec.decodeMono(y4m)
+        val sampled = v.frames.indices.filter(_ % 2 == 0).map(v.frames)
+        val sums = sampled.map(_.foldLeft(0L)((a, b) => a + (b & 0xff)))
+        val maxes = sampled.map(_.foldLeft(0)((a, b) => math.max(a, b & 0xff)))
+        VideoFeatures(id, v.w, v.h, v.frames.length, sampled.length,
+          sums.sum, maxes.max)
+      }).toDF()
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 24 + 4 AS INTEGER) AS w,
+                        CAST(n_chars % 24 + 4 AS INTEGER) AS h,
+                        CAST(doc_id % 7 + 2 AS INTEGER) AS nf
+                 FROM documents WHERE doc_id < 200),
+      fr AS (SELECT doc_id, w, h, nf, unnest(range(0, nf)) AS f FROM d),
+      sf AS (SELECT * FROM fr WHERE f % 2 = 0),
+      gx AS (SELECT doc_id, w, h, nf, f, unnest(range(0, w)) AS x FROM sf),
+      gxy AS (SELECT doc_id, w, h, nf, f, x, unnest(range(0, h)) AS y
+              FROM gx),
+      px AS (SELECT doc_id, w, h, nf, f,
+                    (x*7 + y*13 + f*29 + doc_id) % 256 AS p
+             FROM gxy)
+      SELECT doc_id, w AS width, h AS height, nf AS n_frames,
+             CAST(count(DISTINCT f) AS INTEGER) AS n_sampled,
+             CAST(sum(p) AS BIGINT) AS sampled_sum,
+             CAST(max(p) AS INTEGER) AS sampled_max
+      FROM px GROUP BY doc_id, w, h, nf ORDER BY doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(decodePipeline, frameSample, pixelDecode,
-    resize, audioDecode)
+    resize, audioDecode, videoDecode)
 }

@@ -89,6 +89,25 @@ class MultimodalSpec extends GraftSuite {
     intercept[IllegalArgumentException](WavCodec.decodePcm16(bad))
   }
 
+  test("y4m codec round-trips mono video frames") {
+    import graft.functions.Y4mCodec
+    def px(x: Int, y: Int, f: Int): Int = (x * 7 + y * 13 + f * 29 + 3) % 256
+    val y4m = Y4mCodec.encodeMono(17, 9, 5, 30, 1, px)
+    val v = Y4mCodec.decodeMono(y4m)
+    assert(v.w == 17 && v.h == 9 && v.fpsNum == 30 && v.fpsDen == 1)
+    assert(v.frames.length == 5)
+    for (f <- 0 until 5; y <- 0 until 9; x <- 0 until 17)
+      assert((v.frames(f)(y * 17 + x) & 0xff) == px(x, y, f),
+        s"frame $f pixel ($x,$y)")
+    // parser skips unknown header params (spec-required tolerance)
+    val hdr = "YUV4MPEG2 W2 H1 F25:1 Ip A1:1 Cmono XSOMETHING\nFRAME\nab"
+    val v2 = Y4mCodec.decodeMono(hdr.getBytes("US-ASCII"))
+    assert(v2.w == 2 && v2.frames.length == 1)
+    assert(new String(v2.frames(0), "US-ASCII") == "ab")
+    intercept[IllegalArgumentException](
+      Y4mCodec.decodeMono("MPEG nope\n".getBytes))
+  }
+
   test("decoder rejects corrupt input loudly") {
     intercept[IllegalArgumentException](
       PngCodec.decodeGray("JFIF not png at all".getBytes))
