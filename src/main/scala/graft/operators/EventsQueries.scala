@@ -311,7 +311,46 @@ object EventsQueries {
       FROM x GROUP BY window_start ORDER BY window_start""")
   )
 
+  /** Conversion funnel: of users with at least one click, how many made a
+    * purchase within one hour of their FIRST click. Two shuffles on
+    * user_id (first-click agg, then the purchase join) — the canonical
+    * product-analytics funnel shape, scalable because both sides stay
+    * keyed by user. */
+  val funnel: QueryDef = QueryDef(
+    "x_events_funnel",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val firstClick = e.filter(col("event_type") === "click")
+        .groupBy(col("user_id")).agg(min(col("ts")).as("first_click"))
+      val converted = firstClick
+        .join(e.filter(col("event_type") === "purchase")
+          .select(col("user_id"), col("ts").as("p_ts")), Seq("user_id"))
+        .filter(col("p_ts") >= col("first_click") &&
+          col("p_ts") <= col("first_click") + expr("INTERVAL 1 HOUR"))
+        .select(col("user_id")).distinct()
+        .withColumn("c", lit(1))
+      firstClick.join(converted, Seq("user_id"), "left_outer")
+        .agg(count(lit(1)).as("n_clicked"),
+          sum(coalesce(col("c"), lit(0))).cast("bigint").as("n_converted"))
+        .select(col("n_clicked"), col("n_converted"),
+          (col("n_converted").cast("double") / col("n_clicked"))
+            .as("conversion_rate"))
+    },
+    oracle = Some("""
+      WITH fc AS (SELECT user_id, min(ts::TIMESTAMP) AS first_click
+                  FROM events WHERE event_type = 'click' GROUP BY user_id),
+      conv AS (SELECT DISTINCT fc.user_id
+               FROM fc JOIN events e ON e.user_id = fc.user_id
+               WHERE e.event_type = 'purchase'
+                 AND e.ts::TIMESTAMP >= fc.first_click
+                 AND e.ts::TIMESTAMP <= fc.first_click + INTERVAL 1 HOUR)
+      SELECT (SELECT count(*) FROM fc) AS n_clicked,
+             (SELECT count(*) FROM conv) AS n_converted,
+             CAST((SELECT count(*) FROM conv) AS DOUBLE)
+               / (SELECT count(*) FROM fc) AS conversion_rate""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
-    dedupKeyed, leaderboard, streamTumbling, streamDedup, streamSession,
-    streamSliding)
+    dedupKeyed, leaderboard, funnel, streamTumbling, streamDedup,
+    streamSession, streamSliding)
 }

@@ -268,6 +268,31 @@ object TextQueries {
       FROM d WHERE rn = 1 GROUP BY lang ORDER BY lang""")
   )
 
+  /** Corpus bigram histogram: adjacent-token pairs exploded and counted
+    * two-phase — the n-gram statistics pass every tokenizer-training
+    * pipeline runs (same skew-safe shape as the unigram histogram). */
+  val bigrams: QueryDef = QueryDef(
+    "x_text_bigrams",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> concat(toks[i], ' ', toks[i+1]))")).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("bigram"))
+        .limit(20),
+    oracle = Some("""
+      WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents),
+      b AS (SELECT unnest(list_transform(range(1, len(toks)),
+                     i -> toks[i] || ' ' || toks[i+1])) AS bigram
+            FROM t WHERE len(toks) >= 2)
+      SELECT bigram, count(*) AS n FROM b
+      GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
-    fingerprint, curate)
+    fingerprint, curate, bigrams)
 }
