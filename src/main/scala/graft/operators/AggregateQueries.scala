@@ -367,7 +367,35 @@ object AggregateQueries {
       FROM events GROUP BY day ORDER BY day""")
   )
 
+  /** Approximate percentile (GK sketch) — parity-plus next to the HLL
+    * check: at 100 TB the sketch is what runs (single pass, mergeable
+    * state), while exact percentile needs the values collected per group.
+    * The oracle checks the exact median and that the sketch landed within
+    * a 2% relative band (the sketch itself is merge-order-dependent, so
+    * only the bound — not the raw estimate — is hash-compared). */
+  val approxPercentile: QueryDef = QueryDef(
+    "a_approx_percentile",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          expr("percentile(l_extendedprice, 0.5)").as("exact_median"),
+          percentile_approx(col("l_extendedprice"), lit(0.5), lit(10000))
+            .as("approx_median"))
+        .select(col("l_returnflag"),
+          round(col("exact_median"), 4).as("exact_median"),
+          (abs(col("approx_median") - col("exact_median")) <
+            col("exact_median") * 0.02).as("within_bounds"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag,
+             round(quantile_cont(l_extendedprice, 0.5), 4) AS exact_median,
+             true AS within_bounds
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   def defs: Seq[QueryDef] = Seq(basicStats, distinctAggs, bitAggs,
     groupConcatCustom, groupConcatDistinct, having, rollup, cube, emptyInput,
-    highCardinality, mysqlShims, approxDistinct, listAgg, groupingSets, pivot)
+    highCardinality, mysqlShims, approxDistinct, approxPercentile, listAgg,
+    groupingSets, pivot)
 }
