@@ -293,6 +293,93 @@ object TextQueries {
       GROUP BY bigram ORDER BY n DESC, bigram LIMIT 20""")
   )
 
+  /** Deterministic hash-based sampling — the reproducible data-mixing
+    * primitive: each doc's inclusion is decided by fingerprint64(text) mod
+    * 1000 against a per-language rate, so any worker (or a re-run months
+    * later) selects the identical subset with zero coordination. Output is
+    * per-language kept/total so a wrong hash or rate shows up as a count
+    * mismatch. */
+  val sample: QueryDef = QueryDef(
+    "x_pipeline_sample",
+    (s, dir) => {
+      // mixture rates per thousand: downsample en, keep most de/fr/es
+      val rate = when(col("lang") === "en", 300)
+        .when(col("lang") === "de", 800)
+        .otherwise(500)
+      docs(s, dir)
+        .withColumn("bucket",
+          pmod(fingerprint64(col("text")), lit(1000L)))
+        .withColumn("keep", col("bucket") < rate)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+    // the Karp-Rabin fingerprint is replayed in DuckDB with HUGEINT wrap
+    // arithmetic over the UTF-8 bytes, then pmod'd like Spark (positive
+    // remainder even for negative hashes)
+    oracle = Some("""
+      WITH f AS (
+        SELECT doc_id, lang,
+          list_reduce(
+            list_prepend(0::HUGEINT,
+              list_transform(range(1, octet_length(encode(text)) + 1),
+                i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2-1, 1)) - 1) * 16
+                   + (strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2, 1)) - 1) AS HUGEINT))),
+            (acc, b) -> (acc * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT) AS acc
+        FROM documents),
+      sg AS (SELECT doc_id, lang,
+               CAST(CASE WHEN acc >= 9223372036854775808::HUGEINT
+                         THEN acc - 18446744073709551616::HUGEINT
+                         ELSE acc END AS BIGINT) AS fp
+             FROM f),
+      k AS (SELECT lang,
+              ((fp % 1000) + 1000) % 1000 AS bucket
+            FROM sg)
+      SELECT lang, count(*) AS n_total,
+             CAST(sum(CASE WHEN bucket < (CASE WHEN lang = 'en' THEN 300
+                                               WHEN lang = 'de' THEN 800
+                                               ELSE 500 END)
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM k GROUP BY lang ORDER BY lang""")
+  )
+
+  /** Sequence packing: assign docs (ordered by id within language) to
+    * fixed token-budget bins via a running-sum window — the greedy packing
+    * pass that turns a curated corpus into training sequences. One window
+    * shuffle on lang, one aggregation; bin boundaries are exact integer
+    * math so the oracle replays them. */
+  val pack: QueryDef = QueryDef(
+    "x_pipeline_pack",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 4096L
+      val w = Window.partitionBy(col("lang")).orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")).cast("long"))
+        .withColumn("cum", sum(col("n_tokens")).over(w))
+        .withColumn("bin", ((col("cum") - col("n_tokens")) / budget)
+          .cast("long"))
+        .groupBy(col("lang"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).as("bin_tokens"))
+        .orderBy(col("lang"), col("bin"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, lang,
+                        CAST(len(string_split(text, ' ')) AS BIGINT)
+                          AS n_tokens
+                 FROM documents),
+      c AS (SELECT *, sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM t)
+      SELECT lang, CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin,
+             count(*) AS n_docs,
+             CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      FROM c GROUP BY lang, bin ORDER BY lang, bin""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
-    fingerprint, curate, bigrams)
+    fingerprint, curate, bigrams, sample, pack)
 }
