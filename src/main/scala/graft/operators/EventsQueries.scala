@@ -350,7 +350,34 @@ object EventsQueries {
                / (SELECT count(*) FROM fc) AS conversion_rate""")
   )
 
+  /** Stateless streaming enrichment end-to-end: the JSON-extract + filter
+    * + hour-bucket transform chain runs in append mode (no state at all —
+    * every micro-batch emits exactly its transformed rows), then the sink
+    * is aggregated in batch. Proves the stateless transform path under
+    * the oracle gate next to the stateful ones. */
+  val streamEnrich: QueryDef = QueryDef(
+    "x_stream_enrich",
+    (s, dir) => {
+      val out = runAvailableNow(s, dir, "stream_enrich", complete = false)(
+        graft.streaming.EventsStream.enriched)
+      s.read.parquet(out)
+        .groupBy(col("event_type"), col("hour_bucket"))
+        .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"))
+        .orderBy(col("event_type"), col("hour_bucket"))
+    },
+    oracle = Some("""
+      WITH e AS (SELECT event_type,
+                        date_trunc('hour', ts::TIMESTAMP) AS hour_bucket,
+                        CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1)
+                             AS BIGINT) AS k
+                 FROM events WHERE value > 0)
+      SELECT event_type, hour_bucket, count(*) AS n,
+             CAST(sum(k) AS BIGINT) AS sum_k
+      FROM e GROUP BY event_type, hour_bucket
+      ORDER BY event_type, hour_bucket""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, streamTumbling, streamDedup,
-    streamSession, streamSliding)
+    streamSession, streamSliding, streamEnrich)
 }

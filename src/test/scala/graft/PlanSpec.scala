@@ -135,7 +135,7 @@ class PlanSpec extends GraftSuite {
     // of an already-terminated stream, so the assertion would inspect a
     // trivial scan while paying for two full streaming executions
     val excluded = Set("x_stream_tumbling", "x_stream_dedup",
-      "x_stream_session", "x_stream_sliding")
+      "x_stream_session", "x_stream_sliding", "x_stream_enrich")
     QueryDef.all.filterNot(q => excluded(q.name)).foreach { q =>
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
