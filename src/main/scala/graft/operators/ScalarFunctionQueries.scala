@@ -415,13 +415,19 @@ object ScalarFunctionQueries {
         .select(input_file_name().as("file"),
           spark_partition_id().as("pid"),
           monotonically_increasing_id().as("mid"))
+        // the raw values are engine-specific (file layout, task ids), so
+        // the output is the INVARIANTS they must satisfy — each one a
+        // deterministic value the DuckDB oracle can assert
         .agg(
-          countDistinct(col("file")).as("n_files"),
-          countDistinct(col("mid")).as("n_distinct_rids"),
           count(lit(1)).as("n_rows"),
           (countDistinct(col("mid")) === count(lit(1))).as("rids_unique"),
-          min(length(col("file"))).as("min_file_name_len")),
-    oracle = None // engine-specific pseudo-columns; invariants in the output
+          (countDistinct(col("file")) >= 1).as("has_files"),
+          min(col("file").endsWith(".parquet")).as("files_are_parquet"),
+          (min(col("pid")) >= 0).as("pids_nonneg")),
+    oracle = Some("""
+      SELECT count(*) AS n_rows, true AS rids_unique, true AS has_files,
+             true AS files_are_parquet, true AS pids_nonneg
+      FROM lineitem""")
   )
 
   /** Time-difference battery over the microsecond-resolution events table
