@@ -150,12 +150,7 @@ object Bench {
           }
           cycles.mkString("[", ",", "]")
         } finally {
-          scala.util.Using(java.nio.file.Files.walk(tmp)) { st =>
-            st.sorted(java.util.Comparator.reverseOrder())
-              .forEach(p =>
-                try java.nio.file.Files.delete(p)
-                catch { case _: Exception => () })
-          }
+          sources.FsUtil.deleteRecursively(tmp, swallowErrors = true)
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] soak failed: ${e.getMessage}")

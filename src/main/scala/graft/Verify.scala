@@ -26,16 +26,9 @@ object Verify {
         // silently pass the oracle compare for a now-broken query. The
         // cleanup itself must not abort the run (a locked/partial file would
         // otherwise skip every later query AND the oracle_sql.json emission).
-        try {
-          val dir = Paths.get(s"$outDir/$name")
-          if (Files.exists(dir))
-            scala.util.Using(Files.walk(dir)) { st =>
-              st.sorted(java.util.Comparator.reverseOrder())
-                .forEach(p =>
-                  try Files.delete(p)
-                  catch { case _: Exception => () })
-            }
-        } catch { case c: Throwable =>
+        try sources.FsUtil.deleteRecursively(Paths.get(s"$outDir/$name"),
+          swallowErrors = true)
+        catch { case c: Throwable =>
           System.err.println(s"[verify] $name stale-output cleanup: $c")
         }
       }

@@ -108,6 +108,11 @@ object PngCodec {
     var done = false
     while (!done && off + 8 <= png.length) {
       val len = readBeInt(png, off)
+      // a corrupt length (negative via the sign bit, or past the buffer)
+      // must fail loudly — unchecked it would walk the chunk loop backwards
+      // forever or read out of bounds
+      require(len >= 0 && off + 12 + len <= png.length,
+        s"corrupt chunk length $len at offset $off")
       val typ = new String(png, off + 4, 4, "US-ASCII")
       typ match {
         case "IHDR" =>

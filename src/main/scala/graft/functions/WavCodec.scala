@@ -60,8 +60,13 @@ object WavCodec {
     while (off + 8 <= wav.length && (sampleRate < 0 || samples == null)) {
       val typ = new String(wav, off, 4, "US-ASCII")
       val len = readLeInt(wav, off + 4)
+      // corrupt lengths must fail loudly: a negative len would stall the
+      // chunk walk forever, an oversized one would read past the buffer
+      require(len >= 0 && off + 8 + len <= wav.length,
+        s"corrupt chunk length $len at offset $off")
       typ match {
         case "fmt " =>
+          require(len >= 16, s"short fmt chunk ($len bytes)")
           require(readLeShort(wav, off + 8) == 1, "only PCM is supported")
           require(readLeShort(wav, off + 10) == 1, "only mono is supported")
           require(readLeShort(wav, off + 22) == 16,

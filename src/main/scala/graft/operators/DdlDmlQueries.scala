@@ -39,11 +39,7 @@ object DdlDmlQueries {
   }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (Files.exists(p))
-      scala.util.Using.resource(Files.walk(p)) { st =>
-        st.sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => Files.delete(q))
-      }
+    graft.sources.FsUtil.deleteRecursively(p)
 
   /** CTAS → read back (reference: CREATE TABLE ddl.y:233 + INSERT_SELECT
     * path exemgr/main.cpp:582). */

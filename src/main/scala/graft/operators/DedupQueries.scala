@@ -77,7 +77,8 @@ object DedupQueries {
 
   /** DuckDB reimplementation of the MinHash signature + banding pipeline
     * (mirrors HashKernels.minhash exactly): FNV-1a 64 per token folded in
-    * HUGEINT wrap arithmetic, the murmur finalizer's two 64×64-bit
+    * HUGEINT wrap arithmetic over the UTF-8 BYTES (hex-nibble extraction,
+    * so non-ASCII tokens hash identically to the Scala kernel), the murmur finalizer's two 64×64-bit
     * multiplies emulated by 32-bit split multiplication mod 2^64, signed
     * min per hash slot (Scala Long comparison is signed), then 8 bands
     * keyed on the raw 4-long signature slices — byte-identical to the
@@ -92,8 +93,11 @@ object DedupQueries {
       tok AS (SELECT doc_id, unnest(toks) AS tok FROM d),
       fh AS (SELECT doc_id,
                list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                 list_transform(range(1, length(tok)+1),
-                                i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))),
+                 list_transform(range(1, octet_length(encode(tok)) + 1),
+                   i -> CAST((strpos('0123456789ABCDEF',
+                            substr(hex(encode(tok)), i*2-1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF',
+                            substr(hex(encode(tok)), i*2, 1)) - 1) AS HUGEINT))),
                  (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT
                             * 1099511628211) % 18446744073709551616) AS fh
              FROM tok),
@@ -251,8 +255,11 @@ object DedupQueries {
       tok AS (SELECT doc_id, unnest(toks) AS tok FROM t),
       fh AS (SELECT doc_id,
                list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
-                 list_transform(range(1, length(tok)+1),
-                                i -> CAST(ascii(substr(tok, i, 1)) AS HUGEINT))),
+                 list_transform(range(1, octet_length(encode(tok)) + 1),
+                   i -> CAST((strpos('0123456789ABCDEF',
+                            substr(hex(encode(tok)), i*2-1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF',
+                            substr(hex(encode(tok)), i*2, 1)) - 1) AS HUGEINT))),
                  (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT
                             * 1099511628211) % 18446744073709551616) AS fh
              FROM tok),
@@ -348,51 +355,8 @@ object DedupQueries {
     // Long.MaxValue; dot products and cosines via list_reduce ordered folds
     // (same IEEE operation order as the Scala kernel, so the sign tests and
     // the 0.9 threshold see identical doubles).
-    oracle = Some("""
-      WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      pit AS (SELECT t, p, i
-              FROM (SELECT unnest(range(0, 4)) AS t) ts,
-                   (SELECT unnest(range(0, 16)) AS p) ps,
-                   (SELECT unnest(range(0, 64)) AS i) dims),
-      wf AS (SELECT t, p, i,
-               list_reduce(list_prepend(
-                   xor(CAST(14695981039346656037 AS UBIGINT),
-                       CAST(42 + t AS UBIGINT))::HUGEINT,
-                   [CAST(p % 256 AS HUGEINT), CAST(p // 256 AS HUGEINT),
-                    CAST(i % 256 AS HUGEINT), CAST(i // 256 AS HUGEINT)]),
-                 (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT
-                            * 1099511628211) % 18446744073709551616) AS z
-             FROM pit),
-      wx0 AS (SELECT t, p, i,
-                xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM wf),
-      wm1 AS (SELECT t, p, i,
-                ((z % 4294967296) * CAST(18397679294719823053 AS HUGEINT)
-                 + ((z // 4294967296) * 3981806797 % 4294967296) * 4294967296)
-                % 18446744073709551616 AS z FROM wx0),
-      wx1 AS (SELECT t, p, i,
-                xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM wm1),
-      wm2 AS (SELECT t, p, i,
-                ((z % 4294967296) * CAST(14181476777654086739 AS HUGEINT)
-                 + ((z // 4294967296) * 444984403 % 4294967296) * 4294967296)
-                % 18446744073709551616 AS z FROM wx1),
-      w AS (SELECT t, p, i,
-              CAST(CASE WHEN xor(z::UBIGINT, z::UBIGINT >> 33)
-                             >= 9223372036854775808
-                        THEN xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT
-                             - 18446744073709551616
-                        ELSE xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT
-                   END AS BIGINT)::DOUBLE / 9223372036854775807 AS w
-            FROM wm2),
-      wl AS (SELECT t, p, list(w ORDER BY i) AS wv FROM w GROUP BY t, p),
-      dots AS (SELECT vec_id, t, p,
-                 list_reduce(list_transform(range(1, 65),
-                   i -> CAST(embedding[i] AS DOUBLE) * wv[i]),
-                   (a, b) -> a + b) AS s
-               FROM e CROSS JOIN wl),
-      buckets AS (SELECT vec_id, t,
-                    CAST(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END)
-                         AS INTEGER) AS bucket
-                  FROM dots GROUP BY vec_id, t),
+    oracle = Some(
+      LshOracleSql.weightsAndBuckets(tables = 4, planes = 16) + s""",
       chain AS (SELECT vec_id, t, bucket,
                   lead(vec_id) OVER (PARTITION BY t, bucket
                                      ORDER BY vec_id) AS nxt
@@ -400,18 +364,7 @@ object DedupQueries {
       cand AS (SELECT DISTINCT vec_id AS pa, nxt AS pb
                FROM chain WHERE nxt IS NOT NULL),
       cosed AS (SELECT pa, pb,
-                  list_reduce(list_transform(range(1, 65),
-                    i -> CAST(ea.embedding[i] AS DOUBLE)
-                         * CAST(eb.embedding[i] AS DOUBLE)),
-                    (x, y) -> x + y)
-                  / (sqrt(list_reduce(list_transform(range(1, 65),
-                       i -> CAST(ea.embedding[i] AS DOUBLE)
-                            * CAST(ea.embedding[i] AS DOUBLE)),
-                       (x, y) -> x + y))
-                     * sqrt(list_reduce(list_transform(range(1, 65),
-                         i -> CAST(eb.embedding[i] AS DOUBLE)
-                              * CAST(eb.embedding[i] AS DOUBLE)),
-                         (x, y) -> x + y))) AS c
+${LshOracleSql.cosineExpr("pa", "pb")} AS c
                 FROM cand
                 JOIN e ea ON ea.vec_id = pa
                 JOIN e eb ON eb.vec_id = pb),

@@ -638,8 +638,13 @@ object ScalarFunctionQueries {
              '-838:59:59' AS f_maketime_neg_sat,
              'a9993e364706816aba3e25717850c26c9cd0d89d' AS f_sha1_const,
              sha256(p_name) AS f_sha256,
-             substr(printf('%.2f', p_retailprice * 1000), 1, 3) || ',' ||
-               substr(printf('%.2f', p_retailprice * 1000), 4) AS f_format,
+             reverse(array_to_string(regexp_extract_all(
+                 reverse(split_part(printf('%.2f', p_retailprice * 1000),
+                                    '.', 1)),
+                 '[0-9]{1,3}'), ','))
+               || '.' ||
+               split_part(printf('%.2f', p_retailprice * 1000), '.', 2)
+               AS f_format,
              '%m.%d.%Y' AS f_fmt_date_usa,
              '%Y-%m-%d %H.%i.%s' AS f_fmt_dt_eur,
              '%H:%i:%s' AS f_fmt_time_iso,

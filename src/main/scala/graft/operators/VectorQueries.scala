@@ -145,51 +145,7 @@ object VectorQueries {
     // bits and cosine scores via list_reduce ordered folds (identical IEEE
     // operation order to the Scala kernels), one-bit-flip probe expansion
     // via integer xor, then the same (cos DESC, vec_id) top-3 ranking.
-    oracle = Some("""
-      WITH e AS (SELECT vec_id, embedding FROM embeddings),
-      pit AS (SELECT t, p, i
-              FROM (SELECT unnest(range(0, 4)) AS t) ts,
-                   (SELECT unnest(range(0, 8)) AS p) ps,
-                   (SELECT unnest(range(0, 64)) AS i) dims),
-      wf AS (SELECT t, p, i,
-               list_reduce(list_prepend(
-                   xor(CAST(14695981039346656037 AS UBIGINT),
-                       CAST(42 + t AS UBIGINT))::HUGEINT,
-                   [CAST(p % 256 AS HUGEINT), CAST(p // 256 AS HUGEINT),
-                    CAST(i % 256 AS HUGEINT), CAST(i // 256 AS HUGEINT)]),
-                 (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT
-                            * 1099511628211) % 18446744073709551616) AS z
-             FROM pit),
-      wx0 AS (SELECT t, p, i,
-                xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM wf),
-      wm1 AS (SELECT t, p, i,
-                ((z % 4294967296) * CAST(18397679294719823053 AS HUGEINT)
-                 + ((z // 4294967296) * 3981806797 % 4294967296) * 4294967296)
-                % 18446744073709551616 AS z FROM wx0),
-      wx1 AS (SELECT t, p, i,
-                xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM wm1),
-      wm2 AS (SELECT t, p, i,
-                ((z % 4294967296) * CAST(14181476777654086739 AS HUGEINT)
-                 + ((z // 4294967296) * 444984403 % 4294967296) * 4294967296)
-                % 18446744073709551616 AS z FROM wx1),
-      w AS (SELECT t, p, i,
-              CAST(CASE WHEN xor(z::UBIGINT, z::UBIGINT >> 33)
-                             >= 9223372036854775808
-                        THEN xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT
-                             - 18446744073709551616
-                        ELSE xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT
-                   END AS BIGINT)::DOUBLE / 9223372036854775807 AS w
-            FROM wm2),
-      wl AS (SELECT t, p, list(w ORDER BY i) AS wv FROM w GROUP BY t, p),
-      dots AS (SELECT vec_id, t, p,
-                 list_reduce(list_transform(range(1, 65),
-                   i -> CAST(embedding[i] AS DOUBLE) * wv[i]),
-                   (a, b) -> a + b) AS s
-               FROM e CROSS JOIN wl),
-      buckets AS (SELECT vec_id, t,
-                    CAST(sum(CASE WHEN s > 0 THEN (1 << p) ELSE 0 END)
-                         AS INTEGER) AS bucket
-                  FROM dots GROUP BY vec_id, t),
+    oracle = Some(LshOracleSql.weightsAndBuckets(tables = 4, planes = 8) + s""",
       probes AS (SELECT b.vec_id AS q_id, b.t,
                         xor(b.bucket, f.f) AS probe
                  FROM buckets b,
@@ -200,18 +156,7 @@ object VectorQueries {
                JOIN probes p ON b.t = p.t AND b.bucket = p.probe
                WHERE b.vec_id <> p.q_id),
       cosed AS (SELECT c.q_id, c.vec_id,
-                  list_reduce(list_transform(range(1, 65),
-                    i -> CAST(ea.embedding[i] AS DOUBLE)
-                         * CAST(eb.embedding[i] AS DOUBLE)),
-                    (x, y) -> x + y)
-                  / (sqrt(list_reduce(list_transform(range(1, 65),
-                       i -> CAST(ea.embedding[i] AS DOUBLE)
-                            * CAST(ea.embedding[i] AS DOUBLE)),
-                       (x, y) -> x + y))
-                     * sqrt(list_reduce(list_transform(range(1, 65),
-                         i -> CAST(eb.embedding[i] AS DOUBLE)
-                              * CAST(eb.embedding[i] AS DOUBLE)),
-                         (x, y) -> x + y))) AS cos
+${LshOracleSql.cosineExpr("q_id", "vec_id")} AS cos
                 FROM cand c
                 JOIN e ea ON ea.vec_id = c.q_id
                 JOIN e eb ON eb.vec_id = c.vec_id),
@@ -262,6 +207,11 @@ object VectorQueries {
       var assign = base.select(col("vec_id"),
         pmod(hash(col("vec_id")), lit(k)).as("cid"))
       for (_ <- 1 to iters) assign = reassign(centroidsOf(assign))
+      // the final assignment feeds three subtrees (final centroids, query
+      // probes via those centroids, and the candidate lists) — persist the
+      // small (vec_id, cid) pairs so the 2-iteration k-means lineage runs
+      // once, not once per consumer
+      assign = assign.persist()
       val cents = centroidsOf(assign)
       val queries = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))

@@ -176,9 +176,5 @@ class Catalog(spark: SparkSession, root: String) {
   def listTables: Seq[String] = tables.keys.toSeq.sorted
 
   private def deleteRecursively(p: Path): Unit =
-    if (Files.exists(p))
-      scala.util.Using.resource(Files.walk(p)) { st =>
-        st.sorted(java.util.Comparator.reverseOrder())
-          .forEach(q => Files.delete(q))
-      }
+    FsUtil.deleteRecursively(p)
 }

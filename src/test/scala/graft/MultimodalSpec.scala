@@ -114,5 +114,16 @@ class MultimodalSpec extends GraftSuite {
     val png = PngCodec.encodeGray(8, 8, formula(2L))
     val truncated = png.take(png.length - 20)
     intercept[Exception](PngCodec.decodeGray(truncated))
+    // a chunk length with the sign bit set must fail, not loop forever
+    val negLen = png.clone()
+    negLen(8) = 0xff.toByte // IHDR length high byte → negative Int
+    intercept[IllegalArgumentException](PngCodec.decodeGray(negLen))
+    // same for WAV: a negative ancillary-chunk length would stall the walk
+    import graft.functions.WavCodec
+    val wav = WavCodec.encodePcm16(8000, Array[Short](1, 2, 3))
+    val negWav = wav.clone()
+    negWav(4 + 3) = 0xff.toByte // RIFF size field untouched; corrupt fmt len
+    negWav(16) = 0xf0.toByte; negWav(19) = 0xff.toByte
+    intercept[IllegalArgumentException](WavCodec.decodePcm16(negWav))
   }
 }

@@ -173,7 +173,7 @@ class PlanSpec extends GraftSuite {
     val plan = formatted(operators.TextQueries.curate.run(spark, sf))
     val pushed = plan.linesIterator
       .filter(_.contains("PushedFilters")).mkString("\n")
-    assert(pushed.contains("In(lang") || pushed.contains("lang"), plan)
+    assert(pushed.contains("In(lang"), plan)
   }
 
   test("where-false folds to an empty local relation (no scan)") {
