@@ -364,7 +364,7 @@ object DedupQueries {
       cand AS (SELECT DISTINCT vec_id AS pa, nxt AS pb
                FROM chain WHERE nxt IS NOT NULL),
       cosed AS (SELECT pa, pb,
-${LshOracleSql.cosineExpr("pa", "pb")} AS c
+${LshOracleSql.cosineExpr} AS c
                 FROM cand
                 JOIN e ea ON ea.vec_id = pa
                 JOIN e eb ON eb.vec_id = pb),

@@ -61,9 +61,9 @@ private[operators] object LshOracleSql {
                          AS INTEGER) AS bucket
                   FROM dots GROUP BY vec_id, t)"""
 
-  /** The Scala kernel's cosine, replayed with the same fold order, over
-    * CTE `e` for a pair table aliased `c` with columns (`$a`, `$b`). */
-  def cosineExpr(a: String, b: String): String = s"""
+  /** The Scala kernel's cosine, replayed with the same fold order; the
+    * caller must join CTE `e` twice under aliases `ea` and `eb`. */
+  def cosineExpr: String = """
                   list_reduce(list_transform(range(1, 65),
                     i -> CAST(ea.embedding[i] AS DOUBLE)
                          * CAST(eb.embedding[i] AS DOUBLE)),

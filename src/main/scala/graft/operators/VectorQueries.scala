@@ -82,9 +82,9 @@ object VectorQueries {
       ORDER BY a.vec_id""")
   )
 
-  /** Multi-table multiprobe LSH ANN: 4 independent tables × 16 hyperplanes,
+  /** Multi-table multiprobe LSH ANN: 4 independent tables × 8 hyperplanes,
     * probing each table at the query's bucket plus every bucket at hamming
-    * distance 1 (17 probes × 4 tables). Candidate ids are deduped BEFORE
+    * distance 1 (9 probes × 4 tables). Candidate ids are deduped BEFORE
     * scoring, then each candidate is scored once against the query vector.
     * This is the IVF-style scale path: the corpus side stays partitioned,
     * only the probe list broadcasts, and recall comes from table diversity
@@ -156,7 +156,7 @@ object VectorQueries {
                JOIN probes p ON b.t = p.t AND b.bucket = p.probe
                WHERE b.vec_id <> p.q_id),
       cosed AS (SELECT c.q_id, c.vec_id,
-${LshOracleSql.cosineExpr("q_id", "vec_id")} AS cos
+${LshOracleSql.cosineExpr} AS cos
                 FROM cand c
                 JOIN e ea ON ea.vec_id = c.q_id
                 JOIN e eb ON eb.vec_id = c.vec_id),
