@@ -203,9 +203,13 @@ ${LshOracleSql.cosineExpr} AS cos
           // argmax via struct max: highest cosine wins, ties to larger cid
           .agg(max(struct(col("ccos"), col("cid"))).getField("cid").as("cid"))
       // init: deterministic hash of the id — no driver-side sampling, no
-      // global sort, works identically at any corpus size
+      // global sort, works identically at any corpus size. fingerprint64
+      // (not Spark's murmur hash()) so the DuckDB oracle can replay the
+      // assignment with HUGEINT wrap arithmetic.
       var assign = base.select(col("vec_id"),
-        pmod(hash(col("vec_id")), lit(k)).as("cid"))
+        pmod(graft.functions.HashFunctions.fingerprint64(
+          col("vec_id").cast("string")), lit(k.toLong))
+          .cast("int").as("cid"))
       for (_ <- 1 to iters) assign = reassign(centroidsOf(assign))
       // the final assignment feeds three subtrees (final centroids, query
       // probes via those centroids, and the candidate lists) — persist the
@@ -238,7 +242,11 @@ ${LshOracleSql.cosineExpr} AS cos
         .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
         .orderBy(col("q_id"), col("rk"))
     },
-    oracle = None // IVF assignment is graft-specific — recall in VectorSpec
+    // DuckDB replays the whole quantizer: fingerprint init, two Lloyd
+    // iterations with float-rounded centroids, argmax/probe tie rules, and
+    // the final exact-cosine top-k (see IvfOracleSql for the fidelity notes)
+    oracle = Some(IvfOracleSql.sql(k = 16, nprobe = 4, iters = 2, topk = 3,
+      nq = 10))
   )
 
   /** Centroid search: per-label mean vector (array aggregation via
