@@ -33,6 +33,7 @@ object QueryDef {
     operators.TextQueries.defs,
     operators.VectorQueries.defs,
     operators.EventsQueries.defs,
+    operators.TemporalJoinQueries.defs,
     operators.MultimodalQueries.defs
   )
 

@@ -380,6 +380,148 @@ object TextQueries {
       FROM c GROUP BY lang, bin ORDER BY lang, bin""")
   )
 
+  /** TF-IDF top terms per document — the relevance/keyword-extraction
+    * pass of a text pipeline. tf from one (doc, token) aggregation, df
+    * from a second over the tf pairs, corpus size as a broadcast scalar;
+    * the smooth idf is ln((N+1)/(df+1)) + 1. Scores round to 4 decimals
+    * on BOTH sides (ranking runs on the rounded value) so a 1-ulp ln()
+    * difference between libm and DuckDB can't flip a rank. */
+  val tfidf: QueryDef = QueryDef(
+    "x_text_tfidf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val nDocs = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val w = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token"))
+      tf.join(dfreq, Seq("token"))
+        .crossJoin(broadcast(nDocs))
+        .withColumn("tfidf", round(col("tf") *
+          (log((col("n_docs") + 1) / (col("df") + 1)) + 1), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 3)
+        .select(col("doc_id"), col("rk"), col("token"), col("tf"),
+          col("tfidf"))
+        .orderBy(col("doc_id"), col("rk"))
+    },
+    oracle = Some("""
+      WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      tf AS (SELECT doc_id, token, count(*) AS tf
+             FROM tok GROUP BY doc_id, token),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      nd AS (SELECT count(*) AS n_docs FROM documents),
+      sc AS (SELECT tf.doc_id, tf.token, tf.tf,
+               round(tf.tf * (ln((nd.n_docs + 1) / (df.df + 1)) + 1), 4)
+                 AS tfidf
+             FROM tf JOIN df USING (token) CROSS JOIN nd),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+              ORDER BY tfidf DESC, token) AS rk
+            FROM sc)
+      SELECT doc_id, rk, token, tf, tfidf FROM r WHERE rk <= 3
+      ORDER BY doc_id, rk""")
+  )
+
+  /** Stratified sampling: a fixed per-stratum target (50 docs per
+    * language) instead of x_pipeline_sample's fixed rates. Stratum sizes
+    * come from one tiny aggregation broadcast back (NOT a window over the
+    * stratum — a per-language window partition would put every 'en' row
+    * in one task at 100 TB); the keep decision is pure integer math,
+    * bucket(fingerprint) × stratum_n < target × 1000, so any worker
+    * reproduces the identical subset with zero coordination. */
+  val stratified: QueryDef = QueryDef(
+    "x_pipeline_stratified",
+    (s, dir) => {
+      val target = 50L
+      val strata = docs(s, dir).groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_total"))
+      docs(s, dir)
+        .withColumn("bucket", pmod(fingerprint64(col("text")), lit(1000L)))
+        .join(broadcast(strata), Seq("lang"))
+        .withColumn("keep",
+          col("bucket") * col("n_total") < lit(target * 1000L))
+        .groupBy(col("lang"))
+        .agg(max(col("n_total")).as("n_total"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("lang"))
+    },
+    oracle = Some("""
+      WITH f AS (
+        SELECT doc_id, lang,
+          list_reduce(
+            list_prepend(0::HUGEINT,
+              list_transform(range(1, octet_length(encode(text)) + 1),
+                i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2-1, 1)) - 1) * 16
+                   + (strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2, 1)) - 1) AS HUGEINT))),
+            (acc, b) -> (acc * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT) AS acc
+        FROM documents),
+      sg AS (SELECT doc_id, lang,
+               CAST(CASE WHEN acc >= 9223372036854775808::HUGEINT
+                         THEN acc - 18446744073709551616::HUGEINT
+                         ELSE acc END AS BIGINT) AS fp
+             FROM f),
+      k AS (SELECT lang, ((fp % 1000) + 1000) % 1000 AS bucket FROM sg),
+      n AS (SELECT lang, count(*) AS n_total FROM documents GROUP BY lang)
+      SELECT k.lang, max(n.n_total) AS n_total,
+             CAST(sum(CASE WHEN k.bucket * n.n_total < 50000
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM k JOIN n USING (lang) GROUP BY k.lang ORDER BY k.lang""")
+  )
+
+  /** PII redaction: detect + mask emails and phone numbers, report match
+    * counts and an md5 of the redacted text (a strong whole-content
+    * check). The synthetic corpus has no organic PII, so a deterministic
+    * contact line derived from doc_id is appended first — the detection /
+    * redaction path is what's under test. Patterns are RE2-safe (no
+    * backtracking constructs) so Spark's Java regex and DuckDB's RE2
+    * agree; per-row map, no shuffle. */
+  val piiRedact: QueryDef = QueryDef(
+    "x_text_pii",
+    (s, dir) => {
+      val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+      val phone = "\\+1-555-[0-9]{4}"
+      docs(s, dir)
+        .withColumn("aug", concat(col("text"),
+          lit(" contact user"), col("doc_id"), lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+        .withColumn("redacted",
+          regexp_replace(regexp_replace(col("aug"), email, "<EMAIL>"),
+            phone, "<PHONE>"))
+        .select(col("doc_id"),
+          regexp_count(col("aug"), lit(email)).as("n_emails"),
+          regexp_count(col("aug"), lit(phone)).as("n_phones"),
+          length(col("redacted")).as("red_len"),
+          md5(col("redacted")).as("red_md5"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH a AS (SELECT doc_id,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     AS aug
+                 FROM documents),
+      r AS (SELECT doc_id, aug,
+              regexp_replace(regexp_replace(aug,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS redacted
+            FROM a)
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(aug,
+               '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+               AS INTEGER) AS n_emails,
+             CAST(len(regexp_extract_all(aug, '\+1-555-[0-9]{4}'))
+               AS INTEGER) AS n_phones,
+             length(redacted) AS red_len,
+             md5(redacted) AS red_md5
+      FROM r ORDER BY doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
-    fingerprint, curate, bigrams, sample, pack)
+    fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact)
 }

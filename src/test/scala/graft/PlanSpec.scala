@@ -182,4 +182,23 @@ class PlanSpec extends GraftSuite {
     assert(!plan.contains("FileScan") && !plan.contains("Relation["),
       plan)
   }
+
+  test("as-of join plans join-free: one union pass, window carry-forward") {
+    // the 100 TB contract: as-of is NOT a per-key non-equi join — it is a
+    // single user_id shuffle + sorted window over the unioned event kinds
+    val plan = planOf(
+      operators.TemporalJoinQueries.asofAttribution.run(spark, sf))
+    assert(!plan.contains("Join"), s"as-of planned a join:\n$plan")
+    assert(plan.contains("Window"), plan)
+  }
+
+  test("interval join is banded to a hash equi-join, never a nested loop") {
+    // the naive interval join is a cross/theta join (BroadcastNestedLoop
+    // at best); banding must make the overlap a hash join on the bucket
+    val plan = planOf(
+      operators.TemporalJoinQueries.rangeInterval.run(spark, sf))
+    assert(!plan.contains("NestedLoop") && !plan.contains("CartesianProduct"),
+      s"interval join fell back to a nested loop:\n$plan")
+    assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
+  }
 }
