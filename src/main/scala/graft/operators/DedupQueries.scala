@@ -413,6 +413,94 @@ ${LshOracleSql.cosineExpr} AS c
       FROM cl ORDER BY doc_id""")
   )
 
+  /** Incremental dedup: classify a NEW batch (source = 'src9') against the
+    * EXISTING corpus (every other source) — the shape a production pipeline
+    * runs per ingest instead of re-deduping 100 TB from scratch. Exact
+    * status via a digest semi-join (new side shuffles 16-byte digests
+    * only); near status via the same minhash banding as x_dedup_minhash_lsh,
+    * where each new doc pairs with the min existing doc per shared band
+    * bucket — O(new × bands) candidates regardless of bucket sizes — and is
+    * verified with exact token-set Jaccard ≥ 0.8. At scale the existing
+    * side's band→min-doc index is a precomputed artifact keyed exactly like
+    * `exBands` here; only the new batch pays per-ingest work. */
+  val incremental: QueryDef = QueryDef(
+    "x_dedup_incremental",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          array_distinct(split(col("text"), " ")).as("toks"),
+          md5(col("text")).as("digest"))
+      val newDocs = base.filter(col("source") === "src9")
+      val existing = base.filter(col("source") =!= "src9")
+      val exactDup = newDocs
+        .join(existing.select(col("digest")).distinct(), Seq("digest"),
+          "left_semi")
+        .select(col("doc_id"), lit(true).as("exact"))
+      def bands(df: DataFrame): DataFrame = df
+        .withColumn("sig", minhashSig(col("toks"), 32))
+        .select(col("doc_id"),
+          posexplode(expr("transform(sequence(0, 7), " +
+            "b -> struct(sig[b*4] AS h0, sig[b*4+1] AS h1, " +
+            "sig[b*4+2] AS h2, sig[b*4+3] AS h3))")))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "band_key")
+      val exBands = bands(existing).groupBy(col("band_id"), col("band_key"))
+        .agg(min(col("doc_id")).as("ex_id"))
+      val candidates = bands(newDocs)
+        .join(exBands, Seq("band_id", "band_key"))
+        .select(col("doc_id"), col("ex_id")).distinct()
+      val verified = candidates
+        .join(newDocs.select(col("doc_id"), col("toks")), Seq("doc_id"))
+        .join(existing.select(col("doc_id").as("ex_id"),
+          col("toks").as("ex_toks")), Seq("ex_id"))
+        .groupBy(col("doc_id"))
+        .agg(max(
+          size(array_intersect(col("toks"), col("ex_toks"))).cast("double") /
+            size(array_union(col("toks"), col("ex_toks"))))
+          .as("best_jaccard"))
+      newDocs.select(col("doc_id"))
+        .join(exactDup, Seq("doc_id"), "left_outer")
+        .join(verified, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+          when(coalesce(col("exact"), lit(false)), "exact")
+            .when(coalesce(col("best_jaccard"), lit(0.0)) >= 0.8, "near")
+            .otherwise("novel").as("status"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(minhashBandsSql + """,
+      src AS (SELECT doc_id, source, md5(text) AS digest FROM documents),
+      newd AS (SELECT doc_id FROM src WHERE source = 'src9'),
+      exact AS (SELECT DISTINCT s.doc_id
+                FROM src s JOIN src e ON s.digest = e.digest
+                WHERE s.source = 'src9' AND e.source <> 'src9'),
+      exbands AS (SELECT b, h0, h1, h2, h3, min(bands.doc_id) AS ex_id
+                  FROM bands JOIN src USING (doc_id)
+                  WHERE src.source <> 'src9'
+                  GROUP BY b, h0, h1, h2, h3),
+      cand AS (SELECT DISTINCT bands.doc_id, eb.ex_id
+               FROM bands JOIN src USING (doc_id)
+               JOIN exbands eb USING (b, h0, h1, h2, h3)
+               WHERE src.source = 'src9'),
+      ver AS (SELECT c.doc_id,
+                max(CAST(len(list_intersect(dn.toks, de.toks)) AS DOUBLE) /
+                    len(list_distinct(list_concat(dn.toks, de.toks))))
+                  AS best_jaccard
+              FROM cand c
+              JOIN d dn ON dn.doc_id = c.doc_id
+              JOIN d de ON de.doc_id = c.ex_id
+              GROUP BY c.doc_id)
+      SELECT n.doc_id,
+             coalesce(v.best_jaccard, 0.0) AS best_jaccard,
+             CASE WHEN e.doc_id IS NOT NULL THEN 'exact'
+                  WHEN coalesce(v.best_jaccard, 0.0) >= 0.8 THEN 'near'
+                  ELSE 'novel' END AS status
+      FROM newd n
+      LEFT JOIN exact e ON e.doc_id = n.doc_id
+      LEFT JOIN ver v ON v.doc_id = n.doc_id
+      ORDER BY n.doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash,
-    embeddingNearDup, clusters)
+    embeddingNearDup, clusters, incremental)
 }

@@ -377,7 +377,32 @@ object EventsQueries {
       ORDER BY event_type, hour_bucket""")
   )
 
+  /** Stream-stream join end-to-end, driver-verifiable: clicks joined to
+    * same-user purchases within 30 minutes (EventsStream.clickPurchaseJoin)
+    * in append mode — inner-join matches emit when both rows arrive, so
+    * the sink holds exactly the batch join's row set and the DuckDB oracle
+    * replays it as a plain interval join. */
+  val streamJoin: QueryDef = QueryDef(
+    "x_stream_join",
+    (s, dir) => {
+      val out = runAvailableNow(s, dir, "stream_join", complete = false)(
+        graft.streaming.EventsStream.clickPurchaseJoin)
+      s.read.parquet(out)
+        .orderBy(col("user_id"), col("click_id"), col("purchase_id"))
+    },
+    oracle = Some("""
+      SELECT c.user_id, c.event_id AS click_id, p.event_id AS purchase_id,
+             (epoch_us(p.ts::TIMESTAMP) // 1000000)
+               - (epoch_us(c.ts::TIMESTAMP) // 1000000) AS wait_sec
+      FROM events c JOIN events p
+        ON p.user_id = c.user_id
+       AND p.ts::TIMESTAMP >= c.ts::TIMESTAMP
+       AND p.ts::TIMESTAMP <= c.ts::TIMESTAMP + INTERVAL 30 MINUTE
+      WHERE c.event_type = 'click' AND p.event_type = 'purchase'
+      ORDER BY c.user_id, click_id, purchase_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, streamTumbling, streamDedup,
-    streamSession, streamSliding, streamEnrich)
+    streamSession, streamSliding, streamEnrich, streamJoin)
 }

@@ -522,6 +522,134 @@ object TextQueries {
       FROM r ORDER BY doc_id""")
   )
 
+  /** Repetition-based quality signals (the Gopher/C4-style filters every
+    * pretraining pipeline runs): duplicate-token fraction, most-frequent
+    * token/bigram mass, duplicate-bigram fraction, and a composite
+    * repetitive flag. All per-row array math over the scan — zero shuffle
+    * at any corpus size. The per-row top-count is O(distinct²) in tokens,
+    * fine for document-sized inputs (a 100k-token outlier would switch to
+    * the explode+count shape of x_text_top_tokens). */
+  val repetition: QueryDef = QueryDef(
+    "x_text_repetition",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("n_tokens", size(col("toks")))
+        .withColumn("bigrams", expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> concat(toks[i], ' ', toks[i+1]))"))
+        .withColumn("dup_token_frac",
+          lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
+            col("n_tokens"))
+        .withColumn("top_token_frac",
+          expr("array_max(transform(array_distinct(toks), " +
+            "d -> size(filter(toks, t -> t = d))))").cast("double") /
+            col("n_tokens"))
+        .withColumn("top_bigram_frac",
+          when(size(col("bigrams")) > 0,
+            expr("array_max(transform(array_distinct(bigrams), " +
+              "d -> size(filter(bigrams, x -> x = d))))").cast("double") /
+              size(col("bigrams"))).otherwise(0.0))
+        .withColumn("dup_bigram_frac",
+          when(size(col("bigrams")) > 0,
+            lit(1.0) - size(array_distinct(col("bigrams"))).cast("double") /
+              size(col("bigrams"))).otherwise(0.0))
+        .select(col("doc_id"), col("n_tokens"), col("dup_token_frac"),
+          col("top_token_frac"), col("top_bigram_frac"),
+          col("dup_bigram_frac"),
+          // flag on DUPLICATE mass, not top-gram mass: top_bigram_frac has
+          // a 1/(n-1) floor on short docs (one bigram is always "the top"),
+          // while dup fractions are exactly 0 for non-repetitive text
+          (col("dup_bigram_frac") > 0.18 || col("dup_token_frac") > 0.85)
+            .as("is_repetitive"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      b AS (SELECT doc_id, toks, len(toks) AS n_tokens,
+              list_transform(range(1, len(toks)),
+                i -> toks[i] || ' ' || toks[i+1]) AS bigrams
+            FROM t),
+      m AS (SELECT doc_id, CAST(n_tokens AS INTEGER) AS n_tokens,
+              1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / n_tokens
+                AS dup_token_frac,
+              CAST(list_max(list_transform(list_distinct(toks),
+                d -> len(list_filter(toks, t -> t = d)))) AS DOUBLE)
+                / n_tokens AS top_token_frac,
+              CASE WHEN len(bigrams) > 0
+                   THEN CAST(list_max(list_transform(list_distinct(bigrams),
+                          d -> len(list_filter(bigrams, x -> x = d))))
+                          AS DOUBLE) / len(bigrams)
+                   ELSE 0.0 END AS top_bigram_frac,
+              CASE WHEN len(bigrams) > 0
+                   THEN 1.0 - CAST(len(list_distinct(bigrams)) AS DOUBLE)
+                          / len(bigrams)
+                   ELSE 0.0 END AS dup_bigram_frac
+            FROM b)
+      SELECT doc_id, n_tokens, dup_token_frac, top_token_frac,
+             top_bigram_frac, dup_bigram_frac,
+             (dup_bigram_frac > 0.18 OR dup_token_frac > 0.85)
+               AS is_repetitive
+      FROM m ORDER BY doc_id""")
+  )
+
+  /** Benchmark-contamination detection: documents sharing any 5-token
+    * n-gram with a held-out benchmark set (here: doc_id % 97 = 0 stands in
+    * for the eval suite). Corpus docs explode to distinct md5'd 5-grams;
+    * the benchmark's gram set — bounded by |benchmark|, not |corpus| — is
+    * broadcast and the overlap count is one partial-aggregated groupBy on
+    * doc_id. This is the decontamination pass every pretraining corpus
+    * runs before training, shaped so the 100 TB side never shuffles more
+    * than (doc_id, hash) pairs. */
+  val contamination: QueryDef = QueryDef(
+    "x_text_contamination",
+    (s, dir) => {
+      val grams = docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 5)
+        .select(col("doc_id"), explode(expr(
+          "transform(sequence(0, size(toks) - 5), " +
+            "i -> concat_ws(' ', slice(toks, i + 1, 5)))")).as("gram"))
+        .select(col("doc_id"), md5(col("gram")).as("g"))
+        .distinct()
+      val bench = grams.filter(col("doc_id") % 97 === 0)
+        .select(col("g")).distinct()
+      val corpus = grams.filter(col("doc_id") % 97 =!= 0)
+      val hits = corpus.join(broadcast(bench), Seq("g"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_hits"))
+      corpus.groupBy(col("doc_id")).agg(count(lit(1)).as("n_grams"))
+        .join(hits, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_grams"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          (coalesce(col("n_hits"), lit(0L)).cast("double") / col("n_grams"))
+            .as("contam_frac"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("is_contaminated"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents
+                 WHERE len(string_split(text, ' ')) >= 5),
+      g0 AS (SELECT doc_id,
+               unnest(list_transform(range(0, len(toks) - 5 + 1),
+                 i -> array_to_string(toks[i+1:i+5], ' '))) AS gram
+             FROM t),
+      g AS (SELECT DISTINCT doc_id, md5(gram) AS g FROM g0),
+      bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+      corpus AS (SELECT * FROM g WHERE doc_id % 97 <> 0),
+      hits AS (SELECT doc_id, count(*) AS n_hits
+               FROM corpus JOIN bench USING (g) GROUP BY doc_id),
+      tot AS (SELECT doc_id, count(*) AS n_grams
+              FROM corpus GROUP BY doc_id)
+      SELECT tot.doc_id, tot.n_grams,
+             coalesce(h.n_hits, 0) AS n_hits,
+             CAST(coalesce(h.n_hits, 0) AS DOUBLE) / tot.n_grams
+               AS contam_frac,
+             coalesce(h.n_hits, 0) > 0 AS is_contaminated
+      FROM tot LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
-    fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact)
+    fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
+    repetition, contamination)
 }

@@ -175,6 +175,31 @@ object EventsStream {
       }
   }
 
+  /** Stream-stream inner join: each click joined to the same user's
+    * purchases landing within [click, click + 30 min]. Both sides carry a
+    * watermark and the join condition bounds event-time distance, so
+    * Spark GCs join state once the watermark passes click_ts + 30 min —
+    * state stays O(events in the 40-minute horizon) per key at any
+    * volume, the canonical scalable stream-join shape. Inner-join matches
+    * emit as soon as both rows have arrived (no watermark flush delay). */
+  def clickPurchaseJoin(events: DataFrame): DataFrame = {
+    val clicks = events.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        col("ts").as("click_ts"))
+      .withWatermark("click_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"),
+        col("user_id").as("p_user"), col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", "10 minutes")
+    clicks.join(purchases,
+      col("user_id") === col("p_user") &&
+        col("purchase_ts") >= col("click_ts") &&
+        col("purchase_ts") <= col("click_ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("user_id"), col("click_id"), col("purchase_id"),
+        (col("purchase_ts").cast("long") - col("click_ts").cast("long"))
+          .as("wait_sec"))
+  }
+
   /** foreachBatch sink, idempotent per micro-batch: each batch OVERWRITES
     * its own batch_id=N partition directory, so a replayed batch (failure
     * before the checkpoint commit) rewrites the same files instead of

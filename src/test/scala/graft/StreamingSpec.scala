@@ -112,6 +112,48 @@ class StreamingSpec extends GraftSuite {
     assert(written.columns.contains("batch_id"))
   }
 
+  test("stream-stream join pairs clicks with purchases inside the interval") {
+    val mem = MemoryStream[EventRow]
+    // user 1: click at :00 → purchases at :10 (match) and :45 (outside 30m);
+    // user 2: purchase at :05 with no click — must not appear
+    mem.addData(
+      ev(1, 0, 1, "click", 1.0), ev(2, 10, 1, "purchase", 5.0),
+      ev(3, 45, 1, "purchase", 5.0), ev(4, 5, 2, "purchase", 2.0))
+    val q = EventsStream.clickPurchaseJoin(mem.toDF())
+      .writeStream.format("memory").queryName("ss_join")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val rows = spark.table("ss_join").collect()
+    q.stop()
+    assert(rows.length == 1)
+    assert(rows(0).getLong(0) == 1L) // user_id
+    assert(rows(0).getLong(1) == 1L && rows(0).getLong(2) == 2L)
+    assert(rows(0).getLong(3) == 600L) // wait_sec = 10 minutes
+  }
+
+  test("stream-stream join matches the batch interval join on real data") {
+    val e = Tables.table(spark, sf, "events")
+    val batch = e.filter(col("event_type") === "click").alias("c")
+      .join(e.filter(col("event_type") === "purchase").alias("p"),
+        col("p.user_id") === col("c.user_id") &&
+          col("p.ts") >= col("c.ts") &&
+          col("p.ts") <= col("c.ts") + expr("INTERVAL 30 MINUTES"))
+      .select(col("c.user_id"), col("c.event_id").as("click_id"),
+        col("p.event_id").as("purchase_id"))
+    val mem = MemoryStream[EventRow]
+    mem.addData(e.as[EventRow].collect().toIndexedSeq)
+    val q = EventsStream.clickPurchaseJoin(mem.toDF())
+      .writeStream.format("memory").queryName("ss_join_parity")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    val streamed = spark.table("ss_join_parity")
+      .select(col("user_id"), col("click_id"), col("purchase_id"))
+    val diff = batch.exceptAll(streamed).count() +
+      streamed.exceptAll(batch).count()
+    q.stop()
+    assert(diff == 0, "stream-stream and batch interval join disagree")
+  }
+
   test("streaming tumbling matches batch tumbling on the same data") {
     val batch = operators.EventsQueries.tumbling.run(spark, sf)
       .select(col("window_start"), col("event_type"), col("n"))

@@ -190,4 +190,65 @@ class VectorTextSpec extends GraftSuite {
     assert(byId(2L) == ((2, 2L, false)))
     assert(byId(3L) == ((1, 1L, true)))
   }
+
+  private def writeDocs(rows: Seq[(Long, String, String)]): String = {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_docs").toString
+    rows.toDF("doc_id", "text", "source")
+      .withColumn("lang", lit("en"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    tmp
+  }
+
+  test("repetition signals flag a degenerate doc and pass a clean one") {
+    val tmp = writeDocs(Seq(
+      (1L, "a a a a a", "fx"),          // one token repeated 5×
+      (2L, "w x y z", "fx")))           // all-distinct tokens
+    val byId = operators.TextQueries.repetition.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val rep = byId(1L)
+    assert(math.abs(rep.getDouble(2) - 0.8) < 1e-12) // dup_token_frac 4/5
+    assert(math.abs(rep.getDouble(3) - 1.0) < 1e-12) // top_token_frac
+    assert(math.abs(rep.getDouble(4) - 1.0) < 1e-12) // top_bigram_frac
+    assert(rep.getBoolean(6), "degenerate doc not flagged repetitive")
+    val clean = byId(2L)
+    assert(clean.getDouble(2) == 0.0)
+    assert(math.abs(clean.getDouble(3) - 0.25) < 1e-12)
+    assert(clean.getDouble(5) == 0.0) // dup_bigram_frac
+    assert(!clean.getBoolean(6), "clean doc wrongly flagged")
+  }
+
+  test("contamination finds benchmark n-gram overlap and skips the benchmark") {
+    val bench = "one two three four five six seven eight"
+    val tmp = writeDocs(Seq(
+      (0L, bench, "fx"),                         // 0 % 97 == 0 → benchmark
+      (1L, "xx two three four five six yy", "fx"), // shares 5-gram "two…six"
+      (2L, "p q r s t u v w", "fx")))            // disjoint vocabulary
+    val rows = operators.TextQueries.contamination.run(spark, tmp).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    assert(!byId.contains(0L), "benchmark doc must not be scored")
+    assert(byId(1L).getLong(2) == 1L, "planted 5-gram overlap missed")
+    assert(byId(1L).getBoolean(4))
+    assert(byId(2L).getLong(2) == 0L && !byId(2L).getBoolean(4))
+    rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
+  }
+
+  test("incremental dedup classifies a new batch as exact/near/novel") {
+    val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val tmp = writeDocs(Seq(
+      (1L, base, "src0"),                         // existing corpus
+      (2L, "cold warm hot mild crisp damp dry wet", "src0"),
+      (100L, base, "src9"),                       // identical → exact
+      (101L, base + " lambda", "src9"),           // jaccard 10/11 → near
+      (102L, "red green blue cyan pink teal", "src9"))) // novel
+    val byId = operators.DedupQueries.incremental.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getDouble(1), r.getString(2))).toMap
+    assert(byId.keySet == Set(100L, 101L, 102L),
+      "output must be exactly the new batch")
+    assert(byId(100L)._2 == "exact")
+    assert(byId(101L)._2 == "near",
+      s"appended-token doc classified ${byId(101L)}")
+    assert(math.abs(byId(101L)._1 - 10.0 / 11.0) < 1e-12)
+    assert(byId(102L)._2 == "novel" && byId(102L)._1 == 0.0)
+  }
 }
