@@ -522,6 +522,68 @@ object TextQueries {
       FROM r ORDER BY doc_id""")
   )
 
+  /** Temperature-based mixture sampling (α = 0.5): per-source sampling
+    * weights ∝ n^α rebalance a skewed corpus toward small sources — the
+    * standard LLM data-mixing step between fixed-rate sampling
+    * (x_pipeline_sample) and fixed-target stratification
+    * (x_pipeline_stratified). The keep rule is pure integer math —
+    * bucket · Σ⌊√n⌋ · n_src < target · 10⁶ · ⌊√n_src⌋ — so every worker
+    * (and the oracle) reproduces the identical subset bit-for-bit; source
+    * stats arrive via one tiny broadcast, the corpus side never shuffles.
+    * (The long products bound |corpus| ≲ 10¹² rows here; a real 100 TB+
+    * deployment widens the comparison to DECIMAL.) */
+  val mix: QueryDef = QueryDef(
+    "x_pipeline_mix",
+    (s, dir) => {
+      val target = 200L
+      val counts = docs(s, dir).groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"))
+        .withColumn("sqrt_w", floor(sqrt(col("n_total"))).cast("long"))
+      val denom = counts.agg(sum(col("sqrt_w")).as("denom"))
+      docs(s, dir)
+        .withColumn("bucket",
+          pmod(fingerprint64(col("text")), lit(1000000L)))
+        .join(broadcast(counts), Seq("source"))
+        .crossJoin(broadcast(denom))
+        .withColumn("keep",
+          col("bucket") * col("denom") * col("n_total") <
+            lit(target * 1000000L) * col("sqrt_w"))
+        .groupBy(col("source"))
+        .agg(max(col("n_total")).as("n_total"),
+          max(col("sqrt_w")).as("sqrt_w"),
+          sum(when(col("keep"), 1L).otherwise(0L)).as("n_kept"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH f AS (
+        SELECT doc_id, source,
+          list_reduce(
+            list_prepend(0::HUGEINT,
+              list_transform(range(1, octet_length(encode(text)) + 1),
+                i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2-1, 1)) - 1) * 16
+                   + (strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2, 1)) - 1) AS HUGEINT))),
+            (acc, b) -> (acc * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT) AS acc
+        FROM documents),
+      sg AS (SELECT doc_id, source,
+               CAST(CASE WHEN acc >= 9223372036854775808::HUGEINT
+                         THEN acc - 18446744073709551616::HUGEINT
+                         ELSE acc END AS BIGINT) AS fp
+             FROM f),
+      k AS (SELECT source,
+              ((fp % 1000000) + 1000000) % 1000000 AS bucket
+            FROM sg),
+      n AS (SELECT source, count(*) AS n_total,
+              CAST(floor(sqrt(count(*))) AS BIGINT) AS sqrt_w
+            FROM documents GROUP BY source),
+      dn AS (SELECT sum(sqrt_w) AS denom FROM n)
+      SELECT k.source, max(n.n_total) AS n_total, max(n.sqrt_w) AS sqrt_w,
+             CAST(sum(CASE WHEN k.bucket * dn.denom * n.n_total
+                                < 200000000 * n.sqrt_w
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_kept
+      FROM k JOIN n USING (source) CROSS JOIN dn
+      GROUP BY k.source ORDER BY k.source""")
+  )
+
   /** Repetition-based quality signals (the Gopher/C4-style filters every
     * pretraining pipeline runs): duplicate-token fraction, most-frequent
     * token/bigram mass, duplicate-bigram fraction, and a composite
@@ -651,5 +713,5 @@ object TextQueries {
 
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
-    repetition, contamination)
+    repetition, contamination, mix)
 }

@@ -233,6 +233,23 @@ class VectorTextSpec extends GraftSuite {
     rows.foreach(r => assert(r.getLong(2) <= r.getLong(1)))
   }
 
+  test("temperature mixing upsamples small sources relative to large ones") {
+    // big: 400 docs, small: 25 → ⌊√n⌋ weights 20 and 5, denom 25, so the
+    // keep rates are 200·20/(25·400) = 0.4 and 200·5/(25·25) = 1.6 (→ all)
+    val docs = (0 until 400).map(i =>
+      (i.toLong, s"big source doc $i with filler words $i", "big")) ++
+      (0 until 25).map(i =>
+        (1000L + i, s"small source doc $i entirely different $i", "small"))
+    val tmp = writeDocs(docs)
+    val bySrc = operators.TextQueries.mix.run(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(3))).toMap
+    assert(bySrc("small") == ((25L, 25L)), "rate>1 must keep everything")
+    val (bigTotal, bigKept) = bySrc("big")
+    assert(bigTotal == 400L)
+    // hash buckets are uniform-ish: expect ~160 kept, accept a wide band
+    assert(bigKept > 100 && bigKept < 220, s"big kept $bigKept of 400")
+  }
+
   test("incremental dedup classifies a new batch as exact/near/novel") {
     val base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
     val tmp = writeDocs(Seq(
