@@ -287,8 +287,10 @@ ${LshOracleSql.cosineExpr} AS cos
             expr(s"slice(nemb, ${j * sub + 1}, $sub)")): _*)))
         .withColumnRenamed("pos", "ss")
         .withColumnRenamed("col", "svec")
+      // codebook: two-phase agg — the map side collapses each partition to
+      // (m × k) per-dim partial sums, so only tiny partials shuffle
       def codebookOf(assign: DataFrame): DataFrame =
-        assign.join(subs, Seq("vec_id", "ss"))
+        assign
           .groupBy(col("ss"), col("cid"))
           .agg(count(lit(1)).as("n"),
             array((0 until sub).map(i =>
@@ -296,19 +298,31 @@ ${LshOracleSql.cosineExpr} AS cos
           .select(col("ss"), col("cid"),
             expr("transform(sum_vec, v -> float(v / n))")
               .cast("array<float>").as("cen"))
-      def reassign(cents: DataFrame): DataFrame =
-        subs.join(broadcast(cents), Seq("ss"))
-          .select(col("vec_id"), col("ss"), col("cid"),
-            l2sq("svec", "cen").as("dd"))
-          .groupBy(col("vec_id"), col("ss"))
-          // argmin via struct min: smallest distance wins, ties to
-          // smaller cid
-          .agg(min(struct(col("dd"), col("cid"))).getField("cid").as("cid"))
-      var assign = subs.select(col("vec_id"), col("ss"),
+      // encode = pure per-row map: the codebook broadcasts as one sorted
+      // array per subspace and the argmin folds over it in cid order
+      // (strict < keeps the first minimum → ties to smaller cid, the same
+      // rule as min(struct(dd, cid))). The corpus subvectors never enter a
+      // shuffle — at 100 TB only (vec_id, ss, cid) code tuples ever move.
+      def encode(cents: DataFrame): DataFrame = {
+        val cbook = cents.groupBy(col("ss"))
+          .agg(sort_array(collect_list(struct(col("cid"), col("cen"))))
+            .as("cbook"))
+        subs.join(broadcast(cbook), Seq("ss"))
+          .withColumn("cid", expr(
+            """aggregate(
+                 transform(cbook, c -> struct(
+                   aggregate(zip_with(svec, c.cen,
+                       (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
+                     cast(0 as double), (acc, v) -> acc + v) AS dd,
+                   c.cid AS cid)),
+                 struct(double('Infinity') AS dd, -1 AS cid),
+                 (best, s) -> if(s.dd < best.dd, s, best)).cid"""))
+          .select(col("vec_id"), col("ss"), col("svec"), col("cid"))
+      }
+      var assign = subs.withColumn("cid",
         pmod(graft.functions.HashFunctions.fingerprint64(
-          col("vec_id").cast("string")), lit(k.toLong))
-          .cast("int").as("cid"))
-      for (_ <- 1 to iters) assign = reassign(codebookOf(assign))
+          col("vec_id").cast("string")), lit(k.toLong)).cast("int"))
+      for (_ <- 1 to iters) assign = encode(codebookOf(assign))
       // codes feed both the final codebook and the ADC join
       assign = assign.persist()
       val cents = codebookOf(assign)
@@ -320,7 +334,8 @@ ${LshOracleSql.cosineExpr} AS cos
           l2sq("qsvec", "cen").as("dd"))
       val perSs = (0 until m).map(j =>
         sum(when(col("ss") === j, col("dd")).otherwise(0.0)).as(s"d$j"))
-      val approx = assign.join(broadcast(dtab), Seq("ss", "cid"))
+      val approx = assign.select(col("vec_id"), col("ss"), col("cid"))
+        .join(broadcast(dtab), Seq("ss", "cid"))
         .filter(col("vec_id") =!= col("q_id"))
         .groupBy(col("q_id"), col("vec_id"))
         .agg(perSs.head, perSs.tail: _*)

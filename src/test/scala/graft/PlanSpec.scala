@@ -135,7 +135,8 @@ class PlanSpec extends GraftSuite {
     // of an already-terminated stream, so the assertion would inspect a
     // trivial scan while paying for two full streaming executions
     val excluded = Set("x_stream_tumbling", "x_stream_dedup",
-      "x_stream_session", "x_stream_sliding", "x_stream_enrich")
+      "x_stream_session", "x_stream_sliding", "x_stream_enrich",
+      "x_stream_join")
     QueryDef.all.filterNot(q => excluded(q.name)).foreach { q =>
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
@@ -165,6 +166,67 @@ class PlanSpec extends GraftSuite {
         n.startsWith("embedding")),
         s"${q.name} shuffles a payload column: $shuffled")
     }
+  }
+
+  test("pq quantizer shuffles codes and partials, never vector payloads") {
+    // the 100 TB contract of PQ: encoding is a per-row fold over the
+    // broadcast codebook, so no exchange ever carries a subvector or the
+    // raw embedding — only code tuples, per-dim partial sums, and the
+    // final scored hits move
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = operators.VectorQueries.pqTopK.run(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffled = finalPlan.collect {
+      case s: ShuffleExchangeLike => s.output.map(_.name)
+    }.flatten
+    assert(!shuffled.exists(n => n.startsWith("svec") ||
+      n.startsWith("embedding") || n.startsWith("nemb") ||
+      n.startsWith("q_emb")),
+      s"pq shuffles a vector payload: $shuffled")
+  }
+
+  test("contamination joins the corpus against a broadcast benchmark set") {
+    // the benchmark gram set is the bounded side — it must broadcast, and
+    // no exchange may carry document text or raw grams (only md5 keys)
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = operators.TextQueries.contamination.run(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(finalPlan.toString.contains("BroadcastHashJoin"),
+      finalPlan.toString.take(2000))
+    val shuffled = finalPlan.collect {
+      case s: ShuffleExchangeLike => s.output.map(_.name)
+    }.flatten
+    assert(!shuffled.exists(n => n.startsWith("text") ||
+      n.startsWith("gram")),
+      s"contamination shuffles text payload: $shuffled")
+  }
+
+  test("mixture sampling broadcasts source stats; the corpus never shuffles") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = operators.TextQueries.mix.run(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(finalPlan.toString.contains("BroadcastHashJoin"),
+      finalPlan.toString.take(2000))
+    val shuffled = finalPlan.collect {
+      case s: ShuffleExchangeLike => s.output.map(_.name)
+    }.flatten
+    assert(!shuffled.exists(_.startsWith("text")),
+      s"mix shuffles document text: $shuffled")
   }
 
   test("curation funnel pushes the language keep-list into the scan") {
