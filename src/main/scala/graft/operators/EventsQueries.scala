@@ -377,6 +377,45 @@ object EventsQueries {
       ORDER BY event_type, hour_bucket""")
   )
 
+  /** Cohort retention: users grouped by first-seen day, counted distinct
+    * on each of the next 7 days they return — the standard
+    * product-analytics retention triangle. Two user_id shuffles (first-seen
+    * agg, then the activity join) plus one (cohort, offset) aggregation;
+    * both sides stay keyed by user, so the shape holds at any event
+    * volume. */
+  val retention: QueryDef = QueryDef(
+    "x_events_retention",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val firstSeen = e.groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+      val active = e
+        .select(col("user_id"), date_trunc("day", col("ts")).as("day"))
+        .distinct()
+      firstSeen.join(active, Seq("user_id"))
+        .withColumn("day_offset",
+          datediff(col("day"), col("cohort_day")))
+        .filter(col("day_offset") <= 7)
+        .groupBy(col("cohort_day"), col("day_offset"))
+        .agg(countDistinct(col("user_id")).as("n_users"))
+        .orderBy(col("cohort_day"), col("day_offset"))
+    },
+    oracle = Some("""
+      WITH f AS (SELECT user_id,
+                        min(date_trunc('day', ts::TIMESTAMP)) AS cohort_day
+                 FROM events GROUP BY user_id),
+      a AS (SELECT DISTINCT user_id,
+                   date_trunc('day', ts::TIMESTAMP) AS day
+            FROM events)
+      SELECT f.cohort_day,
+             CAST(date_diff('day', f.cohort_day, a.day) AS INTEGER)
+               AS day_offset,
+             count(DISTINCT a.user_id) AS n_users
+      FROM f JOIN a USING (user_id)
+      WHERE date_diff('day', f.cohort_day, a.day) <= 7
+      GROUP BY 1, 2 ORDER BY cohort_day, day_offset""")
+  )
+
   /** Stream-stream join end-to-end, driver-verifiable: clicks joined to
     * same-user purchases within 30 minutes (EventsStream.clickPurchaseJoin)
     * in append mode — inner-join matches emit when both rows arrive, so
@@ -403,6 +442,6 @@ object EventsQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
-    dedupKeyed, leaderboard, funnel, streamTumbling, streamDedup,
+    dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin)
 }
