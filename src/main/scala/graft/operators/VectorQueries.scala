@@ -195,13 +195,34 @@ ${LshOracleSql.cosineExpr} AS cos
           .select(col("cid"),
             expr("transform(sum_vec, v -> float(v / n))")
               .cast("array<float>").as("centroid"))
-      def reassign(cents: DataFrame): DataFrame =
-        base.crossJoin(broadcast(cents))
-          .select(col("vec_id"), col("cid"),
-            cosineSim(col("embedding"), col("centroid")).as("ccos"))
-          .groupBy(col("vec_id"))
-          // argmax via struct max: highest cosine wins, ties to larger cid
-          .agg(max(struct(col("ccos"), col("cid"))).getField("cid").as("cid"))
+      // reassignment = pure per-row map: the centroid table broadcasts as
+      // one cid-sorted array and the argmax folds over it (>= replaces on
+      // ties while iterating in ascending cid order → ties land on the
+      // LARGER cid, the same rule as max(struct(ccos, cid))). The three
+      // inline folds mirror VectorKernels.cosine's accumulation chains
+      // (dot, normA, normB each its own fold), so results are
+      // bit-identical to the former cosineSim + groupBy-argmax plan —
+      // but no (vec_id, ccos, cid) tuples ever shuffle per iteration.
+      def reassign(cents: DataFrame): DataFrame = {
+        val carr = cents.groupBy()
+          .agg(sort_array(collect_list(struct(col("cid"), col("centroid"))))
+            .as("carr"))
+        base.crossJoin(broadcast(carr))
+          .withColumn("cid", expr(
+            """aggregate(
+                 transform(carr, c -> struct(
+                   aggregate(zip_with(embedding, c.centroid,
+                       (x, y) -> double(x) * double(y)),
+                     cast(0 as double), (acc, v) -> acc + v)
+                   / (sqrt(aggregate(embedding, cast(0 as double),
+                        (acc, v) -> acc + double(v) * double(v)))
+                      * sqrt(aggregate(c.centroid, cast(0 as double),
+                          (acc, v) -> acc + double(v) * double(v)))) AS ccos,
+                   c.cid AS cid)),
+                 struct(double(-2.0) AS ccos, -1 AS cid),
+                 (best, s) -> if(s.ccos >= best.ccos, s, best)).cid"""))
+          .select(col("vec_id"), col("cid"))
+      }
       // init: deterministic hash of the id — no driver-side sampling, no
       // global sort, works identically at any corpus size. fingerprint64
       // (not Spark's murmur hash()) so the DuckDB oracle can replay the
