@@ -584,13 +584,111 @@ object TextQueries {
       GROUP BY k.source ORDER BY k.source""")
   )
 
+  /** The full curation pipeline composed end-to-end in ONE plan:
+    * quality gate → language keep-list → exact dedup (canonical = min
+    * doc_id per digest) → deterministic mixture keep → sequence packing.
+    * Unlike x_pipeline_pack's per-language window, packing here runs per
+    * (lang, shard) where shard = fingerprint bucket % 8 — the form that
+    * scales: a 100 TB corpus packs 8 (or 10⁴) independent shard streams
+    * per language instead of funneling every 'en' row through one task.
+    * Shuffle budget for the whole pipeline: one digest window, one
+    * (lang, shard) window, one final aggregation. */
+  val e2e: QueryDef = QueryDef(
+    "x_pipeline_e2e",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val budget = 4096L
+      val rate = when(col("lang") === "en", 600)
+        .when(col("lang") === "de", 900).otherwise(800)
+      val quality = docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .withColumn("avg_token_len",
+          (length(col("text")) - (col("n_tokens") - 1)).cast("double") /
+            col("n_tokens"))
+        .filter(col("n_tokens") >= 20 && col("avg_token_len").between(3, 10))
+        .filter(col("lang").isin("en", "de", "fr", "es"))
+      val wd = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      val kept = quality
+        .withColumn("rn", row_number().over(wd))
+        .filter(col("rn") === 1)
+        .withColumn("bucket", pmod(fingerprint64(col("text")), lit(1000L)))
+        .filter(col("bucket") < rate)
+        .withColumn("shard", col("bucket") % 8)
+      val wp = Window.partitionBy(col("lang"), col("shard"))
+        .orderBy(col("doc_id"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      kept
+        .withColumn("cum", sum(col("n_tokens").cast("long")).over(wp))
+        .withColumn("bin",
+          ((col("cum") - col("n_tokens")) / budget).cast("long"))
+        .groupBy(col("lang"), col("shard"), col("bin"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_tokens")).cast("bigint").as("bin_tokens"))
+        .orderBy(col("lang"), col("shard"), col("bin"))
+    },
+    oracle = Some("""
+      WITH base AS (SELECT doc_id, lang, text,
+                      len(string_split(text, ' ')) AS n_tokens,
+                      CAST(length(text) - (len(string_split(text, ' ')) - 1)
+                           AS DOUBLE) / len(string_split(text, ' '))
+                        AS avg_token_len
+                    FROM documents),
+      q AS (SELECT * FROM base
+            WHERE n_tokens >= 20 AND avg_token_len BETWEEN 3 AND 10
+              AND lang IN ('en', 'de', 'fr', 'es')),
+      d AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                         ORDER BY doc_id) AS rn
+            FROM q),
+      dd AS (SELECT doc_id, lang, text, n_tokens FROM d WHERE rn = 1),
+      f AS (SELECT doc_id,
+              list_reduce(
+                list_prepend(0::HUGEINT,
+                  list_transform(range(1, octet_length(encode(text)) + 1),
+                    i -> CAST((strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2-1, 1)) - 1) * 16
+                       + (strpos('0123456789ABCDEF', substr(hex(encode(text)), i*2, 1)) - 1) AS HUGEINT))),
+                (acc, b) -> (acc * 1000003::HUGEINT + b) % 18446744073709551616::HUGEINT) AS acc
+            FROM dd),
+      sg AS (SELECT doc_id,
+               CAST(CASE WHEN acc >= 9223372036854775808::HUGEINT
+                         THEN acc - 18446744073709551616::HUGEINT
+                         ELSE acc END AS BIGINT) AS fp
+             FROM f),
+      k AS (SELECT dd.*, ((sg.fp % 1000) + 1000) % 1000 AS bucket
+            FROM dd JOIN sg USING (doc_id)),
+      kept AS (SELECT *, bucket % 8 AS shard FROM k
+               WHERE bucket < (CASE WHEN lang = 'en' THEN 600
+                                    WHEN lang = 'de' THEN 900
+                                    ELSE 800 END)),
+      c AS (SELECT *, sum(CAST(n_tokens AS BIGINT)) OVER (
+              PARTITION BY lang, shard ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+            FROM kept)
+      SELECT lang, shard, CAST((cum - n_tokens) // 4096 AS BIGINT) AS bin,
+             count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+      FROM c GROUP BY lang, shard, bin ORDER BY lang, shard, bin""")
+  )
+
+  /** Count of the most frequent element = longest run in the sorted
+    * array. The init run=0 makes the sentinel-collision case (first
+    * element equals the '' seed) compute 0+1 = 1 correctly, so no
+    * special-casing is needed. */
+  private def topRunCount(arrCol: String) = expr(
+    s"""aggregate(array_sort($arrCol),
+         struct('' AS prev, 0 AS run, 0 AS best),
+         (acc, t) -> if(t = acc.prev,
+           struct(t AS prev, acc.run + 1 AS run,
+             greatest(acc.best, acc.run + 1) AS best),
+           struct(t AS prev, 1 AS run, greatest(acc.best, 1) AS best)),
+         acc -> acc.best)""")
+
   /** Repetition-based quality signals (the Gopher/C4-style filters every
     * pretraining pipeline runs): duplicate-token fraction, most-frequent
     * token/bigram mass, duplicate-bigram fraction, and a composite
     * repetitive flag. All per-row array math over the scan — zero shuffle
-    * at any corpus size. The per-row top-count is O(distinct²) in tokens,
-    * fine for document-sized inputs (a 100k-token outlier would switch to
-    * the explode+count shape of x_text_top_tokens). */
+    * at any corpus size. The per-row top-count is a run-length fold over
+    * the sorted gram array (O(L log L) per doc; the oracle computes the
+    * same integers by the naive O(distinct·L) method, so the hash gate
+    * also proves the two formulations equivalent). */
   val repetition: QueryDef = QueryDef(
     "x_text_repetition",
     (s, dir) =>
@@ -604,13 +702,10 @@ object TextQueries {
           lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
             col("n_tokens"))
         .withColumn("top_token_frac",
-          expr("array_max(transform(array_distinct(toks), " +
-            "d -> size(filter(toks, t -> t = d))))").cast("double") /
-            col("n_tokens"))
+          topRunCount("toks").cast("double") / col("n_tokens"))
         .withColumn("top_bigram_frac",
           when(size(col("bigrams")) > 0,
-            expr("array_max(transform(array_distinct(bigrams), " +
-              "d -> size(filter(bigrams, x -> x = d))))").cast("double") /
+            topRunCount("bigrams").cast("double") /
               size(col("bigrams"))).otherwise(0.0))
         .withColumn("dup_bigram_frac",
           when(size(col("bigrams")) > 0,
@@ -713,5 +808,5 @@ object TextQueries {
 
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
-    repetition, contamination, mix)
+    repetition, contamination, mix, e2e)
 }
