@@ -168,6 +168,185 @@ ${LshOracleSql.cosineExpr} AS cos
       ORDER BY q_id, rk""")
   )
 
+  // ---- shared ANN quantizer machinery (IVF / PQ / IVF+PQ) --------------
+
+  /** Float-rounded centroids of a coarse assignment (two-phase agg — only
+    * k×64 per-dim partial sums shuffle, never the vectors). */
+  private def coarseCentroids(base: DataFrame,
+      assign: DataFrame): DataFrame =
+    assign.join(base, Seq("vec_id"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until 64).map(i =>
+          sum(col("embedding").getItem(i))).toIndexedSeq: _*)
+          .as("sum_vec"))
+      .select(col("cid"),
+        expr("transform(sum_vec, v -> float(v / n))")
+          .cast("array<float>").as("centroid"))
+
+  /** Reassignment = pure per-row map: the centroid table broadcasts as
+    * one cid-sorted array and the argmax folds over it (>= replaces on
+    * ties while iterating in ascending cid order → ties land on the
+    * LARGER cid, the same rule as max(struct(ccos, cid))). The three
+    * inline folds mirror VectorKernels.cosine's accumulation chains
+    * (dot, normA, normB each its own fold), so results are bit-identical
+    * to a cosineSim + groupBy-argmax plan — but no (vec_id, ccos, cid)
+    * tuples ever shuffle per iteration. */
+  private def coarseReassign(base: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val carr = cents.groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("centroid"))))
+        .as("carr"))
+    base.crossJoin(broadcast(carr))
+      .withColumn("cid", expr(
+        """aggregate(
+             transform(carr, c -> struct(
+               aggregate(zip_with(embedding, c.centroid,
+                   (x, y) -> double(x) * double(y)),
+                 cast(0 as double), (acc, v) -> acc + v)
+               / (sqrt(aggregate(embedding, cast(0 as double),
+                    (acc, v) -> acc + double(v) * double(v)))
+                  * sqrt(aggregate(c.centroid, cast(0 as double),
+                      (acc, v) -> acc + double(v) * double(v)))) AS ccos,
+               c.cid AS cid)),
+             struct(double(-2.0) AS ccos, -1 AS cid),
+             (best, s) -> if(s.ccos >= best.ccos, s, best)).cid"""))
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** Deterministic-init coarse k-means (fingerprint64(vec_id) mod k — no
+    * driver-side sampling, no global sort, identical at any corpus size,
+    * and replayable by the DuckDB oracle), `iters` Lloyd rounds. Returns
+    * the PERSISTED (vec_id, cid) assignment: it feeds several subtrees
+    * (final centroids, probes, candidate lists), so the k-means lineage
+    * must run once, not once per consumer. */
+  private def coarseTrain(base: DataFrame, k: Int, iters: Int): DataFrame = {
+    var assign = base.select(col("vec_id"),
+      pmod(graft.functions.HashFunctions.fingerprint64(
+        col("vec_id").cast("string")), lit(k.toLong))
+        .cast("int").as("cid"))
+    for (_ <- 1 to iters)
+      assign = coarseReassign(base, coarseCentroids(base, assign))
+    assign.persist()
+  }
+
+  /** Per-query top-nprobe coarse centroids (ties to smaller cid). */
+  private def coarseProbes(queries: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("cid"))
+    queries.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cid"),
+        cosineSim(col("q_emb"), col("centroid")).as("qcos"))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("cid"))
+  }
+
+  /** Ordered-fold squared L2 between two array columns. */
+  private def l2sqExpr(a: String, b: String) = expr(
+    s"aggregate(zip_with($a, $b, " +
+      "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), " +
+      "cast(0 as double), (acc, v) -> acc + v)")
+
+  /** L2-normalized subvectors (vec_id, ss, svec): on unit vectors
+    * squared-L2 = 2 − 2·cos, so PQ's ADC ranking is rank-equivalent to
+    * the cosine brute baseline (raw L2 would rank by norm as much as by
+    * direction). */
+  private def pqSubs(base: DataFrame, m: Int, sub: Int): DataFrame =
+    base
+      .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
+        "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(j =>
+          expr(s"slice(nemb, ${j * sub + 1}, $sub)")): _*)))
+      .withColumnRenamed("pos", "ss")
+      .withColumnRenamed("col", "svec")
+
+  /** Per-subspace float-rounded codebook (two-phase agg — the map side
+    * collapses each partition to m×k per-dim partial sums). */
+  private def pqCodebookOf(assign: DataFrame, sub: Int): DataFrame =
+    assign
+      .groupBy(col("ss"), col("cid"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until sub).map(i =>
+          sum(col("svec").getItem(i))).toIndexedSeq: _*).as("sum_vec"))
+      .select(col("ss"), col("cid"),
+        expr("transform(sum_vec, v -> float(v / n))")
+          .cast("array<float>").as("cen"))
+
+  /** Encode = pure per-row map: the codebook broadcasts as one sorted
+    * array per subspace and the argmin folds over it in cid order
+    * (strict < keeps the first minimum → ties to smaller cid, the same
+    * rule as min(struct(dd, cid))). The corpus subvectors never enter a
+    * shuffle — at 100 TB only (vec_id, ss, cid) code tuples ever move. */
+  private def pqEncode(subs: DataFrame, cents: DataFrame): DataFrame = {
+    val cbook = cents.groupBy(col("ss"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cen"))))
+        .as("cbook"))
+    subs.join(broadcast(cbook), Seq("ss"))
+      .withColumn("cid", expr(
+        """aggregate(
+             transform(cbook, c -> struct(
+               aggregate(zip_with(svec, c.cen,
+                   (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
+                 cast(0 as double), (acc, v) -> acc + v) AS dd,
+               c.cid AS cid)),
+             struct(double('Infinity') AS dd, -1 AS cid),
+             (best, s) -> if(s.dd < best.dd, s, best)).cid"""))
+      .select(col("vec_id"), col("ss"), col("svec"), col("cid"))
+  }
+
+  /** Deterministic-init per-subspace k-means; returns the PERSISTED
+    * (vec_id, ss, svec, cid) codes (they feed both the final codebook
+    * and the ADC join). */
+  private def pqTrain(subs: DataFrame, sub: Int, k: Int,
+      iters: Int): DataFrame = {
+    var assign = subs.withColumn("cid",
+      pmod(graft.functions.HashFunctions.fingerprint64(
+        col("vec_id").cast("string")), lit(k.toLong)).cast("int"))
+    for (_ <- 1 to iters) assign = pqEncode(subs, pqCodebookOf(assign, sub))
+    assign.persist()
+  }
+
+  /** The query-side ADC distance table (q_id, ss, cid, dd) — m×k doubles
+    * per query, the only state the scoring join broadcasts. */
+  private def pqDtab(subs: DataFrame, cents: DataFrame,
+      nq: Int): DataFrame =
+    subs.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("ss"), col("svec").as("qsvec"))
+      .join(broadcast(cents), Seq("ss"))
+      .select(col("q_id"), col("ss"), col("cid"),
+        l2sqExpr("qsvec", "cen").as("dd"))
+
+  /** ADC scoring tail: per-(q, vec) fixed-order distance sum over the m
+    * subspaces (sum(when ss=j) each aggregates exactly one value, then
+    * d0+d1+…+d{m-1} adds in a fixed order — nothing order-sensitive),
+    * ranked ascending, top-k, exact cosine emitted alongside. */
+  private def adcTopK(scoredPairs: DataFrame, base: DataFrame, m: Int,
+      topk: Int, nq: Int): DataFrame = {
+    val perSs = (0 until m).map(j =>
+      sum(when(col("ss") === j, col("dd")).otherwise(0.0)).as(s"d$j"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dist").asc, col("vec_id"))
+    val queries = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    scoredPairs
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(perSs.head, perSs.tail: _*)
+      .withColumn("approx_dist",
+        (0 until m).map(j => col(s"d$j")).reduce(_ + _))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topk)
+      .join(base, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("approx_dist"),
+        cosineSim(col("q_emb"), col("embedding")).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
   /** IVF-style ANN: a coarse k-means quantizer (deterministic hash init +
     * 2 Lloyd iterations, centroids always broadcast — never a shuffle of
     * the corpus by centroid), then each query probes its `nprobe` nearest
@@ -183,71 +362,12 @@ ${LshOracleSql.cosineExpr} AS cos
       val k = 16
       val nprobe = 4
       val iters = 2
-      val dims = 64
       val base = emb(s, dir)
-      def centroidsOf(assign: DataFrame): DataFrame =
-        assign.join(base, Seq("vec_id"))
-          .groupBy(col("cid"))
-          .agg(count(lit(1)).as("n"),
-            array((0 until dims).map(i =>
-              sum(col("embedding").getItem(i))).toIndexedSeq: _*)
-              .as("sum_vec"))
-          .select(col("cid"),
-            expr("transform(sum_vec, v -> float(v / n))")
-              .cast("array<float>").as("centroid"))
-      // reassignment = pure per-row map: the centroid table broadcasts as
-      // one cid-sorted array and the argmax folds over it (>= replaces on
-      // ties while iterating in ascending cid order → ties land on the
-      // LARGER cid, the same rule as max(struct(ccos, cid))). The three
-      // inline folds mirror VectorKernels.cosine's accumulation chains
-      // (dot, normA, normB each its own fold), so results are
-      // bit-identical to the former cosineSim + groupBy-argmax plan —
-      // but no (vec_id, ccos, cid) tuples ever shuffle per iteration.
-      def reassign(cents: DataFrame): DataFrame = {
-        val carr = cents.groupBy()
-          .agg(sort_array(collect_list(struct(col("cid"), col("centroid"))))
-            .as("carr"))
-        base.crossJoin(broadcast(carr))
-          .withColumn("cid", expr(
-            """aggregate(
-                 transform(carr, c -> struct(
-                   aggregate(zip_with(embedding, c.centroid,
-                       (x, y) -> double(x) * double(y)),
-                     cast(0 as double), (acc, v) -> acc + v)
-                   / (sqrt(aggregate(embedding, cast(0 as double),
-                        (acc, v) -> acc + double(v) * double(v)))
-                      * sqrt(aggregate(c.centroid, cast(0 as double),
-                          (acc, v) -> acc + double(v) * double(v)))) AS ccos,
-                   c.cid AS cid)),
-                 struct(double(-2.0) AS ccos, -1 AS cid),
-                 (best, s) -> if(s.ccos >= best.ccos, s, best)).cid"""))
-          .select(col("vec_id"), col("cid"))
-      }
-      // init: deterministic hash of the id — no driver-side sampling, no
-      // global sort, works identically at any corpus size. fingerprint64
-      // (not Spark's murmur hash()) so the DuckDB oracle can replay the
-      // assignment with HUGEINT wrap arithmetic.
-      var assign = base.select(col("vec_id"),
-        pmod(graft.functions.HashFunctions.fingerprint64(
-          col("vec_id").cast("string")), lit(k.toLong))
-          .cast("int").as("cid"))
-      for (_ <- 1 to iters) assign = reassign(centroidsOf(assign))
-      // the final assignment feeds three subtrees (final centroids, query
-      // probes via those centroids, and the candidate lists) — persist the
-      // small (vec_id, cid) pairs so the 2-iteration k-means lineage runs
-      // once, not once per consumer
-      assign = assign.persist()
-      val cents = centroidsOf(assign)
+      val assign = coarseTrain(base, k, iters)
+      val cents = coarseCentroids(base, assign)
       val queries = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      val wp = Window.partitionBy(col("q_id"))
-        .orderBy(col("qcos").desc, col("cid"))
-      val probes = queries.crossJoin(broadcast(cents))
-        .select(col("q_id"), col("cid"),
-          cosineSim(col("q_emb"), col("centroid")).as("qcos"))
-        .withColumn("rk", row_number().over(wp))
-        .filter(col("rk") <= nprobe)
-        .select(col("q_id"), col("cid"))
+      val probes = coarseProbes(queries, cents, nprobe)
       val cands = assign.join(broadcast(probes), Seq("cid"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"))
@@ -291,95 +411,66 @@ ${LshOracleSql.cosineExpr} AS cos
       val m = 16; val sub = 4; val k = 16; val iters = 2
       val topk = 3; val nq = 10
       val base = emb(s, dir)
-      def l2sq(a: String, b: String) = expr(
-        s"aggregate(zip_with($a, $b, " +
-          "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), " +
-          "cast(0 as double), (acc, v) -> acc + v)")
-      // L2-normalize first: on unit vectors squared-L2 = 2 − 2·cos, so the
-      // ADC ranking is rank-equivalent to the cosine brute baseline (raw
-      // L2 would rank by norm as much as by direction)
-      val normed = base
-        .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
-          "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
-      val subs = normed.select(col("vec_id"),
-          posexplode(array((0 until m).map(j =>
-            expr(s"slice(nemb, ${j * sub + 1}, $sub)")): _*)))
-        .withColumnRenamed("pos", "ss")
-        .withColumnRenamed("col", "svec")
-      // codebook: two-phase agg — the map side collapses each partition to
-      // (m × k) per-dim partial sums, so only tiny partials shuffle
-      def codebookOf(assign: DataFrame): DataFrame =
-        assign
-          .groupBy(col("ss"), col("cid"))
-          .agg(count(lit(1)).as("n"),
-            array((0 until sub).map(i =>
-              sum(col("svec").getItem(i))).toIndexedSeq: _*).as("sum_vec"))
-          .select(col("ss"), col("cid"),
-            expr("transform(sum_vec, v -> float(v / n))")
-              .cast("array<float>").as("cen"))
-      // encode = pure per-row map: the codebook broadcasts as one sorted
-      // array per subspace and the argmin folds over it in cid order
-      // (strict < keeps the first minimum → ties to smaller cid, the same
-      // rule as min(struct(dd, cid))). The corpus subvectors never enter a
-      // shuffle — at 100 TB only (vec_id, ss, cid) code tuples ever move.
-      def encode(cents: DataFrame): DataFrame = {
-        val cbook = cents.groupBy(col("ss"))
-          .agg(sort_array(collect_list(struct(col("cid"), col("cen"))))
-            .as("cbook"))
-        subs.join(broadcast(cbook), Seq("ss"))
-          .withColumn("cid", expr(
-            """aggregate(
-                 transform(cbook, c -> struct(
-                   aggregate(zip_with(svec, c.cen,
-                       (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
-                     cast(0 as double), (acc, v) -> acc + v) AS dd,
-                   c.cid AS cid)),
-                 struct(double('Infinity') AS dd, -1 AS cid),
-                 (best, s) -> if(s.dd < best.dd, s, best)).cid"""))
-          .select(col("vec_id"), col("ss"), col("svec"), col("cid"))
-      }
-      var assign = subs.withColumn("cid",
-        pmod(graft.functions.HashFunctions.fingerprint64(
-          col("vec_id").cast("string")), lit(k.toLong)).cast("int"))
-      for (_ <- 1 to iters) assign = encode(codebookOf(assign))
-      // codes feed both the final codebook and the ADC join
-      assign = assign.persist()
-      val cents = codebookOf(assign)
-      val dtab = subs.filter(col("vec_id") < nq)
-        .select(col("vec_id").as("q_id"), col("ss"),
-          col("svec").as("qsvec"))
-        .join(broadcast(cents), Seq("ss"))
-        .select(col("q_id"), col("ss"), col("cid"),
-          l2sq("qsvec", "cen").as("dd"))
-      val perSs = (0 until m).map(j =>
-        sum(when(col("ss") === j, col("dd")).otherwise(0.0)).as(s"d$j"))
-      val approx = assign.select(col("vec_id"), col("ss"), col("cid"))
+      val subs = pqSubs(base, m, sub)
+      val codes = pqTrain(subs, sub, k, iters)
+      val cents = pqCodebookOf(codes, sub)
+      val dtab = pqDtab(subs, cents, nq)
+      // PQ alone scans every corpus code per query (compression without
+      // pruning); the join key (ss, cid) matches each vector's code to
+      // its distance-table entry
+      val pairs = codes.select(col("vec_id"), col("ss"), col("cid"))
         .join(broadcast(dtab), Seq("ss", "cid"))
         .filter(col("vec_id") =!= col("q_id"))
-        .groupBy(col("q_id"), col("vec_id"))
-        .agg(perSs.head, perSs.tail: _*)
-        .withColumn("approx_dist",
-          (0 until m).map(j => col(s"d$j")).reduce(_ + _))
-      val w = Window.partitionBy(col("q_id"))
-        .orderBy(col("approx_dist").asc, col("vec_id"))
-      val queries = base.filter(col("vec_id") < nq)
-        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      approx
-        .withColumn("rk", row_number().over(w))
-        .filter(col("rk") <= topk)
-        .join(base, Seq("vec_id"))
-        .join(broadcast(queries), Seq("q_id"))
-        .select(col("q_id"), col("rk"), col("vec_id"), col("approx_dist"),
-          cosineSim(col("q_emb"), col("embedding")).as("cos"))
-        .orderBy(col("q_id"), col("rk"))
+      adcTopK(pairs, base, m, topk, nq)
     },
     // DuckDB replays the whole product quantizer: per-subspace k-means
     // with float-rounded codebooks, argmin/tie rules, the ADC distance
     // table, and the fixed-order d0+d1+d2+d3 sum (see PqOracleSql)
     oracle = Some(PqOracleSql.sql(m = 16, sub = 4, k = 16, iters = 2,
       topk = 3, nq = 10))
+  )
+
+  /** IVF+PQ — the composed production index (coarse pruning × code
+    * compression, the FAISS IVFPQ shape): the coarse quantizer prunes
+    * candidates to the query's nprobe inverted lists (corpus × nprobe/k
+    * pairs), and each candidate is scored by the product quantizer's ADC
+    * distance table instead of exact cosine. At 100 TB the scan side of
+    * the scoring join is nprobe/k of the corpus at 8 code bytes/vector —
+    * both reduction factors compose, and the only broadcast state is the
+    * k×64-float centroid table plus the m×k-double query distance table.
+    * Every stage (both k-means trainings, probe/argmin/argmax tie rules,
+    * the fixed-order ADC sum) is deterministic, so the DuckDB oracle
+    * replays the whole composed index bit-exactly. */
+  val ivfpqTopK: QueryDef = QueryDef(
+    "x_ann_ivfpq_topk",
+    (s, dir) => {
+      val k = 16; val nprobe = 4
+      val m = 16; val sub = 4; val kpq = 16
+      val iters = 2; val topk = 3; val nq = 10
+      val base = emb(s, dir)
+      val coarse = coarseTrain(base, k, iters)
+      val coarseCents = coarseCentroids(base, coarse)
+      val queries = base.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probes = coarseProbes(queries, coarseCents, nprobe)
+      val cands = coarse.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"))
+        .distinct()
+      val subs = pqSubs(base, m, sub)
+      val codes = pqTrain(subs, sub, kpq, iters)
+      val cents = pqCodebookOf(codes, sub)
+      val dtab = pqDtab(subs, cents, nq)
+      val pairs = cands
+        .join(codes.select(col("vec_id"), col("ss"), col("cid")),
+          Seq("vec_id"))
+        .join(broadcast(dtab), Seq("q_id", "ss", "cid"))
+      adcTopK(pairs, base, m, topk, nq)
+    },
+    // DuckDB replays the composed index: the coarse chain's candidate
+    // pairs feed the PQ chain's ADC tail (see IvfPqOracleSql)
+    oracle = Some(IvfPqOracleSql.sql(k = 16, nprobe = 4, m = 16, sub = 4,
+      kpq = 16, iters = 2, topk = 3, nq = 10))
   )
 
   /** Centroid search: per-label mean vector (array aggregation via
@@ -434,5 +525,5 @@ ${LshOracleSql.cosineExpr} AS cos
   )
 
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
-    pqTopK, centroids)
+    pqTopK, ivfpqTopK, centroids)
 }

