@@ -94,9 +94,6 @@ class VectorTextSpec extends GraftSuite {
     // what PQ loses) but must stay far above the ~2.5%-chance 0.75
     val overlap = ivfpq.map(r => (r.getLong(0), r.getLong(2))).count(brute)
     assert(overlap >= 3, s"IVFPQ recall too low: $overlap of 30")
-    // every hit must come from a probed coarse list — i.e. also appear in
-    // the IVF candidate universe: sanity-check against the IVF result's
-    // shape instead of recomputing lists (same quantizer, same seed)
   }
 
   test("language id picks the profile language on real sentences") {
