@@ -308,37 +308,46 @@ object DedupQueries {
     * compared (directly when adjacent, or in another table's chain), while
     * a star pairing scores everyone only against the possibly-unrelated
     * representative. cosine ≥ 0.9 flags a near-dup. */
+  /** Chain-paired embedding near-dup candidates verified at cosine ≥ 0.9
+    * (shared by x_dedup_embedding and the SemDedup funnel): 4 tables ×
+    * 16 hyperplanes, each bucket member pairs with its id-successor, so
+    * candidate volume is O(vectors × tables); ids only travel through the
+    * explode+shuffle, the 64-float payload re-joins per candidate. In
+    * every pair a < b (lead() orders by vec_id). */
+  private def embeddingNearDupPairs(emb: DataFrame): DataFrame = {
+    val tables = 4
+    val planes = 16
+    val bucketed = emb.select(col("vec_id"),
+        posexplode(array((0 until tables).map(tbl =>
+          graft.functions.VectorFunctions
+            .lshBucket(col("embedding"), planes, 42L + tbl)): _*)))
+      .withColumnRenamed("pos", "tbl")
+      .withColumnRenamed("col", "bucket")
+    val chain = Window.partitionBy(col("tbl"), col("bucket"))
+      .orderBy(col("vec_id"))
+    val cand = bucketed
+      .withColumn("nxt", lead(col("vec_id"), 1).over(chain))
+      .filter(col("nxt").isNotNull)
+      .select(col("vec_id").as("a"), col("nxt").as("b"))
+      .distinct()
+    cand
+      .join(emb.withColumnRenamed("vec_id", "a")
+        .withColumnRenamed("embedding", "va"), Seq("a"))
+      .join(emb.withColumnRenamed("vec_id", "b")
+        .withColumnRenamed("embedding", "vb"), Seq("b"))
+      .select(col("a"), col("b"),
+        graft.functions.VectorFunctions.cosineSim(col("va"), col("vb"))
+          .as("cos"))
+      .filter(col("cos") >= 0.9)
+  }
+
   val embeddingNearDup: QueryDef = QueryDef(
     "x_dedup_embedding",
     (s, dir) => {
-      val tables = 4
       val planes = 16
       val emb = Tables.table(s, dir, "embeddings")
         .select(col("vec_id"), col("embedding"))
-      // ids only through the explode+shuffle; the 64-float payload stays
-      // behind and is re-joined per candidate, not per (vec, table)
-      val bucketed = emb.select(col("vec_id"),
-          posexplode(array((0 until tables).map(tbl =>
-            graft.functions.VectorFunctions
-              .lshBucket(col("embedding"), planes, 42L + tbl)): _*)))
-        .withColumnRenamed("pos", "tbl")
-        .withColumnRenamed("col", "bucket")
-      val chain = Window.partitionBy(col("tbl"), col("bucket"))
-        .orderBy(col("vec_id"))
-      val cand = bucketed
-        .withColumn("nxt", lead(col("vec_id"), 1).over(chain))
-        .filter(col("nxt").isNotNull)
-        .select(col("vec_id").as("a"), col("nxt").as("b"))
-        .distinct()
-      val scored = cand
-        .join(emb.withColumnRenamed("vec_id", "a")
-          .withColumnRenamed("embedding", "va"), Seq("a"))
-        .join(emb.withColumnRenamed("vec_id", "b")
-          .withColumnRenamed("embedding", "vb"), Seq("b"))
-        .select(col("a"), col("b"),
-          graft.functions.VectorFunctions.cosineSim(col("va"), col("vb"))
-            .as("cos"))
-        .filter(col("cos") >= 0.9)
+      val scored = embeddingNearDupPairs(emb)
       val perVec = scored
         .select(explode(array(col("a"), col("b"))).as("vec_id"))
         .groupBy(col("vec_id")).agg(count(lit(1)).as("n_near_dups"))
@@ -501,6 +510,68 @@ ${LshOracleSql.cosineExpr} AS c
       ORDER BY n.doc_id""")
   )
 
+  /** SemDedup-style joint curation across BOTH modalities: the text
+    * quality gate and exact text dedup compose with embedding-space
+    * near-dup removal (documents ⋈ embeddings on doc_id = vec_id). A
+    * doc is semantically dropped when it is the larger-id side of a
+    * verified cosine ≥ 0.9 chain pair — the one-hop keep-the-earliest
+    * approximation of SemDedup cluster pruning. Output is the per-lang
+    * funnel (quality → text-dedup → semdedup counts), all integers, so
+    * the whole multimodal pipeline sits under the byte-exact gate. One
+    * digest window + the bounded near-dup machinery — text never joins
+    * against vectors until both sides are down to ids. */
+  val semdedup: QueryDef = QueryDef(
+    "x_pipeline_semdedup",
+    (s, dir) => {
+      val emb = Tables.table(s, dir, "embeddings")
+        .select(col("vec_id"), col("embedding"))
+      val dropped = embeddingNearDupPairs(emb)
+        .select(col("b").as("doc_id")).distinct()
+        .withColumn("sem_dup", lit(true))
+      val w = Window.partitionBy(md5(col("text"))).orderBy(col("doc_id"))
+      docs(s, dir)
+        .withColumn("n_tokens", size(split(col("text"), " ")))
+        .filter(col("n_tokens") >= 20)
+        .withColumn("rn", row_number().over(w))
+        .join(dropped, Seq("doc_id"), "left_outer")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_quality"),
+          sum(when(col("rn") === 1, 1L).otherwise(0L)).as("n_text_kept"),
+          sum(when(col("rn") === 1 &&
+            !coalesce(col("sem_dup"), lit(false)), 1L).otherwise(0L))
+            .as("n_sem_kept"))
+        .orderBy(col("lang"))
+    },
+    // the embedding near-dup chain replays via LshOracleSql (same
+    // fragments as x_dedup_embedding), composed with the text funnel
+    oracle = Some(
+      LshOracleSql.weightsAndBuckets(tables = 4, planes = 16) + s""",
+      chain AS (SELECT vec_id, t, bucket,
+                  lead(vec_id) OVER (PARTITION BY t, bucket
+                                     ORDER BY vec_id) AS nxt
+                FROM buckets),
+      cand AS (SELECT DISTINCT vec_id AS pa, nxt AS pb
+               FROM chain WHERE nxt IS NOT NULL),
+      cosed AS (SELECT pa, pb,
+${LshOracleSql.cosineExpr} AS c
+                FROM cand
+                JOIN e ea ON ea.vec_id = pa
+                JOIN e eb ON eb.vec_id = pb),
+      dropped AS (SELECT DISTINCT pb AS doc_id FROM cosed WHERE c >= 0.9),
+      q AS (SELECT doc_id, lang, text FROM documents
+            WHERE len(string_split(text, ' ')) >= 20),
+      dq AS (SELECT *, row_number() OVER (PARTITION BY md5(text)
+                                          ORDER BY doc_id) AS rn
+             FROM q)
+      SELECT lang, count(*) AS n_quality,
+             CAST(sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_text_kept,
+             CAST(sum(CASE WHEN rn = 1 AND d.doc_id IS NULL
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_sem_kept
+      FROM dq LEFT JOIN dropped d USING (doc_id)
+      GROUP BY lang ORDER BY lang""")
+  )
+
   def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash,
-    embeddingNearDup, clusters, incremental)
+    embeddingNearDup, clusters, incremental, semdedup)
 }
