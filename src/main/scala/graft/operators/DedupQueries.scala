@@ -572,6 +572,106 @@ ${LshOracleSql.cosineExpr} AS c
       GROUP BY lang ORDER BY lang""")
   )
 
+  /** Connected-components dedup clustering, iterated to CONVERGENCE —
+    * the exact version of x_dedup_clusters' one-hop approximation. The
+    * similarity graph is the same star edge set (each doc ↔ the min doc
+    * of every shared minhash band bucket: O(docs × bands) edges, never
+    * all-pairs), and labels spread by hash-min propagation: every round
+    * each doc takes the min cluster id among itself and its neighbors,
+    * until a full round changes nothing. That fixed point is the true
+    * component minimum — transitive chains (A~B~C where A and C never
+    * share a bucket) land in ONE cluster, which the one-hop pass cannot
+    * guarantee.
+    *
+    * Scale shape: the loop state is (doc_id, cluster_id) pairs — two
+    * longs per doc, never text; each round is one id-only shuffle join
+    * against the edge list plus a convergence count, and
+    * `localCheckpoint` truncates lineage so round N's plan does not
+    * replay rounds 1..N-1. Rounds needed = graph diameter (small for
+    * near-dup graphs; the large-star/small-star variant would cap it at
+    * O(log n) if ever needed). The DuckDB oracle computes the same fixed
+    * point independently via a recursive-CTE transitive closure, so the
+    * gate checks true convergence, not just one sweep. */
+  val cc: QueryDef = QueryDef(
+    "x_dedup_cc",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("sig", minhashSig(col("toks"), 32))
+      val bands = base.select(col("doc_id"),
+          posexplode(expr("transform(sequence(0, 7), " +
+            "b -> struct(sig[b*4] AS h0, sig[b*4+1] AS h1, " +
+            "sig[b*4+2] AS h2, sig[b*4+3] AS h3))")))
+        .withColumnRenamed("pos", "band_id")
+        .withColumnRenamed("col", "band_key")
+      val bucketMin = bands.groupBy(col("band_id"), col("band_key"))
+        .agg(min(col("doc_id")).as("m"))
+      val star = bands.join(bucketMin, Seq("band_id", "band_key"))
+        .filter(col("doc_id") =!= col("m"))
+        .select(col("doc_id").as("a"), col("m").as("b"))
+        .distinct()
+      // symmetric id-only edge list, materialized once for the loop
+      val edges = star
+        .union(star.select(col("b").as("a"), col("a").as("b")))
+        .localCheckpoint(true)
+      var labels = base
+        .select(col("doc_id"), col("doc_id").as("cluster_id"))
+        .localCheckpoint(true)
+      var converged = false
+      var rounds = 0
+      while (!converged && rounds < 50) {
+        val nbrMin = edges
+          .join(labels.select(col("doc_id").as("b"),
+            col("cluster_id").as("lbl")), Seq("b"))
+          .groupBy(col("a")).agg(min(col("lbl")).as("nbr_min"))
+          .withColumnRenamed("a", "doc_id")
+        val next = labels.join(nbrMin, Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            least(col("cluster_id"),
+              coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
+          .localCheckpoint(true)
+        val changed = next
+          .join(labels.select(col("doc_id"),
+            col("cluster_id").as("prev")), Seq("doc_id"))
+          .filter(col("cluster_id") =!= col("prev")).count()
+        labels = next
+        converged = changed == 0
+        rounds += 1
+      }
+      require(converged, s"hash-min propagation not converged in $rounds rounds")
+      val sizes = labels.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("cluster_size"))
+      labels.join(sizes, Seq("cluster_id"))
+        .select(col("doc_id"), col("cluster_id"), col("cluster_size"),
+          (col("doc_id") === col("cluster_id")).as("is_cluster_head"))
+        .orderBy(col("doc_id"))
+    },
+    // the oracle derives the SAME fixed point a different way: recursive
+    // transitive closure over the symmetric star edges, then min reachable
+    // id per doc — if Spark's loop stopped early or propagated wrongly,
+    // the component minima disagree and the hash gate fails
+    oracle = Some(minhashBandsSql.replaceFirst("WITH ", "WITH RECURSIVE ") +
+      """,
+      bucket_min AS (SELECT b, h0, h1, h2, h3, min(doc_id) AS m
+                     FROM bands GROUP BY b, h0, h1, h2, h3),
+      star AS (SELECT x.doc_id AS a, bm.m AS bb
+               FROM bands x JOIN bucket_min bm USING (b, h0, h1, h2, h3)
+               WHERE x.doc_id <> bm.m),
+      edges AS (SELECT a, bb FROM star UNION SELECT bb, a FROM star),
+      reach AS (SELECT doc_id AS a, doc_id AS r FROM d
+                UNION
+                SELECT e.a, reach.r
+                FROM edges e JOIN reach ON reach.a = e.bb),
+      lbl AS (SELECT a AS doc_id, min(r) AS cluster_id
+              FROM reach GROUP BY a),
+      sz AS (SELECT cluster_id, count(*) AS cluster_size
+             FROM lbl GROUP BY cluster_id)
+      SELECT l.doc_id, l.cluster_id, sz.cluster_size,
+             l.doc_id = l.cluster_id AS is_cluster_head
+      FROM lbl l JOIN sz USING (cluster_id) ORDER BY doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash,
-    embeddingNearDup, clusters, incremental, semdedup)
+    embeddingNearDup, clusters, incremental, semdedup, cc)
 }
