@@ -201,6 +201,33 @@ class VectorTextSpec extends GraftSuite {
       "false positive on interposed random vector")
   }
 
+  test("cc dedup collapses a transitive near-dup chain one-hop cannot") {
+    // rolling token windows: doc i holds tokens 2i..2i+41, so adjacent docs
+    // share 40/44 tokens (jaccard ~0.9 → band collision near-certain) while
+    // the chain endpoints (docs 1 and 15) share nothing. The component is a
+    // PATH: doc 15 reaches doc 1 only through 13 intermediate hops, which
+    // the one-hop x_dedup_clusters approximation cannot collapse but the
+    // iterated hash-min propagation must.
+    val chain = (1 to 15).map { i =>
+      (i.toLong, (2 * i until 2 * i + 42).map(t => s"tok$t").mkString(" "))
+    }
+    val lone = Seq((99L, (500 to 540).map(t => s"far$t").mkString(" ")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cc").toString
+    (chain ++ lone).toDF("doc_id", "text")
+      .withColumn("lang", lit("en")).withColumn("source", lit("fx"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val cc = operators.DedupQueries.cc.run(spark, tmp)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getBoolean(3))).toMap
+    assert((1 to 15).forall(i => cc(i.toLong)._1 == 1L),
+      s"chain not fully collapsed: ${cc.view.mapValues(_._1).toMap}")
+    assert(cc(1L)._2 == 15L, "chain cluster size must be 15")
+    assert(cc(1L)._3 && !(2 to 15).exists(i => cc(i.toLong)._3),
+      "exactly the min doc heads the chain cluster")
+    assert(cc(99L) == ((99L, 1L, true)), "lone doc must stay a singleton")
+  }
+
   test("vector kernels reject dimension mismatch instead of truncating") {
     val df = Seq((Array(1.0f, 2.0f), Array(1.0f, 2.0f, 3.0f))).toDF("a", "b")
     val e = intercept[Exception] {
