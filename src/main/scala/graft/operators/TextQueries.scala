@@ -806,7 +806,106 @@ object TextQueries {
       FROM tot LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
   )
 
+  /** The fixed keyword-query set for BM25 retrieval: (q_id, term-position,
+    * term). Position `ti` gives each query term a stable slot so the
+    * per-document score can be summed in a FIXED order (s0+s1+s2) on both
+    * engines — the same order-insensitivity trick as the PQ ADC sum. */
+  private val bm25Queries: Seq[(Int, Int, String)] = Seq(
+    (0, 0, "spark"), (0, 1, "join"),
+    (1, 0, "window"), (1, 1, "sort"),
+    (2, 0, "stream"), (2, 1, "batch"), (2, 2, "query"),
+    (3, 0, "vector"), (3, 1, "hash"),
+    (4, 0, "customer"), (4, 1, "table"), (4, 2, "scan"))
+
+  /** BM25 keyword retrieval — the lexical-search complement to the ANN
+    * family (x_ann_*): top-5 documents per query by Okapi BM25
+    * (k1 = 1.2, b = 0.75, Lucene-style idf = ln((N − df + ½)/(df + ½) + 1)).
+    *
+    * Scale shape: the token stream is filtered to the broadcast query-term
+    * set BEFORE any aggregation, so tf/df shuffle only matching
+    * (doc_id, term) pairs — never the corpus's full token inventory; N and
+    * avgdl are one broadcast scalar row. Scores round to 4 decimals before
+    * ranking (doc_id tiebreak) so a 1-ulp ln() difference can't flip a
+    * rank — same policy as x_text_tfidf. */
+  val bm25: QueryDef = QueryDef(
+    "x_search_bm25",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val qterms = s.createDataFrame(bm25Queries).toDF("q_id", "ti", "term")
+      val base = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val tok = base.select(col("doc_id"), size(col("toks")).as("dl"),
+        explode(col("toks")).as("token"))
+      val tf = tok.join(broadcast(qterms.select(col("term")).distinct()),
+          col("token") === col("term"))
+        .groupBy(col("doc_id"), col("token"), col("dl"))
+        .agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy(col("token")).agg(
+        countDistinct(col("doc_id")).as("df"))
+      val stats = docs(s, dir).agg(count(lit(1)).as("n_docs"),
+        avg(size(split(col("text"), " "))).as("avgdl"))
+      val contrib = tf
+        .join(broadcast(dfreq), Seq("token"))
+        .crossJoin(broadcast(stats))
+        .join(broadcast(qterms), col("token") === col("term"))
+        .select(col("q_id"), col("ti"), col("doc_id"),
+          (log((col("n_docs") - col("df") + 0.5) / (col("df") + 0.5) + 1) *
+            (col("tf") * 2.2) /
+            (col("tf") + lit(1.2) * (lit(0.25) +
+              lit(0.75) * col("dl") / col("avgdl")))).as("c"))
+      val perTi = (0 until 3).map(i =>
+        sum(when(col("ti") === i, col("c")).otherwise(0.0)).as(s"s$i"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      contrib.groupBy(col("q_id"), col("doc_id"))
+        .agg(perTi.head, perTi.tail: _*)
+        .withColumn("score",
+          round(col("s0") + col("s1") + col("s2"), 4))
+        .withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("doc_id"), col("score"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    oracle = Some("""
+      WITH q(q_id, ti, term) AS (VALUES
+        (0, 0, 'spark'), (0, 1, 'join'),
+        (1, 0, 'window'), (1, 1, 'sort'),
+        (2, 0, 'stream'), (2, 1, 'batch'), (2, 2, 'query'),
+        (3, 0, 'vector'), (3, 1, 'hash'),
+        (4, 0, 'customer'), (4, 1, 'table'), (4, 2, 'scan')),
+      tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                unnest(string_split(text, ' ')) AS token
+              FROM documents),
+      tf AS (SELECT doc_id, token, dl, count(*) AS tf
+             FROM tok
+             WHERE token IN (SELECT DISTINCT term FROM q)
+             GROUP BY doc_id, token, dl),
+      df AS (SELECT token, count(DISTINCT doc_id) AS df
+             FROM tf GROUP BY token),
+      st AS (SELECT count(*) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+             FROM documents),
+      c AS (SELECT q.q_id, q.ti, tf.doc_id,
+              ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1) *
+                (tf.tf * 2.2) /
+                (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS c
+            FROM tf
+            JOIN df USING (token)
+            CROSS JOIN st
+            JOIN q ON tf.token = q.term),
+      sc AS (SELECT q_id, doc_id,
+               round(sum(CASE WHEN ti = 0 THEN c ELSE 0 END)
+                   + sum(CASE WHEN ti = 1 THEN c ELSE 0 END)
+                   + sum(CASE WHEN ti = 2 THEN c ELSE 0 END), 4) AS score
+             FROM c GROUP BY q_id, doc_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, doc_id) AS rk
+            FROM sc)
+      SELECT q_id, rk, doc_id, score FROM r WHERE rk <= 5
+      ORDER BY q_id, rk""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
-    repetition, contamination, mix, e2e)
+    repetition, contamination, mix, e2e, bm25)
 }

@@ -229,6 +229,28 @@ class PlanSpec extends GraftSuite {
       s"mix shuffles document text: $shuffled")
   }
 
+  test("bm25 filters tokens by the broadcast term set; text never shuffles") {
+    // the query-term semi filter must be a broadcast join BELOW the tf
+    // aggregation: at 100 TB only matching (doc_id, term) pairs shuffle,
+    // never document text or the corpus's full token inventory
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = operators.TextQueries.bm25.run(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    assert(finalPlan.toString.contains("BroadcastHashJoin"),
+      finalPlan.toString.take(2000))
+    val shuffled = finalPlan.collect {
+      case s: ShuffleExchangeLike => s.output.map(_.name)
+    }.flatten
+    assert(!shuffled.exists(n => n.startsWith("text") ||
+      n.startsWith("toks")),
+      s"bm25 shuffles text payload: $shuffled")
+  }
+
   test("curation funnel pushes the language keep-list into the scan") {
     // the lang IN (…) filter must reach the parquet reader: at 100 TB the
     // keep-list prunes row groups before any token math runs

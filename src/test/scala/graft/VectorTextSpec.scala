@@ -280,6 +280,27 @@ class VectorTextSpec extends GraftSuite {
     assert(!clean.getBoolean(6), "clean doc wrongly flagged")
   }
 
+  test("bm25 ranks tf×idf with length normalization on planted docs") {
+    // query 0 = (spark, join); fillers avoid every other query term.
+    // 10: both terms, high tf, short  → rank 1
+    // 11: both terms once, longer doc → rank 2 (idf(join) dominates)
+    // 12: one term, short             → rank 3
+    // 13: no query terms              → absent
+    val tmp = writeDocs(Seq(
+      (10L, "spark join spark join spark", "fx"),
+      (11L, "spark aa bb cc dd ee ff join", "fx"),
+      (12L, "spark gg hh", "fx"),
+      (13L, "ii jj kk ll", "fx")))
+    val q0 = operators.TextQueries.bm25.run(spark, tmp).collect()
+      .filter(_.getInt(0) == 0)
+    assert(q0.map(_.getLong(2)).toSeq == Seq(10L, 11L, 12L),
+      q0.mkString("; "))
+    assert(q0.map(_.getInt(1)).toSeq == Seq(1, 2, 3))
+    val scores = q0.map(_.getDouble(3))
+    assert(scores.sliding(2).forall(p => p(0) >= p(1)), scores.toSeq)
+    assert(scores.forall(_ > 0), "BM25 idf must stay positive")
+  }
+
   test("contamination finds benchmark n-gram overlap and skips the benchmark") {
     val bench = "one two three four five six seven eight"
     val tmp = writeDocs(Seq(
