@@ -672,6 +672,74 @@ ${LshOracleSql.cosineExpr} AS c
       FROM lbl l JOIN sz USING (cluster_id) ORDER BY doc_id""")
   )
 
+  /** Substring-level dedup at 10-token-chunk granularity with document
+    * reconstruction — dedup BELOW the document boundary (the pass that
+    * catches boilerplate shared across otherwise-distinct pages, which
+    * doc-level digests never see). Each doc splits into fixed 10-token
+    * chunks; the globally-first occurrence of each chunk (by doc_id, then
+    * position) survives, and every doc is re-assembled from its kept
+    * chunks in order.
+    *
+    * Scale shape: the chunk TEXT never shuffles. Map-side each doc emits
+    * (doc_id, chunk_idx, md5) triples; the first-occurrence window and
+    * the per-doc kept-index aggregation move digests and ids only, and
+    * the reconstruction join re-derives chunk text from the doc's own
+    * token array after the winners come back keyed by doc_id (pinned in
+    * PlanSpec). */
+  val chunkDedup: QueryDef = QueryDef(
+    "x_dedup_chunks",
+    (s, dir) => {
+      val C = 10
+      val base = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val digests = base.select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, cast(ceil(size(toks) / $C.0) as int) - 1), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i * $C + 1, $C))))"))
+        .as(Seq("chunk_idx", "h")))
+      val w = Window.partitionBy(col("h"))
+        .orderBy(col("doc_id"), col("chunk_idx"))
+      val kept = digests.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+        .groupBy(col("doc_id"))
+        .agg(sort_array(collect_list(col("chunk_idx"))).as("kept_idx"))
+      base
+        .withColumn("n_chunks",
+          expr(s"cast(ceil(size(toks) / $C.0) as int)"))
+        .join(kept, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_chunks"),
+          coalesce(size(col("kept_idx")), lit(0)).as("n_kept"),
+          coalesce(expr(s"concat_ws(' ', transform(kept_idx, " +
+            s"i -> concat_ws(' ', slice(toks, i * $C + 1, $C))))"), lit(""))
+            .as("dedup_text"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH n AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                   CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INT)
+                     AS n_chunks
+                 FROM documents),
+      ch AS (SELECT doc_id, toks,
+               unnest(range(0, n_chunks)) AS chunk_idx
+             FROM n),
+      hx AS (SELECT doc_id, chunk_idx,
+               md5(array_to_string(
+                 toks[chunk_idx*10+1 : chunk_idx*10+10], ' ')) AS h
+             FROM ch),
+      kept AS (SELECT doc_id, chunk_idx FROM (
+                 SELECT doc_id, chunk_idx, row_number() OVER (
+                   PARTITION BY h ORDER BY doc_id, chunk_idx) AS rk
+                 FROM hx) WHERE rk = 1),
+      ka AS (SELECT doc_id, count(*) AS n_kept,
+               list_sort(list(chunk_idx)) AS kept_idx
+             FROM kept GROUP BY doc_id)
+      SELECT n.doc_id, n.n_chunks,
+             coalesce(ka.n_kept, 0) AS n_kept,
+             coalesce(array_to_string(list_transform(ka.kept_idx,
+               i -> array_to_string(n.toks[i*10+1 : i*10+10], ' ')), ' '),
+               '') AS dedup_text
+      FROM n LEFT JOIN ka USING (doc_id) ORDER BY doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash,
-    embeddingNearDup, clusters, incremental, semdedup, cc)
+    embeddingNearDup, clusters, incremental, semdedup, cc, chunkDedup)
 }

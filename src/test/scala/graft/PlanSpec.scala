@@ -251,6 +251,26 @@ class PlanSpec extends GraftSuite {
       s"bm25 shuffles text payload: $shuffled")
   }
 
+  test("chunk dedup shuffles digests and ids, never chunk text") {
+    // the first-occurrence window and the kept-index aggregation move
+    // (md5, doc_id, chunk_idx) only; chunk text is re-derived map-side
+    // from the doc's own token array after the reconstruction join
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = operators.DedupQueries.chunkDedup.run(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffled = finalPlan.collect {
+      case s: ShuffleExchangeLike => s.output.map(_.name)
+    }.flatten
+    assert(!shuffled.exists(n => n.startsWith("text") ||
+      n.startsWith("toks") || n.startsWith("dedup_text")),
+      s"chunk dedup shuffles text payload: $shuffled")
+  }
+
   test("curation funnel pushes the language keep-list into the scan") {
     // the lang IN (…) filter must reach the parquet reader: at 100 TB the
     // keep-list prunes row groups before any token math runs

@@ -262,6 +262,24 @@ class VectorTextSpec extends GraftSuite {
     tmp
   }
 
+  test("chunk dedup drops repeated 10-token chunks and reconstructs docs") {
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")   // chunk A
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")   // chunk B
+    val c = (1 to 10).map(i => s"c$i").mkString(" ")   // chunk C
+    val tmp = writeDocs(Seq(
+      (1L, s"$a $b", "fx"),   // first owner of A and B → keeps both
+      (2L, s"$a $c", "fx"),   // A is doc 1's boilerplate → keeps only C
+      (3L, s"$b $a", "fx")))  // both chunks already seen → empty
+    val byId = operators.DedupQueries.chunkDedup.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    assert(byId(1L).getInt(1) == 2 && byId(1L).getInt(2) == 2)
+    assert(byId(1L).getString(3) == s"$a $b")
+    assert(byId(2L).getInt(2) == 1, "doc 2 must keep exactly chunk C")
+    assert(byId(2L).getString(3) == c)
+    assert(byId(3L).getInt(2) == 0 && byId(3L).getString(3).isEmpty,
+      "doc 3 is pure boilerplate and must reconstruct empty")
+  }
+
   test("repetition signals flag a degenerate doc and pass a clean one") {
     val tmp = writeDocs(Seq(
       (1L, "a a a a a", "fx"),          // one token repeated 5×
