@@ -806,6 +806,61 @@ object TextQueries {
       FROM tot LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
   )
 
+  /** Shannon-entropy quality signals — the compression/perplexity proxy
+    * every pretraining filter stack carries: character-level and
+    * token-level entropy per document, computed with the single-pass
+    * identity H = log2(T) − Σ n·log2(n) / T (no per-symbol probability
+    * column, so one two-phase aggregation per granularity).
+    *
+    * Scale shape: the exploded symbols collapse in the MAP-SIDE partial
+    * aggregate (per partition, per doc, at most |alphabet| or |vocab|
+    * rows reach the shuffle), so shuffled bytes are bounded by
+    * docs × alphabet, not corpus length. Entropies round to 4 decimals
+    * (the sum of n·log2 n partials is the one order-sensitive term). */
+  val entropy: QueryDef = QueryDef(
+    "x_text_entropy",
+    (s, dir) => {
+      def h(counted: DataFrame, prefix: String): DataFrame =
+        counted.groupBy(col("doc_id")).agg(
+          count(lit(1)).as(s"n_unique_$prefix"),
+          round(log2(sum(col("n"))) -
+            sum(col("n") * log2(col("n"))) / sum(col("n")), 4)
+            .as(s"${prefix}_entropy"))
+      val ce = h(docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), "")).as("u"))
+        .groupBy(col("doc_id"), col("u")).agg(count(lit(1)).as("n")),
+        "chars")
+      val te = h(docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("u"))
+        .groupBy(col("doc_id"), col("u")).agg(count(lit(1)).as("n")),
+        "tokens")
+      ce.join(te, Seq("doc_id"))
+        .select(col("doc_id"), col("n_unique_chars"), col("chars_entropy"),
+          col("n_unique_tokens"), col("tokens_entropy"),
+          (col("chars_entropy") < 3.5).as("is_low_entropy"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH cc AS (SELECT doc_id, unnest(string_split(text, '')) AS u
+                  FROM documents),
+      cn AS (SELECT doc_id, u, count(*) AS n FROM cc GROUP BY doc_id, u),
+      ce AS (SELECT doc_id, count(*) AS n_unique_chars,
+               round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4)
+                 AS chars_entropy
+             FROM cn GROUP BY doc_id),
+      tc AS (SELECT doc_id, unnest(string_split(text, ' ')) AS u
+             FROM documents),
+      tn AS (SELECT doc_id, u, count(*) AS n FROM tc GROUP BY doc_id, u),
+      te AS (SELECT doc_id, count(*) AS n_unique_tokens,
+               round(log2(sum(n)) - sum(n * log2(n)) / sum(n), 4)
+                 AS tokens_entropy
+             FROM tn GROUP BY doc_id)
+      SELECT ce.doc_id, n_unique_chars, chars_entropy,
+             n_unique_tokens, tokens_entropy,
+             chars_entropy < 3.5 AS is_low_entropy
+      FROM ce JOIN te USING (doc_id) ORDER BY ce.doc_id""")
+  )
+
   /** The fixed keyword-query set for BM25 retrieval: (q_id, term-position,
     * term). Position `ti` gives each query term a stable slot so the
     * per-document score can be summed in a FIXED order (s0+s1+s2) on both
@@ -907,5 +962,5 @@ object TextQueries {
 
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
-    repetition, contamination, mix, e2e, bm25)
+    repetition, contamination, mix, e2e, bm25, entropy)
 }

@@ -262,6 +262,26 @@ class VectorTextSpec extends GraftSuite {
     tmp
   }
 
+  test("entropy signals separate degenerate from diverse docs") {
+    val tmp = writeDocs(Seq(
+      (1L, "a a a a a", "fx"),                       // one repeated token
+      (2L, "w x y z", "fx"),                         // 4 uniform tokens
+      (3L, "the quick brown fox jumps over lazy dogs", "fx")))
+    val byId = operators.TextQueries.entropy.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // doc 1: all tokens identical → token entropy exactly 0, low-entropy
+    assert(byId(1L).getDouble(4) == 0.0)
+    assert(byId(1L).getBoolean(5), "degenerate doc not flagged")
+    // doc 2: 4 equiprobable tokens → token entropy exactly log2(4) = 2
+    assert(math.abs(byId(2L).getDouble(4) - 2.0) < 1e-9)
+    // doc 3: diverse natural chars → above the 3.5 spam threshold
+    assert(byId(3L).getDouble(2) > 3.5, byId(3L).toString)
+    assert(!byId(3L).getBoolean(5))
+    // char entropy strictly grows with diversity
+    assert(byId(1L).getDouble(2) < byId(2L).getDouble(2))
+    assert(byId(2L).getDouble(2) < byId(3L).getDouble(2))
+  }
+
   test("chunk dedup drops repeated 10-token chunks and reconstructs docs") {
     val a = (1 to 10).map(i => s"a$i").mkString(" ")   // chunk A
     val b = (1 to 10).map(i => s"b$i").mkString(" ")   // chunk B
