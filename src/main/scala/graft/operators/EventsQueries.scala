@@ -441,7 +441,65 @@ object EventsQueries {
       ORDER BY c.user_id, click_id, purchase_id""")
   )
 
+  /** Trailing-window anomaly detection: each (event_type, hour) count is
+    * z-scored against the PRECEDING 24 hours of its own series (RANGE
+    * frame 24..1 PRECEDING — the current hour never contaminates its own
+    * baseline). Rows need ≥3 hours of history. |z| > 3 flags the anomaly;
+    * a perfectly flat baseline (σ = 0) scores z = 0 but still flags ANY
+    * deviation from μ (a spike over constant traffic is the clearest
+    * anomaly there is). The z ratio divides unrounded μ/σ and rounds once
+    * at the end.
+    *
+    * Scale shape: the raw events collapse to (type, hour) counts in one
+    * two-phase aggregation, so the window input is |types| × |hours| rows
+    * regardless of event volume, and the window partitions by type —
+    * bounded state per task, no global sort. */
+  val anomaly: QueryDef = QueryDef(
+    "x_events_anomaly",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+      val tw = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rangeBetween(-24, -1)
+      hourly
+        .withColumn("n_hist", count(lit(1)).over(tw))
+        .withColumn("mu", avg(col("cnt")).over(tw))
+        .withColumn("sigma", stddev_samp(col("cnt")).over(tw))
+        .filter(col("n_hist") >= 3)
+        .select(col("event_type"), col("hr"), col("cnt"), col("n_hist"),
+          round(col("mu"), 4).as("mu"),
+          round(col("sigma"), 4).as("sigma"),
+          when(col("sigma") > 0,
+            round((col("cnt") - col("mu")) / col("sigma"), 4))
+            .otherwise(0.0).as("z"),
+          when(col("sigma") > 0,
+            abs(col("cnt") - col("mu")) > lit(3) * col("sigma"))
+            .otherwise(col("cnt") =!= col("mu")).as("is_anomaly"))
+        .orderBy(col("event_type"), col("hr"))
+    },
+    oracle = Some("""
+      WITH h AS (SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               count(*) AS cnt
+             FROM events GROUP BY 1, 2),
+      w AS (SELECT event_type, hr, cnt,
+              count(*) OVER tw AS n_hist,
+              avg(cnt) OVER tw AS mu,
+              stddev_samp(cnt) OVER tw AS sigma
+            FROM h WINDOW tw AS (PARTITION BY event_type ORDER BY hr
+              RANGE BETWEEN 24 PRECEDING AND 1 PRECEDING))
+      SELECT event_type, hr, cnt, n_hist,
+             round(mu, 4) AS mu, round(sigma, 4) AS sigma,
+             CASE WHEN sigma > 0 THEN round((cnt - mu) / sigma, 4)
+                  ELSE 0.0 END AS z,
+             CASE WHEN sigma > 0 THEN abs(cnt - mu) > 3 * sigma
+                  ELSE cnt <> mu END AS is_anomaly
+      FROM w WHERE n_hist >= 3 ORDER BY event_type, hr""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
-    streamSession, streamSliding, streamEnrich, streamJoin)
+    streamSession, streamSliding, streamEnrich, streamJoin, anomaly)
 }

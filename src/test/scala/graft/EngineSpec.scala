@@ -54,4 +54,32 @@ class EngineSpec extends GraftSuite {
     val r = SparkEntry.queries("f_where_false")(spark, sf).collect()(0)
     assert(r.getLong(0) == 0L)
   }
+
+  test("anomaly detection flags planted spikes on flat and noisy baselines") {
+    import spark.implicits._
+    // two independent series: "flat" holds 10/hour (σ = 0), "noisy"
+    // alternates 9/11 (σ ≈ 1); both spike to 100 events in hour 29
+    val rows = (0 until 30).flatMap { h =>
+      def mk(typ: String, n: Int) = (0 until n).map(i =>
+        (h.toLong * 10000 + typ.length * 1000 + i,
+          new java.sql.Timestamp(h.toLong * 3600 * 1000), 1L, typ, 1.0, "{}"))
+      val flat = mk("flat", if (h == 29) 100 else 10)
+      val noisy = mk("noisy", if (h == 29) 100 else if (h % 2 == 0) 9 else 11)
+      flat ++ noisy
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ev").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.EventsQueries.anomaly.run(spark, tmp).collect()
+    val key = out.map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    // noisy series: genuine z-score path, z ≫ 3
+    assert(key(("noisy", 29L)).getBoolean(7), "noisy spike not flagged")
+    assert(key(("noisy", 29L)).getDouble(6) > 3.0)
+    // flat series: σ = 0, z pinned to 0, but the deviation still flags
+    assert(key(("flat", 29L)).getBoolean(7), "flat-baseline spike missed")
+    assert(key(("flat", 29L)).getDouble(6) == 0.0)
+    // baseline hours never flag on either series
+    assert((5L to 28L).forall(h => !key(("flat", h)).getBoolean(7)))
+    assert((5L to 28L).forall(h => !key(("noisy", h)).getBoolean(7)))
+  }
 }
