@@ -524,6 +524,97 @@ ${LshOracleSql.cosineExpr} AS cos
       FROM r WHERE rk <= 3 ORDER BY label, rk""")
   )
 
+  /** Scalar-quantized (SQ8) ANN — the third classic compression path
+    * next to PQ's codebooks and IVF's pruning (FAISS IndexScalarQuantizer
+    * shape): per-dimension corpus min/max define a linear 8-bit grid,
+    * every vector stores one byte code per dim (64 B instead of 256 B at
+    * 100 TB), and scoring decodes against the broadcast (mn, mx) arrays
+    * asymmetrically (query stays full-precision). Vectors L2-normalize
+    * first so squared-L2 ranks like cosine. Everything is deterministic —
+    * min/max are exact, the encode is floor(x + 0.5) integer math, and
+    * the distance folds in ascending dim order — so the DuckDB oracle
+    * replays the whole quantizer bit-exactly. Recall vs the brute
+    * baseline asserted in VectorTextSpec. */
+  val sq8TopK: QueryDef = QueryDef(
+    "x_ann_sq8_topk",
+    (s, dir) => {
+      val dims = 64; val topk = 3; val nq = 10
+      val base = emb(s, dir)
+      val nrm = base
+        .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
+          "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
+      val stats = nrm.agg(
+        array((1 to dims).map(i =>
+          min(element_at(col("nemb"), i))).toIndexedSeq: _*).as("mn"),
+        array((1 to dims).map(i =>
+          max(element_at(col("nemb"), i))).toIndexedSeq: _*).as("mx"))
+      val codes = nrm.crossJoin(broadcast(stats))
+        .select(col("vec_id"), expr(s"""transform(sequence(1, $dims), i ->
+          CAST(floor(CASE WHEN element_at(mx, i) > element_at(mn, i)
+            THEN (element_at(nemb, i) - element_at(mn, i)) /
+                 (element_at(mx, i) - element_at(mn, i)) * 255.0
+            ELSE 0.0 END + 0.5) AS INT))""").as("codes"))
+      val queries = nrm.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"), col("nemb").as("q_emb"))
+      val scored = codes.crossJoin(broadcast(stats))
+        .crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dvec", expr(s"""transform(sequence(1, $dims), i ->
+          element_at(mn, i) + double(element_at(codes, i)) / 255.0 *
+            (element_at(mx, i) - element_at(mn, i)))"""))
+        .withColumn("approx_dist", l2sqExpr("q_emb", "dvec"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("approx_dist").asc, col("vec_id"))
+      val qraw = base.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_raw"))
+      scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= topk)
+        .join(base.select(col("vec_id"), col("embedding")), Seq("vec_id"))
+        .join(broadcast(qraw), Seq("q_id"))
+        .select(col("q_id"), col("rk"), col("vec_id"), col("approx_dist"),
+          cosineSim(col("q_raw"), col("embedding")).as("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    oracle = Some(s"""
+      WITH ${AnnOracleCommon.erawCte},
+      nrm AS (SELECT vec_id, list_transform(emb, x -> x /
+                sqrt(list_reduce(list_transform(emb, v -> v * v),
+                  (a, b) -> a + b))) AS nemb
+              FROM eraw),
+      dims AS (SELECT unnest(range(1, 65)) AS i),
+      sd AS (SELECT d.i, min(n.nemb[d.i]) AS mn, max(n.nemb[d.i]) AS mx
+             FROM nrm n CROSS JOIN dims d GROUP BY d.i),
+      st AS (SELECT list(mn ORDER BY i) AS mn, list(mx ORDER BY i) AS mx
+             FROM sd),
+      codes AS (SELECT vec_id, list_transform(range(1, 65), i ->
+          CAST(floor(CASE WHEN st.mx[i] > st.mn[i]
+            THEN (n.nemb[i] - st.mn[i]) / (st.mx[i] - st.mn[i]) * 255.0
+            ELSE 0.0 END + 0.5) AS INT)) AS codes
+        FROM nrm n CROSS JOIN st),
+      q AS (SELECT vec_id AS q_id, nemb AS q_emb FROM nrm
+            WHERE vec_id < 10),
+      sc AS (SELECT q.q_id, c.vec_id,
+          list_reduce(list_transform(range(1, 65), i ->
+            (q.q_emb[i] - (st.mn[i] + CAST(c.codes[i] AS DOUBLE) / 255.0
+               * (st.mx[i] - st.mn[i])))
+            * (q.q_emb[i] - (st.mn[i] + CAST(c.codes[i] AS DOUBLE) / 255.0
+               * (st.mx[i] - st.mn[i])))),
+            (x, y) -> x + y) AS approx_dist
+        FROM codes c CROSS JOIN st CROSS JOIN q
+        WHERE c.vec_id <> q.q_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY approx_dist ASC, vec_id) AS rk
+            FROM sc)
+      SELECT r.q_id, r.rk, r.vec_id, r.approx_dist,
+             ${AnnOracleCommon.cos("qe.emb", "ve.emb")} AS cos
+      FROM r
+      JOIN eraw ve ON ve.vec_id = r.vec_id
+      JOIN eraw qe ON qe.vec_id = r.q_id
+      WHERE r.rk <= 3 ORDER BY r.q_id, r.rk""")
+  )
+
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
-    pqTopK, ivfpqTopK, centroids)
+    pqTopK, ivfpqTopK, centroids, sq8TopK)
 }

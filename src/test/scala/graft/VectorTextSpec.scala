@@ -80,6 +80,22 @@ class VectorTextSpec extends GraftSuite {
     assert(overlap >= 4, s"PQ recall too low: $overlap of 30 in brute top-5")
   }
 
+  test("sq8 ANN quantizes to 8-bit codes with near-exact recall") {
+    val brute = operators.VectorQueries.bruteTopK.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
+    val sq = operators.VectorQueries.sq8TopK.run(spark, sf).collect()
+    assert(sq.length == 30, s"expected 30 SQ8 rows, got ${sq.length}")
+    sq.foreach { r =>
+      assert(r.getDouble(3) >= 0.0, "squared distance must be >= 0")
+      assert(math.abs(r.getDouble(4)) <= 1.0)
+    }
+    // 8 bits per dim is a fine grid: unlike PQ's 16-code compression the
+    // reconstruction error is tiny, so SQ8 should land nearly all of the
+    // brute top-5 set
+    val overlap = sq.map(r => (r.getLong(0), r.getLong(2))).count(brute)
+    assert(overlap >= 24, s"SQ8 recall too low: $overlap of 30")
+  }
+
   test("ivf+pq composes pruning and compression with sane recall") {
     val brute = operators.VectorQueries.bruteTopK.run(spark, sf)
       .collect().map(r => (r.getLong(0), r.getLong(2))).toSet
