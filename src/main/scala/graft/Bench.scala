@@ -30,6 +30,19 @@ object Bench {
     "x_events_sessionize",
     "x_text_quality")
 
+  /** Heavier round-4 pipeline/index queries, timed in a separate section
+    * so `headline_total` stays comparable across rounds. */
+  val extended: Seq[String] = Seq(
+    "x_pipeline_e2e",
+    "x_ann_ivfpq_topk",
+    "x_ann_sq8_topk",
+    "x_search_bm25",
+    "x_dedup_chunks",
+    "x_dedup_cc",
+    "x_text_entropy",
+    "x_events_anomaly",
+    "j_asof_attribution")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -157,7 +170,21 @@ object Bench {
         "[]"
       }
 
-    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"concurrent":{"sessions":$users,"queries":$concurrentJson},"soak":$soakJson,"sf":"$sfDir"}"""
+    // extended section: heavier pipeline/index queries timed separately so
+    // headline_total stays comparable round-over-round
+    val extResults = extended.map { name =>
+      val sec =
+        try (1 to runs).map(_ => run(name)).min
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] extended $name failed: ${e.getMessage}")
+          -1.0
+        }
+      name -> sec
+    }
+    val extJson = extResults.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+
+    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"extended":$extJson,"concurrent":{"sessions":$users,"queries":$concurrentJson},"soak":$soakJson,"sf":"$sfDir"}"""
     println(line)
     // also a clean file: sbt wraps stdout in [info] noise, so the driver
     // gets a machine-parseable copy regardless of how Bench was launched

@@ -558,12 +558,14 @@ ${LshOracleSql.cosineExpr} AS cos
             ELSE 0.0 END + 0.5) AS INT))""").as("codes"))
       val queries = nrm.filter(col("vec_id") < nq)
         .select(col("vec_id").as("q_id"), col("nemb").as("q_emb"))
-      val scored = codes.crossJoin(broadcast(stats))
-        .crossJoin(broadcast(queries))
-        .filter(col("vec_id") =!= col("q_id"))
-        .withColumn("dvec", expr(s"""transform(sequence(1, $dims), i ->
+      // decode depends only on (codes, stats): reconstruct each corpus
+      // vector ONCE, before the per-query fan-out, not per (q, vec) pair
+      val decoded = codes.crossJoin(broadcast(stats))
+        .select(col("vec_id"), expr(s"""transform(sequence(1, $dims), i ->
           element_at(mn, i) + double(element_at(codes, i)) / 255.0 *
-            (element_at(mx, i) - element_at(mn, i)))"""))
+            (element_at(mx, i) - element_at(mn, i)))""").as("dvec"))
+      val scored = decoded.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
         .withColumn("approx_dist", l2sqExpr("q_emb", "dvec"))
       val w = Window.partitionBy(col("q_id"))
         .orderBy(col("approx_dist").asc, col("vec_id"))
