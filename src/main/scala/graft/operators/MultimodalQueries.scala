@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing (extension suite): media as opaque binary
@@ -382,6 +383,97 @@ object MultimodalQueries {
       FROM px GROUP BY doc_id, w, h, nf ORDER BY doc_id""")
   )
 
+  /** Perceptual image dedup via average-hash (the pHash-family pass an
+    * image corpus runs where text runs MinHash): decode the real PNG,
+    * nearest-neighbor resample to 8×8, threshold each cell against the
+    * thumbnail mean (compared as integer 64·p > Σp — exact on both
+    * engines), pack the 64 bits into two 32-bit halves, and rank
+    * duplicates per hash like `x_dedup_exact`.
+    *
+    * The planted structure makes the perceptual point: image content is
+    * `doc_id % 50`, and a global brightness offset `(doc_id / 50) % 3`
+    * shifts EVERY pixel — byte-level dedup sees 200 distinct files, but
+    * a uniform shift moves the mean with the pixels, so the aHash is
+    * identical and each content group collapses to one canonical image.
+    * At 100 TB the image bytes never leave their partition — only
+    * (doc_id, hash_hi, hash_lo) enters the dup-ranking shuffle. */
+  case class AHashRow(doc_id: Long, width: Int, height: Int,
+      hash_hi: Long, hash_lo: Long)
+
+  val phashDedup: QueryDef = QueryDef(
+    "x_media_phash_dedup",
+    (s, dir) => {
+      import s.implicits._
+      val T = 8
+      val w = 32
+      val h = 24
+      val rows = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+      val hashed = rows.mapPartitions(_.map { id =>
+        val gid = id % 50
+        val noise = ((id / 50) % 3).toInt
+        val png = graft.functions.PngCodec.encodeGray(w, h,
+          (x, y) => (((x * 31 + y * 17 + gid * 7) % 250).toInt + noise))
+        val (dw, dh, px) = graft.functions.PngCodec.decodeGray(png)
+        val thumb = Array.tabulate(T * T) { k =>
+          val tx = k % T
+          val ty = k / T
+          px((ty * dh / T) * dw + (tx * dw / T)) & 0xff
+        }
+        val total = thumb.foldLeft(0L)(_ + _)
+        var hi = 0L
+        var lo = 0L
+        var k = 0
+        while (k < 64) {
+          if (thumb(k).toLong * 64 > total) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        AHashRow(id, dw, dh, hi, lo)
+      }).toDF()
+      val wnd = Window.partitionBy(col("hash_hi"), col("hash_lo"))
+        .orderBy(col("doc_id"))
+      hashed
+        .withColumn("dup_rank", row_number().over(wnd))
+        .withColumn("n_copies", count(lit(1))
+          .over(Window.partitionBy(col("hash_hi"), col("hash_lo"))))
+        .select(col("doc_id"), col("width"), col("height"),
+          col("hash_hi"), col("hash_lo"), col("dup_rank"), col("n_copies"),
+          (col("dup_rank") === 1).as("is_canonical"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, doc_id % 50 AS gid,
+                        CAST(doc_id // 50 % 3 AS BIGINT) AS noise
+                 FROM documents WHERE doc_id < 200),
+      gx AS (SELECT doc_id, gid, noise, unnest(range(0, 8)) AS tx FROM d),
+      gxy AS (SELECT doc_id, gid, noise, tx, unnest(range(0, 8)) AS ty
+              FROM gx),
+      px AS (SELECT doc_id, CAST(ty * 8 + tx AS INTEGER) AS k,
+               ((tx * 32 // 8) * 31 + (ty * 24 // 8) * 17 + gid * 7) % 250
+                 + noise AS p
+             FROM gxy),
+      tot AS (SELECT doc_id, sum(p) AS total FROM px GROUP BY doc_id),
+      hx AS (SELECT px.doc_id,
+               sum(CASE WHEN px.p * 64 > tot.total AND px.k >= 32
+                 THEN CAST(1 AS BIGINT) << (px.k - 32) ELSE 0 END)
+                 AS hash_hi,
+               sum(CASE WHEN px.p * 64 > tot.total AND px.k < 32
+                 THEN CAST(1 AS BIGINT) << px.k ELSE 0 END) AS hash_lo
+             FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id)
+      SELECT doc_id, 32 AS width, 24 AS height,
+             CAST(hash_hi AS BIGINT) AS hash_hi,
+             CAST(hash_lo AS BIGINT) AS hash_lo,
+             row_number() OVER (PARTITION BY hash_hi, hash_lo
+               ORDER BY doc_id) AS dup_rank,
+             count(*) OVER (PARTITION BY hash_hi, hash_lo) AS n_copies,
+             row_number() OVER (PARTITION BY hash_hi, hash_lo
+               ORDER BY doc_id) = 1 AS is_canonical
+      FROM hx ORDER BY doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(decodePipeline, frameSample, pixelDecode,
-    resize, audioDecode, videoDecode)
+    resize, audioDecode, videoDecode, phashDedup)
 }

@@ -108,6 +108,37 @@ class MultimodalSpec extends GraftSuite {
       Y4mCodec.decodeMono("MPEG nope\n".getBytes))
   }
 
+  test("average-hash is brightness-invariant but bytes are not") {
+    import graft.functions.PngCodec
+    // same content (gid), three global brightness offsets: the PNG bytes
+    // must all differ (exact dedup sees 3 files), the aHash must not —
+    // a uniform shift moves every pixel AND the mean by the same amount
+    def png(noise: Int) = PngCodec.encodeGray(32, 24,
+      (x, y) => ((x * 31 + y * 17 + 7 * 7) % 250) + noise)
+    def ahash(bytes: Array[Byte]): (Long, Long) = {
+      val (dw, dh, px) = PngCodec.decodeGray(bytes)
+      val thumb = Array.tabulate(64) { k =>
+        px(((k / 8) * dh / 8) * dw + ((k % 8) * dw / 8)) & 0xff
+      }
+      val total = thumb.foldLeft(0L)(_ + _)
+      (0 until 64).foldLeft((0L, 0L)) { case ((hi, lo), k) =>
+        if (thumb(k).toLong * 64 > total)
+          if (k < 32) (hi, lo | (1L << k)) else (hi | (1L << (k - 32)), lo)
+        else (hi, lo)
+      }
+    }
+    val variants = Seq(png(0), png(1), png(2))
+    assert(variants.map(_.toSeq).distinct.size == 3,
+      "brightness variants must differ at the byte level")
+    assert(variants.map(ahash).distinct.size == 1,
+      "aHash must collapse brightness variants")
+    // and a different content id must produce a different hash
+    val other = PngCodec.encodeGray(32, 24,
+      (x, y) => ((x * 31 + y * 17 + 11 * 7) % 250))
+    assert(ahash(other) != ahash(variants.head),
+      "distinct content collided — formula too coarse for the test")
+  }
+
   test("decoder rejects corrupt input loudly") {
     intercept[IllegalArgumentException](
       PngCodec.decodeGray("JFIF not png at all".getBytes))
