@@ -499,7 +499,63 @@ object EventsQueries {
       FROM w WHERE n_hist >= 3 ORDER BY event_type, hr""")
   )
 
+  /** Time-series resample with gap-fill and forward-fill — the
+    * regularization pass every downstream forecaster/joiner wants: each
+    * event_type's hourly series is densified onto a complete hour spine
+    * (missing hours appear with cnt = 0 and is_gap = true) and the last
+    * observed hourly metric carries forward across gaps
+    * (`last(ignoreNulls)` over an unbounded-preceding frame — the same
+    * carry-forward kernel as the as-of join).
+    *
+    * Scale shape: events collapse to (type, hour) rows in one two-phase
+    * aggregation first; the spine is |types| sequence-explodes of a
+    * 2-long bounds row, so the join and window run on |types| × |hours|
+    * rows regardless of event volume. */
+  val resample: QueryDef = QueryDef(
+    "x_events_resample",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").as("hr"))
+        .agg(count(lit(1)).as("cnt"),
+          round(avg(col("value")), 4).as("avg_value"))
+      val bounds = hourly.groupBy(col("event_type"))
+        .agg(min(col("hr")).as("mnh"), max(col("hr")).as("mxh"))
+      val spine = bounds.select(col("event_type"),
+        explode(sequence(col("mnh"), col("mxh"))).as("hr"))
+      val w = Window.partitionBy(col("event_type")).orderBy(col("hr"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(hourly, Seq("event_type", "hr"), "left_outer")
+        .select(col("event_type"), col("hr"),
+          coalesce(col("cnt"), lit(0L)).as("cnt"),
+          col("cnt").isNull.as("is_gap"),
+          last(col("avg_value"), ignoreNulls = true).over(w)
+            .as("filled_value"))
+        .orderBy(col("event_type"), col("hr"))
+    },
+    oracle = Some("""
+      WITH h AS (SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
+               count(*) AS cnt, round(avg(value), 4) AS avg_value
+             FROM events GROUP BY 1, 2),
+      b AS (SELECT event_type, min(hr) AS mnh, max(hr) AS mxh
+            FROM h GROUP BY 1),
+      sp AS (SELECT event_type, unnest(generate_series(mnh, mxh)) AS hr
+             FROM b)
+      SELECT sp.event_type, sp.hr,
+             coalesce(h.cnt, 0) AS cnt,
+             h.cnt IS NULL AS is_gap,
+             last_value(h.avg_value IGNORE NULLS) OVER (
+               PARTITION BY sp.event_type ORDER BY sp.hr
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+               AS filled_value
+      FROM sp LEFT JOIN h ON h.event_type = sp.event_type
+        AND h.hr = sp.hr
+      ORDER BY sp.event_type, sp.hr""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
-    streamSession, streamSliding, streamEnrich, streamJoin, anomaly)
+    streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
+    resample)
 }

@@ -55,6 +55,25 @@ class EngineSpec extends GraftSuite {
     assert(r.getLong(0) == 0L)
   }
 
+  test("resample densifies gaps and forward-fills the last observation") {
+    import spark.implicits._
+    // hours 0, 1, 3 have events (hour 2 is a gap); values 2.0, 4.0, 8.0
+    val rows = Seq(0, 1, 3).flatMap(h => Seq(
+      (h.toLong * 10, new java.sql.Timestamp(h.toLong * 3600 * 1000), 1L,
+        "click", math.pow(2.0, h + 1), "{}")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rs").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.EventsQueries.resample.run(spark, tmp).collect()
+    assert(out.map(_.getLong(1)).toSeq == Seq(0L, 1L, 2L, 3L),
+      "spine must densify to every hour between min and max")
+    val gap = out.find(_.getLong(1) == 2L).get
+    assert(gap.getLong(2) == 0L && gap.getBoolean(3), "hour 2 must be a gap")
+    assert(gap.getDouble(4) == 4.0,
+      "gap must carry hour 1's value forward")
+    assert(out.count(_.getBoolean(3)) == 1, "exactly one gap expected")
+  }
+
   test("anomaly detection flags planted spikes on flat and noisy baselines") {
     import spark.implicits._
     // two independent series: "flat" holds 10/hour (σ = 0), "noisy"
