@@ -806,6 +806,57 @@ object TextQueries {
       FROM tot LEFT JOIN hits h USING (doc_id) ORDER BY doc_id""")
   )
 
+  /** K-anonymous aggregate release (k = 8): per-(lang, source) corpus
+    * stats are published only for groups with ≥ k members; every smaller
+    * group collapses into one '*' residual row so no small-population
+    * quasi-identifier combination leaks. Averages recompute from carried
+    * sums (never an average of averages), and the suppression decision is
+    * pure integer math.
+    *
+    * Scale shape: one two-phase aggregation over the corpus; the
+    * suppressed-side rollup is a second aggregation over the ALREADY
+    * collapsed group table (≤ |langs|·|sources| rows), so corpus size
+    * only touches the first map side. */
+  val kanon: QueryDef = QueryDef(
+    "x_pipeline_kanon",
+    (s, dir) => {
+      val k = 8
+      val g = docs(s, dir).groupBy(col("lang"), col("source"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("sc"))
+      val released = g.filter(col("n_docs") >= k)
+        .select(col("lang"), col("source"), col("n_docs"),
+          round(col("sc").cast("double") / col("n_docs"), 4)
+            .as("avg_chars"),
+          lit(false).as("is_suppressed"))
+      val residual = g.filter(col("n_docs") < k)
+        .agg(sum(col("n_docs")).as("n_docs"), sum(col("sc")).as("sc"))
+        .filter(col("n_docs").isNotNull)
+        .select(lit("*").as("lang"), lit("*").as("source"), col("n_docs"),
+          round(col("sc").cast("double") / col("n_docs"), 4)
+            .as("avg_chars"),
+          lit(true).as("is_suppressed"))
+      released.unionByName(residual)
+        .orderBy(col("lang"), col("source"))
+    },
+    oracle = Some("""
+      WITH g AS (SELECT lang, source, count(*) AS n_docs,
+               sum(n_chars) AS sc
+             FROM documents GROUP BY lang, source),
+      rel AS (SELECT lang, source, n_docs,
+                round(CAST(sc AS DOUBLE) / n_docs, 4) AS avg_chars,
+                false AS is_suppressed
+              FROM g WHERE n_docs >= 8),
+      res AS (SELECT '*' AS lang, '*' AS source,
+                CAST(sum(n_docs) AS BIGINT) AS n_docs,
+                round(CAST(sum(sc) AS DOUBLE) / sum(n_docs), 4)
+                  AS avg_chars,
+                true AS is_suppressed
+              FROM g WHERE n_docs < 8
+              HAVING sum(n_docs) IS NOT NULL)
+      SELECT * FROM rel UNION ALL SELECT * FROM res
+      ORDER BY lang, source""")
+  )
+
   /** Shannon-entropy quality signals — the compression/perplexity proxy
     * every pretraining filter stack carries: character-level and
     * token-level entropy per document, computed with the single-pass
@@ -962,5 +1013,5 @@ object TextQueries {
 
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
-    repetition, contamination, mix, e2e, bm25, entropy)
+    repetition, contamination, mix, e2e, bm25, entropy, kanon)
 }

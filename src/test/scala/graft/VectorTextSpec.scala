@@ -278,6 +278,25 @@ class VectorTextSpec extends GraftSuite {
     tmp
   }
 
+  test("k-anonymity suppresses small groups into one residual row") {
+    // 9 docs in (en, big) — released; 2 + 1 docs in small groups —
+    // collapsed into the '*' residual with recomputed (not averaged)
+    // average
+    val rows = (1L to 9L).map(i => (i, s"doc $i text", "big")) ++
+      Seq((10L, "tiny a", "s1"), (11L, "tiny bb", "s1"),
+        (12L, "tiny ccc", "s2"))
+    val tmp = writeDocs(rows)
+    val out = operators.TextQueries.kanon.run(spark, tmp).collect()
+    val byKey = out.map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(byKey.contains(("en", "big")), "large group must be released")
+    assert(!byKey.keys.exists(_._2 == "s1"),
+      "small groups must not appear under their own name")
+    val res = byKey(("*", "*"))
+    assert(res.getLong(2) == 3L && res.getBoolean(4))
+    // avg over the 3 collapsed docs: (6 + 7 + 8) / 3 = 7.0
+    assert(res.getDouble(3) == 7.0, res.toString)
+  }
+
   test("entropy signals separate degenerate from diverse docs") {
     val tmp = writeDocs(Seq(
       (1L, "a a a a a", "fx"),                       // one repeated token
