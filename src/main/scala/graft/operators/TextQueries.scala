@@ -857,6 +857,53 @@ object TextQueries {
       ORDER BY lang, source""")
   )
 
+  /** Weighted sampling WITHOUT replacement (Efraimidis-Spirakis
+    * exponential keys — the one-pass distributed algorithm): each doc
+    * draws a deterministic pseudo-uniform u ∈ (0, 1] from
+    * fingerprint64(doc_id) and scores key = −ln(u) / w with w = n_chars
+    * (the quality/importance proxy); the k smallest keys ARE a weighted
+    * sample without replacement. Keys round to 6 decimals before ranking
+    * (doc_id tiebreak) so a 1-ulp ln() difference can't flip the cut.
+    *
+    * Scale shape: key assignment is a pure per-row map (the hash is a
+    * codegen'd expression) and selection is a global top-k — a bounded
+    * heap per partition plus a k-row driver merge, never a full sort.
+    * The final rank window runs on k = 50 rows only. */
+  val wsample: QueryDef = QueryDef(
+    "x_pipeline_wsample",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val k = 50
+      val m = 9007199254740992L // 2^53
+      val keyed = docs(s, dir).select(col("doc_id"), col("n_chars"),
+        round(-log((pmod(fingerprint64(col("doc_id").cast("string")),
+          lit(m)) + 1).cast("double") / lit(m.toDouble)) /
+          col("n_chars"), 6).as("skey"))
+      val w = Window.orderBy(col("skey").asc, col("doc_id"))
+      keyed.orderBy(col("skey").asc, col("doc_id")).limit(k)
+        .withColumn("rk", row_number().over(w))
+        .select(col("rk"), col("doc_id"), col("n_chars"), col("skey"))
+        .orderBy(col("rk"))
+    },
+    oracle = Some("""
+      WITH fp AS (SELECT doc_id, n_chars,
+          list_reduce(list_prepend(0::HUGEINT,
+            list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+              i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), i, 1))
+                   AS HUGEINT))),
+            (acc, b) -> (acc * 1000003::HUGEINT + b)
+                        % 18446744073709551616::HUGEINT) AS acc
+        FROM documents),
+      keyed AS (SELECT doc_id, n_chars,
+          round(-ln(CAST((acc % 9007199254740992::HUGEINT) + 1 AS DOUBLE)
+            / 9007199254740992.0) / n_chars, 6) AS skey
+        FROM fp),
+      r AS (SELECT *, row_number() OVER (ORDER BY skey ASC, doc_id) AS rk
+            FROM keyed)
+      SELECT rk, doc_id, n_chars, skey FROM r WHERE rk <= 50
+      ORDER BY rk""")
+  )
+
   /** Shannon-entropy quality signals — the compression/perplexity proxy
     * every pretraining filter stack carries: character-level and
     * token-level entropy per document, computed with the single-pass
@@ -1013,5 +1060,5 @@ object TextQueries {
 
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
-    repetition, contamination, mix, e2e, bm25, entropy, kanon)
+    repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample)
 }

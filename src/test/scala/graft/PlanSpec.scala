@@ -271,6 +271,13 @@ class PlanSpec extends GraftSuite {
       s"chunk dedup shuffles text payload: $shuffled")
   }
 
+  test("weighted sampling selects via bounded-heap top-k, not a full sort") {
+    val df = operators.TextQueries.wsample.run(spark, sf)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
+  }
+
   test("curation funnel pushes the language keep-list into the scan") {
     // the lang IN (…) filter must reach the parquet reader: at 100 TB the
     // keep-list prunes row groups before any token math runs

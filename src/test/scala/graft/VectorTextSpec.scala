@@ -297,6 +297,22 @@ class VectorTextSpec extends GraftSuite {
     assert(res.getDouble(3) == 7.0, res.toString)
   }
 
+  test("weighted sampling keeps high-weight docs without replacement") {
+    // 10 heavy docs (2000 chars → weight 2000) among 90 light (10 chars):
+    // with exponential keys every heavy doc should make the top-50 cut
+    val heavy = (0L until 10L).map(i => (i, "h" * 2000, "fx"))
+    val light = (10L until 100L).map(i => (i, "l" * 10, "fx"))
+    val tmp = writeDocs(heavy ++ light)
+    val out = operators.TextQueries.wsample.run(spark, tmp).collect()
+    assert(out.length == 50, "sample must be exactly k rows")
+    assert(out.map(_.getLong(1)).distinct.length == 50,
+      "without replacement: no doc may repeat")
+    val sampled = out.map(_.getLong(1)).toSet
+    assert((0L until 10L).forall(sampled), "every heavy doc must survive")
+    assert(out.map(_.getInt(0)).toSeq == (1 to 50),
+      "ranks must be contiguous")
+  }
+
   test("entropy signals separate degenerate from diverse docs") {
     val tmp = writeDocs(Seq(
       (1L, "a a a a a", "fx"),                       // one repeated token
