@@ -1058,7 +1058,115 @@ object TextQueries {
       ORDER BY q_id, rk""")
   )
 
+  /** Hybrid retrieval via reciprocal-rank fusion — the standard way a
+    * production search stack combines BM25's lexical ranking with the
+    * vector index's semantic ranking: each query's two top-5 lists merge
+    * on a full-outer join and every hit scores
+    * Σ 1/(60 + rank) over the lists it appears in (k = 60, the original
+    * RRF constant). Ranks are integers, the two-term sum adds in fixed
+    * (text, vector) order, so the fused score is bit-exact on both
+    * engines with no rounding.
+    *
+    * Scale shape: both inputs are already top-k-bounded (5 rows per
+    * query each), so the fusion join, window and output are
+    * O(queries × k) regardless of corpus size — the expensive parts are
+    * the underlying BM25 and ANN passes, each already shaped for 100 TB
+    * (see their entries). */
+  val hybridRrf: QueryDef = QueryDef(
+    "x_search_hybrid_rrf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val txt = bm25.run(s, dir)
+        .select(col("q_id").cast("long").as("q_id"), col("doc_id"),
+          col("rk").as("t_rk"))
+      val vec = VectorQueries.bruteTopK.run(s, dir)
+        .filter(col("q_id") < 5)
+        .select(col("q_id"), col("vec_id").as("doc_id"),
+          col("rk").as("v_rk"))
+      val fused = txt.join(vec, Seq("q_id", "doc_id"), "full_outer")
+        .select(col("q_id"), col("doc_id"),
+          (coalesce(lit(1.0) / (col("t_rk") + 60), lit(0.0)) +
+            coalesce(lit(1.0) / (col("v_rk") + 60), lit(0.0))).as("rrf"),
+          col("t_rk").isNotNull.as("in_text"),
+          col("v_rk").isNotNull.as("in_vector"))
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("rrf").desc, col("doc_id"))
+      fused.withColumn("rk", row_number().over(w))
+        .filter(col("rk") <= 5)
+        .select(col("q_id"), col("rk"), col("doc_id"), col("rrf"),
+          col("in_text"), col("in_vector"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    oracle = Some("""
+      WITH q(q_id, ti, term) AS (VALUES
+        (0, 0, 'spark'), (0, 1, 'join'),
+        (1, 0, 'window'), (1, 1, 'sort'),
+        (2, 0, 'stream'), (2, 1, 'batch'), (2, 2, 'query'),
+        (3, 0, 'vector'), (3, 1, 'hash'),
+        (4, 0, 'customer'), (4, 1, 'table'), (4, 2, 'scan')),
+      tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                unnest(string_split(text, ' ')) AS token
+              FROM documents),
+      tf AS (SELECT doc_id, token, dl, count(*) AS tf
+             FROM tok
+             WHERE token IN (SELECT DISTINCT term FROM q)
+             GROUP BY doc_id, token, dl),
+      df AS (SELECT token, count(DISTINCT doc_id) AS df
+             FROM tf GROUP BY token),
+      st AS (SELECT count(*) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+             FROM documents),
+      c AS (SELECT q.q_id, q.ti, tf.doc_id,
+              ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1) *
+                (tf.tf * 2.2) /
+                (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS c
+            FROM tf
+            JOIN df USING (token)
+            CROSS JOIN st
+            JOIN q ON tf.token = q.term),
+      sc AS (SELECT q_id, doc_id,
+               round(sum(CASE WHEN ti = 0 THEN c ELSE 0 END)
+                   + sum(CASE WHEN ti = 1 THEN c ELSE 0 END)
+                   + sum(CASE WHEN ti = 2 THEN c ELSE 0 END), 4) AS score
+             FROM c GROUP BY q_id, doc_id),
+      tr AS (SELECT *, row_number() OVER (PARTITION BY q_id
+               ORDER BY score DESC, doc_id) AS rk
+             FROM sc),
+      tt AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, rk AS t_rk
+             FROM tr WHERE rk <= 5),
+      vq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+             WHERE vec_id < 5),
+      vscored AS (SELECT vq.q_id, e.vec_id,
+               list_cosine_similarity(CAST(vq.q_emb AS DOUBLE[]),
+                 CAST(e.embedding AS DOUBLE[])) AS cos
+             FROM embeddings e CROSS JOIN vq
+             WHERE e.vec_id <> vq.q_id),
+      vranked AS (SELECT q_id, vec_id,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, vec_id) AS rk
+             FROM vscored),
+      vv AS (SELECT q_id, vec_id AS doc_id, rk AS v_rk
+             FROM vranked WHERE rk <= 5),
+      f AS (SELECT coalesce(tt.q_id, vv.q_id) AS q_id,
+               coalesce(tt.doc_id, vv.doc_id) AS doc_id,
+               tt.t_rk, vv.v_rk
+            FROM tt FULL OUTER JOIN vv
+              ON tt.q_id = vv.q_id AND tt.doc_id = vv.doc_id),
+      g AS (SELECT q_id, doc_id,
+              coalesce(1.0 / (t_rk + 60), 0.0)
+                + coalesce(1.0 / (v_rk + 60), 0.0) AS rrf,
+              t_rk IS NOT NULL AS in_text,
+              v_rk IS NOT NULL AS in_vector
+            FROM f),
+      h AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY rrf DESC, doc_id) AS rk
+            FROM g)
+      SELECT q_id, rk, doc_id, rrf, in_text, in_vector
+      FROM h WHERE rk <= 5 ORDER BY q_id, rk""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
-    repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample)
+    repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
+    hybridRrf)
 }

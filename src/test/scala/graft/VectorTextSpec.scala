@@ -297,6 +297,29 @@ class VectorTextSpec extends GraftSuite {
     assert(res.getDouble(3) == 7.0, res.toString)
   }
 
+  test("hybrid RRF fuses lexical and vector rank lists") {
+    val out = operators.TextQueries.hybridRrf.run(spark, sf).collect()
+    val byQ = out.groupBy(_.getLong(0))
+    assert(byQ.keySet == (0L to 4L).toSet, byQ.keySet.toString)
+    byQ.values.foreach { rows =>
+      val sorted = rows.sortBy(_.getInt(1))
+      assert(sorted.map(_.getInt(1)).toSeq == (1 to sorted.length))
+      val scores = sorted.map(_.getDouble(3))
+      assert(scores.sliding(2).forall(p => p(0) >= p(1)), scores.toSeq)
+      sorted.foreach { r =>
+        assert(r.getBoolean(4) || r.getBoolean(5),
+          "every fused hit must come from at least one list")
+        assert(r.getDouble(3) > 0.0)
+        // a doc in BOTH lists must outscore any single-list doc's maximum
+        // possible score only when ranks allow; minimally: dual-listed
+        // rows score above 1/61 + 0 floor for single rank-1
+        if (r.getBoolean(4) && r.getBoolean(5))
+          assert(r.getDouble(3) > 1.0 / 61,
+            "dual-source score must exceed a lone rank-1 score")
+      }
+    }
+  }
+
   test("weighted sampling keeps high-weight docs without replacement") {
     // 10 heavy docs (2000 chars → weight 2000) among 90 light (10 chars):
     // with exponential keys every heavy doc should make the top-50 cut
