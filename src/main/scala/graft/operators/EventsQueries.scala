@@ -554,8 +554,44 @@ object EventsQueries {
       ORDER BY sp.event_type, sp.hr""")
   )
 
+  /** Winsorized robust statistics — the outlier-clipping pass metric
+    * pipelines run before trusting a mean: per event_type the exact
+    * p05/p95 clip the value column and both raw and winsorized means are
+    * reported with clip counts. One SQL text runs verbatim on BOTH
+    * engines (`percentile_cont WITHIN GROUP` is common SQL:2023), so the
+    * oracle is the query itself. Exact percentiles keep the oracle
+    * bit-honest; at 100 TB the drop-in is `approx_percentile`
+    * (error-bound-checked separately by `a_approx_percentile`). */
+  private val winsorizeSql = """
+      WITH p AS (SELECT event_type,
+          percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p05,
+          percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95
+        FROM events GROUP BY event_type)
+      SELECT e.event_type, count(*) AS n,
+        round(avg(e.value), 4) AS raw_mean,
+        round(avg(CASE WHEN e.value < p.p05 THEN p.p05
+                       WHEN e.value > p.p95 THEN p.p95
+                       ELSE e.value END), 4) AS winsor_mean,
+        round(p.p05, 4) AS p05, round(p.p95, 4) AS p95,
+        CAST(sum(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clip_low,
+        CAST(sum(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_clip_high
+      FROM events e JOIN p USING (event_type)
+      GROUP BY e.event_type, p.p05, p.p95
+      ORDER BY e.event_type"""
+
+  val winsorize: QueryDef = QueryDef(
+    "x_events_winsorize",
+    (s, dir) => {
+      ev(s, dir).createOrReplaceTempView("events")
+      s.sql(winsorizeSql)
+    },
+    oracle = Some(winsorizeSql)
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
-    resample)
+    resample, winsorize)
 }

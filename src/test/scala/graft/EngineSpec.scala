@@ -74,6 +74,24 @@ class EngineSpec extends GraftSuite {
     assert(out.count(_.getBoolean(3)) == 1, "exactly one gap expected")
   }
 
+  test("winsorized mean resists planted outliers; raw mean does not") {
+    import spark.implicits._
+    // 98 values of 10.0 plus two enormous outliers: raw mean is dragged
+    // to ~210, the p05/p95-clipped mean stays at 10
+    val rows = ((1 to 98).map(i => (i.toLong,
+      new java.sql.Timestamp(i * 60000L), 1L, "m", 10.0, "{}")) ++
+      Seq((99L, new java.sql.Timestamp(99 * 60000L), 1L, "m", 10000.0, "{}"),
+        (100L, new java.sql.Timestamp(100 * 60000L), 1L, "m", 10000.0, "{}")))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_wz").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = operators.EventsQueries.winsorize.run(spark, tmp).collect()(0)
+    assert(r.getLong(1) == 100L)
+    assert(r.getDouble(2) > 200.0, s"raw mean must be dragged: $r")
+    assert(r.getDouble(3) == 10.0, s"winsorized mean must resist: $r")
+    assert(r.getLong(7) == 2L, "both outliers must clip high")
+  }
+
   test("anomaly detection flags planted spikes on flat and noisy baselines") {
     import spark.implicits._
     // two independent series: "flat" holds 10/hour (σ = 0), "noisy"
