@@ -590,8 +590,48 @@ object EventsQueries {
     oracle = Some(winsorizeSql)
   )
 
+  /** Markov transition matrix over per-user event streams — the
+    * journey-analysis primitive behind funnels and next-action models:
+    * each user's events order by (ts, event_id), lag() yields the
+    * (prev → curr) pairs, and the global matrix reports counts plus
+    * row-normalized transition probabilities.
+    *
+    * Scale shape: ONE shuffle on user_id feeds the lag window (the same
+    * partitioning sessionization uses), then the pair counts collapse in
+    * a two-phase aggregation over ≤ |types|² rows; the probability
+    * denominator rides a window over that tiny matrix, not the events. */
+  val transitions: QueryDef = QueryDef(
+    "x_events_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val pairs = ev(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull)
+      val m = pairs.groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy(col("prev_type"))
+      m.withColumn("p",
+          round(col("n").cast("double") / sum(col("n")).over(wp), 4))
+        .select(col("prev_type"), col("event_type"), col("n"), col("p"))
+        .orderBy(col("prev_type"), col("event_type"))
+    },
+    oracle = Some("""
+      WITH seq AS (SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+             FROM events),
+      m AS (SELECT prev_type, event_type, count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type)
+      SELECT prev_type, event_type, n,
+             round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type),
+               4) AS p
+      FROM m ORDER BY prev_type, event_type""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
-    resample, winsorize)
+    resample, winsorize, transitions)
 }

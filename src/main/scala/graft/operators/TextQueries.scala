@@ -1165,8 +1165,70 @@ object TextQueries {
       FROM h WHERE rk <= 5 ORDER BY q_id, rk""")
   )
 
+  /** Bigram language-model scoring — the perplexity-proxy quality filter:
+    * a corpus-trained add-one-smoothed bigram LM, P(w2|w1) =
+    * (c(w1,w2) + 1) / (c(w1) + V), scores every document by its mean
+    * log-probability (and perplexity = exp(−mean)). Low scores mark
+    * machine-generated/garbled text the way a real LM filter would.
+    *
+    * Scale shape: the LM "model" is two count tables built by two-phase
+    * aggregation; scoring joins each doc's bigrams against them BY KEY
+    * (the bigram table scales with the corpus, so it is never broadcast
+    * — only the vocab-size scalar is), then one per-doc aggregation.
+    * Mean log-prob rounds to 4 (the one order-sensitive sum). */
+  val lmScore: QueryDef = QueryDef(
+    "x_text_lm_score",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+      val bg = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(element_at(toks, i + 1) AS w1, " +
+          "element_at(toks, i + 2) AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = bg.select(col("w1")).union(bg.select(col("w2")))
+        .agg(countDistinct(col("w1")).as("v"))
+      bg.join(c2, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          log((col("c2") + 1).cast("double") / (col("c1") + col("v")))
+            .as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("lp")), 4).as("avg_logp"))
+        .withColumn("ppl", round(exp(-col("avg_logp")), 4))
+        .select(col("doc_id"), col("n_bigrams"), col("avg_logp"),
+          col("ppl"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents
+                 WHERE len(string_split(text, ' ')) >= 2),
+      bg AS (SELECT doc_id,
+               unnest(list_transform(range(0, len(toks) - 1),
+                 i -> {'w1': toks[i+1], 'w2': toks[i+2]}), recursive := true)
+             FROM t),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1 FROM bg GROUP BY w1),
+      vocab AS (SELECT count(DISTINCT w) AS v FROM (
+                  SELECT w1 AS w FROM bg UNION ALL SELECT w2 FROM bg)),
+      lp AS (SELECT bg.doc_id,
+               ln(CAST(c2.c2 + 1 AS DOUBLE) / (c1.c1 + vocab.v)) AS lp
+             FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+             CROSS JOIN vocab)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(lp), 4) AS avg_logp,
+             round(exp(-round(avg(lp), 4)), 4) AS ppl
+      FROM lp GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
-    hybridRrf)
+    hybridRrf, lmScore)
 }

@@ -92,6 +92,27 @@ class EngineSpec extends GraftSuite {
     assert(r.getLong(7) == 2L, "both outliers must clip high")
   }
 
+  test("transition matrix counts lagged pairs and row-normalizes") {
+    import spark.implicits._
+    // user 1: A B A B  → A→B ×2, B→A ×1;  user 2: A C  → A→C ×1
+    val rows = Seq(
+      (1L, 0, 1L, "A"), (2L, 1, 1L, "B"), (3L, 2, 1L, "A"),
+      (4L, 3, 1L, "B"), (5L, 0, 2L, "A"), (6L, 1, 2L, "C"))
+      .map { case (id, m, u, t) =>
+        (id, new java.sql.Timestamp(m * 60000L), u, t, 1.0, "{}") }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tr").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.EventsQueries.transitions.run(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r).toMap
+    assert(out(("A", "B")).getLong(2) == 2L)
+    assert(out(("A", "B")).getDouble(3) == 0.6667)
+    assert(out(("A", "C")).getDouble(3) == 0.3333)
+    assert(out(("B", "A")).getLong(2) == 1L)
+    assert(out(("B", "A")).getDouble(3) == 1.0)
+    assert(out.size == 3, out.keys.toString)
+  }
+
   test("anomaly detection flags planted spikes on flat and noisy baselines") {
     import spark.implicits._
     // two independent series: "flat" holds 10/hour (σ = 0), "noisy"

@@ -297,6 +297,25 @@ class VectorTextSpec extends GraftSuite {
     assert(res.getDouble(3) == 7.0, res.toString)
   }
 
+  test("lm score ranks corpus-typical text above rare-bigram text") {
+    // 5 docs of common alternating bigrams + 1 doc with a once-seen
+    // bigram: the LM must score the rare doc lower (higher perplexity)
+    val tmp = writeDocs(
+      (1L to 5L).map(i => (i, "a b a b a b", "fx")) :+
+        (9L, "x y", "fx"))
+    val byId = operators.TextQueries.lmScore.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    val common = byId(1L)
+    val rare = byId(9L)
+    assert(common.getLong(1) == 5L && rare.getLong(1) == 1L)
+    assert(rare.getDouble(2) < common.getDouble(2),
+      s"rare-bigram doc must score lower: $rare vs $common")
+    assert(rare.getDouble(3) > common.getDouble(3),
+      "perplexity must invert the score order")
+    // add-one smoothing: the rare bigram is ln((1+1)/(1+4)) = ln(0.4)
+    assert(math.abs(rare.getDouble(2) - math.log(0.4)) < 5e-5, rare.toString)
+  }
+
   test("hybrid RRF fuses lexical and vector rank lists") {
     val out = operators.TextQueries.hybridRrf.run(spark, sf).collect()
     val byQ = out.groupBy(_.getLong(0))
