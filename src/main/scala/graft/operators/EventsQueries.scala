@@ -630,8 +630,41 @@ object EventsQueries {
       FROM m ORDER BY prev_type, event_type""")
   )
 
+  /** Streaming dual of `x_events_transitions`: the pair stream comes from
+    * O(users) carried state (EventsStream.transitionPairs), lands in
+    * append mode, and the tiny matrix aggregation runs over the landed
+    * pairs. Same oracle as the batch op — the batch≡stream equivalence
+    * promise, hash-checked. */
+  val streamTransitions: QueryDef = QueryDef(
+    "x_stream_transitions",
+    (s, dir) => {
+      val out = runAvailableNow(s, dir, "stream_transitions",
+        complete = false)(graft.streaming.EventsStream.transitionPairs)
+      val m = s.read.parquet(out)
+        .groupBy(col("prev_type"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+      val wp = Window.partitionBy(col("prev_type"))
+      m.withColumn("p",
+          round(col("n").cast("double") / sum(col("n")).over(wp), 4))
+        .select(col("prev_type"), col("event_type"), col("n"), col("p"))
+        .orderBy(col("prev_type"), col("event_type"))
+    },
+    oracle = Some("""
+      WITH seq AS (SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                 ORDER BY ts, event_id) AS prev_type
+             FROM events),
+      m AS (SELECT prev_type, event_type, count(*) AS n
+            FROM seq WHERE prev_type IS NOT NULL
+            GROUP BY prev_type, event_type)
+      SELECT prev_type, event_type, n,
+             round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type),
+               4) AS p
+      FROM m ORDER BY prev_type, event_type""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
-    resample, winsorize, transitions)
+    resample, winsorize, transitions, streamTransitions)
 }

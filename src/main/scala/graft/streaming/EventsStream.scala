@@ -95,6 +95,34 @@ object EventsStream {
   case class EventRow(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double, props: String)
 
+  case class LastEvent(ts_ms: Long, event_id: Long, event_type: String)
+  case class TransitionPair(user_id: Long, prev_type: String,
+      event_type: String)
+
+  /** Streaming Markov transition pairs (streaming dual of
+    * EventsQueries.transitions): flatMapGroupsWithState keeps ONE event
+    * per user — the latest seen — and each micro-batch emits the
+    * (prev → curr) pairs formed by the carried event plus the batch's
+    * rows in (ts, event_id) order. State is O(users) regardless of
+    * stream length. */
+  def transitionPairs(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.as[EventRow]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[LastEvent, TransitionPair](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (uid, rows, state: GroupState[LastEvent]) =>
+          val incoming = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
+            .map(r => LastEvent(r.ts.getTime, r.event_id, r.event_type))
+          val seq = state.getOption.toSeq ++ incoming
+          val pairs = seq.sliding(2).collect {
+            case Seq(a, b) => TransitionPair(uid, a.event_type, b.event_type)
+          }.toList
+          state.update(seq.last)
+          pairs.iterator
+      }.toDF()
+  }
+
   /** Custom per-key running state via mapGroupsWithState: running
     * count/sum/max per user, emitted each micro-batch (the reference has
     * no analog; this is the KeyValueGroupedDataset stateful surface). */

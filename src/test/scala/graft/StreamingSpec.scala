@@ -154,6 +154,26 @@ class StreamingSpec extends GraftSuite {
     assert(diff == 0, "stream-stream and batch interval join disagree")
   }
 
+  test("transition pairs carry state across micro-batches") {
+    // user 1's stream splits across two batches: the pair spanning the
+    // batch boundary (B → C) must still be emitted via the carried state
+    val mem = MemoryStream[EventRow]
+    def e(id: Long, min: Int, typ: String) =
+      EventRow(id, ts(min), 1L, typ, 1.0, "{}")
+    val q = EventsStream.transitionPairs(mem.toDF())
+      .writeStream.format("memory").queryName("stream_transitions_t")
+      .outputMode("append").start()
+    mem.addData(e(1, 1, "A"), e(2, 2, "B"))
+    q.processAllAvailable()
+    mem.addData(e(3, 3, "C"), e(4, 4, "A"))
+    q.processAllAvailable()
+    val pairs = spark.table("stream_transitions_t")
+      .collect().map(r => (r.getString(1), r.getString(2))).toSeq
+    q.stop()
+    assert(pairs.sorted == Seq(("A", "B"), ("B", "C"), ("C", "A")).sorted,
+      pairs.toString)
+  }
+
   test("streaming tumbling matches batch tumbling on the same data") {
     val batch = operators.EventsQueries.tumbling.run(spark, sf)
       .select(col("window_start"), col("event_type"), col("n"))
