@@ -1227,8 +1227,54 @@ object TextQueries {
       FROM lp GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** Training-shard manifest — the export contract of a curation
+    * pipeline (WebDataset/shard-list style): every doc lands in a
+    * deterministic shard (fingerprint64(doc_id) mod 8, reproducible on
+    * any cluster), and the manifest row per shard carries doc/token
+    * counts plus an md5 membership checksum over the sorted doc_id list,
+    * so a consumer can verify a shard set before training starts.
+    *
+    * Scale shape: one two-phase aggregation keyed by shard; the checksum
+    * concatenates ids AFTER sort_array on the collected list, so the
+    * digest is layout-independent. At 100 TB the membership list per
+    * shard is the one state that grows with docs/shards — shard count is
+    * the knob that bounds it. */
+  val manifest: QueryDef = QueryDef(
+    "x_pipeline_manifest",
+    (s, dir) => {
+      val sharded = docs(s, dir).select(col("doc_id"),
+        pmod(fingerprint64(col("doc_id").cast("string")), lit(8L))
+          .as("shard_id"),
+        size(split(col("text"), " ")).cast("long").as("n_toks"))
+      sharded.groupBy(col("shard_id"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_toks")).as("n_tokens"),
+          md5(concat_ws(",", sort_array(collect_list(col("doc_id")))))
+            .as("membership_md5"))
+        .orderBy(col("shard_id"))
+    },
+    oracle = Some("""
+      WITH fp AS (SELECT doc_id,
+          len(string_split(text, ' ')) AS n_toks,
+          list_reduce(list_prepend(0::HUGEINT,
+            list_transform(range(1, length(CAST(doc_id AS VARCHAR)) + 1),
+              i -> CAST(ascii(substr(CAST(doc_id AS VARCHAR), i, 1))
+                   AS HUGEINT))),
+            (acc, b) -> (acc * 1000003::HUGEINT + b)
+                        % 18446744073709551616::HUGEINT) AS acc
+        FROM documents),
+      sh AS (SELECT doc_id, n_toks,
+               CAST(acc % 8::HUGEINT AS BIGINT) AS shard_id
+             FROM fp)
+      SELECT shard_id, count(*) AS n_docs,
+             CAST(sum(n_toks) AS BIGINT) AS n_tokens,
+             md5(string_agg(CAST(doc_id AS VARCHAR), ','
+               ORDER BY doc_id)) AS membership_md5
+      FROM sh GROUP BY shard_id ORDER BY shard_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
-    hybridRrf, lmScore)
+    hybridRrf, lmScore, manifest)
 }

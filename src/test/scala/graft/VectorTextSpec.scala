@@ -297,6 +297,26 @@ class VectorTextSpec extends GraftSuite {
     assert(res.getDouble(3) == 7.0, res.toString)
   }
 
+  test("shard manifest partitions the corpus with verifiable checksums") {
+    val rows = operators.TextQueries.manifest.run(spark, sf).collect()
+    val total = Tables.table(spark, sf, "documents").count()
+    assert(rows.map(_.getLong(1)).sum == total,
+      "shards must partition the corpus exactly")
+    assert(rows.map(_.getString(3)).distinct.length == rows.length,
+      "membership checksums must be distinct across shards")
+    // verify one shard's checksum independently, the way a consumer would
+    val shard0 = Tables.table(spark, sf, "documents")
+      .select(col("doc_id"),
+        pmod(graft.functions.HashFunctions.fingerprint64(
+          col("doc_id").cast("string")), lit(8L)).as("sh"))
+      .filter(col("sh") === 0).collect().map(_.getLong(0)).sorted
+    val expected = java.security.MessageDigest.getInstance("MD5")
+      .digest(shard0.mkString(",").getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+    assert(rows.find(_.getLong(0) == 0L).get.getString(3) == expected,
+      "shard 0 checksum must match an independent recomputation")
+  }
+
   test("lm score ranks corpus-typical text above rare-bigram text") {
     // 5 docs of common alternating bigrams + 1 doc with a once-seen
     // bigram: the LM must score the rare doc lower (higher perplexity)
