@@ -514,11 +514,17 @@ object EventsQueries {
   val resample: QueryDef = QueryDef(
     "x_events_resample",
     (s, dir) => {
+      // the hourly mean is the EXACT quotient of a DECIMAL sum, emitted
+      // unrounded: a plain double avg() is partial-order-sensitive, and
+      // round(…,4) itself disagrees between engines on exact .xxxx5
+      // doubles (Spark rounds the shortest decimal string HALF_UP,
+      // DuckDB rounds the binary value — 51.51125 → .5113 vs .5112)
       val hourly = ev(s, dir)
         .groupBy(col("event_type"),
           expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").as("hr"))
         .agg(count(lit(1)).as("cnt"),
-          round(avg(col("value")), 4).as("avg_value"))
+          (sum(col("value").cast("decimal(28,10)")).cast("double") /
+            count(lit(1))).as("avg_value"))
       val bounds = hourly.groupBy(col("event_type"))
         .agg(min(col("hr")).as("mnh"), max(col("hr")).as("mxh"))
       val spine = bounds.select(col("event_type"),
@@ -536,7 +542,9 @@ object EventsQueries {
     oracle = Some("""
       WITH h AS (SELECT event_type,
                CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr,
-               count(*) AS cnt, round(avg(value), 4) AS avg_value
+               count(*) AS cnt,
+               CAST(sum(CAST(value AS DECIMAL(28,10))) AS DOUBLE)
+                 / count(*) AS avg_value
              FROM events GROUP BY 1, 2),
       b AS (SELECT event_type, min(hr) AS mnh, max(hr) AS mxh
             FROM h GROUP BY 1),
@@ -559,7 +567,10 @@ object EventsQueries {
     * p05/p95 clip the value column and both raw and winsorized means are
     * reported with clip counts. One SQL text runs verbatim on BOTH
     * engines (`percentile_cont WITHIN GROUP` is common SQL:2023), so the
-    * oracle is the query itself. Exact percentiles keep the oracle
+    * oracle is the query itself. Means are exact quotients of DECIMAL
+    * sums, emitted unrounded — a plain double avg() is
+    * partial-order-sensitive across engines, and round() itself
+    * disagrees on exact .xxxx5 doubles. Exact percentiles keep the oracle
     * bit-honest; at 100 TB the drop-in is `approx_percentile`
     * (error-bound-checked separately by `a_approx_percentile`). */
   private val winsorizeSql = """
@@ -568,11 +579,13 @@ object EventsQueries {
           percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95
         FROM events GROUP BY event_type)
       SELECT e.event_type, count(*) AS n,
-        round(avg(e.value), 4) AS raw_mean,
-        round(avg(CASE WHEN e.value < p.p05 THEN p.p05
-                       WHEN e.value > p.p95 THEN p.p95
-                       ELSE e.value END), 4) AS winsor_mean,
-        round(p.p05, 4) AS p05, round(p.p95, 4) AS p95,
+        CAST(sum(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE)
+          / count(*) AS raw_mean,
+        CAST(sum(CAST(CASE WHEN e.value < p.p05 THEN p.p05
+                           WHEN e.value > p.p95 THEN p.p95
+                           ELSE e.value END AS DECIMAL(28,10)))
+          AS DOUBLE) / count(*) AS winsor_mean,
+        p.p05, p.p95,
         CAST(sum(CASE WHEN e.value < p.p05 THEN 1 ELSE 0 END) AS BIGINT)
           AS n_clip_low,
         CAST(sum(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT)
