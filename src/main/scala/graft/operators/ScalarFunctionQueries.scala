@@ -691,8 +691,73 @@ object ScalarFunctionQueries {
       FROM signed ORDER BY doc_id""")
   )
 
+  /** Nested-type (array/lambda) battery — parity-plus: the reference's
+    * registry is scalar-only, but every training-data pipeline lives on
+    * token arrays, so the array surface is first-class here. Each
+    * column derives a SCALAR from array ops (distinct/sort/slice/
+    * contains/position/filter/transform/aggregate/zip_with), so the
+    * oracle hash stays row-sortable; set-producing ops sort before any
+    * size/join so DuckDB's unspecified list_distinct order can't leak
+    * into results. */
+  val arrayNested: QueryDef = QueryDef(
+    "fn_array_nested",
+    (s, dir) =>
+      Tables.table(s, dir, "documents")
+        .withColumn("toks", split(col("text"), " "))
+        .select(
+          col("doc_id"),
+          size(col("toks")).as("f_size"),
+          size(array_distinct(col("toks"))).as("f_n_distinct"),
+          expr("concat_ws(' ', slice(sort_array(toks), 1, 3))")
+            .as("f_sorted_head"),
+          array_contains(col("toks"), "spark").as("f_contains"),
+          expr("array_position(toks, 'spark')").as("f_position"),
+          expr("size(filter(toks, t -> length(t) > 4))").as("f_n_long"),
+          expr("aggregate(transform(toks, t -> length(t)), 0, " +
+            "(a, x) -> a + x)").as("f_len_sum"),
+          expr("aggregate(zip_with(transform(toks, t -> length(t)), " +
+            "transform(reverse(toks), t -> length(t)), (x, y) -> x * y), " +
+            "0, (a, v) -> a + v)").as("f_zip_dot"),
+          expr("size(array_intersect(toks, array('spark', 'join', " +
+            "'window', 'scan')))").as("f_n_keywords"),
+          expr("element_at(toks, 1)").as("f_first"),
+          expr("element_at(toks, -1)").as("f_last"),
+          expr("size(flatten(array(slice(toks, 1, 2), slice(toks, 3, 2))))")
+            .as("f_flat_size"),
+          expr("exists(toks, t -> t = 'vector')").as("f_exists"),
+          expr("forall(toks, t -> length(t) >= 1)").as("f_forall"))
+        .orderBy(col("doc_id")),
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents)
+      SELECT doc_id,
+             len(toks) AS f_size,
+             len(list_distinct(toks)) AS f_n_distinct,
+             array_to_string(list_sort(toks)[1:3], ' ') AS f_sorted_head,
+             list_contains(toks, 'spark') AS f_contains,
+             CAST(coalesce(list_position(toks, 'spark'), 0) AS BIGINT)
+               AS f_position,
+             len(list_filter(toks, t -> length(t) > 4)) AS f_n_long,
+             list_reduce(list_prepend(0,
+               list_transform(toks, t -> CAST(length(t) AS INTEGER))),
+               (a, x) -> a + x) AS f_len_sum,
+             list_reduce(list_prepend(0, list_transform(
+               range(1, len(toks) + 1),
+               i -> CAST(length(toks[i]) * length(list_reverse(toks)[i])
+                    AS INTEGER))), (a, v) -> a + v) AS f_zip_dot,
+             len(list_intersect(toks,
+               ['spark', 'join', 'window', 'scan'])) AS f_n_keywords,
+             toks[1] AS f_first,
+             toks[-1] AS f_last,
+             len(flatten([toks[1:2], toks[3:4]])) AS f_flat_size,
+             list_contains(toks, 'vector') AS f_exists,
+             len(list_filter(toks, t -> length(t) >= 1)) = len(toks)
+               AS f_forall
+      FROM t ORDER BY doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(stringBasic, stringAdvanced, mathBattery,
     dateExtract, dateArith, controlFlow, mysqlStrings, mysqlDates,
     pseudoColumns, timeBattery, divZeroDecimal, weekModes, registryTail,
-    udfSqlSurface)
+    udfSqlSurface, arrayNested)
 }
