@@ -56,8 +56,14 @@ object Bench {
     Tables.tune(spark)
 
     def run(name: String): Double = {
-      val df = SparkEntry.queries(name)(spark, sfDir)
+      // leftover persist()s from a previous query (the ANN trainings
+      // cache their assignments) must not accumulate across the loop
+      spark.catalog.clearCache()
+      // the timer starts BEFORE construction: iterative operators
+      // (x_dedup_cc's convergence loop) run eager actions while the
+      // DataFrame is being built, which a save-only timer would miss
       val t0 = System.nanoTime()
+      val df = SparkEntry.queries(name)(spark, sfDir)
       df.write.mode("overwrite").format("noop").save()
       (System.nanoTime() - t0) / 1e9
     }

@@ -17,6 +17,9 @@ object Verify {
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ListBuffer.empty[String]
     SparkEntry.queries.foreach { case (name, fn) =>
+      // drop persist()s left by a previous query (the ANN trainings
+      // cache assignments) so the dump's footprint stays flat
+      spark.catalog.clearCache()
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>

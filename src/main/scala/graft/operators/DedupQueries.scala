@@ -24,6 +24,21 @@ object DedupQueries {
   private def docs(s: SparkSession, dir: String): DataFrame =
     Tables.table(s, dir, "documents")
 
+  /** 8×4 banding of a 32-long minhash `sig` column: one (doc_id,
+    * band_id, band_key) row per band, where the key is the raw 4-hash
+    * signature slice (a struct — same shuffle properties as a re-hash,
+    * zero collision risk, and the DuckDB oracles rebuild the identical
+    * key). The single source of truth for band count/width; every
+    * banded dedup op (LSH, clusters, incremental, cc) goes through
+    * here, so a band-geometry change cannot desynchronize them. */
+  private def minhashBands(withSig: DataFrame): DataFrame = withSig
+    .select(col("doc_id"),
+      posexplode(expr("transform(sequence(0, 7), " +
+        "b -> struct(sig[b*4] AS h0, sig[b*4+1] AS h1, " +
+        "sig[b*4+2] AS h2, sig[b*4+3] AS h3))")))
+    .withColumnRenamed("pos", "band_id")
+    .withColumnRenamed("col", "band_key")
+
   /** Exact dedup via content digest: first occurrence wins, copies counted
     * (hash-groupBy — the scalable exact-dedup plan). */
   val exact: QueryDef = QueryDef(
@@ -141,15 +156,7 @@ object DedupQueries {
         .select(col("doc_id"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sig", minhashSig(col("toks"), 32))
-      // band key = the raw 4-long signature slice (a struct), not an opaque
-      // re-hash: same shuffle properties, zero collision risk, and the
-      // DuckDB oracle can rebuild the identical key
-      val bands = base.select(col("doc_id"),
-          posexplode(expr("transform(sequence(0, 7), " +
-            "b -> struct(sig[b*4] AS h0, sig[b*4+1] AS h1, " +
-            "sig[b*4+2] AS h2, sig[b*4+3] AS h3))")))
-        .withColumnRenamed("pos", "band_id")
-        .withColumnRenamed("col", "band_key")
+      val bands = minhashBands(base)
       // Pair each bucket member with the bucket's representative (min doc)
       // instead of all-pairs: candidates are O(docs × bands) even when a
       // bucket is huge, which is what survives a 100 TB homogeneous corpus
@@ -396,12 +403,7 @@ ${LshOracleSql.cosineExpr} AS c
         .select(col("doc_id"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sig", minhashSig(col("toks"), 32))
-      val bands = base.select(col("doc_id"),
-          posexplode(expr("transform(sequence(0, 7), " +
-            "b -> struct(sig[b*4] AS h0, sig[b*4+1] AS h1, " +
-            "sig[b*4+2] AS h2, sig[b*4+3] AS h3))")))
-        .withColumnRenamed("pos", "band_id")
-        .withColumnRenamed("col", "band_key")
+      val bands = minhashBands(base)
       val bucketMin = bands.groupBy(col("band_id"), col("band_key"))
         .agg(min(col("doc_id")).as("bucket_min"))
       val clusterOf = bands
@@ -445,14 +447,8 @@ ${LshOracleSql.cosineExpr} AS c
         .join(existing.select(col("digest")).distinct(), Seq("digest"),
           "left_semi")
         .select(col("doc_id"), lit(true).as("exact"))
-      def bands(df: DataFrame): DataFrame = df
-        .withColumn("sig", minhashSig(col("toks"), 32))
-        .select(col("doc_id"),
-          posexplode(expr("transform(sequence(0, 7), " +
-            "b -> struct(sig[b*4] AS h0, sig[b*4+1] AS h1, " +
-            "sig[b*4+2] AS h2, sig[b*4+3] AS h3))")))
-        .withColumnRenamed("pos", "band_id")
-        .withColumnRenamed("col", "band_key")
+      def bands(df: DataFrame): DataFrame =
+        minhashBands(df.withColumn("sig", minhashSig(col("toks"), 32)))
       val exBands = bands(existing).groupBy(col("band_id"), col("band_key"))
         .agg(min(col("doc_id")).as("ex_id"))
       val candidates = bands(newDocs)
@@ -599,12 +595,7 @@ ${LshOracleSql.cosineExpr} AS c
         .select(col("doc_id"),
           array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sig", minhashSig(col("toks"), 32))
-      val bands = base.select(col("doc_id"),
-          posexplode(expr("transform(sequence(0, 7), " +
-            "b -> struct(sig[b*4] AS h0, sig[b*4+1] AS h1, " +
-            "sig[b*4+2] AS h2, sig[b*4+3] AS h3))")))
-        .withColumnRenamed("pos", "band_id")
-        .withColumnRenamed("col", "band_key")
+      val bands = minhashBands(base)
       val bucketMin = bands.groupBy(col("band_id"), col("band_key"))
         .agg(min(col("doc_id")).as("m"))
       val star = bands.join(bucketMin, Seq("band_id", "band_key"))

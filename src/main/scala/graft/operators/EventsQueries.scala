@@ -597,8 +597,12 @@ object EventsQueries {
   val winsorize: QueryDef = QueryDef(
     "x_events_winsorize",
     (s, dir) => {
-      ev(s, dir).createOrReplaceTempView("events")
-      s.sql(winsorizeSql)
+      // a uniquely named view: rebinding the session-global "events"
+      // view here would silently repoint every later `FROM events` in
+      // a shared session (Sql REPL, test suites) at this dir
+      ev(s, dir).createOrReplaceTempView("graft_winsorize_events")
+      s.sql(winsorizeSql.replace("FROM events",
+        "FROM graft_winsorize_events"))
     },
     oracle = Some(winsorizeSql)
   )
@@ -613,23 +617,10 @@ object EventsQueries {
     * partitioning sessionization uses), then the pair counts collapse in
     * a two-phase aggregation over ≤ |types|² rows; the probability
     * denominator rides a window over that tiny matrix, not the events. */
-  val transitions: QueryDef = QueryDef(
-    "x_events_transitions",
-    (s, dir) => {
-      val w = Window.partitionBy(col("user_id"))
-        .orderBy(col("ts"), col("event_id"))
-      val pairs = ev(s, dir)
-        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
-        .filter(col("prev_type").isNotNull)
-      val m = pairs.groupBy(col("prev_type"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      val wp = Window.partitionBy(col("prev_type"))
-      m.withColumn("p",
-          round(col("n").cast("double") / sum(col("n")).over(wp), 4))
-        .select(col("prev_type"), col("event_type"), col("n"), col("p"))
-        .orderBy(col("prev_type"), col("event_type"))
-    },
-    oracle = Some("""
+  /** Shared oracle + aggregation tail for the batch and streaming
+    * transition-matrix ops — one definition, so the advertised
+    * batch≡stream equivalence holds by construction. */
+  private val transitionsOracle: String = """
       WITH seq AS (SELECT user_id, event_type,
                lag(event_type) OVER (PARTITION BY user_id
                  ORDER BY ts, event_id) AS prev_type
@@ -640,7 +631,29 @@ object EventsQueries {
       SELECT prev_type, event_type, n,
              round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type),
                4) AS p
-      FROM m ORDER BY prev_type, event_type""")
+      FROM m ORDER BY prev_type, event_type"""
+
+  /** (prev_type, event_type) pairs → counted, row-normalized matrix. */
+  private def transitionMatrix(pairs: DataFrame): DataFrame = {
+    val m = pairs.groupBy(col("prev_type"), col("event_type"))
+      .agg(count(lit(1)).as("n"))
+    val wp = Window.partitionBy(col("prev_type"))
+    m.withColumn("p",
+        round(col("n").cast("double") / sum(col("n")).over(wp), 4))
+      .select(col("prev_type"), col("event_type"), col("n"), col("p"))
+      .orderBy(col("prev_type"), col("event_type"))
+  }
+
+  val transitions: QueryDef = QueryDef(
+    "x_events_transitions",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      transitionMatrix(ev(s, dir)
+        .withColumn("prev_type", lag(col("event_type"), 1).over(w))
+        .filter(col("prev_type").isNotNull))
+    },
+    oracle = Some(transitionsOracle)
   )
 
   /** Streaming dual of `x_events_transitions`: the pair stream comes from
@@ -653,27 +666,9 @@ object EventsQueries {
     (s, dir) => {
       val out = runAvailableNow(s, dir, "stream_transitions",
         complete = false)(graft.streaming.EventsStream.transitionPairs)
-      val m = s.read.parquet(out)
-        .groupBy(col("prev_type"), col("event_type"))
-        .agg(count(lit(1)).as("n"))
-      val wp = Window.partitionBy(col("prev_type"))
-      m.withColumn("p",
-          round(col("n").cast("double") / sum(col("n")).over(wp), 4))
-        .select(col("prev_type"), col("event_type"), col("n"), col("p"))
-        .orderBy(col("prev_type"), col("event_type"))
+      transitionMatrix(s.read.parquet(out))
     },
-    oracle = Some("""
-      WITH seq AS (SELECT user_id, event_type,
-               lag(event_type) OVER (PARTITION BY user_id
-                 ORDER BY ts, event_id) AS prev_type
-             FROM events),
-      m AS (SELECT prev_type, event_type, count(*) AS n
-            FROM seq WHERE prev_type IS NOT NULL
-            GROUP BY prev_type, event_type)
-      SELECT prev_type, event_type, n,
-             round(CAST(n AS DOUBLE) / sum(n) OVER (PARTITION BY prev_type),
-               4) AS p
-      FROM m ORDER BY prev_type, event_type""")
+    oracle = Some(transitionsOracle)
   )
 
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,

@@ -696,8 +696,13 @@ object TextQueries {
         .withColumn("toks", split(col("text"), " "))
         .withColumn("n_tokens", size(col("toks")))
         .withColumn("bigrams", expr(
-          "transform(sequence(0, size(toks) - 2), " +
-            "i -> concat(toks[i], ' ', toks[i+1]))"))
+          // guard the 1-token doc: sequence(0, -1) is the DESCENDING
+          // array [0, -1] and would index out of bounds; the oracle's
+          // range(1, len(toks)) is simply empty there
+          "CASE WHEN size(toks) >= 2 THEN " +
+            "transform(sequence(0, size(toks) - 2), " +
+            "i -> concat(toks[i], ' ', toks[i+1])) " +
+            "ELSE array() END"))
         .withColumn("dup_token_frac",
           lit(1.0) - size(array_distinct(col("toks"))).cast("double") /
             col("n_tokens"))
@@ -980,6 +985,44 @@ object TextQueries {
     * avgdl are one broadcast scalar row. Scores round to 4 decimals before
     * ranking (doc_id tiebreak) so a 1-ulp ln() difference can't flip a
     * rank — same policy as x_text_tfidf. */
+  /** The BM25 oracle's CTE chain (query VALUES → tf/df/stats → fixed-order
+    * scores → per-query ranking `r`), shared by the bm25 and hybridRrf
+    * oracles so a tuning change cannot desynchronize them. */
+  private val bm25OracleCtes: String = """q(q_id, ti, term) AS (VALUES
+        (0, 0, 'spark'), (0, 1, 'join'),
+        (1, 0, 'window'), (1, 1, 'sort'),
+        (2, 0, 'stream'), (2, 1, 'batch'), (2, 2, 'query'),
+        (3, 0, 'vector'), (3, 1, 'hash'),
+        (4, 0, 'customer'), (4, 1, 'table'), (4, 2, 'scan')),
+      tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
+                unnest(string_split(text, ' ')) AS token
+              FROM documents),
+      tf AS (SELECT doc_id, token, dl, count(*) AS tf
+             FROM tok
+             WHERE token IN (SELECT DISTINCT term FROM q)
+             GROUP BY doc_id, token, dl),
+      df AS (SELECT token, count(DISTINCT doc_id) AS df
+             FROM tf GROUP BY token),
+      st AS (SELECT count(*) AS n_docs,
+               avg(len(string_split(text, ' '))) AS avgdl
+             FROM documents),
+      c AS (SELECT q.q_id, q.ti, tf.doc_id,
+              ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1) *
+                (tf.tf * 2.2) /
+                (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS c
+            FROM tf
+            JOIN df USING (token)
+            CROSS JOIN st
+            JOIN q ON tf.token = q.term),
+      sc AS (SELECT q_id, doc_id,
+               round(sum(CASE WHEN ti = 0 THEN c ELSE 0 END)
+                   + sum(CASE WHEN ti = 1 THEN c ELSE 0 END)
+                   + sum(CASE WHEN ti = 2 THEN c ELSE 0 END), 4) AS score
+             FROM c GROUP BY q_id, doc_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, doc_id) AS rk
+            FROM sc)"""
+
   val bm25: QueryDef = QueryDef(
     "x_search_bm25",
     (s, dir) => {
@@ -1019,41 +1062,8 @@ object TextQueries {
         .select(col("q_id"), col("rk"), col("doc_id"), col("score"))
         .orderBy(col("q_id"), col("rk"))
     },
-    oracle = Some("""
-      WITH q(q_id, ti, term) AS (VALUES
-        (0, 0, 'spark'), (0, 1, 'join'),
-        (1, 0, 'window'), (1, 1, 'sort'),
-        (2, 0, 'stream'), (2, 1, 'batch'), (2, 2, 'query'),
-        (3, 0, 'vector'), (3, 1, 'hash'),
-        (4, 0, 'customer'), (4, 1, 'table'), (4, 2, 'scan')),
-      tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-                unnest(string_split(text, ' ')) AS token
-              FROM documents),
-      tf AS (SELECT doc_id, token, dl, count(*) AS tf
-             FROM tok
-             WHERE token IN (SELECT DISTINCT term FROM q)
-             GROUP BY doc_id, token, dl),
-      df AS (SELECT token, count(DISTINCT doc_id) AS df
-             FROM tf GROUP BY token),
-      st AS (SELECT count(*) AS n_docs,
-               avg(len(string_split(text, ' '))) AS avgdl
-             FROM documents),
-      c AS (SELECT q.q_id, q.ti, tf.doc_id,
-              ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1) *
-                (tf.tf * 2.2) /
-                (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS c
-            FROM tf
-            JOIN df USING (token)
-            CROSS JOIN st
-            JOIN q ON tf.token = q.term),
-      sc AS (SELECT q_id, doc_id,
-               round(sum(CASE WHEN ti = 0 THEN c ELSE 0 END)
-                   + sum(CASE WHEN ti = 1 THEN c ELSE 0 END)
-                   + sum(CASE WHEN ti = 2 THEN c ELSE 0 END), 4) AS score
-             FROM c GROUP BY q_id, doc_id),
-      r AS (SELECT *, row_number() OVER (PARTITION BY q_id
-              ORDER BY score DESC, doc_id) AS rk
-            FROM sc)
+    oracle = Some(s"""
+      WITH $bm25OracleCtes
       SELECT q_id, rk, doc_id, score FROM r WHERE rk <= 5
       ORDER BY q_id, rk""")
   )
@@ -1097,43 +1107,10 @@ object TextQueries {
           col("in_text"), col("in_vector"))
         .orderBy(col("q_id"), col("rk"))
     },
-    oracle = Some("""
-      WITH q(q_id, ti, term) AS (VALUES
-        (0, 0, 'spark'), (0, 1, 'join'),
-        (1, 0, 'window'), (1, 1, 'sort'),
-        (2, 0, 'stream'), (2, 1, 'batch'), (2, 2, 'query'),
-        (3, 0, 'vector'), (3, 1, 'hash'),
-        (4, 0, 'customer'), (4, 1, 'table'), (4, 2, 'scan')),
-      tok AS (SELECT doc_id, len(string_split(text, ' ')) AS dl,
-                unnest(string_split(text, ' ')) AS token
-              FROM documents),
-      tf AS (SELECT doc_id, token, dl, count(*) AS tf
-             FROM tok
-             WHERE token IN (SELECT DISTINCT term FROM q)
-             GROUP BY doc_id, token, dl),
-      df AS (SELECT token, count(DISTINCT doc_id) AS df
-             FROM tf GROUP BY token),
-      st AS (SELECT count(*) AS n_docs,
-               avg(len(string_split(text, ' '))) AS avgdl
-             FROM documents),
-      c AS (SELECT q.q_id, q.ti, tf.doc_id,
-              ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1) *
-                (tf.tf * 2.2) /
-                (tf.tf + 1.2 * (0.25 + 0.75 * tf.dl / st.avgdl)) AS c
-            FROM tf
-            JOIN df USING (token)
-            CROSS JOIN st
-            JOIN q ON tf.token = q.term),
-      sc AS (SELECT q_id, doc_id,
-               round(sum(CASE WHEN ti = 0 THEN c ELSE 0 END)
-                   + sum(CASE WHEN ti = 1 THEN c ELSE 0 END)
-                   + sum(CASE WHEN ti = 2 THEN c ELSE 0 END), 4) AS score
-             FROM c GROUP BY q_id, doc_id),
-      tr AS (SELECT *, row_number() OVER (PARTITION BY q_id
-               ORDER BY score DESC, doc_id) AS rk
-             FROM sc),
+    oracle = Some(s"""
+      WITH $bm25OracleCtes,
       tt AS (SELECT CAST(q_id AS BIGINT) AS q_id, doc_id, rk AS t_rk
-             FROM tr WHERE rk <= 5),
+             FROM r WHERE rk <= 5),
       vq AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
              WHERE vec_id < 5),
       vscored AS (SELECT vq.q_id, e.vec_id,

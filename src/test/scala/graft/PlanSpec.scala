@@ -136,7 +136,7 @@ class PlanSpec extends GraftSuite {
     // trivial scan while paying for two full streaming executions
     val excluded = Set("x_stream_tumbling", "x_stream_dedup",
       "x_stream_session", "x_stream_sliding", "x_stream_enrich",
-      "x_stream_join")
+      "x_stream_join", "x_stream_transitions")
     QueryDef.all.filterNot(q => excluded(q.name)).foreach { q =>
       val plan = q.run(spark, sf).queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),

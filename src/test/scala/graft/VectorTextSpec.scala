@@ -416,7 +416,8 @@ class VectorTextSpec extends GraftSuite {
   test("repetition signals flag a degenerate doc and pass a clean one") {
     val tmp = writeDocs(Seq(
       (1L, "a a a a a", "fx"),          // one token repeated 5×
-      (2L, "w x y z", "fx")))           // all-distinct tokens
+      (2L, "w x y z", "fx"),            // all-distinct tokens
+      (3L, "solo", "fx")))              // 1 token: no bigrams, no crash
     val byId = operators.TextQueries.repetition.run(spark, tmp).collect()
       .map(r => r.getLong(0) -> r).toMap
     val rep = byId(1L)
@@ -429,6 +430,11 @@ class VectorTextSpec extends GraftSuite {
     assert(math.abs(clean.getDouble(3) - 0.25) < 1e-12)
     assert(clean.getDouble(5) == 0.0) // dup_bigram_frac
     assert(!clean.getBoolean(6), "clean doc wrongly flagged")
+    val solo = byId(3L)
+    assert(solo.getInt(1) == 1)
+    assert(solo.getDouble(4) == 0.0 && solo.getDouble(5) == 0.0,
+      "a 1-token doc has no bigrams and must score 0, not crash")
+    assert(!solo.getBoolean(6))
   }
 
   test("bm25 ranks tf×idf with length normalization on planted docs") {
