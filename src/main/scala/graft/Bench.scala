@@ -97,18 +97,21 @@ object Bench {
     // whole-stage-codegen compilation; steady-state is the throughput
     // number comparable to a warmed reference engine
     val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt
-    val results = names.map { name =>
+    // a failed query is reported as JSON null, never a numeric sentinel a
+    // consumer could silently fold into sums/averages
+    def jnum(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
+    val results: Seq[(String, Option[Double])] = names.map { name =>
       val sec =
-        try (1 to runs).map(_ => run(name)).min
+        try Some((1 to runs).map(_ => run(name)).min)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
-          -1.0
+          None
         }
       name -> sec
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).filter(_ >= 0).sum
+    val total = results.flatMap(_._2).sum
 
     // concurrency mini-bench — the reference's multi-user story
     // (utils/scenarios/perf/testcase/grptest.sh:17-23 runs the query group
@@ -141,8 +144,8 @@ object Bench {
         concNames.flatMap(n => byName.get(n).map { vs =>
           val ok = vs.map(_._2).filter(_ >= 0).sorted
           // lower median: with 2 users the upper median is just the max
-          val p50 = if (ok.isEmpty) -1.0 else ok((ok.size - 1) / 2)
-          val mx = if (ok.isEmpty) -1.0 else ok.last
+          val p50 = if (ok.isEmpty) "null" else ok((ok.size - 1) / 2).toString
+          val mx = if (ok.isEmpty) "null" else ok.last.toString
           "\"" + n + "\":{\"p50\":" + p50 + ",\"max\":" + mx + "}"
         }).mkString("{", ",", "}")
       }
@@ -190,16 +193,16 @@ object Bench {
 
     // extended section: heavier pipeline/index queries timed separately so
     // headline_total stays comparable round-over-round
-    val extResults = extended.map { name =>
+    val extResults: Seq[(String, Option[Double])] = extended.map { name =>
       val sec =
-        try (1 to runs).map(_ => runE2e(name)).min
+        try Some((1 to runs).map(_ => runE2e(name)).min)
         catch { case e: Throwable =>
           System.err.println(s"[bench] extended $name failed: ${e.getMessage}")
-          -1.0
+          None
         }
       name -> sec
     }
-    val extJson = extResults.map { case (k, v) => "\"" + k + "\":" + v }
+    val extJson = extResults.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
 
     val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"extended":$extJson,"concurrent":{"sessions":$users,"queries":$concurrentJson},"soak":$soakJson,"sf":"$sfDir"}"""

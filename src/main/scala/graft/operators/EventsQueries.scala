@@ -573,11 +573,14 @@ object EventsQueries {
     * disagrees on exact .xxxx5 doubles. Exact percentiles keep the oracle
     * bit-honest; at 100 TB the drop-in is `approx_percentile`
     * (error-bound-checked separately by `a_approx_percentile`). */
-  private val winsorizeSql = """
+  // explicit table-name template (not post-hoc string replace): the same
+  // text runs verbatim on both engines, parameterized only on which view
+  // the events rows come from
+  private def winsorizeSql(tbl: String) = s"""
       WITH p AS (SELECT event_type,
           percentile_cont(0.05) WITHIN GROUP (ORDER BY value) AS p05,
           percentile_cont(0.95) WITHIN GROUP (ORDER BY value) AS p95
-        FROM events GROUP BY event_type)
+        FROM $tbl GROUP BY event_type)
       SELECT e.event_type, count(*) AS n,
         CAST(sum(CAST(e.value AS DECIMAL(28,10))) AS DOUBLE)
           / count(*) AS raw_mean,
@@ -590,7 +593,7 @@ object EventsQueries {
           AS n_clip_low,
         CAST(sum(CASE WHEN e.value > p.p95 THEN 1 ELSE 0 END) AS BIGINT)
           AS n_clip_high
-      FROM events e JOIN p USING (event_type)
+      FROM $tbl e JOIN p USING (event_type)
       GROUP BY e.event_type, p.p05, p.p95
       ORDER BY e.event_type"""
 
@@ -601,10 +604,9 @@ object EventsQueries {
       // view here would silently repoint every later `FROM events` in
       // a shared session (Sql REPL, test suites) at this dir
       ev(s, dir).createOrReplaceTempView("graft_winsorize_events")
-      s.sql(winsorizeSql.replace("FROM events",
-        "FROM graft_winsorize_events"))
+      s.sql(winsorizeSql("graft_winsorize_events"))
     },
-    oracle = Some(winsorizeSql)
+    oracle = Some(winsorizeSql("events"))
   )
 
   /** Markov transition matrix over per-user event streams — the

@@ -880,10 +880,14 @@ object TextQueries {
       import org.apache.spark.sql.expressions.Window
       val k = 50
       val m = 9007199254740992L // 2^53
-      val keyed = docs(s, dir).select(col("doc_id"), col("n_chars"),
-        round(-log((pmod(fingerprint64(col("doc_id").cast("string")),
-          lit(m)) + 1).cast("double") / lit(m.toDouble)) /
-          col("n_chars"), 6).as("skey"))
+      // zero-weight docs can never be sampled under Efraimidis-Spirakis;
+      // filtering them also avoids the engines' divide-by-zero divergence
+      // (Spark non-ANSI → NULL, DuckDB IEEE → +inf)
+      val keyed = docs(s, dir).filter(col("n_chars") > 0)
+        .select(col("doc_id"), col("n_chars"),
+          round(-log((pmod(fingerprint64(col("doc_id").cast("string")),
+            lit(m)) + 1).cast("double") / lit(m.toDouble)) /
+            col("n_chars"), 6).as("skey"))
       val w = Window.orderBy(col("skey").asc, col("doc_id"))
       keyed.orderBy(col("skey").asc, col("doc_id")).limit(k)
         .withColumn("rk", row_number().over(w))
@@ -898,7 +902,7 @@ object TextQueries {
                    AS HUGEINT))),
             (acc, b) -> (acc * 1000003::HUGEINT + b)
                         % 18446744073709551616::HUGEINT) AS acc
-        FROM documents),
+        FROM documents WHERE n_chars > 0),
       keyed AS (SELECT doc_id, n_chars,
           round(-ln(CAST((acc % 9007199254740992::HUGEINT) + 1 AS DOUBLE)
             / 9007199254740992.0) / n_chars, 6) AS skey

@@ -101,10 +101,19 @@ object EventsStream {
 
   /** Streaming Markov transition pairs (streaming dual of
     * EventsQueries.transitions): flatMapGroupsWithState keeps ONE event
-    * per user — the latest seen — and each micro-batch emits the
-    * (prev → curr) pairs formed by the carried event plus the batch's
-    * rows in (ts, event_id) order. State is O(users) regardless of
-    * stream length. */
+    * per user — the max-by-(ts, event_id) seen — and each micro-batch
+    * emits the (prev → curr) pairs formed by the carried event plus the
+    * batch's rows in (ts, event_id) order. State is O(users) regardless
+    * of stream length.
+    *
+    * Equivalence with the batch lag() matrix holds exactly when
+    * micro-batches respect per-user (ts, event_id) order (true for the
+    * availableNow file harness, which delivers everything in one batch).
+    * An event arriving in a LATER micro-batch than a (ts, event_id)-
+    * greater sibling is a straggler batch lag() would have paired
+    * differently; the merge below is order-aware — stragglers older than
+    * the carried state are dropped rather than emitting phantom pairs or
+    * regressing the carried state to an older event. */
   def transitionPairs(events: DataFrame): DataFrame = {
     import events.sparkSession.implicits._
     events.as[EventRow]
@@ -112,13 +121,22 @@ object EventsStream {
       .flatMapGroupsWithState[LastEvent, TransitionPair](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (uid, rows, state: GroupState[LastEvent]) =>
+          val carried = state.getOption
           val incoming = rows.toSeq.sortBy(r => (r.ts.getTime, r.event_id))
             .map(r => LastEvent(r.ts.getTime, r.event_id, r.event_type))
-          val seq = state.getOption.toSeq ++ incoming
+          // order-aware merge: drop cross-batch stragglers that are not
+          // strictly newer than the carried last event
+          val fresh = carried match {
+            case Some(c) => incoming.filter(e =>
+              e.ts_ms > c.ts_ms ||
+                (e.ts_ms == c.ts_ms && e.event_id > c.event_id))
+            case None => incoming
+          }
+          val seq = carried.toSeq ++ fresh
           val pairs = seq.sliding(2).collect {
             case Seq(a, b) => TransitionPair(uid, a.event_type, b.event_type)
           }.toList
-          state.update(seq.last)
+          if (seq.nonEmpty) state.update(seq.last)
           pairs.iterator
       }.toDF()
   }
