@@ -41,7 +41,11 @@ object Bench {
     "x_dedup_cc",
     "x_text_entropy",
     "x_events_anomaly",
-    "j_asof_attribution")
+    "j_asof_attribution",
+    // index lifecycle split: build time (forced retrain + artifact write)
+    // vs query time over the prebuilt artifacts — reported separately
+    "x_ann_index_build",
+    "x_ann_ivfpq_indexed")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

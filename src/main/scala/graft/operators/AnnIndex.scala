@@ -1,0 +1,339 @@
+package graft.operators
+
+import graft.Tables
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** ANN quantizer machinery + the persisted index build/query lifecycle.
+  *
+  * Index state outlives the query — the analog of the reference's extent
+  * map, where scan-pruning metadata is a persistent artifact maintained
+  * across statements, not a query-time subtree (reference:
+  * versioning/BRM/extentmap.h:116 — EMEntry partition/segment state).
+  * `build` trains the coarse quantizer and the product-quantizer
+  * codebooks ONCE and persists four parquet artifacts:
+  *
+  *   coarse_centroids (cid, centroid)   k×64 floats — the probe table
+  *   coarse_assign    (vec_id, cid)     the inverted-list assignment
+  *   pq_codebook      (ss, cid, cen)    m×k×sub floats — the ADC table
+  *   pq_codes         (vec_id, ss, cid) m small ints/vector — 8-byte codes
+  *
+  * `ivfPqQuery` then composes a pure read-side plan: probe pruning from
+  * the broadcast centroids, candidate lists from the assignment, ADC
+  * scoring from codes × broadcast query distance table — NO k-means
+  * subtree, no corpus re-scan beyond the candidate re-join (pinned in
+  * PlanSpec). At 100 TB the build is an offline job writing the same
+  * artifacts to the warehouse; the query side is sub-second because its
+  * only large input is nprobe/k of the code table.
+  *
+  * Training materializes intermediate state to scratch parquet (write +
+  * read-back) instead of `persist()`: multi-consumer subtrees still run
+  * the k-means lineage once, but the Spark block-manager cache stays
+  * empty — a library caller composing many ANN queries in one session
+  * accumulates nothing (asserted in VectorTextSpec).
+  */
+object AnnIndex {
+  // fixed index parameters — shared by the composed in-line queries, the
+  // persisted index, and every DuckDB oracle replay
+  val K = 16        // coarse clusters
+  val NPROBE = 4
+  val M = 16        // PQ subspaces
+  val SUB = 4       // dims per subspace
+  val KPQ = 16      // codes per subspace
+  val ITERS = 2     // Lloyd iterations (both quantizers)
+
+  // per-process scratch root (pid-suffixed so concurrent JVMs can't wipe
+  // each other's artifacts)
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_ann_index_${ProcessHandle.current().pid()}")
+    java.nio.file.Files.createDirectories(p)
+    p.toFile.deleteOnExit()
+    p
+  }
+
+  /** Per-corpus artifact directory — keyed by the data dir so one JVM can
+    * hold indexes for several corpora (Verify sf0.01, Bench sf0.1, the 8×
+    * scaling corpus) without collision. */
+  def indexDir(dir: String): String =
+    scratchRoot.resolve(dir.replaceAll("[^A-Za-z0-9._-]", "_")).toString
+
+  def centroidsPath(dir: String): String = s"${indexDir(dir)}/coarse_centroids"
+  def assignPath(dir: String): String = s"${indexDir(dir)}/coarse_assign"
+  def codebookPath(dir: String): String = s"${indexDir(dir)}/pq_codebook"
+  def codesPath(dir: String): String = s"${indexDir(dir)}/pq_codes"
+  private def marker(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(indexDir(dir), "_GRAFT_INDEX_OK")
+
+  /** Materialize a deterministic intermediate: write parquet, read back.
+    * Truncates lineage and shares the computation across consumers via
+    * files — never the block-manager cache. */
+  private[operators] def materialize(df: DataFrame, path: String): DataFrame = {
+    df.write.mode("overwrite").parquet(path)
+    df.sparkSession.read.parquet(path)
+  }
+
+  /** Scratch path for the composed in-line queries' per-construction
+    * training state (forced retrain each call — their e2e timing is the
+    * train+query composition, unlike the prebuilt index path). */
+  private[operators] def inlineScratch(dir: String, tag: String): String =
+    s"${indexDir(dir)}/inline_$tag"
+
+  // ---- coarse (IVF) quantizer ------------------------------------------
+
+  /** Float-rounded centroids of a coarse assignment (two-phase agg — only
+    * k×64 per-dim partial sums shuffle, never the vectors). */
+  private[operators] def coarseCentroids(base: DataFrame,
+      assign: DataFrame): DataFrame =
+    assign.join(base, Seq("vec_id"))
+      .groupBy(col("cid"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until 64).map(i =>
+          sum(col("embedding").getItem(i))).toIndexedSeq: _*)
+          .as("sum_vec"))
+      .select(col("cid"),
+        expr("transform(sum_vec, v -> float(v / n))")
+          .cast("array<float>").as("centroid"))
+
+  /** Reassignment = pure per-row map: the centroid table broadcasts as
+    * one cid-sorted array and the argmax folds over it (>= replaces on
+    * ties while iterating in ascending cid order → ties land on the
+    * LARGER cid, the same rule as max(struct(ccos, cid))). The three
+    * inline folds mirror VectorKernels.cosine's accumulation chains
+    * (dot, normA, normB each its own fold), so results are bit-identical
+    * to a cosineSim + groupBy-argmax plan — but no (vec_id, ccos, cid)
+    * tuples ever shuffle per iteration. */
+  private[operators] def coarseReassign(base: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val carr = cents.groupBy()
+      .agg(sort_array(collect_list(struct(col("cid"), col("centroid"))))
+        .as("carr"))
+    base.crossJoin(broadcast(carr))
+      .withColumn("cid", expr(
+        """aggregate(
+             transform(carr, c -> struct(
+               aggregate(zip_with(embedding, c.centroid,
+                   (x, y) -> double(x) * double(y)),
+                 cast(0 as double), (acc, v) -> acc + v)
+               / (sqrt(aggregate(embedding, cast(0 as double),
+                    (acc, v) -> acc + double(v) * double(v)))
+                  * sqrt(aggregate(c.centroid, cast(0 as double),
+                      (acc, v) -> acc + double(v) * double(v)))) AS ccos,
+               c.cid AS cid)),
+             struct(double(-2.0) AS ccos, -1 AS cid),
+             (best, s) -> if(s.ccos >= best.ccos, s, best)).cid"""))
+      .select(col("vec_id"), col("cid"))
+  }
+
+  /** Deterministic-init coarse k-means (fingerprint64(vec_id) mod k — no
+    * driver-side sampling, no global sort, identical at any corpus size,
+    * and replayable by the DuckDB oracle), `iters` Lloyd rounds. The
+    * final (vec_id, cid) assignment materializes to `dest`: it feeds
+    * several subtrees (final centroids, probes, candidate lists), so the
+    * k-means lineage runs once, with no block-manager cache entry. */
+  private[operators] def coarseTrainTo(base: DataFrame, k: Int, iters: Int,
+      dest: String): DataFrame = {
+    var assign = base.select(col("vec_id"),
+      pmod(graft.functions.HashFunctions.fingerprint64(
+        col("vec_id").cast("string")), lit(k.toLong))
+        .cast("int").as("cid"))
+    for (_ <- 1 to iters)
+      assign = coarseReassign(base, coarseCentroids(base, assign))
+    materialize(assign, dest)
+  }
+
+  /** Per-query top-nprobe coarse centroids (ties to smaller cid). */
+  private[operators] def coarseProbes(queries: DataFrame, cents: DataFrame,
+      nprobe: Int): DataFrame = {
+    val wp = Window.partitionBy(col("q_id"))
+      .orderBy(col("qcos").desc, col("cid"))
+    queries.crossJoin(broadcast(cents))
+      .select(col("q_id"), col("cid"),
+        graft.functions.VectorFunctions.cosineSim(
+          col("q_emb"), col("centroid")).as("qcos"))
+      .withColumn("rk", row_number().over(wp))
+      .filter(col("rk") <= nprobe)
+      .select(col("q_id"), col("cid"))
+  }
+
+  // ---- product quantizer -----------------------------------------------
+
+  /** Ordered-fold squared L2 between two array columns. */
+  private[operators] def l2sqExpr(a: String, b: String) = expr(
+    s"aggregate(zip_with($a, $b, " +
+      "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), " +
+      "cast(0 as double), (acc, v) -> acc + v)")
+
+  /** L2-normalized subvectors (vec_id, ss, svec): on unit vectors
+    * squared-L2 = 2 − 2·cos, so PQ's ADC ranking is rank-equivalent to
+    * the cosine brute baseline (raw L2 would rank by norm as much as by
+    * direction). */
+  private[operators] def pqSubs(base: DataFrame, m: Int,
+      sub: Int): DataFrame =
+    base
+      .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
+        "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(j =>
+          expr(s"slice(nemb, ${j * sub + 1}, $sub)")): _*)))
+      .withColumnRenamed("pos", "ss")
+      .withColumnRenamed("col", "svec")
+
+  /** Per-subspace float-rounded codebook (two-phase agg — the map side
+    * collapses each partition to m×k per-dim partial sums). Input needs
+    * (vec_id, ss, svec, cid). */
+  private[operators] def pqCodebookOf(assign: DataFrame,
+      sub: Int): DataFrame =
+    assign
+      .groupBy(col("ss"), col("cid"))
+      .agg(count(lit(1)).as("n"),
+        array((0 until sub).map(i =>
+          sum(col("svec").getItem(i))).toIndexedSeq: _*).as("sum_vec"))
+      .select(col("ss"), col("cid"),
+        expr("transform(sum_vec, v -> float(v / n))")
+          .cast("array<float>").as("cen"))
+
+  /** Encode = pure per-row map: the codebook broadcasts as one sorted
+    * array per subspace and the argmin folds over it in cid order
+    * (strict < keeps the first minimum → ties to smaller cid, the same
+    * rule as min(struct(dd, cid))). The corpus subvectors never enter a
+    * shuffle — at 100 TB only (vec_id, ss, cid) code tuples ever move. */
+  private[operators] def pqEncode(subs: DataFrame,
+      cents: DataFrame): DataFrame = {
+    val cbook = cents.groupBy(col("ss"))
+      .agg(sort_array(collect_list(struct(col("cid"), col("cen"))))
+        .as("cbook"))
+    subs.join(broadcast(cbook), Seq("ss"))
+      .withColumn("cid", expr(
+        """aggregate(
+             transform(cbook, c -> struct(
+               aggregate(zip_with(svec, c.cen,
+                   (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
+                 cast(0 as double), (acc, v) -> acc + v) AS dd,
+               c.cid AS cid)),
+             struct(double('Infinity') AS dd, -1 AS cid),
+             (best, s) -> if(s.dd < best.dd, s, best)).cid"""))
+      .select(col("vec_id"), col("ss"), col("svec"), col("cid"))
+  }
+
+  /** Deterministic-init per-subspace k-means; the final (vec_id, ss, cid)
+    * CODES — the 8-byte-per-vector artifact, no subvector floats —
+    * materialize to `dest` (they feed both the final codebook and the
+    * ADC join). */
+  private[operators] def pqTrainCodesTo(subs: DataFrame, sub: Int, k: Int,
+      iters: Int, dest: String): DataFrame = {
+    var assign = subs.withColumn("cid",
+      pmod(graft.functions.HashFunctions.fingerprint64(
+        col("vec_id").cast("string")), lit(k.toLong)).cast("int"))
+    for (_ <- 1 to iters) assign = pqEncode(subs, pqCodebookOf(assign, sub))
+    materialize(assign.select(col("vec_id"), col("ss"), col("cid")), dest)
+  }
+
+  /** The query-side ADC distance table (q_id, ss, cid, dd) — m×k doubles
+    * per query, the only state the scoring join broadcasts. `querySubs`
+    * must already be restricted to the query vectors. */
+  private[operators] def pqDtab(querySubs: DataFrame,
+      cents: DataFrame): DataFrame =
+    querySubs
+      .select(col("vec_id").as("q_id"), col("ss"), col("svec").as("qsvec"))
+      .join(broadcast(cents), Seq("ss"))
+      .select(col("q_id"), col("ss"), col("cid"),
+        l2sqExpr("qsvec", "cen").as("dd"))
+
+  /** ADC scoring tail: per-(q, vec) fixed-order distance sum over the m
+    * subspaces (sum(when ss=j) each aggregates exactly one value, then
+    * d0+d1+…+d{m-1} adds in a fixed order — nothing order-sensitive),
+    * ranked ascending, top-k, exact cosine emitted alongside. */
+  private[operators] def adcTopK(scoredPairs: DataFrame, base: DataFrame,
+      m: Int, topk: Int, nq: Int): DataFrame = {
+    val perSs = (0 until m).map(j =>
+      sum(when(col("ss") === j, col("dd")).otherwise(0.0)).as(s"d$j"))
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("approx_dist").asc, col("vec_id"))
+    val queries = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    scoredPairs
+      .groupBy(col("q_id"), col("vec_id"))
+      .agg(perSs.head, perSs.tail: _*)
+      .withColumn("approx_dist",
+        (0 until m).map(j => col(s"d$j")).reduce(_ + _))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topk)
+      .join(base, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("rk"), col("vec_id"), col("approx_dist"),
+        graft.functions.VectorFunctions.cosineSim(
+          col("q_emb"), col("embedding")).as("cos"))
+      .orderBy(col("q_id"), col("rk"))
+  }
+
+  // ---- persisted index lifecycle ---------------------------------------
+
+  /** Offline index build: train both quantizers over the corpus at `dir`
+    * and persist the four artifacts. Forced — always retrains. */
+  def build(s: SparkSession, dir: String): Unit = {
+    java.nio.file.Files.deleteIfExists(marker(dir))
+    val base = Tables.table(s, dir, "embeddings")
+    val assign = coarseTrainTo(base, K, ITERS, assignPath(dir))
+    materialize(coarseCentroids(base, assign), centroidsPath(dir))
+    val subs = pqSubs(base, M, SUB)
+    val codes = pqTrainCodesTo(subs, SUB, KPQ, ITERS, codesPath(dir))
+    materialize(
+      pqCodebookOf(codes.join(subs, Seq("vec_id", "ss")), SUB),
+      codebookPath(dir))
+    java.nio.file.Files.writeString(marker(dir), "ok\n")
+  }
+
+  /** Build only if this process hasn't built an index for `dir` yet. */
+  def ensureBuilt(s: SparkSession, dir: String): Unit =
+    if (!java.nio.file.Files.exists(marker(dir))) build(s, dir)
+
+  /** The read-side IVF+PQ query over prebuilt artifacts: probe pruning ×
+    * ADC codes, no training subtree anywhere in the plan. */
+  def ivfPqQuery(s: SparkSession, dir: String, nprobe: Int = NPROBE,
+      topk: Int = 3, nq: Int = 10): DataFrame = {
+    val base = Tables.table(s, dir, "embeddings")
+    val cents = s.read.parquet(centroidsPath(dir))
+    val assign = s.read.parquet(assignPath(dir))
+    val codebook = s.read.parquet(codebookPath(dir))
+    val codes = s.read.parquet(codesPath(dir))
+    val queries = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = coarseProbes(queries, cents, nprobe)
+    val cands = assign.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val dtab = pqDtab(pqSubs(base.filter(col("vec_id") < nq), M, SUB),
+      codebook)
+    val pairs = cands
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("q_id", "ss", "cid"))
+    adcTopK(pairs, base, M, topk, nq)
+  }
+
+  /** Artifact summary for the build gate: per coarse cluster and per PQ
+    * codebook entry, member counts and centroid norms (rounded 4) — the
+    * content the DuckDB oracle replays from its own training chain. */
+  def buildSummary(s: SparkSession, dir: String): DataFrame = {
+    val normR4 = (c: String) => round(expr(
+      s"aggregate(transform($c, x -> double(x) * double(x)), " +
+        "cast(0 as double), (acc, v) -> acc + v)"), 4)
+    val coarse = s.read.parquet(assignPath(dir))
+      .groupBy(col("cid")).agg(count(lit(1)).as("n"))
+      .join(s.read.parquet(centroidsPath(dir)), Seq("cid"))
+      .select(lit("coarse").as("component"), col("cid").as("k1"),
+        lit(-1).as("k2"), col("n"), normR4("centroid").as("norm_r4"))
+    val pq = s.read.parquet(codesPath(dir))
+      .groupBy(col("ss"), col("cid")).agg(count(lit(1)).as("n"))
+      .join(s.read.parquet(codebookPath(dir)), Seq("ss", "cid"))
+      .select(lit("pq").as("component"), col("ss").as("k1"),
+        col("cid").as("k2"), col("n"), normR4("cen").as("norm_r4"))
+    coarse.unionAll(pq)
+      .orderBy(col("component"), col("k1"), col("k2"))
+  }
+}

@@ -168,184 +168,9 @@ ${LshOracleSql.cosineExpr} AS cos
       ORDER BY q_id, rk""")
   )
 
-  // ---- shared ANN quantizer machinery (IVF / PQ / IVF+PQ) --------------
-
-  /** Float-rounded centroids of a coarse assignment (two-phase agg — only
-    * k×64 per-dim partial sums shuffle, never the vectors). */
-  private def coarseCentroids(base: DataFrame,
-      assign: DataFrame): DataFrame =
-    assign.join(base, Seq("vec_id"))
-      .groupBy(col("cid"))
-      .agg(count(lit(1)).as("n"),
-        array((0 until 64).map(i =>
-          sum(col("embedding").getItem(i))).toIndexedSeq: _*)
-          .as("sum_vec"))
-      .select(col("cid"),
-        expr("transform(sum_vec, v -> float(v / n))")
-          .cast("array<float>").as("centroid"))
-
-  /** Reassignment = pure per-row map: the centroid table broadcasts as
-    * one cid-sorted array and the argmax folds over it (>= replaces on
-    * ties while iterating in ascending cid order → ties land on the
-    * LARGER cid, the same rule as max(struct(ccos, cid))). The three
-    * inline folds mirror VectorKernels.cosine's accumulation chains
-    * (dot, normA, normB each its own fold), so results are bit-identical
-    * to a cosineSim + groupBy-argmax plan — but no (vec_id, ccos, cid)
-    * tuples ever shuffle per iteration. */
-  private def coarseReassign(base: DataFrame,
-      cents: DataFrame): DataFrame = {
-    val carr = cents.groupBy()
-      .agg(sort_array(collect_list(struct(col("cid"), col("centroid"))))
-        .as("carr"))
-    base.crossJoin(broadcast(carr))
-      .withColumn("cid", expr(
-        """aggregate(
-             transform(carr, c -> struct(
-               aggregate(zip_with(embedding, c.centroid,
-                   (x, y) -> double(x) * double(y)),
-                 cast(0 as double), (acc, v) -> acc + v)
-               / (sqrt(aggregate(embedding, cast(0 as double),
-                    (acc, v) -> acc + double(v) * double(v)))
-                  * sqrt(aggregate(c.centroid, cast(0 as double),
-                      (acc, v) -> acc + double(v) * double(v)))) AS ccos,
-               c.cid AS cid)),
-             struct(double(-2.0) AS ccos, -1 AS cid),
-             (best, s) -> if(s.ccos >= best.ccos, s, best)).cid"""))
-      .select(col("vec_id"), col("cid"))
-  }
-
-  /** Deterministic-init coarse k-means (fingerprint64(vec_id) mod k — no
-    * driver-side sampling, no global sort, identical at any corpus size,
-    * and replayable by the DuckDB oracle), `iters` Lloyd rounds. Returns
-    * the PERSISTED (vec_id, cid) assignment: it feeds several subtrees
-    * (final centroids, probes, candidate lists), so the k-means lineage
-    * must run once, not once per consumer. */
-  private def coarseTrain(base: DataFrame, k: Int, iters: Int): DataFrame = {
-    var assign = base.select(col("vec_id"),
-      pmod(graft.functions.HashFunctions.fingerprint64(
-        col("vec_id").cast("string")), lit(k.toLong))
-        .cast("int").as("cid"))
-    for (_ <- 1 to iters)
-      assign = coarseReassign(base, coarseCentroids(base, assign))
-    assign.persist()
-  }
-
-  /** Per-query top-nprobe coarse centroids (ties to smaller cid). */
-  private def coarseProbes(queries: DataFrame, cents: DataFrame,
-      nprobe: Int): DataFrame = {
-    val wp = Window.partitionBy(col("q_id"))
-      .orderBy(col("qcos").desc, col("cid"))
-    queries.crossJoin(broadcast(cents))
-      .select(col("q_id"), col("cid"),
-        cosineSim(col("q_emb"), col("centroid")).as("qcos"))
-      .withColumn("rk", row_number().over(wp))
-      .filter(col("rk") <= nprobe)
-      .select(col("q_id"), col("cid"))
-  }
-
-  /** Ordered-fold squared L2 between two array columns. */
-  private def l2sqExpr(a: String, b: String) = expr(
-    s"aggregate(zip_with($a, $b, " +
-      "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), " +
-      "cast(0 as double), (acc, v) -> acc + v)")
-
-  /** L2-normalized subvectors (vec_id, ss, svec): on unit vectors
-    * squared-L2 = 2 − 2·cos, so PQ's ADC ranking is rank-equivalent to
-    * the cosine brute baseline (raw L2 would rank by norm as much as by
-    * direction). */
-  private def pqSubs(base: DataFrame, m: Int, sub: Int): DataFrame =
-    base
-      .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
-        "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
-      .select(col("vec_id"),
-        posexplode(array((0 until m).map(j =>
-          expr(s"slice(nemb, ${j * sub + 1}, $sub)")): _*)))
-      .withColumnRenamed("pos", "ss")
-      .withColumnRenamed("col", "svec")
-
-  /** Per-subspace float-rounded codebook (two-phase agg — the map side
-    * collapses each partition to m×k per-dim partial sums). */
-  private def pqCodebookOf(assign: DataFrame, sub: Int): DataFrame =
-    assign
-      .groupBy(col("ss"), col("cid"))
-      .agg(count(lit(1)).as("n"),
-        array((0 until sub).map(i =>
-          sum(col("svec").getItem(i))).toIndexedSeq: _*).as("sum_vec"))
-      .select(col("ss"), col("cid"),
-        expr("transform(sum_vec, v -> float(v / n))")
-          .cast("array<float>").as("cen"))
-
-  /** Encode = pure per-row map: the codebook broadcasts as one sorted
-    * array per subspace and the argmin folds over it in cid order
-    * (strict < keeps the first minimum → ties to smaller cid, the same
-    * rule as min(struct(dd, cid))). The corpus subvectors never enter a
-    * shuffle — at 100 TB only (vec_id, ss, cid) code tuples ever move. */
-  private def pqEncode(subs: DataFrame, cents: DataFrame): DataFrame = {
-    val cbook = cents.groupBy(col("ss"))
-      .agg(sort_array(collect_list(struct(col("cid"), col("cen"))))
-        .as("cbook"))
-    subs.join(broadcast(cbook), Seq("ss"))
-      .withColumn("cid", expr(
-        """aggregate(
-             transform(cbook, c -> struct(
-               aggregate(zip_with(svec, c.cen,
-                   (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
-                 cast(0 as double), (acc, v) -> acc + v) AS dd,
-               c.cid AS cid)),
-             struct(double('Infinity') AS dd, -1 AS cid),
-             (best, s) -> if(s.dd < best.dd, s, best)).cid"""))
-      .select(col("vec_id"), col("ss"), col("svec"), col("cid"))
-  }
-
-  /** Deterministic-init per-subspace k-means; returns the PERSISTED
-    * (vec_id, ss, svec, cid) codes (they feed both the final codebook
-    * and the ADC join). */
-  private def pqTrain(subs: DataFrame, sub: Int, k: Int,
-      iters: Int): DataFrame = {
-    var assign = subs.withColumn("cid",
-      pmod(graft.functions.HashFunctions.fingerprint64(
-        col("vec_id").cast("string")), lit(k.toLong)).cast("int"))
-    for (_ <- 1 to iters) assign = pqEncode(subs, pqCodebookOf(assign, sub))
-    assign.persist()
-  }
-
-  /** The query-side ADC distance table (q_id, ss, cid, dd) — m×k doubles
-    * per query, the only state the scoring join broadcasts. */
-  private def pqDtab(subs: DataFrame, cents: DataFrame,
-      nq: Int): DataFrame =
-    subs.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("q_id"), col("ss"), col("svec").as("qsvec"))
-      .join(broadcast(cents), Seq("ss"))
-      .select(col("q_id"), col("ss"), col("cid"),
-        l2sqExpr("qsvec", "cen").as("dd"))
-
-  /** ADC scoring tail: per-(q, vec) fixed-order distance sum over the m
-    * subspaces (sum(when ss=j) each aggregates exactly one value, then
-    * d0+d1+…+d{m-1} adds in a fixed order — nothing order-sensitive),
-    * ranked ascending, top-k, exact cosine emitted alongside. */
-  private def adcTopK(scoredPairs: DataFrame, base: DataFrame, m: Int,
-      topk: Int, nq: Int): DataFrame = {
-    val perSs = (0 until m).map(j =>
-      sum(when(col("ss") === j, col("dd")).otherwise(0.0)).as(s"d$j"))
-    val w = Window.partitionBy(col("q_id"))
-      .orderBy(col("approx_dist").asc, col("vec_id"))
-    val queries = base.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    scoredPairs
-      .groupBy(col("q_id"), col("vec_id"))
-      .agg(perSs.head, perSs.tail: _*)
-      .withColumn("approx_dist",
-        (0 until m).map(j => col(s"d$j")).reduce(_ + _))
-      .withColumn("rk", row_number().over(w))
-      .filter(col("rk") <= topk)
-      .join(base, Seq("vec_id"))
-      .join(broadcast(queries), Seq("q_id"))
-      .select(col("q_id"), col("rk"), col("vec_id"), col("approx_dist"),
-        cosineSim(col("q_emb"), col("embedding")).as("cos"))
-      .orderBy(col("q_id"), col("rk"))
-  }
+  // ---- IVF / PQ / IVF+PQ — quantizer machinery lives in AnnIndex -------
+  import AnnIndex.{coarseCentroids, coarseProbes, coarseTrainTo, pqSubs,
+    pqCodebookOf, pqTrainCodesTo, pqDtab, adcTopK, inlineScratch, l2sqExpr}
 
   /** IVF-style ANN: a coarse k-means quantizer (deterministic hash init +
     * 2 Lloyd iterations, centroids always broadcast — never a shuffle of
@@ -363,7 +188,8 @@ ${LshOracleSql.cosineExpr} AS cos
       val nprobe = 4
       val iters = 2
       val base = emb(s, dir)
-      val assign = coarseTrain(base, k, iters)
+      val assign = coarseTrainTo(base, k, iters,
+        inlineScratch(dir, "ivf_assign"))
       val cents = coarseCentroids(base, assign)
       val queries = base.filter(col("vec_id") < 10)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -412,13 +238,14 @@ ${LshOracleSql.cosineExpr} AS cos
       val topk = 3; val nq = 10
       val base = emb(s, dir)
       val subs = pqSubs(base, m, sub)
-      val codes = pqTrain(subs, sub, k, iters)
-      val cents = pqCodebookOf(codes, sub)
-      val dtab = pqDtab(subs, cents, nq)
+      val codes = pqTrainCodesTo(subs, sub, k, iters,
+        inlineScratch(dir, "pq_codes"))
+      val cents = pqCodebookOf(codes.join(subs, Seq("vec_id", "ss")), sub)
+      val dtab = pqDtab(subs.filter(col("vec_id") < nq), cents)
       // PQ alone scans every corpus code per query (compression without
       // pruning); the join key (ss, cid) matches each vector's code to
       // its distance-table entry
-      val pairs = codes.select(col("vec_id"), col("ss"), col("cid"))
+      val pairs = codes
         .join(broadcast(dtab), Seq("ss", "cid"))
         .filter(col("vec_id") =!= col("q_id"))
       adcTopK(pairs, base, m, topk, nq)
@@ -448,7 +275,8 @@ ${LshOracleSql.cosineExpr} AS cos
       val m = 16; val sub = 4; val kpq = 16
       val iters = 2; val topk = 3; val nq = 10
       val base = emb(s, dir)
-      val coarse = coarseTrain(base, k, iters)
+      val coarse = coarseTrainTo(base, k, iters,
+        inlineScratch(dir, "ivfpq_assign"))
       val coarseCents = coarseCentroids(base, coarse)
       val queries = base.filter(col("vec_id") < nq)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -458,17 +286,51 @@ ${LshOracleSql.cosineExpr} AS cos
         .select(col("q_id"), col("vec_id"))
         .distinct()
       val subs = pqSubs(base, m, sub)
-      val codes = pqTrain(subs, sub, kpq, iters)
-      val cents = pqCodebookOf(codes, sub)
-      val dtab = pqDtab(subs, cents, nq)
+      val codes = pqTrainCodesTo(subs, sub, kpq, iters,
+        inlineScratch(dir, "ivfpq_codes"))
+      val cents = pqCodebookOf(codes.join(subs, Seq("vec_id", "ss")), sub)
+      val dtab = pqDtab(subs.filter(col("vec_id") < nq), cents)
       val pairs = cands
-        .join(codes.select(col("vec_id"), col("ss"), col("cid")),
-          Seq("vec_id"))
+        .join(codes, Seq("vec_id"))
         .join(broadcast(dtab), Seq("q_id", "ss", "cid"))
       adcTopK(pairs, base, m, topk, nq)
     },
     // DuckDB replays the composed index: the coarse chain's candidate
     // pairs feed the PQ chain's ADC tail (see IvfPqOracleSql)
+    oracle = Some(IvfPqOracleSql.sql(k = 16, nprobe = 4, m = 16, sub = 4,
+      kpq = 16, iters = 2, topk = 3, nq = 10))
+  )
+
+  /** Offline ANN index BUILD — the lifecycle split the 100 TB story
+    * requires: index construction is a batch job that persists artifacts
+    * (the extent-map analog: index state outlives the query), not a
+    * query-time subtree. Trains both quantizers once via AnnIndex.build
+    * and returns the artifact summary (per-cluster member counts +
+    * centroid norms); the DuckDB oracle re-derives the same summary from
+    * its own independent training replay, so the persisted artifacts are
+    * content-verified, not just present. */
+  val indexBuild: QueryDef = QueryDef(
+    "x_ann_index_build",
+    (s, dir) => {
+      AnnIndex.build(s, dir)
+      AnnIndex.buildSummary(s, dir)
+    },
+    oracle = Some(IvfPqOracleSql.buildSummarySql(k = 16, nprobe = 4, m = 16,
+      sub = 4, kpq = 16, iters = 2, nq = 10))
+  )
+
+  /** IVF+PQ search over the PREBUILT index — the production query path:
+    * reads the persisted centroids/assignment/codebook/codes artifacts,
+    * so the plan is pure probe-pruning × ADC scoring with NO k-means
+    * subtree (pinned in PlanSpec). Same results as the composed
+    * x_ann_ivfpq_topk (the artifacts are the same deterministic
+    * computation, persisted), hence the same bit-exact oracle. */
+  val ivfpqIndexed: QueryDef = QueryDef(
+    "x_ann_ivfpq_indexed",
+    (s, dir) => {
+      AnnIndex.ensureBuilt(s, dir)
+      AnnIndex.ivfPqQuery(s, dir)
+    },
     oracle = Some(IvfPqOracleSql.sql(k = 16, nprobe = 4, m = 16, sub = 4,
       kpq = 16, iters = 2, topk = 3, nq = 10))
   )
@@ -618,5 +480,5 @@ ${LshOracleSql.cosineExpr} AS cos
   )
 
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
-    pqTopK, ivfpqTopK, centroids, sq8TopK)
+    pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, centroids, sq8TopK)
 }

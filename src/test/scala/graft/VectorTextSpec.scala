@@ -112,6 +112,45 @@ class VectorTextSpec extends GraftSuite {
     assert(overlap >= 3, s"IVFPQ recall too low: $overlap of 30")
   }
 
+  test("indexed ivfpq matches the composed query from a training-free plan") {
+    val composed = operators.VectorQueries.ivfpqTopK.run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val indexed = operators.VectorQueries.ivfpqIndexed.run(spark, sf)
+    // identical results: the artifacts persist the same deterministic
+    // computation the composed query runs in-line
+    assert(indexed.collect().map(_.toSeq).toSeq == composed)
+    // and the read-side plan must contain NO k-means subtree: the
+    // training-only fold markers (the broadcast centroid/codebook arrays
+    // `carr`/`cbook` that only reassign/encode build) must be absent,
+    // while the artifact scans must be present
+    val analyzed = indexed.queryExecution.analyzed.toString
+    assert(!analyzed.contains("carr") && !analyzed.contains("cbook"),
+      s"training subtree leaked into the indexed plan:\n$analyzed")
+    val scans = indexed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => f.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }
+    assert(scans.exists(_.contains("coarse_centroids")) &&
+      scans.exists(_.contains("pq_codes")),
+      s"expected artifact scans in:\n${scans.mkString("\n")}")
+  }
+
+  test("ANN queries leave the block-manager cache empty") {
+    // two trainings back-to-back in one session: a library caller must
+    // not accumulate cached assignment blocks (materialization goes
+    // through scratch parquet, never persist())
+    for (q <- Seq(operators.VectorQueries.ivfTopK,
+        operators.VectorQueries.pqTopK)) {
+      q.run(spark, sf).collect()
+      assert(spark.sharedState.cacheManager.isEmpty,
+        s"${q.name} left entries in the cache manager")
+    }
+  }
+
   test("language id picks the profile language on real sentences") {
     val fixtures = Seq(
       (1L, "the cat sat on the mat and looked at the dog", "en"),
