@@ -568,26 +568,81 @@ ${LshOracleSql.cosineExpr} AS c
       GROUP BY lang ORDER BY lang""")
   )
 
+  /** One large-star round: over the symmetric neighbor view, every node u
+    * connects its strictly LARGER neighbors to m = min(N(u) ∪ {u}). The
+    * output is canonical (bigger, smaller) edges — m ≤ u < v always. */
+  private[graft] def largeStar(edges: DataFrame): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .union(edges.select(col("b").as("a"), col("a").as("b")))
+    val m = sym.groupBy(col("a")).agg(min(col("b")).as("mn"))
+      .select(col("a"), least(col("a"), col("mn")).as("m"))
+    sym.join(m, Seq("a"))
+      .filter(col("b") > col("a"))
+      .select(col("b").as("a"), col("m").as("b"))
+      .distinct()
+  }
+
+  /** One small-star round over canonical (a > b) edges: every node a
+    * connects its smaller neighbors AND itself to m = min of those
+    * neighbors. Output stays canonical; self-loops drop. */
+  private[graft] def smallStar(edges: DataFrame): DataFrame = {
+    val m = edges.groupBy(col("a")).agg(min(col("b")).as("m"))
+    val reparent = edges.join(m, Seq("a"))
+      .filter(col("b") =!= col("m"))
+      .select(col("b").as("a"), col("m").as("b"))
+    reparent.union(m.select(col("a"), col("m").as("b")))
+      .distinct()
+  }
+
+  /** Alternating star contraction (the MapReduce-CC algorithm of Kiveris
+    * et al., public knowledge): large-star + small-star rounds until the
+    * edge set reaches its fixed point — a union of stars whose centers
+    * are the component minima. O(log n) rounds in practice (O(log² n)
+    * proven), independent of graph DIAMETER — a pathological boilerplate
+    * chain that would cost hash-min propagation O(n) rounds converges
+    * logarithmically (pinned with a planted 64-doc chain in
+    * VectorTextSpec). Returns (star edges (a=node, b=component min),
+    * rounds). Input edges may be any orientation; self-loops ignored. */
+  private[graft] def connectedComponents(edges0: DataFrame,
+      maxRounds: Int = 25): (DataFrame, Int) = {
+    var edges = edges0
+      .select(greatest(col("a"), col("b")).as("a"),
+        least(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct()
+      .localCheckpoint(true)
+    var rounds = 0
+    var converged = false
+    while (!converged && rounds < maxRounds) {
+      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      // both sides are distinct sets: equal counts + empty one-sided
+      // difference ⇒ equal sets ⇒ fixed point reached
+      converged = next.count() == edges.count() &&
+        next.except(edges).isEmpty
+      edges = next
+      rounds += 1
+    }
+    require(converged, s"star contraction not converged in $rounds rounds")
+    (edges, rounds)
+  }
+
   /** Connected-components dedup clustering, iterated to CONVERGENCE —
     * the exact version of x_dedup_clusters' one-hop approximation. The
     * similarity graph is the same star edge set (each doc ↔ the min doc
     * of every shared minhash band bucket: O(docs × bands) edges, never
-    * all-pairs), and labels spread by hash-min propagation: every round
-    * each doc takes the min cluster id among itself and its neighbors,
-    * until a full round changes nothing. That fixed point is the true
-    * component minimum — transitive chains (A~B~C where A and C never
-    * share a bucket) land in ONE cluster, which the one-hop pass cannot
-    * guarantee.
+    * all-pairs), contracted by alternating large-star/small-star rounds
+    * to the fixed point where every doc points at its component minimum.
+    * Transitive chains (A~B~C where A and C never share a bucket) land
+    * in ONE cluster, which the one-hop pass cannot guarantee.
     *
-    * Scale shape: the loop state is (doc_id, cluster_id) pairs — two
-    * longs per doc, never text; each round is one id-only shuffle join
-    * against the edge list plus a convergence count, and
-    * `localCheckpoint` truncates lineage so round N's plan does not
-    * replay rounds 1..N-1. Rounds needed = graph diameter (small for
-    * near-dup graphs; the large-star/small-star variant would cap it at
-    * O(log n) if ever needed). The DuckDB oracle computes the same fixed
-    * point independently via a recursive-CTE transitive closure, so the
-    * gate checks true convergence, not just one sweep. */
+    * Scale shape: the loop state is id-only (a, b) edge pairs — two
+    * longs per edge, never text; each round is two grouped-min passes
+    * plus a convergence compare, and `localCheckpoint` truncates lineage
+    * so round N's plan does not replay rounds 1..N-1. Round count is
+    * O(log n) (star contraction), NOT graph diameter. The DuckDB oracle
+    * computes the same fixed point independently via a recursive-CTE
+    * transitive closure, so the gate checks true convergence, not just
+    * one sweep. */
   val cc: QueryDef = QueryDef(
     "x_dedup_cc",
     (s, dir) => {
@@ -602,35 +657,14 @@ ${LshOracleSql.cosineExpr} AS c
         .filter(col("doc_id") =!= col("m"))
         .select(col("doc_id").as("a"), col("m").as("b"))
         .distinct()
-      // symmetric id-only edge list, materialized once for the loop
-      val edges = star
-        .union(star.select(col("b").as("a"), col("a").as("b")))
-        .localCheckpoint(true)
-      var labels = base
-        .select(col("doc_id"), col("doc_id").as("cluster_id"))
-        .localCheckpoint(true)
-      var converged = false
-      var rounds = 0
-      while (!converged && rounds < 50) {
-        val nbrMin = edges
-          .join(labels.select(col("doc_id").as("b"),
-            col("cluster_id").as("lbl")), Seq("b"))
-          .groupBy(col("a")).agg(min(col("lbl")).as("nbr_min"))
-          .withColumnRenamed("a", "doc_id")
-        val next = labels.join(nbrMin, Seq("doc_id"), "left_outer")
-          .select(col("doc_id"),
-            least(col("cluster_id"),
-              coalesce(col("nbr_min"), col("cluster_id"))).as("cluster_id"))
-          .localCheckpoint(true)
-        val changed = next
-          .join(labels.select(col("doc_id"),
-            col("cluster_id").as("prev")), Seq("doc_id"))
-          .filter(col("cluster_id") =!= col("prev")).count()
-        labels = next
-        converged = changed == 0
-        rounds += 1
-      }
-      require(converged, s"hash-min propagation not converged in $rounds rounds")
+      val (starEdges, _) = connectedComponents(star)
+      // at the fixed point every non-root node carries exactly one edge
+      // to its component min; singletons label themselves
+      val labels = base.select(col("doc_id"))
+        .join(starEdges.select(col("a").as("doc_id"),
+          col("b").as("lbl")), Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("lbl"), col("doc_id")).as("cluster_id"))
       val sizes = labels.groupBy(col("cluster_id"))
         .agg(count(lit(1)).as("cluster_size"))
       labels.join(sizes, Seq("cluster_id"))

@@ -151,6 +151,25 @@ class VectorTextSpec extends GraftSuite {
     }
   }
 
+  test("star contraction converges logarithmically on a 64-node chain") {
+    // a transitive chain is the pathological case for hash-min
+    // propagation (rounds = diameter = 63); large-star/small-star must
+    // contract it in O(log n) rounds
+    val chain = (0L until 63L).map(i => (i + 1, i)).toDF("a", "b")
+    val (stars, rounds) = operators.DedupQueries.connectedComponents(chain)
+    assert(rounds <= 8, s"chain took $rounds rounds (expected ≤ 8)")
+    val labels = stars.collect().map(r => r.getLong(0) -> r.getLong(1))
+    assert(labels.length == 63, s"expected 63 star edges, got ${labels.length}")
+    assert(labels.forall(_._2 == 0L),
+      s"all nodes must point at component min 0: ${labels.take(5).toSeq}")
+    // two disjoint components stay disjoint
+    val two = ((0L until 10L).map(i => (i + 1, i)) ++
+      (100L until 110L).map(i => (i + 1, i))).toDF("a", "b")
+    val (stars2, _) = operators.DedupQueries.connectedComponents(two)
+    val byComp = stars2.collect().map(r => r.getLong(1)).distinct.sorted
+    assert(byComp.toSeq == Seq(0L, 100L), byComp.toSeq.toString)
+  }
+
   test("language id picks the profile language on real sentences") {
     val fixtures = Seq(
       (1L, "the cat sat on the mat and looked at the dog", "en"),
