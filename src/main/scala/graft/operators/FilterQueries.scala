@@ -257,7 +257,57 @@ object FilterQueries {
       FROM u WHERE ubig > CAST(9223372036854775900 AS DECIMAL(20,0))""")
   )
 
+  /** Collation-aware string comparison — the reference compares CHAR/
+    * VARCHAR under its session collation, not binary: the dictionary scan
+    * kernels call idb_strcoll (reference: primitives/linux-port/
+    * dictionary.cpp:193,505) and MySQL's default latin1_swedish_ci makes
+    * `WHERE seg = 'acme'` match 'ACME' and ORDER BY case-fold. Spark 4's
+    * native collation surface models this: UTF8_LCASE is the ci analog
+    * (exact for the ASCII corpus; latin1's non-ASCII tailoring is out of
+    * scope — see COVERAGE.md). The query exercises the full ci surface
+    * over a deterministically case-mixed segment column: ci equality
+    * filter, ci GROUP BY (binary case variants counted inside each ci
+    * class), ci-consistent ordering, plus the registered mysql_strcoll
+    * shim. DuckDB oracles the filter via COLLATE NOCASE and the grouping
+    * via the equivalent lower() fold. */
+  val collationCi: QueryDef = QueryDef(
+    "f_collation_ci",
+    (s, dir) => {
+      val m = t(s, dir, "customer").select(
+        when(pmod(col("c_custkey"), lit(2)) === 0,
+          upper(col("c_mktsegment")))
+          .otherwise(lower(col("c_mktsegment"))).as("seg"))
+      m.filter(collate(col("seg"), "UTF8_LCASE") =!= lit("machinery"))
+        .groupBy(collate(col("seg"), "UTF8_LCASE"))
+        .agg(min(col("seg")).as("seg_rep"),
+          count(lit(1)).as("n"),
+          countDistinct(col("seg")).as("n_case_variants"),
+          max(col("seg")).as("seg_max"))
+        .select(col("seg_rep"), col("n"), col("n_case_variants"),
+          col("seg_max"),
+          expr("mysql_strcoll(seg_rep, 'FURNITURE')")
+            .as("cmp_vs_furniture"))
+        .orderBy(col("seg_rep"))
+    },
+    oracle = Some("""
+      WITH m AS (SELECT CASE WHEN c_custkey % 2 = 0
+                             THEN upper(c_mktsegment)
+                             ELSE lower(c_mktsegment) END AS seg
+                 FROM customer),
+      f AS (SELECT seg FROM m
+            WHERE NOT (seg COLLATE NOCASE = 'machinery')),
+      g AS (SELECT min(seg) AS seg_rep, count(*) AS n,
+                   count(DISTINCT seg) AS n_case_variants,
+                   max(seg) AS seg_max
+            FROM f GROUP BY lower(seg))
+      SELECT seg_rep, n, n_case_variants, seg_max,
+             CASE WHEN lower(seg_rep) < lower('FURNITURE') THEN -1
+                  WHEN lower(seg_rep) > lower('FURNITURE') THEN 1
+                  ELSE 0 END AS cmp_vs_furniture
+      FROM g ORDER BY seg_rep""")
+  )
+
   def defs: Seq[QueryDef] = Seq(predicateMatrix, likePatterns,
     constantFilterOrChain, nullSemantics, whereFalse, constantProjection,
-    casts, pruneProject, unsignedBigint)
+    casts, pruneProject, unsignedBigint, collationCi)
 }

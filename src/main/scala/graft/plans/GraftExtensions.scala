@@ -2,7 +2,7 @@ package graft.plans
 
 import graft.functions._
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
-import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, GreaterThan, If, LessThan, Literal, Lower}
 
 /** Registers graft's custom Catalyst expressions as SQL functions, so they
   * are usable from spark.sql text, inside higher-order-function lambdas
@@ -55,6 +55,15 @@ object GraftExtensions {
       org.apache.spark.sql.types.FloatType))
 
   val builders: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    // MySQL strcoll under the default ci collation (latin1_swedish_ci
+    // analog — reference: primitives/linux-port/dictionary.cpp:193
+    // idb_strcoll in the dictionary scan kernels): -1/0/1 comparison of
+    // the case-folded forms. Composed from existing codegen'd exprs
+    // (Lower + comparisons), so it stays in whole-stage codegen.
+    "mysql_strcoll" -> (es => { arity("mysql_strcoll", es, 2, 2)
+      val la = Lower(es(0)); val lb = Lower(es(1))
+      If(LessThan(la, lb), Literal(-1),
+        If(GreaterThan(la, lb), Literal(1), Literal(0))) }),
     "simhash64" -> (es => { arity("simhash64", es, 1, 1)
       SimHash64(es.head) }),
     "hamming64" -> (es => { arity("hamming64", es, 2, 2)

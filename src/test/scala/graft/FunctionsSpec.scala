@@ -236,4 +236,25 @@ class FunctionsSpec extends GraftSuite {
     assert(r.getInt(3) == 8)
     assert(r.getInt(4) == 198652)
   }
+
+  test("ci collation: equality, ordering, and the mysql_strcoll shim") {
+    plans.GraftExtensions.registerAll(spark)
+    // the reference's latin1_swedish_ci analog: 'ACME' = 'acme' under ci,
+    // ordering case-folds, strcoll returns the -1/0/1 sign
+    val r = spark.sql(
+      """SELECT 'ACME' COLLATE UTF8_LCASE = 'acme' AS eq,
+                'ACME' COLLATE UTF8_LCASE = 'acmf' AS ne,
+                mysql_strcoll('ACME', 'acme') AS c0,
+                mysql_strcoll('apple', 'BANANA') AS cm1,
+                mysql_strcoll('Zed', 'apple') AS cp1""").collect()(0)
+    assert(r.getBoolean(0) && !r.getBoolean(1))
+    assert(r.getInt(2) == 0 && r.getInt(3) == -1 && r.getInt(4) == 1)
+    // ci ORDER BY interleaves cases ('apple' between 'ACME' and 'Zed',
+    // where binary order would put both uppercase strings first)
+    val ordered = spark.sql(
+      """SELECT s FROM VALUES ('apple'), ('ACME'), ('Zed'), ('banana') t(s)
+         ORDER BY s COLLATE UTF8_LCASE""").collect().map(_.getString(0))
+    assert(ordered.toSeq == Seq("ACME", "apple", "banana", "Zed"),
+      ordered.toSeq.toString)
+  }
 }
