@@ -71,4 +71,15 @@ object Tables {
       n -> df
     }.toMap
   }
+
+  /** registerAll + attach a persisted catalog dir: catalog tables and
+    * persisted CREATE VIEW definitions re-register into this session
+    * (the reference's views survive reconnects the same way —
+    * dbcon/mysql/ha_view.cpp resolves them from stored definitions). */
+  def registerAll(spark: SparkSession, dir: String,
+      catalogRoot: String): Map[String, DataFrame] = {
+    val base = registerAll(spark, dir)
+    new sources.Catalog(spark, catalogRoot).attach()
+    base
+  }
 }

@@ -378,7 +378,42 @@ object DdlDmlQueries {
       FROM lineitem""")
   )
 
+  /** Persisted-view roundtrip (reference: dbcon/mysql/ha_view.cpp — MySQL
+    * views resolved through the vtable rewrite survive the connection):
+    * CREATE VIEW over a join is stored in the catalog dir, then a FRESH
+    * session (isolated temp-view namespace via newSession) re-registers
+    * tables + views with Tables.registerAll(spark, dir, catalogRoot) and
+    * queries the view by name. The result proves the definition came off
+    * disk, not from session state. */
+  val viewRoundtrip: QueryDef = QueryDef(
+    "d_view_roundtrip",
+    (s, dir) => {
+      val root = scratch("views")
+      val cat = new Catalog(s, root)
+      cat.createTableAs("v_nation", t(s, dir, "nation"))
+      cat.createTableAs("v_region", t(s, dir, "region"))
+      cat.createView("nation_regions", """
+        SELECT r.r_name AS region, count(*) AS n_nations,
+               min(n.n_name) AS first_nation
+        FROM v_nation n JOIN v_region r ON n.n_regionkey = r.r_regionkey
+        GROUP BY r.r_name""")
+      // a fresh session: same SparkContext, EMPTY temp-view namespace —
+      // the view must resolve from the persisted definition alone
+      val s2 = s.newSession()
+      graft.Tables.registerAll(s2, dir, root)
+      s2.sql(
+        "SELECT region, n_nations, first_nation FROM nation_regions " +
+          "ORDER BY region")
+    },
+    oracle = Some("""
+      SELECT r.r_name AS region, count(*) AS n_nations,
+             min(n.n_name) AS first_nation
+      FROM nation n JOIN region r ON n.n_regionkey = r.r_regionkey
+      GROUP BY r.r_name ORDER BY region""")
+  )
+
   def defs: Seq[QueryDef] = Seq(ctasRoundtrip, insertIntoSelect, updateDelete,
     alterTable, csvRoundtrip, loaderRejects, crossEngine, bucketedJoin,
-    partitionedWrite, showPartitions, dropPartition, tableStats)
+    partitionedWrite, showPartitions, dropPartition, tableStats,
+    viewRoundtrip)
 }

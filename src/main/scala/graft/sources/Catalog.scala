@@ -28,6 +28,68 @@ class Catalog(spark: SparkSession, root: String) {
 
   def tablePath(name: String): String = s"$root/$name"
 
+  // ---- persisted views (reference: dbcon/mysql/ha_view.cpp — MySQL
+  // views resolved through the vtable rewrite; here a view is a named
+  // SQL text stored in the catalog dir, re-registered on attach) -------
+
+  private def viewsDir: Path = Paths.get(root, "_views")
+  private def viewFile(name: String): Path = viewsDir.resolve(s"$name.sql")
+
+  /** CREATE VIEW name AS sql — persisted to the catalog dir AND
+    * registered in this session immediately (the eager spark.sql also
+    * validates the text against the current table set). View text may
+    * reference catalog tables by bare name; they register as temp views
+    * here so the definition resolves in the creating session exactly as
+    * it later will on attach(). */
+  def createView(name: String, sql: String): Unit = {
+    require(!Files.exists(viewFile(name)), s"view $name already exists")
+    Files.createDirectories(viewsDir)
+    tables.keys.foreach(t => table(t).createOrReplaceTempView(t))
+    spark.sql(sql).createOrReplaceTempView(name)
+    Files.writeString(viewFile(name), sql)
+  }
+
+  /** DROP VIEW — removes the persisted definition and the session view. */
+  def dropView(name: String): Unit = {
+    require(Files.exists(viewFile(name)), s"no such view: $name")
+    Files.delete(viewFile(name))
+    spark.catalog.dropTempView(name)
+  }
+
+  def listViews: Seq[String] =
+    if (!Files.exists(viewsDir)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.list(viewsDir).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.endsWith(".sql")).map(_.stripSuffix(".sql"))
+        .toSeq.sorted
+    }
+
+  /** Attach a (possibly fresh) session to an existing catalog dir:
+    * discover persisted tables from their parquet directories, register
+    * every table as a temp view, then replay persisted view definitions
+    * (name-sorted; a view may reference catalog tables or any view that
+    * sorts before it). This is what makes catalog state survive the
+    * session — the reference's views outlive the connection the same
+    * way (ha_view.cpp resolves them from the frm store per statement). */
+  def attach(): Unit = {
+    import scala.jdk.CollectionConverters._
+    Files.list(Paths.get(root)).iterator().asScala
+      .filter(Files.isDirectory(_))
+      .map(_.getFileName.toString)
+      .filterNot(n => n.startsWith("_") || n.startsWith(".") ||
+        n.endsWith(".staging") || n.endsWith(".old"))
+      .toSeq.sorted
+      .foreach { n =>
+        tables.put(n, table0(n).schema)
+        table(n).createOrReplaceTempView(n)
+      }
+    listViews.foreach { v =>
+      spark.sql(Files.readString(viewFile(v))).createOrReplaceTempView(v)
+    }
+  }
+
   /** CREATE TABLE name (schema) — an empty Parquet directory with schema. */
   def createTable(name: String, schema: StructType): Unit = {
     require(!tables.contains(name), s"table $name already exists")

@@ -104,4 +104,33 @@ class CatalogSpec extends GraftSuite {
     intercept[IllegalArgumentException](cat.disablePartition("pt", "pk=9"))
     intercept[IllegalArgumentException](cat.enablePartition("pt", "pk=0"))
   }
+
+  test("persisted views survive into a fresh session via attach") {
+    val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val cat = new Catalog(spark, root)
+    cat.createTableAs("base", Seq((1L, "a"), (2L, "a"), (3L, "b"))
+      .toDF("id", "grp"))
+    cat.createView("grp_counts",
+      "SELECT grp, count(*) AS n FROM base GROUP BY grp")
+    assert(cat.listViews == Seq("grp_counts"))
+    // usable immediately in the creating session
+    assert(spark.sql("SELECT n FROM grp_counts WHERE grp = 'a'")
+      .collect()(0).getLong(0) == 2L)
+    // a FRESH session has an empty temp-view namespace; attach() must
+    // re-register both the table and the view from disk alone
+    val s2 = spark.newSession()
+    assert(!s2.catalog.tableExists("grp_counts"))
+    new Catalog(s2, root).attach()
+    val rows = s2.sql("SELECT grp, n FROM grp_counts ORDER BY grp")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    assert(rows == Seq(("a", 2L), ("b", 1L)))
+    // drop removes the definition for future sessions
+    cat.dropView("grp_counts")
+    assert(cat.listViews.isEmpty)
+    val s3 = spark.newSession()
+    new Catalog(s3, root).attach()
+    assert(!s3.catalog.tableExists("grp_counts"))
+    assert(s3.catalog.tableExists("base"))
+    intercept[IllegalArgumentException](cat.dropView("grp_counts"))
+  }
 }
