@@ -31,6 +31,7 @@ object QueryDef {
     operators.DdlDmlQueries.defs,
     operators.DedupQueries.defs,
     operators.TextQueries.defs,
+    operators.BpeQueries.defs,
     operators.VectorQueries.defs,
     operators.EventsQueries.defs,
     operators.TemporalJoinQueries.defs,

@@ -1,0 +1,181 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Learned byte-pair-encoding tokenizer — the real-merge-table upgrade of
+  * `x_text_tokens`' "BPE-ish" regex counter. Training is classic BPE
+  * (Sennrich et al., public knowledge): count adjacent symbol pairs over
+  * the word vocabulary (weighted by word frequency), merge the most
+  * frequent pair, repeat N times. Application folds the learned merges
+  * over each document in training order.
+  *
+  * Representation: a word's symbol sequence is a single string of
+  * chr(1)+sym+chr(2) cells; one merge rule (a, b) is ONE literal
+  * `replace` of cell-pair "⟨a⟩⟨b⟩" with "⟨ab⟩". Both engines use the
+  * same non-overlapping left-to-right replace semantics, so training and
+  * application replay bit-exactly in the DuckDB oracle — the merge table
+  * is DERIVED independently there (N unrolled count→argmax→rewrite
+  * stages), never shipped across.
+  *
+  * Scale shape: training runs over the DISTINCT-word table (two-phase
+  * count, one shuffle), then each of the N iterations is a pair explode
+  * + two-phase count + a bounded top-1 (TakeOrdered) — the only driver
+  * state is the N-row merge table (the model artifact, like the ANN
+  * centroids). Application is a pure per-row chain of N codegen'd
+  * replaces; document text never shuffles. Words materialize once to
+  * scratch parquet (no persist, no cache entries).
+  */
+object BpeQueries {
+  private val S = "\u0001" // symbol start (= chr(1))
+  private val E = "\u0002" // symbol end (= chr(2))
+  private val W = "\u0003" // word boundary (= chr(3)); merges never cross it
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** chr-cell encoding of one word (SQL fragment; `w` is a lambda var). */
+  private def encWordSql(w: String): String =
+    s"CASE WHEN length($w) = 0 THEN '' ELSE " +
+      s"array_join(transform(sequence(1, length($w)), " +
+      s"i -> concat(chr(1), substring($w, i, 1), chr(2))), '') END"
+
+  /** Encode a whole document: words encoded cell-wise, joined by chr(3). */
+  private def encodeDocs(d: DataFrame): DataFrame =
+    d.withColumn("e", expr(
+      "CASE WHEN length(text) = 0 THEN '' ELSE " +
+        "array_join(transform(split(text, ' '), " +
+        s"w -> ${encWordSql("w")}), chr(3)) END"))
+
+  /** Train `n` merges over the corpus word vocabulary. Returns the merge
+    * table in training order. */
+  private[graft] def trainMerges(s: SparkSession, d: DataFrame, n: Int,
+      scratchPath: String): Seq[(String, String)] = {
+    val words = d
+      .select(explode(split(col("text"), " ")).as("word"))
+      .groupBy(col("word")).agg(count(lit(1)).as("freq"))
+      .select(expr(encWordSql("word")).as("wstr"), col("freq"))
+    var vocab = AnnIndex.materialize(words, scratchPath)
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    var exhausted = false
+    for (_ <- 1 to n if !exhausted) {
+      val best = vocab
+        .filter(length(col("wstr")) > 0)
+        .select(col("freq"),
+          split(expr("substring(wstr, 2, length(wstr) - 2)"), E + S)
+            .as("syms"))
+        .filter(size(col("syms")) >= 2)
+        .select(col("freq"), explode(expr(
+          "transform(sequence(1, size(syms) - 1), " +
+            "j -> struct(element_at(syms, j) AS a, " +
+            "element_at(syms, j + 1) AS b))")).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(col("cnt").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        vocab = vocab.withColumn("wstr", mergeOnce(col("wstr"), a, b))
+      }
+    }
+    merges.toSeq
+  }
+
+  /** One merge rule as one literal cell-pair replace. */
+  private def mergeOnce(c: Column, a: String, b: String): Column =
+    replace(c, lit(S + a + E + S + b + E), lit(S + a + b + E))
+
+  /** Fold the merge table over an encoded column in training order. */
+  private[graft] def applyMerges(c: Column,
+      merges: Seq[(String, String)]): Column =
+    merges.foldLeft(c) { case (acc, (a, b)) => mergeOnce(acc, a, b) }
+
+  /** Decode: cell boundaries → spaces, sentinels dropped. */
+  private def decode(c: Column): Column =
+    replace(replace(replace(replace(replace(
+      c, lit(E + W + S), lit(" ")), lit(E + S), lit(" ")),
+      lit(W), lit(" ")), lit(S), lit("")), lit(E), lit(""))
+
+  private val N_MERGES = 8
+
+  /** Tokenize every document with an 8-rule merge table learned from the
+    * corpus itself; emits whitespace vs BPE token counts and the decoded
+    * tokenization (space-joined learned subwords). */
+  val tokensBpe: QueryDef = QueryDef(
+    "x_text_tokens_bpe",
+    (s, dir) => {
+      val merges = trainMerges(s, docs(s, dir), N_MERGES,
+        AnnIndex.inlineScratch(dir, "bpe_words"))
+      encodeDocs(docs(s, dir))
+        .withColumn("m", applyMerges(col("e"), merges))
+        .select(col("doc_id"),
+          size(split(col("text"), " ")).as("n_ws_tokens"),
+          (length(col("m")) -
+            length(replace(col("m"), lit(S), lit("")))).as("n_bpe_tokens"),
+          decode(col("m")).as("bpe_text"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(BpeOracleSql.sql(N_MERGES))
+  )
+
+  def defs: Seq[QueryDef] = Seq(tokensBpe)
+}
+
+/** DuckDB oracle that replays BPE training AND application bit-exactly:
+  * N unrolled stages, each counting cell pairs over the current word
+  * vocabulary (v{i}), picking the (cnt DESC, a, b) argmax (m{i}), and
+  * rewriting the vocabulary with the same literal replace the Spark side
+  * uses. The document chain (e{i}) folds the same merges in the same
+  * order. Integer pair counts + literal (non-regex) replace on both
+  * engines ⇒ identical merge tables ⇒ identical tokenizations. */
+private[operators] object BpeOracleSql {
+  def sql(n: Int): String = {
+    val S = "chr(1)"; val E = "chr(2)"; val W = "chr(3)"
+    def encWord(w: String) =
+      s"CASE WHEN length($w) = 0 THEN '' ELSE " +
+        s"array_to_string(list_transform(range(1, length($w) + 1), " +
+        s"i -> $S || substr($w, i, 1) || $E), '') END"
+    val stages = (1 to n).map { i =>
+      s"""
+      sp$i AS (SELECT freq, syms, unnest(range(1, len(syms))) AS j
+              FROM (SELECT freq,
+                      string_split(substr(wstr, 2, length(wstr) - 2),
+                        $E || $S) AS syms
+                    FROM v${i - 1} WHERE length(wstr) > 0)),
+      p$i AS (SELECT syms[j] AS a, syms[j + 1] AS b,
+                CAST(sum(freq) AS BIGINT) AS cnt
+              FROM sp$i GROUP BY syms[j], syms[j + 1]),
+      m$i AS (SELECT a, b FROM p$i ORDER BY cnt DESC, a, b LIMIT 1),
+      v$i AS (SELECT freq,
+                replace(wstr, $S || m.a || $E || $S || m.b || $E,
+                  $S || m.a || m.b || $E) AS wstr
+              FROM v${i - 1}, m$i m),
+      e$i AS (SELECT doc_id, text,
+                replace(e, $S || m.a || $E || $S || m.b || $E,
+                  $S || m.a || m.b || $E) AS e
+              FROM e${i - 1}, m$i m)"""
+    }.mkString(",")
+    s"""
+      WITH words AS (SELECT word, count(*) AS freq
+                     FROM (SELECT unnest(string_split(text, ' ')) AS word
+                           FROM documents)
+                     GROUP BY word),
+      v0 AS (SELECT ${encWord("word")} AS wstr, freq FROM words),
+      e0 AS (SELECT doc_id, text,
+               CASE WHEN length(text) = 0 THEN '' ELSE
+                 array_to_string(list_transform(string_split(text, ' '),
+                   w -> ${encWord("w")}), $W) END AS e
+             FROM documents),$stages
+      SELECT doc_id,
+             len(string_split(text, ' ')) AS n_ws_tokens,
+             length(e) - length(replace(e, $S, '')) AS n_bpe_tokens,
+             replace(replace(replace(replace(replace(e,
+               $E || $W || $S, ' '), $E || $S, ' '), $W, ' '),
+               $S, ''), $E, '') AS bpe_text
+      FROM e$n ORDER BY doc_id"""
+  }
+}

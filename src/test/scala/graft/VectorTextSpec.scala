@@ -170,6 +170,32 @@ class VectorTextSpec extends GraftSuite {
     assert(byComp.toSeq == Seq(0L, 100L), byComp.toSeq.toString)
   }
 
+  test("bpe training learns the hand-derived merge sequence") {
+    // vocab {aaab:3, aab:2} — pair counts by hand:
+    //   round 1: (a,a)=8 > (a,b)=5          → merge (a,a)
+    //   round 2: (a,b)=3 = (aa,a)=3, tie → lexicographic (a < aa)
+    //                                       → merge (a,b)
+    //   round 3: (aa,ab)=3 > (aa,b)=2       → merge (aa,ab)
+    val d = Seq((1L, "aaab aaab aaab aab aab")).toDF("doc_id", "text")
+    val scratch = java.nio.file.Files
+      .createTempDirectory("graft_bpe").toString
+    val merges = operators.BpeQueries.trainMerges(spark, d, 3, s"$scratch/w")
+    assert(merges == Seq(("a", "a"), ("a", "b"), ("aa", "ab")), merges)
+  }
+
+  test("bpe tokenizer merges to whole words and stops when pairs run dry") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bpe2").toString
+    Seq((1L, "aaab aab"), (2L, "")).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = operators.BpeQueries.tokensBpe.run(spark, tmp).collect()
+    // 8 requested merges exhaust after 4 on this corpus; both words
+    // collapse to single learned tokens, the empty doc tokenizes empty
+    assert(rows.length == 2)
+    assert(rows(0).getInt(1) == 2 && rows(0).getInt(2) == 2)
+    assert(rows(0).getString(3) == "aaab aab")
+    assert(rows(1).getInt(2) == 0 && rows(1).getString(3) == "")
+  }
+
   test("language id picks the profile language on real sentences") {
     val fixtures = Seq(
       (1L, "the cat sat on the mat and looked at the dog", "en"),
