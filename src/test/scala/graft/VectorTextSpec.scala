@@ -196,6 +196,28 @@ class VectorTextSpec extends GraftSuite {
     assert(rows(1).getInt(2) == 0 && rows(1).getString(3) == "")
   }
 
+  test("star contraction rounds shuffle id pairs only") {
+    // the 100 TB contract of the cc loop: every exchange in a
+    // large-star/small-star round carries two-long edge tuples (and the
+    // grouped min), never anything payload-shaped
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val edges = (0L until 100L).map(i => (i + 1, i)).toDF("a", "b")
+    for (round <- Seq(operators.DedupQueries.largeStar(edges),
+        operators.DedupQueries.smallStar(edges))) {
+      round.collect()
+      val finalPlan = round.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffled = finalPlan.collect {
+        case s: ShuffleExchangeLike => s.output.map(_.name)
+      }.flatten.toSet
+      assert(shuffled.subsetOf(Set("a", "b", "mn", "m")),
+        s"unexpected shuffle columns: $shuffled")
+    }
+  }
+
   test("language id picks the profile language on real sentences") {
     val fixtures = Seq(
       (1L, "the cat sat on the mat and looked at the dog", "en"),
