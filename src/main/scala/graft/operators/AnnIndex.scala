@@ -316,6 +316,26 @@ object AnnIndex {
     adcTopK(pairs, base, M, topk, nq)
   }
 
+  /** Frozen-index INGEST: encode a new vector batch against prebuilt
+    * artifacts — NO retraining, the per-ingest cost is a pure per-row
+    * map against the broadcast centroid/codebook tables (the ANN analog
+    * of x_dedup_incremental's precomputed band index). At 100 TB a
+    * nightly ingest appends (vec_id, cid) + 8-byte codes for the new
+    * batch only; the quantizers refresh on their own schedule. Returns
+    * (vec_id, cid, codes[m ordered by subspace]). */
+  def ingestEncode(batch: DataFrame, cents: DataFrame,
+      codebook: DataFrame): DataFrame = {
+    val bAssign = coarseReassign(batch, cents)
+    val bCodes = pqEncode(pqSubs(batch, M, SUB), codebook)
+      .groupBy(col("vec_id"))
+      .agg(expr(
+        "transform(sort_array(collect_list(struct(ss, cid))), x -> x.cid)")
+        .as("codes"))
+    bAssign.join(bCodes, Seq("vec_id"))
+      .select(col("vec_id"), col("cid"), col("codes"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Artifact summary for the build gate: per coarse cluster and per PQ
     * codebook entry, member counts and centroid norms (rounded 4) — the
     * content the DuckDB oracle replays from its own training chain. */

@@ -37,10 +37,11 @@ private[operators] object IvfOracleSql {
 
   /** Reassignment CTE kaN: argmax cosine vs centroids kcMv, ties → larger
     * cid (mirrors the Spark fold's `>=` replacement in cid order). */
-  private def reassign(n: Int, centsCte: String): String = s"""
+  private def reassign(n: Int, centsCte: String,
+      where: String): String = s"""
       ka${n}s AS (SELECT ev.vec_id, c.cid,
 ${cos("ev.emb", "c.cen")} AS ccos
-                 FROM eraw ev CROSS JOIN $centsCte c),
+                 FROM eraw ev CROSS JOIN $centsCte c $where),
       ka$n AS (SELECT vec_id, cid FROM (
                 SELECT vec_id, cid,
                        row_number() OVER (PARTITION BY vec_id
@@ -49,10 +50,15 @@ ${cos("ev.emb", "c.cen")} AS ccos
 
   /** The coarse-quantizer chain: eraw + fp + init + `iters` Lloyd
     * iterations + final centroids kc{iters+1}v + probes kprb + candidate
-    * pairs kcand(q_id, vec_id). Embeddable after WITH. */
-  def coreCtes(k: Int, nprobe: Int, iters: Int, nq: Int): String = {
+    * pairs kcand(q_id, vec_id). Embeddable after WITH. `trainWhere`
+    * optionally restricts the TRAINED corpus (a bare-vec_id predicate) —
+    * the frozen-index ingest oracle trains on a subset and encodes the
+    * rest against the fixed artifacts. */
+  def coreCtes(k: Int, nprobe: Int, iters: Int, nq: Int,
+      trainWhere: String = ""): String = {
+    val where = if (trainWhere.isEmpty) "" else s"WHERE $trainWhere"
     val iterCtes = (1 to iters).map { it =>
-      centroids(it, s"ka${it - 1}") + "," + reassign(it, s"kc${it}v")
+      centroids(it, s"ka${it - 1}") + "," + reassign(it, s"kc${it}v", where)
     }.mkString(",")
     val finalCents = centroids(iters + 1, s"ka$iters")
     s"""${AnnOracleCommon.erawCte},
@@ -62,7 +68,7 @@ ${cos("ev.emb", "c.cen")} AS ccos
                                  THEN acc - 18446744073709551616::HUGEINT
                                  ELSE acc END AS BIGINT) % $k) + $k) % $k)
                     AS INTEGER) AS cid
-             FROM fp),$iterCtes,$finalCents,
+             FROM fp $where),$iterCtes,$finalCents,
       kprb AS (SELECT q_id, cid FROM (
                 SELECT q.vec_id AS q_id, c.cid,
                        row_number() OVER (PARTITION BY q.vec_id

@@ -47,10 +47,11 @@ private[operators] object PqOracleSql {
 
   /** Reassignment CTE aN: argmin squared-L2 vs codebook cNv, ties →
     * smaller cid (mirrors the Spark fold keeping the first minimum). */
-  private def reassign(n: Int, centsCte: String, sub: Int): String = s"""
+  private def reassign(n: Int, centsCte: String, sub: Int,
+      where: String): String = s"""
       a${n}s AS (SELECT sv.vec_id, sv.ss, c.cid,
 ${l2sq("sv.svec", "c.cen", sub)} AS dd
-                 FROM esub sv JOIN $centsCte c USING (ss)),
+                 FROM esub sv JOIN $centsCte c USING (ss) $where),
       a$n AS (SELECT vec_id, ss, cid FROM (
                 SELECT vec_id, ss, cid,
                        row_number() OVER (PARTITION BY vec_id, ss
@@ -60,11 +61,15 @@ ${l2sq("sv.svec", "c.cen", sub)} AS dd
   /** The product-quantizer chain: normalized e + esub + init + `iters`
     * Lloyd iterations + final codebook c{iters+1}v + the query distance
     * table dtab(q_id, ss, cid, dd). Assumes `eraw` and `fp` are already
-    * defined (AnnOracleCommon). Embeddable after those. */
-  def coreCtes(m: Int, sub: Int, k: Int, iters: Int, nq: Int): String = {
+    * defined (AnnOracleCommon). Embeddable after those. `trainWhere`
+    * optionally restricts the TRAINED corpus (bare-vec_id predicate) for
+    * the frozen-index ingest oracle. */
+  def coreCtes(m: Int, sub: Int, k: Int, iters: Int, nq: Int,
+      trainWhere: String = ""): String = {
+    val where = if (trainWhere.isEmpty) "" else s"WHERE $trainWhere"
     val iterCtes = (1 to iters).map { it =>
       codebook(it, s"a${it - 1}", sub) + "," +
-        reassign(it, s"c${it}v", sub)
+        reassign(it, s"c${it}v", sub, where)
     }.mkString(",")
     val finalBook = codebook(iters + 1, s"a$iters", sub)
     s"""e AS (SELECT vec_id,
@@ -81,7 +86,8 @@ ${l2sq("sv.svec", "c.cen", sub)} AS dd
                                  THEN acc - 18446744073709551616::HUGEINT
                                  ELSE acc END AS BIGINT) % $k) + $k) % $k)
                     AS INTEGER) AS cid
-             FROM fp CROSS JOIN (SELECT unnest(range(0, $m)) AS ss) ss),
+             FROM fp CROSS JOIN (SELECT unnest(range(0, $m)) AS ss) ss
+             $where),
       $iterCtes,$finalBook,
       dtab AS (SELECT q.vec_id AS q_id, c.ss, c.cid,
 ${l2sq("q.svec", "c.cen", sub)} AS dd

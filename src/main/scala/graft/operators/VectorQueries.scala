@@ -335,6 +335,33 @@ ${LshOracleSql.cosineExpr} AS cos
       kpq = 16, iters = 2, topk = 3, nq = 10))
   )
 
+  /** Frozen-index INGEST — the third leg of the index lifecycle (build →
+    * ingest → query): the quantizers train on the base corpus
+    * (vec_id % 8 ≠ 0) and the held-out batch (vec_id % 8 = 0) is encoded
+    * against the FROZEN centroids/codebook with no retraining — a pure
+    * per-row map over broadcast artifacts, the ANN analog of
+    * x_dedup_incremental's per-ingest cost. DuckDB replays the base-only
+    * training chains (trainWhere-filtered) and the batch encode with the
+    * same tie rules, so the appended rows are bit-checked. */
+  val indexIngest: QueryDef = QueryDef(
+    "x_ann_index_ingest",
+    (s, dir) => {
+      val all = emb(s, dir)
+      val base = all.filter(pmod(col("vec_id"), lit(8)) =!= 0)
+      val batch = all.filter(pmod(col("vec_id"), lit(8)) === 0)
+      val assignB = AnnIndex.coarseTrainTo(base, 16, 2,
+        inlineScratch(dir, "ingest_assign"))
+      val centsB = coarseCentroids(base, assignB)
+      val subsB = pqSubs(base, 16, 4)
+      val codesB = pqTrainCodesTo(subsB, 4, 16, 2,
+        inlineScratch(dir, "ingest_codes"))
+      val bookB = pqCodebookOf(codesB.join(subsB, Seq("vec_id", "ss")), 4)
+      AnnIndex.ingestEncode(batch, centsB, bookB)
+    },
+    oracle = Some(IvfPqOracleSql.ingestSql(k = 16, m = 16, sub = 4,
+      kpq = 16, iters = 2))
+  )
+
   /** Centroid search: per-label mean vector (array aggregation via
     * element-wise avg), then each label's medoid-ish closest member —
     * exercises array aggregation at scale (zip_with + aggregate). */
@@ -480,5 +507,6 @@ ${LshOracleSql.cosineExpr} AS cos
   )
 
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
-    pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, centroids, sq8TopK)
+    pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, centroids,
+    sq8TopK)
 }
