@@ -765,6 +765,99 @@ ${LshOracleSql.cosineExpr} AS c
       FROM n LEFT JOIN ka USING (doc_id) ORDER BY doc_id""")
   )
 
+  /** Exact duplicated-SPAN detection — sliding-window exact-substring
+    * dedup (the Lee et al. "Deduplicating Training Data" shape at
+    * 10-token window granularity): every stride-1 10-token window is
+    * digested; windows whose digest occurs more than once ANYWHERE in
+    * the corpus (cross-doc or intra-doc) flag their positions, and per
+    * doc the flagged positions merge gaps-and-islands style into maximal
+    * duplicated spans. Catches UNALIGNED boilerplate that the fixed
+    * non-overlapping chunk grid of x_dedup_chunks provably misses (a
+    * shared 15-token run straddling a chunk boundary — pinned in
+    * VectorTextSpec).
+    *
+    * Scale shape: the shuffle carries (doc_id, pos, md5) triples only —
+    * stride-1 windows cost L× the chunk pass in rows but the payload per
+    * row is still ~40 B and text never moves; the duplicate filter is a
+    * two-phase digest count, and the island merge is one window over the
+    * (small) flagged-position set partitioned by doc_id. The dup ratio
+    * is an exact integer quotient emitted unrounded (identical doubles
+    * both engines). */
+  val spanDedup: QueryDef = QueryDef(
+    "x_dedup_spans",
+    (s, dir) => {
+      val L = 10
+      val base = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      val hh = base
+        .filter(size(col("toks")) >= L)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(toks) - $L), " +
+            s"i -> md5(concat_ws(' ', slice(toks, i + 1, $L))))"))
+          .as(Seq("pos", "h")))
+      val dup = hh.groupBy(col("h")).agg(count(lit(1)).as("n"))
+        .filter(col("n") > 1).select(col("h"))
+      val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+      val flagged = hh.join(dup, Seq("h"))
+        .select(col("doc_id"), col("pos"))
+        .withColumn("brk",
+          when(col("pos") - lag(col("pos"), 1).over(wd) > L, 1)
+            .otherwise(when(lag(col("pos"), 1).over(wd).isNull, 1)
+              .otherwise(0)))
+        .withColumn("island", sum(col("brk")).over(
+          wd.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      val spans = flagged.groupBy(col("doc_id"), col("island"))
+        .agg(min(col("pos")).as("s"), (max(col("pos")) + L).as("e"))
+      val perDoc = spans.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_dup_spans"),
+          max(col("e") - col("s")).as("max_span_len"),
+          sum(col("e") - col("s")).as("n_dup_tokens"))
+      base.select(col("doc_id"), size(col("toks")).as("n_tokens"))
+        .join(perDoc, Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), col("n_tokens"),
+          coalesce(col("n_dup_spans"), lit(0L)).as("n_dup_spans"),
+          coalesce(col("max_span_len"), lit(0)).as("max_span_len"),
+          coalesce(col("n_dup_tokens"), lit(0L)).as("n_dup_tokens"),
+          (coalesce(col("n_dup_tokens"), lit(0L)).cast("double") /
+            col("n_tokens")).as("dup_ratio"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      sh AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 9)) AS pos
+             FROM t WHERE len(toks) >= 10),
+      hh AS (SELECT doc_id, pos,
+               md5(array_to_string(toks[pos+1 : pos+10], ' ')) AS h
+             FROM sh),
+      dup AS (SELECT h FROM hh GROUP BY h HAVING count(*) > 1),
+      fl AS (SELECT doc_id, pos FROM hh JOIN dup USING (h)),
+      isl AS (SELECT doc_id, pos,
+                CASE WHEN lag(pos) OVER w IS NULL THEN 1
+                     WHEN pos - lag(pos) OVER w > 10 THEN 1
+                     ELSE 0 END AS brk
+              FROM fl WINDOW w AS (PARTITION BY doc_id ORDER BY pos)),
+      isl2 AS (SELECT doc_id, pos,
+                 sum(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS island
+               FROM isl),
+      sp AS (SELECT doc_id, island, min(pos) AS s, max(pos) + 10 AS e
+             FROM isl2 GROUP BY doc_id, island),
+      agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_dup_spans,
+                max(e - s) AS max_span_len,
+                CAST(sum(e - s) AS BIGINT) AS n_dup_tokens
+              FROM sp GROUP BY doc_id)
+      SELECT t.doc_id, len(t.toks) AS n_tokens,
+             coalesce(a.n_dup_spans, 0) AS n_dup_spans,
+             coalesce(a.max_span_len, 0) AS max_span_len,
+             coalesce(a.n_dup_tokens, 0) AS n_dup_tokens,
+             CAST(coalesce(a.n_dup_tokens, 0) AS DOUBLE) / len(t.toks)
+               AS dup_ratio
+      FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash,
-    embeddingNearDup, clusters, incremental, semdedup, cc, chunkDedup)
+    embeddingNearDup, clusters, incremental, semdedup, cc, chunkDedup,
+    spanDedup)
 }

@@ -218,6 +218,28 @@ class VectorTextSpec extends GraftSuite {
     }
   }
 
+  test("span dedup catches unaligned boilerplate the chunk grid misses") {
+    // a 15-token run shared at DIFFERENT offsets (7 vs 3): no 10-token
+    // grid chunk is identical across the docs, but the sliding windows
+    // inside the run are — spans must report one 15-token island each
+    val run = (1 to 15).map(i => s"r$i").mkString(" ")
+    val d1 = (1 to 7).map(i => s"a$i").mkString(" ") + " " + run + " b1 b2 b3"
+    val d2 = "c1 c2 c3 " + run + " " + (1 to 7).map(i => s"d$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_span").toString
+    Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val spans = operators.DedupQueries.spanDedup.run(spark, tmp).collect()
+    for (r <- spans) {
+      assert(r.getLong(2) == 1L, s"n_dup_spans: $r")
+      assert(r.getInt(3) == 15, s"max_span_len: $r")
+      assert(r.getLong(4) == 15L, s"n_dup_tokens: $r")
+    }
+    // the aligned chunk pass keeps every chunk (finds no duplicates)
+    val chunks = operators.DedupQueries.chunkDedup.run(spark, tmp).collect()
+    for (r <- chunks)
+      assert(r.getInt(1) == r.getInt(2), s"chunk grid dropped a chunk: $r")
+  }
+
   test("language id picks the profile language on real sentences") {
     val fixtures = Seq(
       (1L, "the cat sat on the mat and looked at the dog", "en"),
