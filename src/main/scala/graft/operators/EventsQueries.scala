@@ -673,8 +673,59 @@ object EventsQueries {
     oracle = Some(transitionsOracle)
   )
 
+  /** EWMA trend smoothing over the per-type hourly series — the
+    * exponential-smoothing companion to the z-score anomaly pass
+    * (s_t = 0.3·x_t + 0.7·s_{t−1}, seeded with the first observation).
+    * The recursion runs as an ordered array fold over each type's
+    * COLLAPSED hourly series (|types| groups × |hours| elements — the
+    * collapse-first shape every events op here uses), so the sequential
+    * dependence costs one tiny second shuffle, never a pass over raw
+    * events. The DuckDB oracle computes the same recursion via a
+    * recursive CTE with the identical literal expression
+    * 0.3·x + 0.7·prev — same IEEE operations in the same order, so the
+    * unrounded doubles hash-match. */
+  val ewma: QueryDef = QueryDef(
+    "x_events_ewma",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      hourly.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("hr"), col("n"))))
+          .as("s"))
+        .withColumn("ewmas", expr("""
+          aggregate(s, cast(array() as array<double>),
+            (acc, x) -> concat(acc, array(
+              CASE WHEN size(acc) = 0 THEN cast(x.n as double)
+                   ELSE 0.3 * cast(x.n as double)
+                        + 0.7 * element_at(acc, -1) END)))"""))
+        .select(col("event_type"), col("ewmas"), posexplode(col("s")))
+        .select(col("event_type"), col("col.hr").as("hr"),
+          col("col.n").as("n"),
+          element_at(col("ewmas"), col("pos") + 1).as("ewma"))
+        .orderBy(col("event_type"), col("hr"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY date_trunc('hour', ts)) AS idx
+        FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      r AS (SELECT event_type, idx, hr, n, CAST(n AS DOUBLE) AS ewma
+            FROM h WHERE idx = 1
+            UNION ALL
+            SELECT h.event_type, h.idx, h.hr, h.n,
+                   0.3 * CAST(h.n AS DOUBLE) + 0.7 * r.ewma
+            FROM h JOIN r ON h.event_type = r.event_type
+                         AND h.idx = r.idx + 1)
+      SELECT event_type, hr, n, ewma FROM r
+      ORDER BY event_type, hr""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
-    resample, winsorize, transitions, streamTransitions)
+    resample, winsorize, transitions, streamTransitions, ewma)
 }

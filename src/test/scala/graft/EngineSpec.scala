@@ -140,4 +140,30 @@ class EngineSpec extends GraftSuite {
     assert((5L to 28L).forall(h => !key(("flat", h)).getBoolean(7)))
     assert((5L to 28L).forall(h => !key(("noisy", h)).getBoolean(7)))
   }
+
+  test("ewma replays the exponential recursion per type") {
+    import spark.implicits._
+    // type A: hourly counts 10, 20, 30, 40 → s = 10, 13, 18.1, 24.67
+    // type B: a single hour → seed only
+    val rows = (0 until 4).flatMap { h =>
+      (0 until (h + 1) * 10).map(i =>
+        (h.toLong * 1000 + i, new java.sql.Timestamp(h.toLong * 3600 * 1000),
+          1L, "A", 1.0, "{}"))
+    } ++ Seq((9000L, new java.sql.Timestamp(0L), 1L, "B", 1.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_ew").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.EventsQueries.ewma.run(spark, tmp).collect()
+    val a = out.filter(_.getString(0) == "A").sortBy(_.getTimestamp(1).getTime)
+    assert(a.map(_.getLong(2)).toSeq == Seq(10L, 20L, 30L, 40L))
+    val expect = Seq(10.0, 0.3 * 20 + 0.7 * 10.0)
+    val e2 = 0.3 * 30 + 0.7 * expect(1)
+    val all = expect ++ Seq(e2, 0.3 * 40 + 0.7 * e2)
+    a.map(_.getDouble(3)).zip(all).foreach { case (got, want) =>
+      assert(math.abs(got - want) < 1e-12, s"got $got want $want")
+    }
+    val b = out.filter(_.getString(0) == "B")
+    assert(b.length == 1 && b(0).getDouble(3) == 1.0,
+      "single observation must seed the smoother with itself")
+  }
 }
