@@ -164,6 +164,88 @@ object TextQueries {
       GROUP BY token ORDER BY n DESC, token LIMIT 30""")
   )
 
+  /** Count-min-sketch heavy hitters: the streaming-sketch companion to
+    * the exact token histogram above. A d=4 × w=32 CMS is built over the
+    * corpus token stream (cell[j][b] = Σ counts of tokens hashing to
+    * bucket b under hash j), and each token's frequency is estimated as
+    * min_j cell[j][bucket_j(tok)] — always ≥ the true count, with the
+    * one-sided error the output exposes as `overcount`. The hash family
+    * is the minhash family degenerated to a single-token set:
+    * minhash_sig(array(tok), 4) IS [mix(fnv(tok)+ (j+1)·φ)]_{j<4}, so
+    * the codegen'd kernel and its DuckDB HUGEINT replay are reused
+    * verbatim. w=32 is deliberately small so collisions (and the CMS
+    * guarantee) are actually exercised at test scale; at 100 TB w scales
+    * to ε=e/w error with the sketch still only d×w cells — the build is
+    * a two-phase aggregation over DISTINCT-token counts (heavy hitters
+    * collapse map-side), the sketch itself broadcasts for free. */
+  val cmsHeavyHitters: QueryDef = QueryDef(
+    "x_text_cms_heavyhitters",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("n_true"))
+      val hashed = toks
+        .withColumn("hs", minhashSig(array(col("token")), 4))
+        .select(col("token"), col("n_true"), posexplode(col("hs")))
+        .select(col("token"), col("n_true"), col("pos").as("j"),
+          pmod(col("col"), lit(32L)).as("bucket"))
+      val cells = hashed.groupBy(col("j"), col("bucket"))
+        .agg(sum(col("n_true")).as("cell"))
+      hashed.join(cells, Seq("j", "bucket"))
+        .groupBy(col("token"), col("n_true"))
+        .agg(min(col("cell")).as("n_est"))
+        .select(col("token"), col("n_true"), col("n_est"),
+          (col("n_est") - col("n_true")).as("overcount"))
+        .orderBy(col("n_true").desc, col("token"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH tok AS (SELECT unnest(string_split(text, ' ')) AS token
+                   FROM documents),
+      tc AS (SELECT token, CAST(count(*) AS BIGINT) AS n_true
+             FROM tok GROUP BY token),
+      fh AS (SELECT token, n_true,
+               list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(1, octet_length(encode(token)) + 1),
+                   i -> CAST((strpos('0123456789ABCDEF',
+                            substr(hex(encode(token)), i*2-1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF',
+                            substr(hex(encode(token)), i*2, 1)) - 1) AS HUGEINT))),
+                 (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT
+                            * 1099511628211) % 18446744073709551616) AS fh
+             FROM tc),
+      z0 AS (SELECT token, n_true, j,
+               (fh + (j+1) * CAST(11400714819323198485 AS HUGEINT))
+                 % 18446744073709551616 AS z
+             FROM fh CROSS JOIN (SELECT unnest(range(0, 4)) AS j) js),
+      x0 AS (SELECT token, n_true, j,
+               xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM z0),
+      m1 AS (SELECT token, n_true, j,
+               ((z % 4294967296) * CAST(18397679294719823053 AS HUGEINT)
+                + ((z // 4294967296) * 3981806797 % 4294967296) * 4294967296)
+               % 18446744073709551616 AS z FROM x0),
+      x1 AS (SELECT token, n_true, j,
+               xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM m1),
+      m2 AS (SELECT token, n_true, j,
+               ((z % 4294967296) * CAST(14181476777654086739 AS HUGEINT)
+                + ((z // 4294967296) * 444984403 % 4294967296) * 4294967296)
+               % 18446744073709551616 AS z FROM x1),
+      x2 AS (SELECT token, n_true, j,
+               xor(z::UBIGINT, z::UBIGINT >> 33) AS u FROM m2),
+      hb AS (SELECT token, n_true, j,
+               CAST(CASE WHEN u >= 9223372036854775808
+                         THEN u::HUGEINT - 18446744073709551616
+                         ELSE u::HUGEINT END AS BIGINT) AS h FROM x2),
+      bk AS (SELECT token, n_true, j, ((h % 32) + 32) % 32 AS bucket FROM hb),
+      cells AS (SELECT j, bucket, CAST(sum(n_true) AS BIGINT) AS cell
+                FROM bk GROUP BY j, bucket),
+      est AS (SELECT b.token, b.n_true, min(c.cell) AS n_est
+              FROM bk b JOIN cells c ON c.j = b.j AND c.bucket = b.bucket
+              GROUP BY b.token, b.n_true)
+      SELECT token, n_true, n_est, n_est - n_true AS overcount
+      FROM est ORDER BY n_true DESC, token LIMIT 20""")
+  )
+
   /** Document fingerprinting: whole-doc rolling hash + shingle-level
     * fingerprints (custom codegen'd Fingerprint64 inside a higher-order
     * transform), plus the distinct-shingle count per doc. */
@@ -1257,5 +1339,5 @@ object TextQueries {
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
-    hybridRrf, lmScore, manifest)
+    hybridRrf, lmScore, manifest, cmsHeavyHitters)
 }

@@ -240,6 +240,37 @@ class VectorTextSpec extends GraftSuite {
       assert(r.getInt(1) == r.getInt(2), s"chunk grid dropped a chunk: $r")
   }
 
+  test("count-min estimates dominate true counts and match a replayed sketch") {
+    import graft.functions.Fnv64
+    // known counts: alpha×5, beta×3, gamma×1
+    val docs = Seq((1L, "alpha alpha beta gamma alpha"),
+      (2L, "alpha beta beta alpha"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cms").toString
+    docs.toDF("doc_id", "text").withColumn("source", lit("fixture"))
+      .withColumn("n_chars", length($"text").cast("long"))
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = operators.TextQueries.cmsHeavyHitters.run(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    // replay the d=4 × w=32 sketch with the same hash family in-process
+    val trueCounts = Map("alpha" -> 5L, "beta" -> 3L, "gamma" -> 1L)
+    def buckets(tok: String): Seq[Int] = (0 until 4).map { j =>
+      val h = Fnv64.mix(Fnv64.hashBytes(tok.getBytes("UTF-8"), 0L)
+        + (j + 1) * 0x9e3779b97f4a7c15L)
+      (((h % 32) + 32) % 32).toInt
+    }
+    val cells = scala.collection.mutable.Map[(Int, Int), Long]()
+      .withDefaultValue(0L)
+    for ((t, n) <- trueCounts; (b, j) <- buckets(t).zipWithIndex)
+      cells((j, b)) += n
+    assert(out.keySet == trueCounts.keySet)
+    for ((t, n) <- trueCounts) {
+      val est = buckets(t).zipWithIndex.map { case (b, j) => cells((j, b)) }.min
+      assert(est >= n, "CMS estimates are one-sided")
+      assert(out(t) == ((n, est, est - n)), s"$t: ${out(t)} vs ($n, $est)")
+    }
+  }
+
   test("language id picks the profile language on real sentences") {
     val fixtures = Seq(
       (1L, "the cat sat on the mat and looked at the dog", "en"),
