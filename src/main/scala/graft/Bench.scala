@@ -45,7 +45,11 @@ object Bench {
     // index lifecycle split: build time (forced retrain + artifact write)
     // vs query time over the prebuilt artifacts — reported separately
     "x_ann_index_build",
-    "x_ann_ivfpq_indexed")
+    "x_ann_ivfpq_indexed",
+    // round-5 additions
+    "x_events_scd2",
+    "x_events_ewma",
+    "x_text_cms_heavyhitters")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -137,6 +137,24 @@ object DdlDmlQueries {
     oracle = Some("SELECT * FROM nation ORDER BY n_nationkey")
   )
 
+  /** JSONL round-trip: nation → newline-delimited JSON → Loader → parquet.
+    * Same contract as the cpimport CSV path but over the interchange
+    * format training-data pipelines ship; schema-directed read keeps the
+    * column types (JSON alone would widen them). */
+  val jsonlRoundtrip: QueryDef = QueryDef(
+    "d_jsonl_roundtrip",
+    (s, dir) => {
+      val tmp = scratch("jsonl_rt")
+      val nation = t(s, dir, "nation")
+      Loader.exportJsonl(nation, s"$tmp/nation_jsonl")
+      val res = Loader.loadJsonl(s, s"$tmp/nation_jsonl", nation.schema,
+        s"$tmp/nation_parquet")
+      res.rejects.count() // force evaluation of the reject path
+      s.read.parquet(s"$tmp/nation_parquet").orderBy(col("n_nationkey"))
+    },
+    oracle = Some("SELECT * FROM nation ORDER BY n_nationkey")
+  )
+
   /** Reject handling: malformed rows divert to the reject set, good rows
     * load (reference: we_bulkloadbuffer.cpp error tracking → .bad files). */
   val loaderRejects: QueryDef = QueryDef(
@@ -413,7 +431,8 @@ object DdlDmlQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(ctasRoundtrip, insertIntoSelect, updateDelete,
-    alterTable, csvRoundtrip, loaderRejects, crossEngine, bucketedJoin,
+    alterTable, csvRoundtrip, jsonlRoundtrip, loaderRejects, crossEngine,
+    bucketedJoin,
     partitionedWrite, showPartitions, dropPartition, tableStats,
     viewRoundtrip)
 }

@@ -724,8 +724,68 @@ object EventsQueries {
       ORDER BY event_type, hr""")
   )
 
+  /** SCD type-2 dimension build: collapse each user's event stream into
+    * versioned validity ranges — one row per run of consecutive identical
+    * event_types, with [valid_from, valid_to) half-open ranges and an
+    * is_current flag on the open run. The classic warehouse
+    * change-tracking shape (the reference is a warehouse; its users build
+    * exactly this over DML-maintained dimensions). ONE keyed exchange on
+    * user_id: change rows are detected with lag(), then every remaining
+    * column — run ordinal, valid_to, run length — is derived on the
+    * filtered run-START rows with windows that reuse the same user_id
+    * partitioning (a groupBy-(user, run) formulation would re-shuffle
+    * twice; deriving run length from consecutive row_numbers avoids
+    * touching non-start rows again). Ordering ties break on event_id so
+    * change detection is deterministic in both engines. */
+  val scd2: QueryDef = QueryDef(
+    "x_events_scd2",
+    (s, dir) => {
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      val starts = ev(s, dir)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("prev", lag(col("event_type"), 1).over(w))
+        .withColumn("n_rows",
+          count(lit(1)).over(Window.partitionBy(col("user_id"))))
+        .filter(col("prev").isNull || col("prev") =!= col("event_type"))
+      val wS = Window.partitionBy(col("user_id")).orderBy(col("rn"))
+      starts
+        .withColumn("run_id", row_number().over(wS).cast("long"))
+        .withColumn("valid_to", lead(col("ts"), 1).over(wS))
+        .withColumn("next_rn", lead(col("rn"), 1).over(wS))
+        .withColumn("n_events",
+          (coalesce(col("next_rn").cast("long"), col("n_rows") + 1L)
+            - col("rn")).cast("long"))
+        .withColumn("is_current", col("valid_to").isNull)
+        .select(col("user_id"), col("run_id"), col("event_type"),
+          col("ts").as("valid_from"), col("valid_to"), col("n_events"),
+          col("is_current"))
+        .orderBy(col("user_id"), col("run_id"))
+    },
+    oracle = Some("""
+      WITH m AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN lag(event_type) OVER
+                        (PARTITION BY user_id ORDER BY ts, event_id)
+                        IS DISTINCT FROM event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events),
+      r AS (SELECT *, CAST(sum(chg) OVER (PARTITION BY user_id
+                ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                AS run_id FROM m),
+      runs AS (SELECT user_id, run_id, event_type, min(ts) AS valid_from,
+                      CAST(count(*) AS BIGINT) AS n_events
+               FROM r GROUP BY user_id, run_id, event_type),
+      v AS (SELECT *, lead(valid_from) OVER (PARTITION BY user_id
+                ORDER BY run_id) AS valid_to FROM runs)
+      SELECT user_id, run_id, event_type, valid_from, valid_to, n_events,
+             valid_to IS NULL AS is_current
+      FROM v ORDER BY user_id, run_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
-    resample, winsorize, transitions, streamTransitions, ewma)
+    resample, winsorize, transitions, streamTransitions, ewma, scd2)
 }

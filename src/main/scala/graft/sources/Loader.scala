@@ -46,6 +46,31 @@ object Loader {
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .schema(withCorrupt)
       .csv(input)
+    splitGoodBad(spark, raw, outputPath)
+  }
+
+  /** Load newline-delimited JSON — the interchange format training-data
+    * pipelines actually ship — with the same reject contract as loadCsv:
+    * malformed lines divert to the sidecar reject table, good rows land
+    * in the parquet table dir. One task per file split, like the CSV
+    * path. */
+  def loadJsonl(
+      spark: SparkSession,
+      input: String,
+      schema: StructType,
+      outputPath: String): LoadResult = {
+    val withCorrupt = StructType(
+      schema.fields :+ StructField("_corrupt_record", StringType, true))
+    val raw = spark.read
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .schema(withCorrupt)
+      .json(input)
+    splitGoodBad(spark, raw, outputPath)
+  }
+
+  private def splitGoodBad(
+      spark: SparkSession, raw: DataFrame, outputPath: String): LoadResult = {
     val good = raw.filter(col("_corrupt_record").isNull)
       .drop("_corrupt_record")
     // keep data columns alongside the corrupt record: Spark disallows
@@ -69,4 +94,8 @@ object Loader {
     df.write.mode(SaveMode.Overwrite)
       .option("sep", delimiter).option("header", header.toString)
       .csv(path)
+
+  /** Export a DataFrame as newline-delimited JSON (round-trip support). */
+  def exportJsonl(df: DataFrame, path: String): Unit =
+    df.write.mode(SaveMode.Overwrite).json(path)
 }

@@ -81,6 +81,25 @@ class CatalogSpec extends GraftSuite {
     assert(rows(0).getString(1) == "x;y")
   }
 
+  test("jsonl loader keeps types and diverts malformed lines") {
+    val tmp = java.nio.file.Files.createTempDirectory("graft_jsonl")
+    java.nio.file.Files.writeString(tmp.resolve("in.jsonl"),
+      """{"id": 1, "s": "alpha", "v": 2.5}
+        |{"id": 2, "s": "beta", "v": 3.5}
+        |{not json at all
+        |{"id": 4, "s": "delta", "v": 5.5}
+        |""".stripMargin)
+    val schema = StructType(Seq(StructField("id", LongType),
+      StructField("s", StringType), StructField("v", DoubleType)))
+    val res = Loader.loadJsonl(spark, tmp.resolve("in.jsonl").toString,
+      schema, tmp.resolve("out").toString)
+    assert(res.loaded == 3 && res.rejected == 1)
+    val rows = spark.read.parquet(tmp.resolve("out").toString)
+      .orderBy("id").collect()
+    assert(rows.map(_.getLong(0)).toSeq == Seq(1L, 2L, 4L))
+    assert(rows(0).getString(1) == "alpha" && rows(0).getDouble(2) == 2.5)
+  }
+
   test("partition disable/enable/drop lifecycle") {
     val cat = freshCatalog()
     val df = (0L until 30L).map(i => (i, i % 3)).toDF("id", "pk")

@@ -166,4 +166,29 @@ class EngineSpec extends GraftSuite {
     assert(b.length == 1 && b(0).getDouble(3) == 1.0,
       "single observation must seed the smoother with itself")
   }
+
+  test("scd2 collapses runs into contiguous half-open validity ranges") {
+    import spark.implicits._
+    // user 1: A A B A → versions A[0,2) n=2, B[2,3) n=1, A[3,∞) n=1
+    // user 2: C       → single current version
+    val rows = Seq((1L, 0, 1L, "A"), (2L, 1, 1L, "A"), (3L, 2, 1L, "B"),
+      (4L, 3, 1L, "A"), (5L, 0, 2L, "C"))
+      .map { case (id, m, u, t) =>
+        (id, new java.sql.Timestamp(m * 60000L), u, t, 1.0, "{}") }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_scd").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.EventsQueries.scd2.run(spark, tmp).collect()
+    val u1 = out.filter(_.getLong(0) == 1L)
+    assert(u1.map(r => (r.getLong(1), r.getString(2), r.getLong(5))).toSeq ==
+      Seq((1L, "A", 2L), (2L, "B", 1L), (3L, "A", 1L)))
+    // ranges must tile: each valid_to equals the next valid_from
+    u1.sliding(2).foreach { case Array(a, b) =>
+      assert(a.getTimestamp(4) == b.getTimestamp(3), "ranges must be contiguous")
+    }
+    assert(u1.count(_.getBoolean(6)) == 1 && u1.last.getBoolean(6),
+      "exactly the open run is current")
+    val u2 = out.filter(_.getLong(0) == 2L)
+    assert(u2.length == 1 && u2(0).getBoolean(6) && u2(0).isNullAt(4))
+  }
 }

@@ -168,6 +168,31 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("scd2 build reuses a single user_id hash exchange") {
+    // the 100 TB contract of x_events_scd2: all windows declare the same
+    // user_id partitioning, so the whole versioned-dimension build rides
+    // ONE hash exchange (the trailing range exchange is the output sort)
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = operators.EventsQueries.scd2.run(spark, sf)
+    df.collect()
+    // descend through AQE query stages (leaves to TreeNode.collect)
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
+    val exchanges = allNodes(df.queryExecution.executedPlan)
+      .collect { case s: ShuffleExchangeLike => s }
+    val hashExchanges = exchanges.filter(
+      _.toString.linesIterator.next().contains("hashpartitioning"))
+    assert(exchanges.nonEmpty, "plan traversal found no exchanges at all")
+    assert(hashExchanges.size == 1,
+      s"expected one user_id hash exchange, got:\n" +
+        exchanges.map(_.toString.linesIterator.next()).mkString("\n"))
+  }
+
   test("pq quantizer shuffles codes and partials, never vector payloads") {
     // the 100 TB contract of PQ: encoding is a per-row fold over the
     // broadcast codebook, so no exchange ever carries a subvector or the
