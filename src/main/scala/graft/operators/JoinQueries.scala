@@ -327,7 +327,121 @@ object JoinQueries {
       FROM fact JOIN dim ON key = dkey""")
   )
 
+  /** DuckDB replay of the FNV-1a + murmur-mix hash family over
+    * CAST(k AS VARCHAR) for j = 0..3, down to bloom bit positions in
+    * [0, 65536). Same HUGEINT chain as the minhash/CMS oracles; `p`
+    * prefixes the CTE names so the chain can be instantiated for both
+    * join sides in one query. */
+  private def bloomChainSql(p: String, src: String): String = s"""
+      ${p}fh AS (SELECT k,
+           list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+             list_transform(
+               range(1, octet_length(encode(CAST(k AS VARCHAR))) + 1),
+               i -> CAST((strpos('0123456789ABCDEF',
+                        substr(hex(encode(CAST(k AS VARCHAR))), i*2-1, 1)) - 1)
+                        * 16
+                  + (strpos('0123456789ABCDEF',
+                        substr(hex(encode(CAST(k AS VARCHAR))), i*2, 1)) - 1)
+                  AS HUGEINT))),
+             (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT
+                        * 1099511628211) % 18446744073709551616) AS fh
+         FROM $src),
+      ${p}z0 AS (SELECT k, j,
+                   (fh + (j+1) * CAST(11400714819323198485 AS HUGEINT))
+                     % 18446744073709551616 AS z
+                 FROM ${p}fh
+                 CROSS JOIN (SELECT unnest(range(0, 4)) AS j) ${p}js),
+      ${p}x0 AS (SELECT k, j,
+                   xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM ${p}z0),
+      ${p}m1 AS (SELECT k, j,
+                   ((z % 4294967296) * CAST(18397679294719823053 AS HUGEINT)
+                    + ((z // 4294967296) * 3981806797 % 4294967296)
+                      * 4294967296) % 18446744073709551616 AS z FROM ${p}x0),
+      ${p}x1 AS (SELECT k, j,
+                   xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM ${p}m1),
+      ${p}m2 AS (SELECT k, j,
+                   ((z % 4294967296) * CAST(14181476777654086739 AS HUGEINT)
+                    + ((z // 4294967296) * 444984403 % 4294967296)
+                      * 4294967296) % 18446744073709551616 AS z FROM ${p}x1),
+      ${p}x2 AS (SELECT k, j,
+                   xor(z::UBIGINT, z::UBIGINT >> 33) AS u FROM ${p}m2),
+      ${p}b AS (SELECT k, j,
+                  ((CAST(CASE WHEN u >= 9223372036854775808
+                        THEN u::HUGEINT - 18446744073709551616
+                        ELSE u::HUGEINT END AS BIGINT) % 65536) + 65536)
+                  % 65536 AS b
+                FROM ${p}x2)"""
+
+  /** Bloom-filter join pruning — the explicit form of the runtime filter
+    * a 100 TB fact⋈dim join wants: hash the (small) filtered dim-key set
+    * into a k=4, m=65536 bloom bit set, broadcast it as ONE row, and
+    * check every distinct fact key per-row in whole-stage codegen
+    * (forall over the 4 hashes) — the fact side is never shuffled or
+    * exploded. Bits are modeled as the distinct set-bit positions (the
+    * word-packing is an impl detail; membership semantics are
+    * identical), which keeps the DuckDB replay in portable arithmetic —
+    * no signed-shift overflow. Output pins the bloom contract: zero
+    * false negatives, and the measured false-positive rate vs the exact
+    * semi join. Reference: the reference prunes fact scans with
+    * casual-partition min/max instead (primitives/blockrequest API);
+    * bloom pruning is the hash-space analog Spark's runtime filters use. */
+  val bloomPrefilter: QueryDef = QueryDef(
+    "j_bloom_prefilter",
+    (s, dir) => {
+      import graft.functions.HashFunctions.minhashSig
+      val dimKeys = t(s, dir, "orders")
+        .filter(col("o_orderdate") < "1995-03-01")
+        .select(col("o_orderkey")).distinct()
+      val bloom = dimKeys
+        .select(posexplode(
+          minhashSig(array(col("o_orderkey").cast("string")), 4)))
+        .select(pmod(col("col"), lit(65536L)).as("b")).distinct()
+        .agg(sort_array(collect_set(col("b"))).as("bloom"))
+      val facts = t(s, dir, "lineitem")
+        .select(col("l_orderkey")).distinct()
+        .withColumn("hs",
+          minhashSig(array(col("l_orderkey").cast("string")), 4))
+      facts.crossJoin(broadcast(bloom))
+        .withColumn("pass", expr(
+          "forall(hs, h -> array_contains(bloom, pmod(h, CAST(65536 AS BIGINT))))"))
+        .join(dimKeys.withColumn("is_member", lit(true)),
+          col("l_orderkey") === col("o_orderkey"), "left")
+        .agg(
+          count(lit(1)).as("n_keys"),
+          sum(when(col("pass"), 1L).otherwise(0L)).as("n_pass_bloom"),
+          sum(when(col("is_member").isNotNull, 1L).otherwise(0L))
+            .as("n_members"),
+          sum(when(col("pass") && col("is_member").isNull, 1L).otherwise(0L))
+            .as("n_false_pos"))
+        .withColumn("fp_rate", col("n_false_pos").cast("double")
+          / (col("n_keys") - col("n_members")))
+        .select(col("n_keys"), col("n_pass_bloom"), col("n_members"),
+          col("n_false_pos"), col("fp_rate"))
+    },
+    oracle = Some(s"""
+      WITH dk AS (SELECT DISTINCT o_orderkey AS k FROM orders
+                  WHERE o_orderdate < TIMESTAMP '1995-03-01 00:00:00'),
+      ${bloomChainSql("d", "dk")},
+      bits AS (SELECT DISTINCT b FROM db),
+      fk AS (SELECT DISTINCT l_orderkey AS k FROM lineitem),
+      ${bloomChainSql("f", "fk")},
+      pass AS (SELECT k, bool_and(b IN (SELECT b FROM bits)) AS pass
+               FROM fb GROUP BY k),
+      agg AS (SELECT
+                CAST(count(*) AS BIGINT) AS n_keys,
+                CAST(sum(CASE WHEN pass THEN 1 ELSE 0 END) AS BIGINT)
+                  AS n_pass_bloom,
+                CAST(sum(CASE WHEN dk.k IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_members,
+                CAST(sum(CASE WHEN pass AND dk.k IS NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_false_pos
+              FROM pass LEFT JOIN dk ON dk.k = pass.k)
+      SELECT n_keys, n_pass_bloom, n_members, n_false_pos,
+             CAST(n_false_pos AS DOUBLE) / (n_keys - n_members) AS fp_rate
+      FROM agg""")
+  )
+
   def defs: Seq[QueryDef] = Seq(innerShuffle, broadcastDim, leftOuter,
     rightOuter, fullOuter, semi, anti, antiNullAware, scalarSubquery, cross,
-    nonEquiSelf, functionJoin, skewSalted)
+    nonEquiSelf, functionJoin, skewSalted, bloomPrefilter)
 }

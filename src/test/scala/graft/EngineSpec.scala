@@ -167,6 +167,37 @@ class EngineSpec extends GraftSuite {
       "single observation must seed the smoother with itself")
   }
 
+  test("bloom prefilter never false-negatives and matches an in-process replay") {
+    import spark.implicits._
+    import graft.functions.Fnv64
+    // dim: orders 1..40 are early (members); 41..400 late. facts: every key.
+    val cutoff = java.sql.Timestamp.valueOf("1995-03-01 00:00:00")
+    val orders = (1 to 400).map { k =>
+      val ts = if (k <= 40) java.sql.Timestamp.valueOf("1995-01-15 00:00:00")
+      else java.sql.Timestamp.valueOf("1997-06-01 00:00:00")
+      (k.toLong, ts)
+    }
+    assert(orders.forall { case (k, ts) => (k <= 40) == ts.before(cutoff) })
+    val tmp = java.nio.file.Files.createTempDirectory("graft_bloom").toString
+    orders.toDF("o_orderkey", "o_orderdate")
+      .write.mode("overwrite").parquet(s"$tmp/orders.parquet")
+    (1 to 400).map(k => (k.toLong, 1.0)).toDF("l_orderkey", "l_quantity")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val r = operators.JoinQueries.bloomPrefilter.run(spark, tmp).collect()(0)
+    // in-process replay of the m=65536, k=4 bloom over the same family
+    def buckets(k: Long): Seq[Long] = (0 until 4).map { j =>
+      val h = Fnv64.mix(Fnv64.hashBytes(k.toString.getBytes("UTF-8"), 0L)
+        + (j + 1) * 0x9e3779b97f4a7c15L)
+      ((h % 65536) + 65536) % 65536
+    }
+    val bits = (1 to 40).flatMap(k => buckets(k.toLong)).toSet
+    val pass = (1 to 400).count(k => buckets(k.toLong).forall(bits.contains))
+    assert(r.getLong(0) == 400L && r.getLong(2) == 40L)
+    assert(r.getLong(1) == pass.toLong, "bloom pass count must match replay")
+    assert(r.getLong(1) >= r.getLong(2), "no false negatives, ever")
+    assert(r.getLong(3) == r.getLong(1) - 40L)
+  }
+
   test("scd2 collapses runs into contiguous half-open validity ranges") {
     import spark.implicits._
     // user 1: A A B A → versions A[0,2) n=2, B[2,3) n=1, A[3,∞) n=1
