@@ -1336,8 +1336,131 @@ object TextQueries {
       FROM sh GROUP BY shard_id ORDER BY shard_id""")
   )
 
+  /** HyperLogLog distinct-count sketch over corpus shingles — the
+    * mergeable-cardinality companion to the CMS frequency sketch above.
+    * m=64 registers (p=6; deliberately small so estimation error is
+    * actually exercised at test scale); register j holds the max over
+    * hashed shingles of rho(h >>> 6) where rho = trailing-zero count + 1.
+    * The build is SHARDED to pin mergeability: per-shard registers
+    * (doc_id % 8) are max-merged into global registers before estimating
+    * — exactly how 1000 executors would each sketch their split and ship
+    * 64 bytes to the driver. At 100 TB the sketch build is a two-phase
+    * max-aggregation over a per-row codegen'd hash (no distinct shuffle
+    * anywhere in the estimate path); the exact-count branch here exists
+    * only to expose the observed relative error next to the estimate.
+    * The raw harmonic-mean estimator (alpha_64 = 0.709) is emitted
+    * unrounded: every term 2^(59-M_j) is summed in exact integer
+    * arithmetic (DECIMAL(38,0) / HUGEINT) and the final float divide is
+    * written identically on both engines, so the doubles match bit-exact.
+    * Hash family: the minhash j=0 hash (FNV-1a + murmur finalizer),
+    * replayed in DuckDB HUGEINT arithmetic like the CMS/minhash oracles. */
+  val hllDistinct: QueryDef = QueryDef(
+    "x_text_hll_distinct",
+    (s, dir) => {
+      val sh = docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shingle", explode(expr(
+          """transform(sequence(0, greatest(size(toks) - 3, 0)),
+             i -> concat_ws(' ', slice(toks, i + 1, 3)))""")))
+        .select(col("doc_id"), col("shingle"))
+      val hashed = sh
+        .withColumn("h", element_at(minhashSig(array(col("shingle")), 1), 1))
+        .withColumn("bucket", pmod(col("h"), lit(64L)))
+        .withColumn("su", shiftrightunsigned(col("h"), 6))
+        .withColumn("rho", expr(
+          "CASE WHEN su = 0 THEN 59 " +
+            "ELSE bit_count((su - (su & (su - 1))) - 1) + 1 END"))
+      val shardRegs = hashed
+        .groupBy(pmod(col("doc_id"), lit(8L)).as("shard"), col("bucket"))
+        .agg(max(col("rho")).as("reg"))
+      val regs = shardRegs.groupBy(col("bucket"))
+        .agg(max(col("reg")).as("reg"))
+      val est = regs.agg(
+        count(lit(1)).as("n_buckets"),
+        sum(expr("CAST(shiftleft(1L, 59 - reg) AS DECIMAL(38,0))"))
+          .as("s_present"))
+        .withColumn("s_scaled", col("s_present") +
+          (lit(64L) - col("n_buckets")).cast("decimal(38,0)") *
+            lit(576460752303423488L).cast("decimal(38,0)"))
+      val exact = sh.agg(countDistinct(col("shingle")).as("n_exact"))
+      est.crossJoin(exact)
+        .withColumn("hll_est",
+          lit(0.709) * lit(4096.0) * lit(576460752303423488.0) /
+            col("s_scaled").cast("double"))
+        .withColumn("rel_err",
+          (col("hll_est") - col("n_exact").cast("double")) /
+            col("n_exact").cast("double"))
+        .select(col("n_exact"), col("n_buckets"), col("hll_est"),
+          col("rel_err"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      sh AS (SELECT doc_id,
+               unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                 i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+             FROM t),
+      fh AS (SELECT doc_id, shingle,
+               list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(1, octet_length(encode(shingle)) + 1),
+                   i -> CAST((strpos('0123456789ABCDEF',
+                            substr(hex(encode(shingle)), i*2-1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF',
+                            substr(hex(encode(shingle)), i*2, 1)) - 1)
+                      AS HUGEINT))),
+                 (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT
+                            * 1099511628211) % 18446744073709551616) AS fh
+             FROM sh),
+      z0 AS (SELECT doc_id, shingle,
+               (fh + CAST(11400714819323198485 AS HUGEINT))
+                 % 18446744073709551616 AS z FROM fh),
+      x0 AS (SELECT doc_id, shingle,
+               xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM z0),
+      m1 AS (SELECT doc_id, shingle,
+               ((z % 4294967296) * CAST(18397679294719823053 AS HUGEINT)
+                + ((z // 4294967296) * 3981806797 % 4294967296) * 4294967296)
+               % 18446744073709551616 AS z FROM x0),
+      x1 AS (SELECT doc_id, shingle,
+               xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM m1),
+      m2 AS (SELECT doc_id, shingle,
+               ((z % 4294967296) * CAST(14181476777654086739 AS HUGEINT)
+                + ((z // 4294967296) * 444984403 % 4294967296) * 4294967296)
+               % 18446744073709551616 AS z FROM x1),
+      x2 AS (SELECT doc_id, shingle,
+               xor(z::UBIGINT, z::UBIGINT >> 33) AS u FROM m2),
+      hb AS (SELECT doc_id,
+               CAST(u % 64 AS BIGINT) AS bucket, u >> 6 AS su FROM x2),
+      rho AS (SELECT doc_id, bucket,
+                CASE WHEN su = 0 THEN 59
+                     ELSE CAST(bit_count(
+                            CAST((su - (su & (su - 1))) - 1 AS BIGINT))
+                          AS INT) + 1 END AS rho
+              FROM hb),
+      shardreg AS (SELECT doc_id % 8 AS shard, bucket, max(rho) AS reg
+                   FROM rho GROUP BY 1, 2),
+      reg AS (SELECT bucket, max(reg) AS reg FROM shardreg GROUP BY bucket),
+      est AS (SELECT CAST(count(*) AS BIGINT) AS n_buckets,
+                sum(CAST((CAST(1 AS BIGINT) << (59 - reg)) AS HUGEINT))
+                  AS s_present
+              FROM reg),
+      fin AS (SELECT n_buckets,
+                s_present + (64 - n_buckets)
+                  * CAST(576460752303423488 AS HUGEINT) AS s_scaled
+              FROM est),
+      ex AS (SELECT count(DISTINCT shingle) AS n_exact FROM sh),
+      joined AS (SELECT ex.n_exact, fin.n_buckets,
+                   CAST(0.709 AS DOUBLE) * CAST(4096 AS DOUBLE)
+                     * CAST(576460752303423488 AS DOUBLE)
+                     / CAST(fin.s_scaled AS DOUBLE) AS hll_est
+                 FROM fin, ex)
+      SELECT n_exact, n_buckets, hll_est,
+             (hll_est - CAST(n_exact AS DOUBLE)) / CAST(n_exact AS DOUBLE)
+               AS rel_err
+      FROM joined""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
-    hybridRrf, lmScore, manifest, cmsHeavyHitters)
+    hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct)
 }

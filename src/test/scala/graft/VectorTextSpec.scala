@@ -667,4 +667,41 @@ class VectorTextSpec extends GraftSuite {
     assert(math.abs(byId(101L)._1 - 10.0 / 11.0) < 1e-12)
     assert(byId(102L)._2 == "novel" && byId(102L)._1 == 0.0)
   }
+
+  test("hll registers and estimate match an in-process replay") {
+    import graft.functions.Fnv64
+    // ~60 docs over a 12-word vocab → a few hundred distinct shingles
+    val vocab = Vector("alpha", "beta", "gamma", "delta", "eps", "zeta",
+      "eta", "theta", "iota", "kappa", "lam", "mu")
+    val docSeq = (0 until 60).map { i =>
+      val words = (0 until 20).map(j => vocab((i * 7 + j * 5 + i * j) % 12))
+      (i.toLong, words.mkString(" "), "s")
+    }
+    val tmp = writeDocs(docSeq)
+    val r = operators.TextQueries.hllDistinct.run(spark, tmp).collect()(0)
+    def shingles(text: String): Seq[String] = {
+      val t = text.split(" ", -1).toSeq
+      (0 to math.max(t.size - 3, 0)).map(i => t.slice(i, i + 3).mkString(" "))
+    }
+    val distinct = docSeq.flatMap { case (_, tx, _) => shingles(tx) }.distinct
+    val regs = scala.collection.mutable.Map[Long, Int]()
+    for (sh <- distinct) {
+      val h = Fnv64.mix(
+        Fnv64.hashBytes(sh.getBytes("UTF-8"), 0L) + 0x9e3779b97f4a7c15L)
+      val b = ((h % 64) + 64) % 64
+      val su = h >>> 6
+      val rho =
+        if (su == 0L) 59 else java.lang.Long.numberOfTrailingZeros(su) + 1
+      regs(b) = math.max(regs.getOrElse(b, 0), rho)
+    }
+    val sScaled = BigInt(64 - regs.size) * BigInt(2).pow(59) +
+      regs.values.map(m => BigInt(2).pow(59 - m)).sum
+    val est = 0.709 * 4096.0 * 576460752303423488.0 / sScaled.toDouble
+    assert(r.getLong(0) == distinct.size.toLong, "exact distinct count")
+    assert(r.getLong(1) == regs.size.toLong, "non-zero register count")
+    assert(math.abs(r.getDouble(2) - est) < 1e-9 * est,
+      s"estimate ${r.getDouble(2)} vs replay $est")
+    assert(math.abs(r.getDouble(3)) < 0.5,
+      s"m=64 estimate should land within 50%: rel_err ${r.getDouble(3)}")
+  }
 }
