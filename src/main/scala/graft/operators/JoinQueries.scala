@@ -441,7 +441,56 @@ object JoinQueries {
       FROM agg""")
   )
 
+  /** Fuzzy similarity join (edit distance ≤ 1) via the deletion
+    * neighborhood: each name emits itself plus its |name| one-char
+    * deletions as join keys; two strings within one edit ALWAYS share a
+    * key (equal → the full string; one substitution → the deletion of
+    * the differing char from each; one insert/delete → the shorter IS a
+    * deletion variant of the longer), so candidates come from an
+    * EQUI-join on the variant column — never an all-pairs cross — and a
+    * cheap `levenshtein` verify kills the false candidates the
+    * neighborhood admits (e.g. transpositions share keys at distance 2).
+    * At 100 TB: key volume is rows×(len+1), bucket sizes are bounded by
+    * real near-match density, and the verify runs only on candidates —
+    * the same generate→verify shape as the minhash-LSH dedup. The
+    * reference reaches fuzzy matching through its MySQL function joins
+    * (SOUNDEX et al. routed to the UM expression step,
+    * dbcon/mysql/ha_scalar_fn.cpp); the deletion-neighborhood form is
+    * the scale-right Spark expression of the same capability. */
+  val fuzzyEditJoin: QueryDef = QueryDef(
+    "j_fuzzy_edit_join",
+    (s, dir) => {
+      val names = t(s, dir, "supplier")
+        .select(col("s_name").as("name")).distinct()
+      val keyed = names.withColumn("v", explode(expr(
+        """concat(array(name),
+           transform(sequence(1, length(name)),
+             i -> concat(substring(name, 1, i - 1),
+                         substring(name, i + 1, length(name)))))""")))
+      keyed.as("a")
+        .join(keyed.as("b"),
+          col("a.v") === col("b.v") && col("a.name") < col("b.name"))
+        .select(col("a.name").as("name_a"), col("b.name").as("name_b"))
+        .distinct()
+        .withColumn("dist", levenshtein(col("name_a"), col("name_b")))
+        .filter(col("dist") <= 1)
+        .orderBy(col("name_a"), col("name_b"))
+    },
+    oracle = Some("""
+      WITH names AS (SELECT DISTINCT s_name AS name FROM supplier),
+      keyed AS (SELECT name, unnest(list_prepend(name,
+                  list_transform(range(1, length(name) + 1),
+                    i -> substr(name, 1, i - 1) || substr(name, i + 1)))) AS v
+                FROM names),
+      cands AS (SELECT DISTINCT a.name AS name_a, b.name AS name_b
+                FROM keyed a JOIN keyed b
+                  ON a.v = b.v AND a.name < b.name)
+      SELECT name_a, name_b, levenshtein(name_a, name_b) AS dist
+      FROM cands WHERE levenshtein(name_a, name_b) <= 1
+      ORDER BY name_a, name_b""")
+  )
+
   def defs: Seq[QueryDef] = Seq(innerShuffle, broadcastDim, leftOuter,
     rightOuter, fullOuter, semi, anti, antiNullAware, scalarSubquery, cross,
-    nonEquiSelf, functionJoin, skewSalted, bloomPrefilter)
+    nonEquiSelf, functionJoin, skewSalted, bloomPrefilter, fuzzyEditJoin)
 }

@@ -198,6 +198,21 @@ class EngineSpec extends GraftSuite {
     assert(r.getLong(3) == r.getLong(1) - 40L)
   }
 
+  test("fuzzy edit join finds subs and indels, rejects transpositions") {
+    import spark.implicits._
+    // carol/carl: deletion pair (dist 1). mike/mika: substitution (dist 1).
+    // stone/notes: anagram sharing NO deletion variant. ab/ba: transposition
+    // — shares deletion variants {a,b} so it IS a candidate, but dist 2
+    // must be filtered by the verify stage. zz: isolated.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_fuzzy").toString
+    Seq("carol", "carl", "mike", "mika", "stone", "notes", "ab", "ba", "zz")
+      .toDF("s_name").write.mode("overwrite").parquet(s"$tmp/supplier.parquet")
+    val pairs = operators.JoinQueries.fuzzyEditJoin.run(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getInt(2))).toSet
+    assert(pairs == Set(("carl", "carol", 1), ("mika", "mike", 1)),
+      s"got $pairs")
+  }
+
   test("scd2 collapses runs into contiguous half-open validity ranges") {
     import spark.implicits._
     // user 1: A A B A → versions A[0,2) n=2, B[2,3) n=1, A[3,∞) n=1
