@@ -430,9 +430,50 @@ object DdlDmlQueries {
       GROUP BY r.r_name ORDER BY region""")
   )
 
+  /** INSERT … ON DUPLICATE KEY UPDATE (MySQL upsert; reference: the DML
+    * path routes ON DUPLICATE KEY through the same insert/update package
+    * processors, dml/insertdmlpackage.cpp). Every 10th customer is
+    * "re-loaded" with a zeroed balance and an UPSERTED segment (key
+    * collision → row replaced); a shifted copy of the %10==3 customers
+    * arrives under fresh keys (→ appended). The oracle rebuilds the
+    * final state from the immutable source with CASE + UNION ALL. */
+  val mergeUpsert: QueryDef = QueryDef(
+    "d_merge_upsert",
+    (s, dir) => {
+      val cat = new Catalog(s, scratch("upsert"))
+      val cust = t(s, dir, "customer")
+      cat.createTableAs("cust", cust)
+      val updates = cust.filter(col("c_custkey") % 10 === 0)
+        .withColumn("c_acctbal", lit(0.0))
+        .withColumn("c_mktsegment", lit("UPSERTED"))
+      val inserts = cust.filter(col("c_custkey") % 10 === 3)
+        .withColumn("c_custkey", col("c_custkey") + 1000000)
+      cat.upsert("cust", updates.unionByName(inserts), Seq("c_custkey"))
+      cat.table("cust")
+        .groupBy(col("c_mktsegment"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            .as("bal"))
+        .orderBy(col("c_mktsegment"))
+    },
+    oracle = Some("""
+      WITH final AS (
+        SELECT CASE WHEN c_custkey % 10 = 0 THEN 'UPSERTED'
+                    ELSE c_mktsegment END AS c_mktsegment,
+               CASE WHEN c_custkey % 10 = 0 THEN 0.0
+                    ELSE c_acctbal END AS c_acctbal
+        FROM customer
+        UNION ALL
+        SELECT c_mktsegment, c_acctbal
+        FROM customer WHERE c_custkey % 10 = 3)
+      SELECT c_mktsegment, count(*) AS n,
+             CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
   def defs: Seq[QueryDef] = Seq(ctasRoundtrip, insertIntoSelect, updateDelete,
     alterTable, csvRoundtrip, jsonlRoundtrip, loaderRejects, crossEngine,
     bucketedJoin,
     partitionedWrite, showPartitions, dropPartition, tableStats,
-    viewRoundtrip)
+    viewRoundtrip, mergeUpsert)
 }

@@ -204,6 +204,21 @@ class Catalog(spark: SparkSession, root: String) {
     deleteRecursively(old)
   }
 
+  /** INSERT … ON DUPLICATE KEY UPDATE (MySQL upsert, full-row form): a
+    * batch row whose key matches an existing row replaces it; the rest
+    * append. One read-modify-overwrite pass built from an anti-join on
+    * the key — the MERGE shape every warehouse upsert compiles to (key
+    * shuffle on both sides, or broadcast when the batch is small enough
+    * for the threshold). The batch must carry the table's full schema and
+    * at most one row per key (MySQL applies batch rows in order; a keyed
+    * batch with duplicates should be pre-collapsed by the caller). */
+  def upsert(name: String, batch: DataFrame, keys: Seq[String]): Unit =
+    rewrite(name, existing => {
+      val cols = existing.columns.toSeq
+      existing.join(batch.select(keys.head, keys.tail: _*), keys, "left_anti")
+        .unionByName(batch.select(cols.head, cols.tail: _*))
+    })
+
   /** TRUNCATE TABLE. */
   def truncate(name: String): Unit = {
     val schema = tables.getOrElse(name,

@@ -152,4 +152,20 @@ class CatalogSpec extends GraftSuite {
     assert(s3.catalog.tableExists("base"))
     intercept[IllegalArgumentException](cat.dropView("grp_counts"))
   }
+
+  test("upsert replaces colliding keys, appends fresh ones, is idempotent") {
+    val cat = freshCatalog()
+    cat.createTableAs("t",
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "tag", "v"))
+    // id 2 collides (full-row replace), id 3 is new; batch column order
+    // deliberately differs from the table's to pin schema alignment
+    val batch = Seq(("B", 2L, 99.0), ("C", 3L, 30.0)).toDF("tag", "id", "v")
+    cat.upsert("t", batch, Seq("id"))
+    def state() = cat.table("t").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq
+    val expected = Seq((1L, "a", 10.0), (2L, "B", 99.0), (3L, "C", 30.0))
+    assert(state() == expected)
+    cat.upsert("t", batch, Seq("id"))
+    assert(state() == expected, "re-applying the same batch must be a no-op")
+  }
 }
