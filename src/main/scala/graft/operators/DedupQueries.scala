@@ -857,7 +857,131 @@ ${LshOracleSql.cosineExpr} AS c
       FROM t LEFT JOIN agg a USING (doc_id) ORDER BY t.doc_id""")
   )
 
+  /** KMV (bottom-k) sketch corpus-overlap estimation: how much does
+    * corpus A (even doc_ids) overlap corpus B (odd doc_ids)? Each side
+    * keeps only its k=64 smallest distinct shingle hashes — a bounded
+    * TakeOrderedAndProject heap per side, NEVER a corpus-sized state —
+    * and the Jaccard estimate is |{h in bottom-k(A∪B) : h ∈ A ∧ h ∈ B}|/k
+    * (Beyer et al.'s KMV estimator, public-knowledge technique). The
+    * exact Jaccard over distinct shingles is computed alongside so the
+    * output exposes the estimation error. At 100 TB: each executor heaps
+    * its split's bottom-k, the driver-side merge is k longs per corpus,
+    * and comparing ANY pair of pre-built corpus sketches is O(k) — the
+    * pre-ingest "how much of this new crawl is already in my training
+    * set" check that runs before any per-document dedup. The sketch
+    * membership joins run on ≤k-row frames (broadcast for free). Hash:
+    * the minhash j=0 hash, replayed in DuckDB HUGEINT arithmetic. */
+  val kmvOverlap: QueryDef = QueryDef(
+    "x_dedup_kmv_overlap",
+    (s, dir) => {
+      val side = when(col("doc_id") % 2 === 0, "a").otherwise("b")
+      val sh = docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .withColumn("shingle", explode(expr(
+          """transform(sequence(0, greatest(size(toks) - 3, 0)),
+             i -> concat_ws(' ', slice(toks, i + 1, 3)))""")))
+        .select(side.as("side"), col("shingle")).distinct()
+      val hs = sh
+        .select(col("side"),
+          element_at(minhashSig(array(col("shingle")), 1), 1).as("h"))
+        .distinct()
+      val aSk = hs.filter(col("side") === "a").select(col("h"))
+        .orderBy(col("h")).limit(64)
+      val bSk = hs.filter(col("side") === "b").select(col("h"))
+        .orderBy(col("h")).limit(64)
+      val merged = aSk.union(bSk).distinct().orderBy(col("h")).limit(64)
+      val est = merged
+        .join(aSk.withColumn("in_a", lit(1)), Seq("h"), "left")
+        .join(bSk.withColumn("in_b", lit(1)), Seq("h"), "left")
+        .agg(sum(when(col("in_a") === 1 && col("in_b") === 1, 1L)
+          .otherwise(0L)).as("n_both"))
+      val flags = sh.groupBy(col("shingle")).agg(
+        max(when(col("side") === "a", 1).otherwise(0)).as("ia"),
+        max(when(col("side") === "b", 1).otherwise(0)).as("ib"))
+      val exact = flags.agg(
+        sum(col("ia")).cast("long").as("n_a"),
+        sum(col("ib")).cast("long").as("n_b"),
+        sum(when(col("ia") === 1 && col("ib") === 1, 1L).otherwise(0L))
+          .as("n_inter"),
+        count(lit(1)).as("n_union"))
+      exact.crossJoin(est)
+        .withColumn("j_exact",
+          col("n_inter").cast("double") / col("n_union").cast("double"))
+        .withColumn("j_est", col("n_both").cast("double") / lit(64.0))
+        .withColumn("est_err", col("j_est") - col("j_exact"))
+        .select(col("n_a"), col("n_b"), col("n_inter"), col("n_union"),
+          col("j_exact"), col("j_est"), col("est_err"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      sh0 AS (SELECT doc_id,
+                unnest(list_transform(range(0, greatest(len(toks) - 3, 0) + 1),
+                  i -> array_to_string(toks[i+1:i+3], ' '))) AS shingle
+              FROM t),
+      sh AS (SELECT DISTINCT
+               CASE WHEN doc_id % 2 = 0 THEN 'a' ELSE 'b' END AS side,
+               shingle
+             FROM sh0),
+      fh AS (SELECT side, shingle,
+               list_reduce(list_prepend(CAST(14695981039346656037 AS HUGEINT),
+                 list_transform(range(1, octet_length(encode(shingle)) + 1),
+                   i -> CAST((strpos('0123456789ABCDEF',
+                            substr(hex(encode(shingle)), i*2-1, 1)) - 1) * 16
+                      + (strpos('0123456789ABCDEF',
+                            substr(hex(encode(shingle)), i*2, 1)) - 1)
+                      AS HUGEINT))),
+                 (h, c) -> (xor(CAST(h AS UBIGINT), CAST(c AS UBIGINT))::HUGEINT
+                            * 1099511628211) % 18446744073709551616) AS fh
+             FROM sh),
+      z0 AS (SELECT side, (fh + CAST(11400714819323198485 AS HUGEINT))
+               % 18446744073709551616 AS z FROM fh),
+      x0 AS (SELECT side,
+               xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM z0),
+      m1 AS (SELECT side,
+               ((z % 4294967296) * CAST(18397679294719823053 AS HUGEINT)
+                + ((z // 4294967296) * 3981806797 % 4294967296) * 4294967296)
+               % 18446744073709551616 AS z FROM x0),
+      x1 AS (SELECT side,
+               xor(z::UBIGINT, z::UBIGINT >> 33)::HUGEINT AS z FROM m1),
+      m2 AS (SELECT side,
+               ((z % 4294967296) * CAST(14181476777654086739 AS HUGEINT)
+                + ((z // 4294967296) * 444984403 % 4294967296) * 4294967296)
+               % 18446744073709551616 AS z FROM x1),
+      x2 AS (SELECT side,
+               xor(z::UBIGINT, z::UBIGINT >> 33) AS u FROM m2),
+      hb AS (SELECT side,
+               CAST(CASE WHEN u >= 9223372036854775808
+                         THEN u::HUGEINT - 18446744073709551616
+                         ELSE u::HUGEINT END AS BIGINT) AS h FROM x2),
+      hs AS (SELECT DISTINCT side, h FROM hb),
+      a_sk AS (SELECT h FROM hs WHERE side = 'a' ORDER BY h LIMIT 64),
+      b_sk AS (SELECT h FROM hs WHERE side = 'b' ORDER BY h LIMIT 64),
+      merged AS (SELECT h FROM
+                   (SELECT h FROM a_sk UNION SELECT h FROM b_sk) u
+                 ORDER BY h LIMIT 64),
+      estc AS (SELECT CAST(count(*) AS BIGINT) AS n_both FROM merged
+               WHERE h IN (SELECT h FROM a_sk)
+                 AND h IN (SELECT h FROM b_sk)),
+      flags AS (SELECT shingle,
+                  max(CASE WHEN side = 'a' THEN 1 ELSE 0 END) AS ia,
+                  max(CASE WHEN side = 'b' THEN 1 ELSE 0 END) AS ib
+                FROM sh GROUP BY shingle),
+      ex AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+               CAST(sum(ib) AS BIGINT) AS n_b,
+               CAST(sum(CASE WHEN ia = 1 AND ib = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS n_inter,
+               CAST(count(*) AS BIGINT) AS n_union
+             FROM flags)
+      SELECT n_a, n_b, n_inter, n_union,
+             CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS j_exact,
+             CAST(n_both AS DOUBLE) / 64.0 AS j_est,
+             CAST(n_both AS DOUBLE) / 64.0
+               - CAST(n_inter AS DOUBLE) / CAST(n_union AS DOUBLE) AS est_err
+      FROM ex, estc""")
+  )
+
   def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash,
     embeddingNearDup, clusters, incremental, semdedup, cc, chunkDedup,
-    spanDedup)
+    spanDedup, kmvOverlap)
 }

@@ -668,6 +668,31 @@ class VectorTextSpec extends GraftSuite {
     assert(byId(102L)._2 == "novel" && byId(102L)._1 == 0.0)
   }
 
+  test("kmv bottom-k overlap matches an in-process sketch replay") {
+    import graft.functions.Fnv64
+    // one 3-token shingle per doc; 50 shared + 50 private per side →
+    // exact Jaccard 50/150, and 100 hashes per side exercise the k=64
+    // sketch truncation
+    def sideDocs(off: Long, tag: String) =
+      (0 until 50).map(k => (off + 2 * k, s"common w$k x", "s")) ++
+        (50 until 100).map(k => (off + 2 * k, s"$tag w$k x", "s"))
+    val tmp = writeDocs(sideDocs(0L, "aonly") ++ sideDocs(1L, "bonly"))
+    val r = operators.DedupQueries.kmvOverlap.run(spark, tmp).collect()(0)
+    def h1(s: String) = Fnv64.mix(
+      Fnv64.hashBytes(s.getBytes("UTF-8"), 0L) + 0x9e3779b97f4a7c15L)
+    def shs(tag: String) = (0 until 50).map(k => s"common w$k x") ++
+      (50 until 100).map(k => s"$tag w$k x")
+    val aSk = shs("aonly").map(h1).distinct.sorted.take(64).toSet
+    val bSk = shs("bonly").map(h1).distinct.sorted.take(64).toSet
+    val nBoth = (aSk ++ bSk).toSeq.sorted.take(64)
+      .count(h => aSk(h) && bSk(h))
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((100L, 100L, 50L, 150L)))
+    assert(r.getDouble(4) == 50.0 / 150.0)
+    assert(r.getDouble(5) == nBoth / 64.0,
+      s"sketch estimate ${r.getDouble(5)} vs replay ${nBoth / 64.0}")
+  }
+
   test("hll registers and estimate match an in-process replay") {
     import graft.functions.Fnv64
     // ~60 docs over a 12-word vocab → a few hundred distinct shingles
