@@ -394,8 +394,29 @@ object AggregateQueries {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** Per-group top-k through the bounded-buffer TopKLabels aggregate:
+    * top-3 customers by balance within each market segment. The buffer
+    * never exceeds k pairs (see `functions/TopK.scala`), so the shuffle
+    * carries k pairs per (segment, partition) instead of every customer
+    * row — the per-group form of the LimitedOrderBy bounded heap. */
+  val topkPerGroup: QueryDef = QueryDef(
+    "a_topk_per_group",
+    (s, dir) =>
+      t(s, dir, "customer")
+        .groupBy(col("c_mktsegment"))
+        .agg(graft.functions.TopK
+          .topkLabels(col("c_acctbal"), col("c_name"), 3).as("top3"))
+        .orderBy(col("c_mktsegment")),
+    oracle = Some("""
+      SELECT c_mktsegment,
+             array_to_string(
+               (array_agg(c_name ORDER BY c_acctbal DESC, c_name))[1:3],
+               ',') AS top3
+      FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
+  )
+
   def defs: Seq[QueryDef] = Seq(basicStats, distinctAggs, bitAggs,
     groupConcatCustom, groupConcatDistinct, having, rollup, cube, emptyInput,
     highCardinality, mysqlShims, approxDistinct, approxPercentile, listAgg,
-    groupingSets, pivot)
+    groupingSets, pivot, topkPerGroup)
 }

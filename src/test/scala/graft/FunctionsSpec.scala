@@ -257,4 +257,33 @@ class FunctionsSpec extends GraftSuite {
     assert(ordered.toSeq == Seq("ACME", "apple", "banana", "Zed"),
       ordered.toSeq.toString)
   }
+
+  test("topk aggregate keeps a bounded buffer and orders ties by label") {
+    import graft.functions.{TkInput, TopKLabels, TopK}
+    val agg = new TopKLabels(3)
+    // the 100 TB contract: reduce and merge NEVER grow the buffer past k
+    var buf = agg.zero
+    for (i <- 1 to 50) {
+      buf = agg.reduce(buf, TkInput(i.toDouble, s"r$i"))
+      assert(buf.size <= 3, s"buffer grew to ${buf.size} after $i rows")
+    }
+    val other = (100 to 140).foldLeft(agg.zero)((b, i) =>
+      agg.reduce(b, TkInput(i.toDouble, s"m$i")))
+    val merged = agg.merge(buf, other)
+    assert(merged.size == 3)
+    assert(agg.finish(merged) == "m140,m139,m138")
+    // ties order by label ascending; null labels are dropped
+    val ties = Seq(TkInput(5.0, "b"), TkInput(5.0, "a"), TkInput(5.0, "c"),
+      TkInput(9.0, null)).foldLeft(agg.zero)(agg.reduce)
+    assert(agg.finish(ties) == "a,b,c")
+    // end-to-end through the udaf against a hand-ranked frame
+    val df = Seq(("g", 1.0, "low"), ("g", 9.0, "hi"), ("g", 5.0, "mid"),
+      ("g", 7.0, "near"), ("h", 2.0, "only"))
+      .toDF("g", "v", "name")
+    val rows = df.groupBy($"g")
+      .agg(TopK.topkLabels($"v", $"name", 3).as("top"))
+      .orderBy($"g").collect()
+    assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
+      Seq(("g", "hi,near,mid"), ("h", "only")))
+  }
 }
