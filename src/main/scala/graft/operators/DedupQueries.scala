@@ -981,7 +981,92 @@ ${LshOracleSql.cosineExpr} AS c
       FROM ex, estc""")
   )
 
+  /** Content-defined chunking (CDC) dedup: chunk boundaries are decided
+    * by the CONTENT of a fixed 4-token window (cut after token i when
+    * md5 of tokens i-3..i starts with nibble 0 or 1 → expected chunk
+    * ~8 tokens), so identical runs chunk identically at ANY offset —
+    * the shift-robustness the fixed 10-token grid of x_dedup_chunks
+    * lacks (an inserted header shifts every grid chunk; CDC re-syncs
+    * after one window). This is the rolling-window boundary scheme
+    * backup/storage dedup uses, applied at token granularity.
+    *
+    * Scale shape: boundary decisions and chunk digests are per-row
+    * higher-order expressions over the scan (no shuffle); the only
+    * shuffle is the two-phase (md5 → count) duplicate filter, carrying
+    * ~40 B digests — chunk text never moves. At 100 TB the window/nibble
+    * parameters trade chunk size vs boundary density with the plan shape
+    * unchanged. */
+  val cdcChunks: QueryDef = QueryDef(
+    "x_dedup_cdc_chunks",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        // cut after 0-based token i (full-window positions only) when the
+        // window digest's first nibble is 0 or 1; sequence() descends when
+        // stop < start, so guard short docs to an empty cut list
+        .withColumn("cuts", expr(
+          """CASE WHEN size(toks) >= 5 THEN
+               filter(sequence(3, size(toks) - 2),
+                 i -> substring(md5(concat_ws(' ', slice(toks, i - 2, 4))),
+                                1, 1) IN ('0', '1'))
+             ELSE array() END"""))
+        .withColumn("starts",
+          expr("concat(array(0), transform(cuts, c -> c + 1))"))
+        .withColumn("chunks", expr(
+          """transform(sequence(0, size(starts) - 1),
+             j -> concat_ws(' ', slice(toks, element_at(starts, j + 1) + 1,
+                    (CASE WHEN j = size(starts) - 1 THEN size(toks)
+                          ELSE element_at(starts, j + 2) END)
+                    - element_at(starts, j + 1))))"""))
+      val chunkRows = base.select(col("doc_id"),
+        explode(expr("transform(chunks, c -> md5(c))")).as("h"))
+      val dupCounts = chunkRows.groupBy(col("h"))
+        .agg(count(lit(1)).as("n"))
+      val perDoc = chunkRows.join(dupCounts, Seq("h"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_chunks"),
+          sum(when(col("n") > 1, 1L).otherwise(0L)).as("n_dup_chunks"))
+      base.select(col("doc_id"), size(col("toks")).as("n_toks"))
+        .join(perDoc, Seq("doc_id"))
+        .withColumn("avg_chunk_toks",
+          col("n_toks").cast("double") / col("n_chunks").cast("double"))
+        .select(col("doc_id"), col("n_toks"), col("n_chunks"),
+          col("avg_chunk_toks"), col("n_dup_chunks"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      c AS (SELECT doc_id, toks,
+              list_filter(range(3, len(toks) - 1),
+                i -> substr(md5(array_to_string(toks[i-2:i+1], ' ')), 1, 1)
+                     IN ('0', '1')) AS cuts
+            FROM t),
+      st AS (SELECT doc_id, toks,
+               list_prepend(0, list_transform(cuts, x -> x + 1)) AS starts
+             FROM c),
+      ch AS (SELECT doc_id, len(toks) AS n_toks,
+               list_transform(range(0, len(starts)),
+                 j -> md5(array_to_string(
+                   toks[starts[j+1]+1 :
+                        CASE WHEN j = len(starts) - 1 THEN len(toks)
+                             ELSE starts[j+2] END], ' '))) AS hs
+             FROM st),
+      cr AS (SELECT doc_id, n_toks, unnest(hs) AS h FROM ch),
+      dc AS (SELECT h, count(*) AS n FROM cr GROUP BY h),
+      pd AS (SELECT cr.doc_id, any_value(cr.n_toks) AS n_toks,
+               CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN dc.n > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                 AS n_dup_chunks
+             FROM cr JOIN dc USING (h) GROUP BY cr.doc_id)
+      SELECT doc_id, n_toks, n_chunks,
+             CAST(n_toks AS DOUBLE) / CAST(n_chunks AS DOUBLE)
+               AS avg_chunk_toks,
+             n_dup_chunks
+      FROM pd ORDER BY doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash,
     embeddingNearDup, clusters, incremental, semdedup, cc, chunkDedup,
-    spanDedup, kmvOverlap)
+    spanDedup, kmvOverlap, cdcChunks)
 }

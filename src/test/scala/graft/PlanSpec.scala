@@ -337,4 +337,38 @@ class PlanSpec extends GraftSuite {
       s"interval join fell back to a nested loop:\n$plan")
     assert(plan.contains("HashJoin") || plan.contains("SortMergeJoin"), plan)
   }
+
+  test("topk aggregate plans partial (map-side) aggregation stages") {
+    // the bounded buffer only pays off if Spark still plans the
+    // partial→final split: k pairs per (group, partition) cross the
+    // exchange, never the group's rows
+    val plan = planOf(operators.AggregateQueries.topkPerGroup.run(spark, sf))
+    assert("ObjectHashAggregate".r.findAllIn(plan).size >= 2,
+      s"expected partial+final ObjectHashAggregate stages:\n$plan")
+  }
+
+  test("kmv sketches build through bounded TakeOrdered heaps") {
+    val plan = planOf(operators.DedupQueries.kmvOverlap.run(spark, sf))
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"bottom-k must be a bounded heap, not a full sort:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
+  test("cdc chunking shuffles digests only, never text or token arrays") {
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    val df = operators.DedupQueries.cdcChunks.run(spark, sf)
+    df.collect()
+    val finalPlan = df.queryExecution.executedPlan match {
+      case a: AdaptiveSparkPlanExec => a.executedPlan
+      case p => p
+    }
+    val shuffled = finalPlan.collect {
+      case s: ShuffleExchangeLike => s.output.map(_.name)
+    }.flatten
+    assert(!shuffled.exists(n => n.startsWith("text") ||
+      n.startsWith("toks") || n.startsWith("chunks") ||
+      n.startsWith("cuts") || n.startsWith("starts")),
+      s"cdc dedup shuffles payload columns: $shuffled")
+  }
 }

@@ -668,6 +668,46 @@ class VectorTextSpec extends GraftSuite {
     assert(byId(102L)._2 == "novel" && byId(102L)._1 == 0.0)
   }
 
+  test("cdc chunking re-syncs on shifted boilerplate (md5 replay)") {
+    // two docs share a 30-token run at offsets 5 and 9; content-defined
+    // cuts re-sync inside the run, so interior chunks dup across docs.
+    // The whole pipeline is replayed in-process through
+    // java.security.MessageDigest (independent of Spark's md5).
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def chunks(toks: Seq[String]): Seq[String] = {
+      val n = toks.size
+      val cuts = if (n >= 5) (3 to n - 2).filter { i =>
+        val nib = md5hex(toks.slice(i - 3, i + 1).mkString(" ")).charAt(0)
+        nib == '0' || nib == '1'
+      } else Seq.empty[Int]
+      val starts = 0 +: cuts.map(_ + 1)
+      starts.indices.map { j =>
+        val end = if (j == starts.size - 1) n else starts(j + 1)
+        toks.slice(starts(j), end).mkString(" ")
+      }
+    }
+    val run = (1 to 30).map(i => s"r$i")
+    val all = Seq(
+      1L -> ((1 to 5).map(i => s"p$i") ++ run ++ Seq("s1", "s2", "s3")),
+      2L -> ((1 to 9).map(i => s"q$i") ++ run ++ Seq("t1", "t2")),
+      3L -> (1 to 20).map(i => s"u$i"))
+    val tmp = writeDocs(all.map { case (id, t) => (id, t.mkString(" "), "s") })
+    val counts = all.flatMap { case (_, t) => chunks(t) }
+      .groupBy(identity).map { case (c, xs) => c -> xs.size }
+    val expected = all.map { case (id, t) =>
+      val cs = chunks(t)
+      (id, t.size, cs.size.toLong, t.size.toDouble / cs.size,
+        cs.count(c => counts(c) > 1).toLong)
+    }
+    assert(expected.take(2).forall(_._5 > 0),
+      "fixture must plant cross-offset dup chunks — adjust run tokens")
+    val rows = operators.DedupQueries.cdcChunks.run(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4))).toSeq
+    assert(rows == expected, s"$rows vs $expected")
+  }
+
   test("kmv bottom-k overlap matches an in-process sketch replay") {
     import graft.functions.Fnv64
     // one 3-token shingle per doc; 50 shared + 50 private per side →
