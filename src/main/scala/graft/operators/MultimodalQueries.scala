@@ -383,6 +383,92 @@ object MultimodalQueries {
       FROM px GROUP BY doc_id, w, h, nf ORDER BY doc_id""")
   )
 
+  /** Audio activity segmentation (VAD-style) over the real WAV codec
+    * path: each row synthesizes PCM where every 4th 200-sample frame is
+    * gated quiet (|v| < 128) and the rest are full-scale, round-trips
+    * the bytes through WavCodec, then segments the decoded stream by
+    * per-frame energy — frames above threshold merge into contiguous
+    * active segments (the silence-trim / utterance-split pass an audio
+    * training pipeline runs before transcription). The kernel finds
+    * segments with a linear scan; the oracle re-derives them
+    * INDEPENDENTLY via SQL gaps-and-islands over the same sample
+    * formula, so the two implementations check each other. The margin
+    * is deterministic by construction: active frames sum |v| ≈ 3.3M,
+    * quiet ≈ 13k, threshold 1M. Audio bytes never leave the partition —
+    * only the per-doc feature row flows. */
+  case class VadFeatures(doc_id: Long, n_frames: Int, n_active: Int,
+      n_segments: Int, max_segment_frames: Int, active_sum_abs: Long)
+
+  val audioVad: QueryDef = QueryDef(
+    "x_media_audio_vad",
+    (s, dir) => {
+      import s.implicits._
+      val F = 200
+      val rows = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (col("n_chars") % 20 + 8).cast("int").as("nf"))
+        .as[(Long, Int)]
+      rows.mapPartitions(_.map { case (id, nf) =>
+        val samples = Array.tabulate(nf * F) { i =>
+          val quiet = (i / F + id) % 4 == 0
+          // active samples are pinned to [16384, 32767] so a frame's
+          // energy can never dip below threshold (200×16384 ≫ 1M)
+          val v = if (quiet) ((i * 37 + id * 11) % 256) - 128
+                  else ((i * 37 + id * 11) % 16384) + 16384
+          v.toShort
+        }
+        val wav = graft.functions.WavCodec.encodePcm16(16000, samples)
+        val (_, ds) = graft.functions.WavCodec.decodePcm16(wav)
+        val sums = ds.grouped(F).toArray
+          .map(_.foldLeft(0L)((a, v) => a + math.abs(v.toInt)))
+        val active = sums.map(_ > 1000000L)
+        var nSeg = 0; var maxRun = 0; var run = 0
+        for (a <- active) {
+          if (a) {
+            run += 1; if (run == 1) nSeg += 1
+            maxRun = math.max(maxRun, run)
+          } else run = 0
+        }
+        VadFeatures(id, sums.length, active.count(identity), nSeg, maxRun,
+          sums.zip(active).collect { case (e, true) => e }.sum)
+      }).toDF()
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, CAST(n_chars % 20 + 8 AS INTEGER) AS nf
+                 FROM documents WHERE doc_id < 200),
+      sm AS (SELECT doc_id, nf, unnest(range(0, nf * 200)) AS i FROM d),
+      px AS (SELECT doc_id, nf, i // 200 AS f,
+               CASE WHEN ((i // 200) + doc_id) % 4 = 0
+                    THEN ((i * 37 + doc_id * 11) % 256) - 128
+                    ELSE ((i * 37 + doc_id * 11) % 16384) + 16384 END AS v
+             FROM sm),
+      fr AS (SELECT doc_id, nf, f, sum(abs(v)) AS s
+             FROM px GROUP BY doc_id, nf, f),
+      act AS (SELECT doc_id, nf, f, s,
+                f - row_number() OVER (PARTITION BY doc_id ORDER BY f)
+                  AS grp
+              FROM fr WHERE s > 1000000),
+      seg AS (SELECT doc_id, grp, count(*) AS seg_len
+              FROM act GROUP BY doc_id, grp),
+      per AS (SELECT a.doc_id, any_value(a.nf) AS n_frames,
+                CAST(count(*) AS INTEGER) AS n_active,
+                CAST(sum(a.s) AS BIGINT) AS active_sum_abs
+              FROM act a GROUP BY a.doc_id),
+      sg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_segments,
+               CAST(max(seg_len) AS INTEGER) AS max_segment_frames
+             FROM seg GROUP BY doc_id)
+      SELECT d.doc_id, d.nf AS n_frames,
+             coalesce(per.n_active, 0) AS n_active,
+             coalesce(sg.n_segments, 0) AS n_segments,
+             coalesce(sg.max_segment_frames, 0) AS max_segment_frames,
+             coalesce(per.active_sum_abs, 0) AS active_sum_abs
+      FROM d LEFT JOIN per ON per.doc_id = d.doc_id
+             LEFT JOIN sg ON sg.doc_id = d.doc_id
+      ORDER BY d.doc_id""")
+  )
+
   /** Perceptual image dedup via average-hash (the pHash-family pass an
     * image corpus runs where text runs MinHash): decode the real PNG,
     * nearest-neighbor resample to 8×8, threshold each cell against the
@@ -475,5 +561,5 @@ object MultimodalQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(decodePipeline, frameSample, pixelDecode,
-    resize, audioDecode, videoDecode, phashDedup)
+    resize, audioDecode, audioVad, videoDecode, phashDedup)
 }

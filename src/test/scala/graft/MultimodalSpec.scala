@@ -157,4 +157,26 @@ class MultimodalSpec extends GraftSuite {
     negWav(16) = 0xf0.toByte; negWav(19) = 0xff.toByte
     intercept[IllegalArgumentException](WavCodec.decodePcm16(negWav))
   }
+
+  test("audio vad segments match the analytic gate pattern") {
+    // the synth gates frame f quiet iff (f + id) % 4 == 0, so the active
+    // pattern — and therefore the island structure — is known in closed
+    // form; derive it per doc and require the query to reproduce it
+    val rows = operators.MultimodalQueries.audioVad.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (id, nf) = (r.getLong(0), r.getInt(1))
+      val active = (0 until nf).map(f => (f + id) % 4 != 0)
+      val runs = active.foldLeft(List.empty[Int]) {
+        case (acc, true) if acc.nonEmpty && acc.head > 0 =>
+          (acc.head + 1) :: acc.tail
+        case (acc, true) => 1 :: acc
+        case (acc, false) => 0 :: acc
+      }.filter(_ > 0)
+      assert(r.getInt(2) == active.count(identity), s"n_active for doc $id")
+      assert(r.getInt(3) == runs.size, s"n_segments for doc $id")
+      assert(r.getInt(4) == (if (runs.isEmpty) 0 else runs.max),
+        s"max_segment_frames for doc $id")
+    }
+  }
 }
