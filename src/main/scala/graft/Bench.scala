@@ -49,7 +49,14 @@ object Bench {
     // round-5 additions
     "x_events_scd2",
     "x_events_ewma",
-    "x_text_cms_heavyhitters")
+    "x_text_cms_heavyhitters",
+    "j_bloom_prefilter",
+    "j_fuzzy_edit_join",
+    "x_text_hll_distinct",
+    "x_dedup_kmv_overlap",
+    "x_dedup_cdc_chunks",
+    "a_topk_per_group",
+    "x_media_audio_vad")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1459,8 +1459,65 @@ object TextQueries {
       FROM joined""")
   )
 
+  /** Token-budget apportionment across sources — the exact-integer
+    * companion to the temperature `mix` sampler: a 100k-token budget is
+    * split across sources proportionally to √(source tokens) (τ=0.5
+    * upweighting of small domains) and rounded by the largest-remainder
+    * (Hamilton) method so the quotas sum to the budget EXACTLY — the
+    * per-domain token allocation a training-mix planner emits before any
+    * sampling runs. Everything after the token count is integer
+    * arithmetic over one |sources|-row frame (the global windows run on
+    * ~20 rows, like the sub_cte rank), so Spark and DuckDB agree
+    * bit-exactly; ties in the remainder rank break by source name. */
+  val budgetMix: QueryDef = QueryDef(
+    "x_pipeline_budget_mix",
+    (s, dir) => {
+      val counts = docs(s, dir)
+        .withColumn("n", size(split(col("text"), " ")).cast("long"))
+        .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
+        .withColumn("w",
+          floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy()
+      val ranked = counts
+        .withColumn("s_total", sum(col("w")).over(wAll))
+        .withColumn("base", expr("(100000 * w) div s_total"))
+        .withColumn("rem", expr("(100000 * w) % s_total"))
+        .withColumn("leftover",
+          lit(100000L) - sum(col("base")).over(wAll))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("rem").desc, col("source"))))
+      ranked
+        .withColumn("quota",
+          col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
+        .select(col("source"), col("n_tokens"), col("w"), col("quota"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH c AS (SELECT source,
+                   CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                     AS n_tokens
+                 FROM documents GROUP BY source),
+      w AS (SELECT source, n_tokens,
+              CAST(floor(sqrt(CAST(n_tokens AS DOUBLE))) AS BIGINT) AS w
+            FROM c),
+      t AS (SELECT source, n_tokens, w,
+              sum(w) OVER () AS s_total FROM w),
+      b AS (SELECT source, n_tokens, w,
+              (100000 * w) // s_total AS base,
+              (100000 * w) % s_total AS rem FROM t),
+      r AS (SELECT source, n_tokens, w, base, rem,
+              100000 - sum(base) OVER () AS leftover,
+              row_number() OVER (ORDER BY rem DESC, source) AS rk FROM b)
+      SELECT source, n_tokens, w,
+             CAST(base + CASE WHEN rk <= leftover THEN 1 ELSE 0 END
+               AS BIGINT) AS quota
+      FROM r ORDER BY source""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
-    hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct)
+    hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix)
 }

@@ -668,6 +668,34 @@ class VectorTextSpec extends GraftSuite {
     assert(byId(102L)._2 == "novel" && byId(102L)._1 == 0.0)
   }
 
+  test("budget apportionment sums exactly to the budget (hamilton replay)") {
+    // √-weights 9/4/2 over budget 100000: bases 60000/26666/13333 leave
+    // one leftover unit, which the largest remainder (mid, rem 10) takes
+    val docsSeq =
+      (0 until 9).map(i => (i.toLong, ("a " * 10).trim, "big")) ++
+        (100 until 104).map(i => (i.toLong, ("b " * 5).trim, "mid")) ++
+        Seq((200L, ("c " * 7).trim, "tiny"))
+    val tmp = writeDocs(docsSeq)
+    val rows = operators.TextQueries.budgetMix.run(spark, tmp).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val counts = Map("big" -> 90L, "mid" -> 20L, "tiny" -> 7L)
+    val w = counts.map { case (k, n) =>
+      k -> math.floor(math.sqrt(n.toDouble)).toLong }
+    val sTot = w.values.sum
+    val base = w.map { case (k, v) => k -> 100000L * v / sTot }
+    val rem = w.map { case (k, v) => k -> 100000L * v % sTot }
+    val leftover = 100000L - base.values.sum
+    val order = rem.toSeq.sortBy { case (k, r) => (-r, k) }.map(_._1)
+    val quota = base ++
+      order.take(leftover.toInt).map(k => k -> (base(k) + 1L)).toMap
+    assert(rows.map(_._4).sum == 100000L, "quotas must sum to the budget")
+    for ((src, n, wt, q) <- rows) {
+      assert(n == counts(src), s"token count for $src")
+      assert(wt == w(src), s"weight for $src")
+      assert(q == quota(src), s"quota for $src: got $q want ${quota(src)}")
+    }
+  }
+
   test("cdc chunking re-syncs on shifted boilerplate (md5 replay)") {
     // two docs share a 30-token run at offsets 5 and 9; content-defined
     // cuts re-sync inside the run, so interior chunks dup across docs.
