@@ -30,6 +30,7 @@ object QueryDef {
     operators.SubqueryQueries.defs,
     operators.DdlDmlQueries.defs,
     operators.DedupQueries.defs,
+    operators.GraphQueries.defs,
     operators.TextQueries.defs,
     operators.BpeQueries.defs,
     operators.VectorQueries.defs,

@@ -784,8 +784,59 @@ object EventsQueries {
       FROM v ORDER BY user_id, run_id""")
   )
 
+  /** MATCH_RECOGNIZE-analog sequence pattern detection: each user's
+    * event history (ordered by ts, event_id) collapses to a journey
+    * string of type initials (c/e/p/s/v), and regex matching over that
+    * string finds behavioral patterns — here `v[ces]*p` (a view leading
+    * to a purchase through any run of clicks/errors/signups: non-
+    * overlapping conversion paths) and `e+` (error bursts, reported as
+    * the longest run). Since [ces] excludes both anchors, the regex is
+    * unambiguous — Java's backtracking engine and DuckDB's RE2-style
+    * engine find the identical non-overlapping match set, so counts
+    * replay bit-exactly.
+    *
+    * Scale shape: one groupBy(user_id) shuffle carrying a single CHAR
+    * per event (the struct sort key travels alongside but the payload —
+    * props/value — is pruned at the scan); journey length is bounded by
+    * per-user event count, the same per-key state bound every sessionize
+    * variant already carries. The regex scan is per-row codegen over the
+    * collapsed |users|-row frame, not the event stream. */
+  val pattern: QueryDef = QueryDef(
+    "x_events_pattern",
+    (s, dir) => {
+      ev(s, dir)
+        .select(col("user_id"),
+          struct(col("ts"), col("event_id"),
+            substring(col("event_type"), 1, 1).as("ch")).as("e"))
+        .groupBy(col("user_id"))
+        .agg(sort_array(collect_list(col("e"))).as("es"))
+        .select(col("user_id"),
+          expr("concat_ws('', transform(es, x -> x.ch))").as("journey"))
+        .select(col("user_id"), col("journey"),
+          expr("cast(regexp_count(journey, 'v[ces]*p') as bigint)")
+            .as("n_conversions"),
+          expr("cast(coalesce(array_max(transform(" +
+            "regexp_extract_all(journey, 'e+', 0), x -> length(x))), 0) " +
+            "as bigint)").as("max_error_run"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some("""
+      WITH j AS (SELECT user_id,
+                   string_agg(substr(event_type, 1, 1), ''
+                     ORDER BY ts, event_id) AS journey
+                 FROM events GROUP BY user_id)
+      SELECT user_id, journey,
+             CAST(len(regexp_extract_all(journey, 'v[ces]*p')) AS BIGINT)
+               AS n_conversions,
+             CAST(coalesce(list_max(list_transform(
+               regexp_extract_all(journey, 'e+'), x -> len(x))), 0)
+               AS BIGINT) AS max_error_run
+      FROM j ORDER BY user_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
-    resample, winsorize, transitions, streamTransitions, ewma, scd2)
+    resample, winsorize, transitions, streamTransitions, ewma, scd2,
+    pattern)
 }

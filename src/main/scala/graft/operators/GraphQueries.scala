@@ -1,0 +1,218 @@
+package graft.operators
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Graph analytics over the document chunk-share graph (extension suite —
+  * the reference has no graph operators; these add the link-analysis ops a
+  * web-scale crawl-curation pipeline runs: importance ranking for crawl
+  * prioritization, triangle/clustering structure for spam-farm detection).
+  *
+  * The graph: docs are nodes; an edge connects each doc to the
+  * representative (min doc_id) of every 10-token chunk digest they share —
+  * the same star-edge derivation as x_dedup_cc's band buckets, so edge
+  * count is O(docs × chunks), never all-pairs-within-bucket, even when one
+  * boilerplate chunk occurs in a million docs.
+  *
+  * Scale design notes:
+  *  - everything after chunk digesting moves (id, id) or (id, long) pairs
+  *    only — document text never shuffles;
+  *  - PageRank runs in exact fixed-point INTEGER arithmetic (rank mass
+  *    scaled by 1e12, per-edge floor division, 85/100 damping) so the
+  *    result is bit-identical regardless of partitioning or summation
+  *    order — a float PageRank diverges across engines/runs, an integer
+  *    one cannot;
+  *  - triangle counting uses the degree-ordered orientation (Suri-Vassilvitskii
+  *    MR pattern, public knowledge): each undirected edge is oriented from
+  *    the lower-(degree, id) endpoint to the higher, which caps wedge
+  *    fan-out at O(sqrt(|E|)) per node and keeps the two-path join skew-safe
+  *    even on a star-shaped spam hub.
+  */
+object GraphQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    Tables.table(s, dir, "documents")
+
+  /** Rank-mass scale: 1e12 integer units = total rank 1.0 across the
+    * corpus (per-node base starts at SCALE/N). Large enough that 5
+    * rounds of floor division lose < 1e-9 relative mass, small enough
+    * that 85 × SCALE stays far inside signed-64 range. */
+  private val Scale = 1000000000000L
+
+  /** (doc_id, h) pairs — each doc's distinct 10-token chunk digests
+    * (identical derivation to x_dedup_chunks' digest grid). */
+  private def chunkDigests(d: DataFrame): DataFrame = d
+    .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    .select(col("doc_id"), explode(expr(
+      "transform(sequence(0, cast(ceil(size(toks) / 10.0) as int) - 1), " +
+        "i -> md5(concat_ws(' ', slice(toks, i * 10 + 1, 10))))")).as("h"))
+    .distinct()
+
+  /** Symmetric distinct (src, dst) star edges: every doc ↔ the min doc
+    * of each shared chunk digest. */
+  private def starEdges(hx: DataFrame): DataFrame = {
+    val rep = hx.groupBy(col("h"))
+      .agg(min(col("doc_id")).as("m"), count(lit(1)).as("cnt"))
+      .filter(col("cnt") > 1)
+    val star = hx.join(rep, Seq("h"))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("doc_id").as("a"), col("m").as("b"))
+      .distinct()
+    star.select(col("a").as("src"), col("b").as("dst"))
+      .union(star.select(col("b").as("src"), col("a").as("dst")))
+      .distinct()
+  }
+
+  /** The shared DuckDB edge-derivation prelude (chunk digests → star →
+    * symmetric edges + out-degrees), verbatim-replayed so both graph
+    * oracles see the identical graph. */
+  private val edgesSql = """
+      WITH n AS (SELECT doc_id, string_split(text, ' ') AS toks,
+                   CAST(ceil(len(string_split(text, ' ')) / 10.0) AS INT)
+                     AS n_chunks
+                 FROM documents),
+      ch AS (SELECT doc_id, toks, unnest(range(0, n_chunks)) AS ci FROM n),
+      hx AS (SELECT DISTINCT doc_id,
+               md5(array_to_string(toks[ci*10+1 : ci*10+10], ' ')) AS h
+             FROM ch),
+      rep AS (SELECT h, min(doc_id) AS m FROM hx
+              GROUP BY h HAVING count(*) > 1),
+      star AS (SELECT x.doc_id AS a, r.m AS b
+               FROM hx x JOIN rep r USING (h) WHERE x.doc_id <> r.m),
+      edges AS (SELECT a AS src, b AS dst FROM star
+                UNION SELECT b, a FROM star),
+      deg AS (SELECT src, CAST(count(*) AS BIGINT) AS od
+              FROM edges GROUP BY src)"""
+
+  /** PageRank importance over the chunk-share graph — 5 damped rounds
+    * (d = 85/100) in exact integer fixed-point: r'ᵢ = (15·base)÷100 +
+    * (85·Σⱼ→ᵢ rⱼ÷outdegⱼ)÷100, all floor divisions. Summation order
+    * cannot perturb the result (integer adds commute), so Spark at any
+    * partitioning and DuckDB's serial replay agree bit-exactly — the
+    * property float PageRank fundamentally lacks. Dangling docs keep the
+    * teleport share only.
+    *
+    * Scale shape: each round is one (edge ⨝ rank-by-src) shuffle plus a
+    * grouped sum keyed by dst — two longs per edge in flight, text never
+    * moves; 5 rounds is the fixed crawl-ranking budget (not a
+    * convergence loop), so the plan depth is static. */
+  val pagerank: QueryDef = QueryDef(
+    "x_graph_pagerank",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val edges = starEdges(chunkDigests(d))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+      // per-edge contribution denominator rides with the edge, so each
+      // round's join touches ranks only
+      val edgesDeg = edges.join(deg, Seq("src"))
+      val nodes = d.select(col("doc_id"))
+      val base = nodes.agg(count(lit(1)).as("n"))
+        .select(expr(s"${Scale}L div n").as("base"))
+      val nodesBase = nodes.crossJoin(broadcast(base))
+      var ranks = nodesBase.select(col("doc_id"), col("base").as("r"))
+      for (_ <- 1 to 5) {
+        val contrib = edgesDeg
+          .join(ranks.select(col("doc_id").as("src"), col("r")), Seq("src"))
+          .groupBy(col("dst")).agg(sum(expr("r div od")).as("c"))
+        ranks = nodesBase
+          .join(contrib.withColumnRenamed("dst", "doc_id"),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"), expr(
+            "(15 * base) div 100 + (85 * coalesce(c, 0L)) div 100").as("r"))
+      }
+      ranks.join(deg.withColumnRenamed("src", "doc_id"),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"), coalesce(col("od"), lit(0L)).as("out_deg"),
+          col("r").as("rank"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some {
+      val its = (1 to 5).map { i =>
+        s"""it$i AS (SELECT b.doc_id,
+             (15 * b.base) // 100 + (85 * coalesce(c.c, 0)) // 100 AS r
+           FROM base b LEFT JOIN (
+             SELECT e.dst AS doc_id,
+               CAST(sum(it${i - 1}.r // d.od) AS BIGINT) AS c
+             FROM edges e JOIN it${i - 1} ON it${i - 1}.doc_id = e.src
+               JOIN deg d ON d.src = e.src
+             GROUP BY e.dst) c USING (doc_id))"""
+      }.mkString(",\n")
+      edgesSql + s""",
+      base AS (SELECT doc_id,
+                 1000000000000 // (SELECT count(*) FROM n) AS base
+               FROM n),
+      it0 AS (SELECT doc_id, base AS r FROM base),
+      $its
+      SELECT b.doc_id, coalesce(d.od, 0) AS out_deg,
+             CAST(it5.r AS BIGINT) AS rank
+      FROM base b LEFT JOIN deg d ON d.src = b.doc_id
+        JOIN it5 ON it5.doc_id = b.doc_id
+      ORDER BY b.doc_id"""
+    }
+  )
+
+  /** Per-doc triangle participation counts (clustering structure — link
+    * farms and template rings close triangles; organic crawl graphs are
+    * locally tree-ish). Degree-ordered orientation: each undirected edge
+    * points from its lower-(degree, id) endpoint to the higher; every
+    * triangle then has exactly one wedge (a→b, a→c with b→c closing), so
+    * one two-path join + one closing-edge semi join counts each triangle
+    * once, and per-node counts credit all three corners.
+    *
+    * Scale shape: orientation caps any node's out-degree at O(√|E|)
+    * (Suri-Vassilvitskii), so the wedge join cannot blow up on a hub
+    * node; everything in flight is (id, id) pairs. */
+  val triangles: QueryDef = QueryDef(
+    "x_graph_triangles",
+    (s, dir) => {
+      val edges = starEdges(chunkDigests(docs(s, dir)))
+      val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
+      // orient: src < dst by (degree, id) — each undirected edge once
+      val oriented = edges
+        .join(deg.withColumnRenamed("src", "u")
+          .withColumnRenamed("dg", "du"), col("src") === col("u"))
+        .join(deg.withColumnRenamed("src", "v")
+          .withColumnRenamed("dg", "dv"), col("dst") === col("v"))
+        .filter(col("du") < col("dv") ||
+          (col("du") === col("dv") && col("src") < col("dst")))
+        .select(col("src").as("a"), col("dst").as("b"))
+      val wedges = oriented.as("e1")
+        .join(oriented.as("e2"),
+          col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
+        .select(col("e1.a").as("x"), col("e1.b").as("y"),
+          col("e2.b").as("z"))
+      // closing edge may be oriented y→z or z→y
+      val closing = oriented.select(col("a").as("p"), col("b").as("q"))
+        .union(oriented.select(col("b").as("p"), col("a").as("q")))
+        .distinct()
+      val tris = wedges.join(closing,
+        col("y") === col("p") && col("z") === col("q"), "left_semi")
+      val perNode = tris.select(explode(array(col("x"), col("y"),
+          col("z"))).as("doc_id"))
+        .groupBy(col("doc_id")).agg(count(lit(1)).as("n_triangles"))
+      perNode.orderBy(col("doc_id"))
+    },
+    oracle = Some(edgesSql + """,
+      ornt AS (SELECT e.src AS a, e.dst AS b
+               FROM edges e
+                 JOIN deg du ON du.src = e.src
+                 JOIN deg dv ON dv.src = e.dst
+               WHERE du.od < dv.od
+                  OR (du.od = dv.od AND e.src < e.dst)),
+      wedge AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+                FROM ornt e1 JOIN ornt e2
+                  ON e1.a = e2.a AND e1.b < e2.b),
+      tri AS (SELECT w.x, w.y, w.z FROM wedge w
+              WHERE EXISTS (SELECT 1 FROM ornt o
+                            WHERE (o.a = w.y AND o.b = w.z)
+                               OR (o.a = w.z AND o.b = w.y))),
+      corner AS (SELECT x AS doc_id FROM tri
+                 UNION ALL SELECT y FROM tri
+                 UNION ALL SELECT z FROM tri)
+      SELECT doc_id, CAST(count(*) AS BIGINT) AS n_triangles
+      FROM corner GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  def defs: Seq[QueryDef] = Seq(pagerank, triangles)
+}

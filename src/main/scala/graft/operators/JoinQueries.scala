@@ -2,6 +2,7 @@ package graft.operators
 
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Join parity (SURVEY §2.3).
@@ -503,7 +504,54 @@ object JoinQueries {
       ORDER BY name_a, name_b""")
   )
 
+  /** Skyline (Pareto frontier) over part on (minimize p_retailprice,
+    * minimize p_size): a part survives iff no other part is ≤ on both
+    * dimensions and < on at least one. The naive formulation is a
+    * quadratic NOT EXISTS self-join — the DuckDB oracle deliberately
+    * computes it that way as an independent derivation — but the engine
+    * plan is the sort-based 2-D sweep: per-price minimum size, then a
+    * running minimum over strictly-lower price groups; a row is dominated
+    * iff that prefix minimum ≤ its size (strictly-cheaper dominator) or
+    * its own price group holds a strictly smaller size (equal-price
+    * dominator). O(n log n) by sort instead of O(n²) by join.
+    *
+    * Scale shape: the grouped min collapses the sweep input to one row
+    * per DISTINCT price before the ordered window touches it — the
+    * single-partition window runs on the price domain, not the row count
+    * (same domain-window discipline as x_events_resample). At 100 TB with
+    * an unbounded price domain the sweep range-partitions by price and
+    * broadcasts the per-partition prefix minima — the merge is
+    * associative; noted here, domain-sized at every test SF. */
+  val skyline: QueryDef = QueryDef(
+    "j_skyline_dominance",
+    (s, dir) => {
+      val p = t(s, dir, "part")
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+      val g = p.groupBy(col("p_retailprice"))
+        .agg(min(col("p_size")).as("gmin"))
+      val w = Window.orderBy(col("p_retailprice"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val g2 = g.withColumn("prevmin", min(col("gmin")).over(w))
+      p.join(g2, Seq("p_retailprice"))
+        .filter(!(coalesce(col("prevmin") <= col("p_size"), lit(false)) ||
+          col("gmin") < col("p_size")))
+        .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
+        .orderBy(col("p_partkey"))
+    },
+    oracle = Some("""
+      SELECT p_partkey, p_retailprice, p_size
+      FROM part p
+      WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size <= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+            OR q.p_size < p.p_size))
+      ORDER BY p_partkey""")
+  )
+
   def defs: Seq[QueryDef] = Seq(innerShuffle, broadcastDim, leftOuter,
     rightOuter, fullOuter, semi, anti, antiNullAware, scalarSubquery, cross,
-    nonEquiSelf, functionJoin, skewSalted, bloomPrefilter, fuzzyEditJoin)
+    nonEquiSelf, functionJoin, skewSalted, bloomPrefilter, fuzzyEditJoin,
+    skyline)
 }

@@ -237,4 +237,46 @@ class EngineSpec extends GraftSuite {
     val u2 = out.filter(_.getLong(0) == 2L)
     assert(u2.length == 1 && u2(0).getBoolean(6) && u2(0).isNullAt(4))
   }
+
+  test("event pattern matching finds planted conversion paths and error runs") {
+    import spark.implicits._
+    // user 1: view click error error purchase view purchase → "vceepvp":
+    // two non-overlapping v[ces]*p conversions, error run of 2.
+    // user 2: signup view → no conversion.
+    // user 3: two events at the SAME ts — event_id must break the tie
+    // (purchase id 30 before view id 31 → "pv", no conversion).
+    val rows = (Seq(
+      (10L, 0, 1L, "view"), (11L, 1, 1L, "click"), (12L, 2, 1L, "error"),
+      (13L, 3, 1L, "error"), (14L, 4, 1L, "purchase"),
+      (15L, 5, 1L, "view"), (16L, 6, 1L, "purchase"),
+      (20L, 0, 2L, "signup"), (21L, 1, 2L, "view"),
+      (31L, 0, 3L, "view"), (30L, 0, 3L, "purchase")))
+      .map { case (id, m, u, t) =>
+        (id, new java.sql.Timestamp(m * 60000L), u, t, 1.0, "{}") }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_pat").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.EventsQueries.pattern.run(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getString(1), r.getLong(2), r.getLong(3))).toMap
+    assert(out(1L) == (("vceepvp", 2L, 2L)), s"user 1: ${out(1L)}")
+    assert(out(2L) == (("sv", 0L, 0L)), s"user 2: ${out(2L)}")
+    assert(out(3L) == (("pv", 0L, 0L)),
+      s"same-ts order must fall back to event_id: ${out(3L)}")
+  }
+
+  test("skyline keeps exactly the non-dominated points (ties both survive)") {
+    import spark.implicits._
+    // (2) beats (1) on size at equal price; (3)=(4) duplicates — neither
+    // strictly better, both stay; (5) min size, (6) min price
+    val parts = Seq(
+      (1L, 10.0, 5), (2L, 10.0, 3), (3L, 8.0, 7), (4L, 8.0, 7),
+      (5L, 12.0, 1), (6L, 7.0, 9))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sky").toString
+    parts.toDF("p_partkey", "p_retailprice", "p_size")
+      .write.mode("overwrite").parquet(s"$tmp/part.parquet")
+    val keys = operators.JoinQueries.skyline.run(spark, tmp).collect()
+      .map(_.getLong(0)).toSeq
+    assert(keys == Seq(2L, 3L, 4L, 5L, 6L), s"frontier: $keys")
+  }
 }

@@ -428,6 +428,43 @@ class VectorTextSpec extends GraftSuite {
     assert(byId(3L) == ((1, 1L, true)))
   }
 
+  test("pagerank replays the integer fixed-point recurrence on a planted graph") {
+    // docs 1,2 share their first 10-token chunk (edge 1↔2); doc 3 is
+    // isolated (dangling). Integer PageRank is order-independent, so the
+    // engine result must equal a serial replay of the recurrence.
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val docsSeq = Seq(
+      (1L, shared + " " + (1 to 10).map(i => s"a$i").mkString(" "), "fx"),
+      (2L, shared + " " + (1 to 10).map(i => s"b$i").mkString(" "), "fx"),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" "), "fx"))
+    val tmp = writeDocs(docsSeq)
+    val rows = operators.GraphQueries.pagerank.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val base = 1000000000000L / 3
+    var r12 = base
+    for (_ <- 1 to 5) r12 = (15 * base) / 100 + (85 * r12) / 100
+    val dangling = (15 * base) / 100
+    assert(rows(1L) == ((1L, r12)), s"node 1: ${rows(1L)}")
+    assert(rows(2L) == ((1L, r12)), "symmetric pair must tie")
+    assert(rows(3L) == ((0L, dangling)), "dangling keeps teleport share only")
+  }
+
+  test("triangle counting credits all three corners of a planted triangle") {
+    // docs 1,2,3 pairwise share distinct chunks (a 3-cycle); doc 4 is
+    // isolated — exactly one triangle, one count per corner
+    def chunk(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    val docsSeq = Seq(
+      (1L, chunk("x") + " " + chunk("y"), "fx"),
+      (2L, chunk("x") + " " + chunk("z"), "fx"),
+      (3L, chunk("y") + " " + chunk("z"), "fx"),
+      (4L, chunk("w") + " " + chunk("q"), "fx"))
+    val tmp = writeDocs(docsSeq)
+    val rows = operators.GraphQueries.triangles.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 1L, 2L -> 1L, 3L -> 1L),
+      s"one triangle, three corners: $rows")
+  }
+
   private def writeDocs(rows: Seq[(Long, String, String)]): String = {
     val tmp = java.nio.file.Files.createTempDirectory("graft_docs").toString
     rows.toDF("doc_id", "text", "source")
