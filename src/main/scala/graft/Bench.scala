@@ -56,7 +56,13 @@ object Bench {
     "x_dedup_kmv_overlap",
     "x_dedup_cdc_chunks",
     "a_topk_per_group",
-    "x_media_audio_vad")
+    "x_media_audio_vad",
+    "x_pipeline_budget_mix",
+    "x_graph_pagerank",
+    "x_graph_triangles",
+    "x_events_pattern",
+    "j_skyline_dominance",
+    "x_dedup_setjoin")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1066,7 +1066,97 @@ ${LshOracleSql.cosineExpr} AS c
       FROM pd ORDER BY doc_id""")
   )
 
+  /** EXACT set-similarity self-join at Jaccard ≥ 4/5 over 3-token
+    * shingle sets — the deterministic complement to minhash-LSH: LSH is
+    * probabilistic (banding can miss a true pair), this op provably
+    * finds EVERY qualifying pair, via the prefix-filtering bound
+    * (PPJoin family, public knowledge): order each doc's shingles by
+    * ascending global frequency (rarest first); two sets with
+    * |A∩B|/|A∪B| ≥ τ MUST share a shingle among each side's first
+    * n − ⌈τ·n⌉ + 1, so the candidate join runs only on those prefix
+    * keys — and prefixes are by construction the corpus-RAREST
+    * shingles, so bucket sizes stay small exactly where a naive
+    * token-join explodes (boilerplate shingles never enter a prefix).
+    * The threshold test is pure integer arithmetic (5·|∩| ≥ 4·|∪|);
+    * the reported jaccard is a single int/int division — one IEEE op,
+    * identical in both engines.
+    *
+    * Scale shape: shuffles move (shingle-hash, doc_id) prefix pairs and
+    * (da, db) id pairs only; the verify join computes true intersections
+    * for candidates alone, never all pairs. The global frequency table
+    * is a two-phase count joined BY KEY (like the LM bigram table),
+    * never broadcast — at 100 TB it is corpus-vocabulary-sized. */
+  val setJoin: QueryDef = QueryDef(
+    "x_dedup_setjoin",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), array_distinct(when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks) - 3), " +
+            "i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+          .otherwise(expr("array()"))).as("sh"))
+        .withColumn("n", size(col("sh")).cast("long"))
+        .filter(col("n") > 0)
+      val tok = d.select(col("doc_id"), col("n"), explode(col("sh")).as("t"))
+      val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
+      val pref = tok.join(freq, Seq("t"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("f"), col("t"))))
+        .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+        .select(col("t"), col("doc_id"))
+      val cand = pref.as("pa")
+        .join(pref.as("pb"), col("pa.t") === col("pb.t") &&
+          col("pa.doc_id") < col("pb.doc_id"))
+        .select(col("pa.doc_id").as("da"), col("pb.doc_id").as("db"))
+        .distinct()
+      val inter = cand
+        .join(tok.select(col("doc_id").as("da"), col("t")), Seq("da"))
+        .join(tok.select(col("doc_id").as("db"), col("t")), Seq("db", "t"))
+        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ix"))
+      inter
+        .join(d.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
+        .join(d.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+        .filter(expr("5 * ix >= 4 * (na + nb - ix)"))
+        .select(col("da"), col("db"), col("ix"), col("na"), col("nb"),
+          (col("ix").cast("double") / (col("na") + col("nb") - col("ix")))
+            .as("jaccard"))
+        .orderBy(col("da"), col("db"))
+    },
+    oracle = Some("""
+      WITH dd AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(
+               range(0, len(toks) - 2),
+               i -> array_to_string(toks[i+1 : i+3], ' '))) AS s
+             FROM dd WHERE len(toks) >= 3),
+      nn AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh
+             WHERE len(s) > 0),
+      tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+      freq AS (SELECT t, count(*) AS f FROM tok GROUP BY t),
+      pref AS (SELECT doc_id, t FROM (
+                 SELECT x.doc_id, x.t, nn.n,
+                   row_number() OVER (PARTITION BY x.doc_id
+                     ORDER BY freq.f, x.t) AS rk
+                 FROM tok x JOIN freq USING (t) JOIN nn USING (doc_id))
+               WHERE rk <= n - (4 * n + 4) // 5 + 1),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM pref a JOIN pref b
+                 ON a.t = b.t AND a.doc_id < b.doc_id),
+      inter AS (SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS ix
+                FROM cand c
+                  JOIN tok x ON x.doc_id = c.da
+                  JOIN tok y ON y.doc_id = c.db AND y.t = x.t
+                GROUP BY c.da, c.db)
+      SELECT i.da, i.db, i.ix, na.n AS na, nb.n AS nb,
+             CAST(i.ix AS DOUBLE) / (na.n + nb.n - i.ix) AS jaccard
+      FROM inter i
+        JOIN nn na ON na.doc_id = i.da
+        JOIN nn nb ON nb.doc_id = i.db
+      WHERE 5 * i.ix >= 4 * (na.n + nb.n - i.ix)
+      ORDER BY i.da, i.db""")
+  )
+
   def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash,
     embeddingNearDup, clusters, incremental, semdedup, cc, chunkDedup,
-    spanDedup, kmvOverlap, cdcChunks)
+    spanDedup, kmvOverlap, cdcChunks, setJoin)
 }

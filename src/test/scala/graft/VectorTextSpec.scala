@@ -428,6 +428,24 @@ class VectorTextSpec extends GraftSuite {
     assert(byId(3L) == ((1, 1L, true)))
   }
 
+  test("set-similarity join keeps the exact-threshold pair and drops below") {
+    // docs 1,2: 9 shingles each sharing 8 → jaccard exactly 8/10 = τ —
+    // the ≥ boundary must be INCLUDED and the prefix filter must not
+    // miss it (completeness is the op's whole point vs LSH); doc 3
+    // overlaps both at 7/11 < τ and must not pair
+    val a = (1 to 11).map(i => s"a$i")
+    val docsSeq = Seq(
+      (1L, a.mkString(" "), "fx"),
+      (2L, (a.take(10) :+ "b1").mkString(" "), "fx"),
+      (3L, (a.take(9) ++ Seq("c1", "c2")).mkString(" "), "fx"))
+    val tmp = writeDocs(docsSeq)
+    val rows = operators.DedupQueries.setJoin.run(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq((1L, 2L, 8L, 9L, 9L, 0.8)),
+      s"exactly the boundary pair: ${rows.toSeq}")
+  }
+
   test("pagerank replays the integer fixed-point recurrence on a planted graph") {
     // docs 1,2 share their first 10-token chunk (edge 1↔2); doc 3 is
     // isolated (dangling). Integer PageRank is order-independent, so the
