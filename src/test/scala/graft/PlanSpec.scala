@@ -296,6 +296,30 @@ class PlanSpec extends GraftSuite {
       s"chunk dedup shuffles text payload: $shuffled")
   }
 
+  test("graph and set-similarity ops shuffle keys and ids, never text") {
+    // the 100 TB contract of the chunk-share graph family and the
+    // prefix-filter join: after map-side digesting/shingling, every
+    // exchange moves digests, shingle keys, ids, or integer rank state —
+    // document text and token arrays stay in their scan partitions
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    for (q <- Seq(operators.GraphQueries.pagerank,
+      operators.GraphQueries.triangles, operators.DedupQueries.setJoin)) {
+      val df = q.run(spark, sf)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffled = finalPlan.collect {
+        case s: ShuffleExchangeLike => s.output.map(_.name)
+      }.flatten
+      assert(!shuffled.exists(n => n.startsWith("text") ||
+        n.startsWith("toks") || n.startsWith("sh")),
+        s"${q.name} shuffles a payload column: $shuffled")
+    }
+  }
+
   test("weighted sampling selects via bounded-heap top-k, not a full sort") {
     val df = operators.TextQueries.wsample.run(spark, sf)
     df.collect()
