@@ -69,7 +69,7 @@ def main():
 
     if "--skip-spark" not in flags:
         subprocess.run([str(REPO / "scripts/run_class.sh"), "graft.Verify",
-                        sf_dir, out_dir], check=True)
+                        sf_dir, out_dir, *sorted(only)], check=True)
 
     con = duckdb.connect()
     for t in TABLES:
@@ -100,7 +100,7 @@ def main():
             results[name] = compare(name, spark_df, duck_df)
         except Exception as e:
             results[name] = f"COMPARE FAIL {e}"
-    missing = [n for n in oracle if n not in names]
+    missing = [] if only else [n for n in oracle if n not in names]
     width = max((len(n) for n in results), default=10)
     n_ok = sum(1 for v in results.values() if v == "OK" or v.startswith("rows-only"))
     for name, res in sorted(results.items()):

@@ -49,15 +49,25 @@ object Tables {
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
     val df = spark.read.parquet(path(dir, name))
-    // Normalize nanosecond timestamps (events.ts) to microsecond timestamps:
-    // the nanos column arrives as a long (nanosAsLong); `div 1000` floors to
-    // µs exactly (a double division would lose precision above 2^53).
+    // Normalize the event timestamp to TIMESTAMP (ltz) whatever the file
+    // carries. Generations of the testdata have shipped TIMESTAMP(NANOS)
+    // (arrives as long under nanosAsLong; `div 1000` floors to µs exactly —
+    // a double division would lose precision above 2^53) and plain
+    // timestamp[us] with no timezone (arrives as TIMESTAMP_NTZ under
+    // Spark 4's inferTimestampNTZ). With the session pinned to UTC the
+    // NTZ→LTZ cast maps the same wall-clock instant, so downstream
+    // unix_micros()/window() calls see one stable type either way.
     df.schema.fields.foldLeft(df) {
       case (d, f) if f.name == "ts" && f.dataType ==
           org.apache.spark.sql.types.LongType =>
         d.withColumn("ts",
           org.apache.spark.sql.functions.timestamp_micros(
             org.apache.spark.sql.functions.expr("ts div 1000")))
+      case (d, f) if f.name == "ts" && f.dataType ==
+          org.apache.spark.sql.types.TimestampNTZType =>
+        d.withColumn("ts",
+          org.apache.spark.sql.functions.col("ts").cast(
+            org.apache.spark.sql.types.TimestampType))
       case (d, _) => d
     }
   }

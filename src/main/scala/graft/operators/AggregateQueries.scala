@@ -114,6 +114,51 @@ object AggregateQueries {
       FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** Bivariate statistics battery: CORR / COVAR_POP / COVAR_SAMP plus the
+    * linear-regression family (slope / intercept / r²) built from the
+    * same moments — parity-plus over the reference's univariate
+    * STDDEV/VARIANCE registry (rowaggregation.h:74-116). Both engines
+    * compute the regression terms from identical covar/var/avg formulas
+    * (not their built-in regr_* aggregates, whose internal numerics may
+    * differ), rounded to a fixed precision so partial-agg summation order
+    * can't leak into the byte-exact gate. */
+  val regression: QueryDef = QueryDef(
+    "a_regression",
+    (s, dir) =>
+      t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          count(lit(1)).as("n"),
+          round(corr(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("r"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("cov_p"),
+          round(covar_samp(col("l_quantity"), col("l_extendedprice")), 4)
+            .as("cov_s"),
+          round(covar_pop(col("l_quantity"), col("l_extendedprice")) /
+            var_pop(col("l_quantity")), 4).as("slope"),
+          round(avg(col("l_extendedprice")) -
+            covar_pop(col("l_quantity"), col("l_extendedprice")) /
+              var_pop(col("l_quantity")) * avg(col("l_quantity")), 4)
+            .as("intercept"),
+          round(pow(corr(col("l_quantity"), col("l_extendedprice")), 2), 4)
+            .as("r2"))
+        .orderBy(col("l_returnflag")),
+    oracle = Some("""
+      SELECT l_returnflag,
+             count(*) AS n,
+             round(corr(l_quantity, l_extendedprice), 4) AS r,
+             round(covar_pop(l_quantity, l_extendedprice), 4) AS cov_p,
+             round(covar_samp(l_quantity, l_extendedprice), 4) AS cov_s,
+             round(covar_pop(l_quantity, l_extendedprice) /
+                   var_pop(l_quantity), 4) AS slope,
+             round(avg(l_extendedprice) -
+                   covar_pop(l_quantity, l_extendedprice) /
+                     var_pop(l_quantity) * avg(l_quantity), 4) AS intercept,
+             round(pow(corr(l_quantity, l_extendedprice), 2), 4) AS r2
+      FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   /** GROUP_CONCAT via the custom ordered Aggregator
     * (reference: dbcon/joblist/groupconcat.cpp — ORDER BY + SEPARATOR +
     * max-len truncation). Customers per nation, ordered by custkey. */
@@ -415,7 +460,7 @@ object AggregateQueries {
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   )
 
-  def defs: Seq[QueryDef] = Seq(basicStats, distinctAggs, bitAggs,
+  def defs: Seq[QueryDef] = Seq(basicStats, distinctAggs, bitAggs, regression,
     groupConcatCustom, groupConcatDistinct, having, rollup, cube, emptyInput,
     highCardinality, mysqlShims, approxDistinct, approxPercentile, listAgg,
     groupingSets, pivot, topkPerGroup)

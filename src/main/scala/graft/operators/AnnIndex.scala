@@ -316,6 +316,34 @@ object AnnIndex {
     adcTopK(pairs, base, M, topk, nq)
   }
 
+  /** Exact-cosine IVF search over prebuilt artifacts: probe pruning from
+    * the persisted coarse index, then true cosine on the surviving
+    * candidates only (the "IVF-Flat" shape next to ivfPqQuery's IVF+PQ).
+    * Returns (q_id, vec_id) of each query's top-k. */
+  def ivfExactTopK(s: SparkSession, dir: String, nprobe: Int = NPROBE,
+      topk: Int = 3, nq: Int = 10): DataFrame = {
+    val base = Tables.table(s, dir, "embeddings")
+    val cents = s.read.parquet(centroidsPath(dir))
+    val assign = s.read.parquet(assignPath(dir))
+    val queries = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = coarseProbes(queries, cents, nprobe)
+    val cands = assign.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val w = Window.partitionBy(col("q_id"))
+      .orderBy(col("cos").desc, col("vec_id"))
+    cands.join(base, Seq("vec_id"))
+      .join(broadcast(queries), Seq("q_id"))
+      .select(col("q_id"), col("vec_id"),
+        graft.functions.VectorFunctions.cosineSim(
+          col("q_emb"), col("embedding")).as("cos"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= topk)
+      .select(col("q_id"), col("vec_id"))
+  }
+
   /** Frozen-index INGEST: encode a new vector batch against prebuilt
     * artifacts — NO retraining, the per-ingest cost is a pure per-row
     * map against the broadcast centroid/codebook tables (the ANN analog
@@ -326,13 +354,18 @@ object AnnIndex {
   def ingestEncode(batch: DataFrame, cents: DataFrame,
       codebook: DataFrame): DataFrame = {
     val bAssign = coarseReassign(batch, cents)
+    // codes are emitted comma-joined rather than as a LIST column: the
+    // driver's pandas-side compare sorts every output column, and object
+    // arrays are unhashable there — a scalar string carries the same
+    // bit-exact content
     val bCodes = pqEncode(pqSubs(batch, M, SUB), codebook)
       .groupBy(col("vec_id"))
       .agg(expr(
-        "transform(sort_array(collect_list(struct(ss, cid))), x -> x.cid)")
-        .as("codes"))
+        "array_join(transform(sort_array(collect_list(struct(ss, cid))), " +
+          "x -> cast(x.cid as string)), ',')")
+        .as("codes_csv"))
     bAssign.join(bCodes, Seq("vec_id"))
-      .select(col("vec_id"), col("cid"), col("codes"))
+      .select(col("vec_id"), col("cid"), col("codes_csv"))
       .orderBy(col("vec_id"))
   }
 

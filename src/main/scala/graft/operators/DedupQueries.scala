@@ -1081,11 +1081,19 @@ ${LshOracleSql.cosineExpr} AS c
     * the reported jaccard is a single int/int division — one IEEE op,
     * identical in both engines.
     *
-    * Scale shape: shuffles move (shingle-hash, doc_id) prefix pairs and
-    * (da, db) id pairs only; the verify join computes true intersections
-    * for candidates alone, never all pairs. The global frequency table
-    * is a two-phase count joined BY KEY (like the LM bigram table),
-    * never broadcast — at 100 TB it is corpus-vocabulary-sized. */
+    * Scale shape: shingles are xxhash64'd to 8-byte keys right after the
+    * per-doc string-distinct, so every shuffle (frequency count, prefix
+    * ranking, candidate self-join) moves longs, never shingle text; the
+    * verify step joins each candidate pair to its two sorted hash arrays
+    * and counts the true intersection with a codegen'd array_intersect —
+    * candidates only, never all pairs, and no second explode of the
+    * corpus. The global frequency table is a two-phase count joined BY
+    * KEY (like the LM bigram table), never broadcast — at 100 TB it is
+    * corpus-vocabulary-sized. (The prefix bound only needs SOME total
+    * order shared by both sides, so ordering by hashed-token frequency is
+    * as complete as ordering by string; the oracle replays the string
+    * pipeline and the final Jaccard-filtered pair set is
+    * algorithm-independent.) */
   val setJoin: QueryDef = QueryDef(
     "x_dedup_setjoin",
     (s, dir) => {
@@ -1094,7 +1102,11 @@ ${LshOracleSql.cosineExpr} AS c
         .select(col("doc_id"), array_distinct(when(size(col("toks")) >= 3,
           expr("transform(sequence(0, size(toks) - 3), " +
             "i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
-          .otherwise(expr("array()"))).as("sh"))
+          .otherwise(expr("array()"))).as("shs"))
+        // hash AFTER the string distinct: n stays the exact string-set
+        // size; 64-bit collisions are the standard negligible trade
+        .select(col("doc_id"),
+          expr("transform(shs, x -> xxhash64(x))").as("sh"))
         .withColumn("n", size(col("sh")).cast("long"))
         .filter(col("n") > 0)
       val tok = d.select(col("doc_id"), col("n"), explode(col("sh")).as("t"))
@@ -1103,19 +1115,26 @@ ${LshOracleSql.cosineExpr} AS c
         .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
           .orderBy(col("f"), col("t"))))
         .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
-        .select(col("t"), col("doc_id"))
+        .select(col("t"), col("doc_id"), col("n"))
+      // length filter (PPJoin): J(A,B) ≥ 4/5 forces 4·|B| ≤ 5·|A| (and
+      // symmetrically), so size-incompatible prefix collisions are culled
+      // before the distinct/verify stages ever see them
       val cand = pref.as("pa")
         .join(pref.as("pb"), col("pa.t") === col("pb.t") &&
-          col("pa.doc_id") < col("pb.doc_id"))
+          col("pa.doc_id") < col("pb.doc_id") &&
+          col("pa.n") * 4 <= col("pb.n") * 5 &&
+          col("pb.n") * 4 <= col("pa.n") * 5)
         .select(col("pa.doc_id").as("da"), col("pb.doc_id").as("db"))
         .distinct()
-      val inter = cand
-        .join(tok.select(col("doc_id").as("da"), col("t")), Seq("da"))
-        .join(tok.select(col("doc_id").as("db"), col("t")), Seq("db", "t"))
-        .groupBy(col("da"), col("db")).agg(count(lit(1)).as("ix"))
-      inter
-        .join(d.select(col("doc_id").as("da"), col("n").as("na")), Seq("da"))
-        .join(d.select(col("doc_id").as("db"), col("n").as("nb")), Seq("db"))
+      val sets = d.select(col("doc_id"),
+        sort_array(col("sh")).as("sha"), col("n"))
+      cand
+        .join(sets.select(col("doc_id").as("da"), col("sha").as("sa"),
+          col("n").as("na")), Seq("da"))
+        .join(sets.select(col("doc_id").as("db"), col("sha").as("sb"),
+          col("n").as("nb")), Seq("db"))
+        .withColumn("ix", size(array_intersect(col("sa"), col("sb")))
+          .cast("long"))
         .filter(expr("5 * ix >= 4 * (na + nb - ix)"))
         .select(col("da"), col("db"), col("ix"), col("na"), col("nb"),
           (col("ix").cast("double") / (col("na") + col("nb") - col("ix")))

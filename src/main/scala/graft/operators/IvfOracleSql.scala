@@ -94,4 +94,37 @@ ${cos("eq.emb", "ev.emb")} AS cos
                  FROM scored)
       SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= $topk
       ORDER BY q_id, rk"""
+
+  /** Oracle for `x_ann_recall_ivf`: the IVF chain's top-k next to the
+    * exact brute-force top-k, recall = |∩| / k per query. */
+  def recallSql(k: Int, nprobe: Int, iters: Int, topk: Int,
+      nq: Int): String = s"""
+      WITH ${coreCtes(k, nprobe, iters, nq)},
+      scored AS (SELECT c.q_id, c.vec_id,
+${cos("eq.emb", "ev.emb")} AS cos
+                 FROM kcand c
+                 JOIN eraw eq ON eq.vec_id = c.q_id
+                 JOIN eraw ev ON ev.vec_id = c.vec_id),
+      ranked AS (SELECT q_id, vec_id,
+                   row_number() OVER (PARTITION BY q_id
+                                      ORDER BY cos DESC, vec_id) AS rk
+                 FROM scored),
+      ivf3 AS (SELECT q_id, vec_id FROM ranked WHERE rk <= $topk),
+      bscored AS (SELECT q.vec_id AS q_id, e.vec_id,
+${cos("q.emb", "e.emb")} AS cos
+                  FROM eraw q JOIN eraw e ON e.vec_id <> q.vec_id
+                  WHERE q.vec_id < $nq),
+      branked AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos DESC, vec_id) AS rk
+                  FROM bscored),
+      brute3 AS (SELECT q_id, vec_id FROM branked WHERE rk <= $topk)
+      SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits,
+             CAST(sum(CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS recall_at_3
+      FROM brute3 b LEFT JOIN ivf3 i
+        ON i.q_id = b.q_id AND i.vec_id = b.vec_id
+      GROUP BY b.q_id ORDER BY b.q_id"""
 }

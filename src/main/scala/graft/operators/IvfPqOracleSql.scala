@@ -47,9 +47,10 @@ private[operators] object IvfPqOracleSql {
                  row_number() OVER (PARTITION BY sv.vec_id, sv.ss
                    ORDER BY $l2 ASC, c.cid ASC) AS rk
           FROM bsub sv JOIN c${iters + 1}v c USING (ss)) WHERE rk = 1),
-      bl AS (SELECT vec_id, list(cid ORDER BY ss) AS codes
+      bl AS (SELECT vec_id,
+               string_agg(CAST(cid AS VARCHAR), ',' ORDER BY ss) AS codes_csv
              FROM bcode GROUP BY vec_id)
-      SELECT a.vec_id, a.cid, l.codes
+      SELECT a.vec_id, a.cid, l.codes_csv
       FROM bas a JOIN bl l USING (vec_id) ORDER BY a.vec_id"""
   }
 

@@ -362,6 +362,44 @@ ${LshOracleSql.cosineExpr} AS cos
       kpq = 16, iters = 2))
   )
 
+  /** Measured ANN quality gate: recall@3 of the prebuilt IVF index
+    * (probe-pruned exact-cosine search over the persisted artifacts)
+    * against the exact brute-force top-3 — the number a production ANN
+    * deployment watches when it tunes nprobe/k, computed inside the
+    * engine instead of asserted in a test. Both sides and the
+    * intersection are deterministic, so the DuckDB oracle replays the
+    * whole comparison bit-exactly. */
+  val recallIvf: QueryDef = QueryDef(
+    "x_ann_recall_ivf",
+    (s, dir) => {
+      AnnIndex.ensureBuilt(s, dir)
+      val nq = 10; val topk = 3
+      val base = emb(s, dir)
+      val queries = base.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wB = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val brute = base.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineSim(col("q_emb"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= topk)
+        .select(col("q_id"), col("vec_id"))
+      val ivf = AnnIndex.ivfExactTopK(s, dir, topk = topk, nq = nq)
+        .withColumn("hit", lit(1L))
+      brute.join(ivf, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .withColumn("recall_at_3",
+          col("hits").cast("double") / col("n_true").cast("double"))
+        .orderBy(col("q_id"))
+    },
+    oracle = Some(IvfOracleSql.recallSql(k = 16, nprobe = 4, iters = 2,
+      topk = 3, nq = 10))
+  )
+
   /** Centroid search: per-label mean vector (array aggregation via
     * element-wise avg), then each label's medoid-ish closest member —
     * exercises array aggregation at scale (zip_with + aggregate). */
@@ -507,6 +545,6 @@ ${LshOracleSql.cosineExpr} AS cos
   )
 
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
-    pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, centroids,
-    sq8TopK)
+    pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, recallIvf,
+    centroids, sq8TopK)
 }
