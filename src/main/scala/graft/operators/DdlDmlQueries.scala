@@ -105,6 +105,49 @@ object DdlDmlQueries {
       FROM supplier WHERE s_acctbal >= 0""")
   )
 
+  /** Snapshot time travel over the catalog's MVCC retention (reference:
+    * versioning/BRM/dbrm.h:163-192 — the version buffer keeps each DML's
+    * pre-image until it ages out; here every versioned rewrite retains
+    * the displaced directory as vN, `tableAsOf` is the version-buffer
+    * read path, `vacuumVersions` the aging). One table, two mutations,
+    * three readable states — summarized per snapshot and checked against
+    * DuckDB's independent reconstruction of each state. */
+  val timeTravel: QueryDef = QueryDef(
+    "d_time_travel",
+    (s, dir) => {
+      val cat = new Catalog(s, scratch("travel"))
+      cat.createTableAs("supp", t(s, dir, "supplier"))
+      // mutation 1 (retains v0 = the original):
+      // UPDATE supp SET s_acctbal = s_acctbal * 1.1 WHERE s_nationkey < 10
+      cat.update("supp", df => df.withColumn("s_acctbal",
+        when(col("s_nationkey") < 10, col("s_acctbal") * 1.1)
+          .otherwise(col("s_acctbal"))))
+      // mutation 2 (retains v1 = post-update): DELETE WHERE s_acctbal < 0
+      cat.delete("supp", _.filter(col("s_acctbal") >= 0))
+      def summarize(df: DataFrame, label: String): DataFrame =
+        df.agg(count(lit(1)).as("n"),
+          round(sum(col("s_acctbal")), 4).as("total_bal"))
+          .withColumn("snapshot", lit(label))
+      summarize(cat.tableAsOf("supp", 0), "v0")
+        .unionAll(summarize(cat.tableAsOf("supp", 1), "v1"))
+        .unionAll(summarize(cat.table("supp"), "v2_current"))
+        .select(col("snapshot"), col("n"), col("total_bal"))
+        .orderBy(col("snapshot"))
+    },
+    oracle = Some("""
+      WITH u AS (SELECT CASE WHEN s_nationkey < 10 THEN s_acctbal * 1.1
+                             ELSE s_acctbal END AS bal
+                 FROM supplier)
+      SELECT 'v0' AS snapshot, count(*) AS n,
+             round(sum(s_acctbal), 4) AS total_bal FROM supplier
+      UNION ALL
+      SELECT 'v1', count(*), round(sum(bal), 4) FROM u
+      UNION ALL
+      SELECT 'v2_current', count(*), round(sum(bal), 4) FROM u
+      WHERE bal >= 0
+      ORDER BY snapshot""")
+  )
+
   /** ALTER TABLE ADD/DROP COLUMN (reference: ddl.y:477 alter_table). */
   val alterTable: QueryDef = QueryDef(
     "d_alter_table",
@@ -118,6 +161,111 @@ object DdlDmlQueries {
     oracle = Some("""
       SELECT n_nationkey, n_name, n_nationkey * n_nationkey AS n_key_sq
       FROM nation ORDER BY n_nationkey""")
+  )
+
+  /** Incremental materialized-aggregate maintenance: the view stores
+    * MERGEABLE partial states (count, exact decimal sum), so a delta
+    * batch refreshes it by aggregating ONLY the delta and re-merging
+    * states — cost O(delta + groups), never a rescan of the base (at
+    * 100 TB that is the difference between a nightly refresh and an
+    * impossible one; same algebra as Spark's own partial aggregation,
+    * lifted to the storage layer). The oracle recomputes the view from
+    * scratch — merged states must equal the full recompute exactly. */
+  val matviewIncremental: QueryDef = QueryDef(
+    "d_matview_incremental",
+    (s, dir) => {
+      val cat = new Catalog(s, scratch("matview"))
+      val orders = t(s, dir, "orders")
+      def partials(df: DataFrame): DataFrame =
+        df.groupBy(col("o_orderstatus"), col("o_orderpriority"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast("decimal(18,2)")).as("total"))
+      // initial build on the history…
+      cat.createTableAs("mv",
+        partials(orders.filter(col("o_orderdate") < lit("1997-06-01"))))
+      // …then one incremental refresh from the delta batch alone
+      val delta = partials(
+        orders.filter(col("o_orderdate") >= lit("1997-06-01")))
+      cat.update("mv", mv => mv.unionAll(delta)
+        .groupBy(col("o_orderstatus"), col("o_orderpriority"))
+        // merged states cast back to the view's declared column types —
+        // sum() widens decimals and the catalog schema is fixed
+        .agg(sum(col("n")).as("n"),
+          sum(col("total")).cast("decimal(28,2)").as("total")))
+      cat.table("mv")
+        .select(col("o_orderstatus"), col("o_orderpriority"), col("n"),
+          col("total").cast("double").as("total"))
+        .orderBy(col("o_orderstatus"), col("o_orderpriority"))
+    },
+    oracle = Some("""
+      SELECT o_orderstatus, o_orderpriority, count(*) AS n,
+             CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+               AS total
+      FROM orders
+      GROUP BY o_orderstatus, o_orderpriority
+      ORDER BY o_orderstatus, o_orderpriority""")
+  )
+
+  /** Z-order data layout (the write-side half of the reference's extent
+    * map + casual partitioning, extentmap.h:99 — blocks carry min/max per
+    * column and scans drop extents whose range can't match): interleave
+    * the bits of two query dimensions into one z-value, cluster files by
+    * z-bucket, and every bucket ends up with a TIGHT min/max box in BOTH
+    * dimensions, so a 2-D predicate prunes most buckets via ordinary
+    * parquet row-group stats / partition pruning — one layout serving
+    * two filter columns, where a single-column sort serves one. The
+    * query reports each bucket's bounding box; the DuckDB oracle replays
+    * the same bit-interleave and boxes, proving the clustering is
+    * deterministic layout logic, not sampling. */
+  /** Where the last zorderLayout run wrote its clustered copy (PlanSpec
+    * reads it back to pin partition pruning on the layout). */
+  @volatile private[graft] var lastZorderDir: String = _
+
+  val zorderLayout: QueryDef = QueryDef(
+    "d_zorder_layout",
+    (s, dir) => {
+      val tmp = scratch("zorder")
+      lastZorderDir = s"$tmp/lineitem_z"
+      // 8-bit bucketization of both dims, then 16-bit Morton interleave —
+      // pure integer expressions, codegen'd, identical in the oracle
+      val zExpr = (0 until 8).map(i =>
+        s"(((ok_b >> $i) & 1) << ${2 * i}) + (((pk_b >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      val laid = t(s, dir, "lineitem")
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"))
+        .withColumn("ok_b", pmod(col("l_orderkey"), lit(256)).cast("int"))
+        .withColumn("pk_b", pmod(col("l_partkey"), lit(256)).cast("int"))
+        .withColumn("zval", expr(zExpr))
+        .withColumn("zbucket", expr("zval div 4096")) // 16 buckets
+      laid.write.mode("overwrite").partitionBy("zbucket")
+        .parquet(s"$tmp/lineitem_z")
+      s.read.parquet(s"$tmp/lineitem_z")
+        .groupBy(col("zbucket"))
+        .agg(count(lit(1)).as("n"),
+          min(col("ok_b")).as("min_ok"), max(col("ok_b")).as("max_ok"),
+          min(col("pk_b")).as("min_pk"), max(col("pk_b")).as("max_pk"))
+        // the proof-of-layout: both boxes are ≤ a quarter of the domain,
+        // so any 2-D equality predicate overlaps ≤ 1/16 of the buckets
+        .withColumn("box_ok", col("max_ok") - col("min_ok"))
+        .withColumn("box_pk", col("max_pk") - col("min_pk"))
+        .orderBy(col("zbucket"))
+    },
+    oracle = Some {
+      val zExpr = (0 until 8).map(i =>
+        s"(((ok_b >> $i) & 1) << ${2 * i}) + (((pk_b >> $i) & 1) << ${2 * i + 1})")
+        .mkString(" + ")
+      s"""
+      WITH b AS (SELECT CAST(l_orderkey % 256 AS INTEGER) AS ok_b,
+                        CAST(l_partkey % 256 AS INTEGER) AS pk_b
+                 FROM lineitem),
+      z AS (SELECT ok_b, pk_b, ($zExpr) // 4096 AS zbucket FROM b)
+      SELECT zbucket, count(*) AS n,
+             min(ok_b) AS min_ok, max(ok_b) AS max_ok,
+             min(pk_b) AS min_pk, max(pk_b) AS max_pk,
+             max(ok_b) - min(ok_b) AS box_ok,
+             max(pk_b) - min(pk_b) AS box_pk
+      FROM z GROUP BY zbucket ORDER BY zbucket"""
+    }
   )
 
   /** cpimport round-trip: nation → pipe-delimited CSV → Loader → parquet.
@@ -475,5 +623,6 @@ object DdlDmlQueries {
     alterTable, csvRoundtrip, jsonlRoundtrip, loaderRejects, crossEngine,
     bucketedJoin,
     partitionedWrite, showPartitions, dropPartition, tableStats,
-    viewRoundtrip, mergeUpsert)
+    viewRoundtrip, mergeUpsert, timeTravel, zorderLayout,
+    matviewIncremental)
 }

@@ -201,8 +201,51 @@ class Catalog(spark: SparkSession, root: String) {
     deleteRecursively(old)
     Files.move(live, old)
     Files.move(Paths.get(staged), live)
-    deleteRecursively(old)
+    // MVCC snapshot retention (reference: versioning/BRM version buffer,
+    // dbrm.h:163-192 — a DML block-rewrite keeps the pre-image until the
+    // transaction's VSS entries age out): the displaced pre-image becomes
+    // version N under _versions/<name>, readable via tableAsOf. Rename
+    // only — no data copy; at 100 TB retention is bounded by
+    // vacuumVersions (the aging analog), not by the write path.
+    val vdir = versionsDir(name)
+    Files.createDirectories(vdir)
+    Files.move(old, vdir.resolve(s"v${versions(name).size}"))
   }
+
+  // ---- time travel ----------------------------------------------------
+
+  private def versionsDir(name: String): Path =
+    Paths.get(root, "_versions", name)
+
+  /** Retained pre-image versions for a table, oldest first (v0 = the
+    * state before the first versioned mutation). */
+  def versions(name: String): Seq[Int] = {
+    val d = versionsDir(name)
+    if (!Files.exists(d)) Seq.empty
+    else {
+      val it = Files.list(d).iterator()
+      val vs = scala.collection.mutable.ArrayBuffer.empty[Int]
+      while (it.hasNext) {
+        val f = it.next().getFileName.toString
+        if (f.startsWith("v")) vs += f.drop(1).toInt
+      }
+      vs.sorted.toSeq
+    }
+  }
+
+  /** SELECT … AS OF version: read the retained pre-image snapshot v (the
+    * reference's version-buffer read path for a not-yet-aged block). */
+  def tableAsOf(name: String, v: Int): DataFrame = {
+    val p = versionsDir(name).resolve(s"v$v")
+    require(Files.exists(p), s"no version $v of $name retained")
+    spark.read.parquet(p.toString)
+  }
+
+  /** Age out retained snapshots older than `keep` versions (the VSS
+    * aging analog — at scale a retention window, not forever). */
+  def vacuumVersions(name: String, keep: Int): Unit =
+    versions(name).dropRight(keep).foreach(v =>
+      deleteRecursively(versionsDir(name).resolve(s"v$v")))
 
   /** INSERT … ON DUPLICATE KEY UPDATE (MySQL upsert, full-row form): a
     * batch row whose key matches an existing row replaces it; the rest

@@ -47,6 +47,25 @@ class CatalogSpec extends GraftSuite {
     assert(cat.table("t").count() == 2)
   }
 
+  test("versioned rewrites retain readable pre-images; vacuum ages them out") {
+    val cat = freshCatalog()
+    cat.createTableAs("t", Seq((1L, 10.0), (2L, -5.0), (3L, 7.0))
+      .toDF("id", "v"))
+    assert(cat.versions("t").isEmpty)
+    cat.update("t", df => df.withColumn("v", $"v" * 2))   // retains v0
+    cat.delete("t", _.filter($"v" >= 0))                  // retains v1
+    assert(cat.versions("t") == Seq(0, 1))
+    // v0 = original, v1 = doubled, current = doubled minus the negative
+    assert(cat.tableAsOf("t", 0).orderBy("id").select("v")
+      .collect().map(_.getDouble(0)).toSeq == Seq(10.0, -5.0, 7.0))
+    assert(cat.tableAsOf("t", 1).orderBy("id").select("v")
+      .collect().map(_.getDouble(0)).toSeq == Seq(20.0, -10.0, 14.0))
+    assert(cat.table("t").count() == 2)
+    cat.vacuumVersions("t", keep = 1)
+    assert(cat.versions("t") == Seq(1))
+    intercept[IllegalArgumentException](cat.tableAsOf("t", 0))
+  }
+
   test("catalog recovers a table whose live dir vanished mid-rewrite") {
     import java.nio.file.{Files, Paths}
     val root = java.nio.file.Files.createTempDirectory("graft_cat").toString

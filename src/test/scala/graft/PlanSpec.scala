@@ -119,6 +119,25 @@ class PlanSpec extends GraftSuite {
     assert(math.abs(r.getDouble(1) - unsalted.getDouble(1)) < 1e-4)
   }
 
+  test("z-order layout clusters both dims and prunes by z-bucket") {
+    // run the layout query (writes the z-clustered copy), then prove the
+    // physical payoff: every bucket's bounding box covers ≤ 1/4 of each
+    // dimension (so a 2-D predicate overlaps few buckets), and a read
+    // with a z-bucket predicate prunes partitions at the scan
+    val stats = operators.DdlDmlQueries.zorderLayout.run(spark, sf)
+    val rows = stats.collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getAs[Int]("box_ok") <= 64, r.toString)
+      assert(r.getAs[Int]("box_pk") <= 64, r.toString)
+    }
+    val zdir = operators.DdlDmlQueries.lastZorderDir
+    val pruned = spark.read.parquet(zdir).filter(col("zbucket") === 3)
+    val plan = formatted(pruned)
+    assert(plan.contains("PartitionFilters: [isnotnull(zbucket") ||
+      plan.contains("PartitionFilters: [(zbucket"), plan)
+  }
+
   test("partitioned layout prunes to the matching partition directories") {
     val plan = formatted(
       operators.DdlDmlQueries.partitionedWrite.run(spark, sf))
