@@ -460,8 +460,49 @@ object AggregateQueries {
       FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   )
 
+  /** UNPIVOT / melt — the inverse reshape of a_pivot: a wide per-group
+    * metrics row unfolds to (group, metric, value) long form, the shape
+    * every metrics store and chart pipeline ingests. Sums go through
+    * exact decimal before the unfold so both engines emit identical
+    * doubles. */
+  val unpivot: QueryDef = QueryDef(
+    "a_unpivot",
+    (s, dir) => {
+      val wide = t(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"))
+        .agg(
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double")
+            .as("sum_price"),
+          sum(col("l_discount").cast("decimal(18,2)")).cast("double")
+            .as("sum_disc"))
+      wide.unpivot(
+        Array(col("l_returnflag")),
+        Array(col("sum_qty"), col("sum_price"), col("sum_disc")),
+        "metric", "value")
+        .orderBy(col("l_returnflag"), col("metric"))
+    },
+    oracle = Some("""
+      WITH w AS (
+        SELECT l_returnflag,
+               CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_qty,
+               CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_price,
+               CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+                 AS sum_disc
+        FROM lineitem GROUP BY l_returnflag)
+      SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS value FROM w
+      UNION ALL
+      SELECT l_returnflag, 'sum_price', sum_price FROM w
+      UNION ALL
+      SELECT l_returnflag, 'sum_disc', sum_disc FROM w
+      ORDER BY l_returnflag, metric""")
+  )
+
   def defs: Seq[QueryDef] = Seq(basicStats, distinctAggs, bitAggs, regression,
     groupConcatCustom, groupConcatDistinct, having, rollup, cube, emptyInput,
     highCardinality, mysqlShims, approxDistinct, approxPercentile, listAgg,
-    groupingSets, pivot, topkPerGroup)
+    groupingSets, pivot, unpivot, topkPerGroup)
 }

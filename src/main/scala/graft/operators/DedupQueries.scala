@@ -214,6 +214,76 @@ object DedupQueries {
       FROM d LEFT JOIN agg USING (doc_id) ORDER BY doc_id""")
   )
 
+  /** MinHash ESTIMATOR calibration — the sketch-quality gate next to the
+    * detector: for every LSH candidate pair, the signature-agreement
+    * estimate (matching positions / 32) is compared against the exact
+    * token-set Jaccard, bucketed by absolute error decile. A healthy
+    * 32-hash sketch concentrates mass in deciles 0-2; drift here is how a
+    * production dedup pipeline notices a broken hash or an adversarial
+    * corpus BEFORE trusting the sketch at 100 TB (where exact
+    * verification of every pair is unaffordable and only calibrated
+    * sampling is possible). Candidates + signatures + exact Jaccard are
+    * all deterministic, so the oracle replays the whole comparison. */
+  val minhashCalibration: QueryDef = QueryDef(
+    "x_dedup_minhash_calibration",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("sig", minhashSig(col("toks"), 32))
+      val bands = minhashBands(base)
+      val reps = bands.groupBy(col("band_id"), col("band_key"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > 1)
+      val pairs = bands
+        .join(reps, Seq("band_id", "band_key"))
+        .filter(col("doc_id") =!= col("rep_id"))
+        .select(col("rep_id").as("a"), col("doc_id").as("b"))
+        .distinct()
+      val scored = pairs
+        .join(base.select(col("doc_id").as("a"), col("toks").as("toks_a"),
+          col("sig").as("sig_a")), Seq("a"))
+        .join(base.select(col("doc_id").as("b"), col("toks").as("toks_b"),
+          col("sig").as("sig_b")), Seq("b"))
+        .select(
+          (size(array_intersect(col("toks_a"), col("toks_b")))
+            .cast("double") /
+            size(array_union(col("toks_a"), col("toks_b")))).as("jac"),
+          (expr("size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), " +
+            "v -> v))").cast("double") / 32).as("est"))
+      scored
+        .withColumn("err_decile",
+          floor(abs(col("est") - col("jac")) * 10).cast("int"))
+        .groupBy(col("err_decile"))
+        .agg(count(lit(1)).as("n_pairs"),
+          round(avg(col("jac")), 4).as("avg_jaccard"),
+          round(avg(col("est")), 4).as("avg_estimate"))
+        .orderBy(col("err_decile"))
+    },
+    oracle = Some(minhashBandsSql + """,
+      reps AS (SELECT b, h0, h1, h2, h3, min(doc_id) AS rep_id
+               FROM bands GROUP BY b, h0, h1, h2, h3 HAVING count(*) > 1),
+      pairs AS (SELECT DISTINCT r.rep_id AS pa, x.doc_id AS pb
+                FROM bands x JOIN reps r USING (b, h0, h1, h2, h3)
+                WHERE x.doc_id <> r.rep_id),
+      scored AS (SELECT
+                   CAST(len(list_intersect(da.toks, db.toks)) AS DOUBLE) /
+                   len(list_distinct(list_concat(da.toks, db.toks)))
+                     AS jac,
+                   CAST(len(list_filter(range(1, 33),
+                     i -> sa.sig[i] = sb.sig[i])) AS DOUBLE) / 32 AS est
+                 FROM pairs
+                 JOIN d da ON da.doc_id = pa
+                 JOIN d db ON db.doc_id = pb
+                 JOIN sigs sa ON sa.doc_id = pa
+                 JOIN sigs sb ON sb.doc_id = pb)
+      SELECT CAST(floor(abs(est - jac) * 10) AS INTEGER) AS err_decile,
+             count(*) AS n_pairs,
+             round(avg(jac), 4) AS avg_jaccard,
+             round(avg(est), 4) AS avg_estimate
+      FROM scored GROUP BY 1 ORDER BY err_decile""")
+  )
+
   /** SimHash near-dup: 64-bit fingerprint per doc (custom codegen'd
     * Expression), banded into 4×16-bit chunks for the candidate join,
     * hamming ≤ 12 counts as near-dup. */
@@ -1175,7 +1245,8 @@ ${LshOracleSql.cosineExpr} AS c
       ORDER BY i.da, i.db""")
   )
 
-  def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh, simhash,
+  def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh,
+    minhashCalibration, simhash,
     embeddingNearDup, clusters, incremental, semdedup, cc, chunkDedup,
     spanDedup, kmvOverlap, cdcChunks, setJoin)
 }

@@ -550,8 +550,42 @@ object JoinQueries {
       ORDER BY p_partkey""")
   )
 
+  /** Correlated LATERAL join (top-N-per-outer-row, the classic lateral
+    * shape): each nation pulls its own top-2 customers by balance from a
+    * correlated ordered-and-limited subquery. Catalyst decorrelates this
+    * into a ranked window over one customer shuffle — no per-row
+    * re-execution, which is what makes the construct usable when the
+    * outer side is millions of rows. (Parity-plus: the reference's MySQL
+    * dialect predates LATERAL.) */
+  val lateralTopN: QueryDef = QueryDef(
+    "j_lateral_topn",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n
+        JOIN LATERAL (
+          SELECT c_name, c_acctbal
+          FROM customer c
+          WHERE c.c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name
+          LIMIT 2) t
+        ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+    },
+    oracle = Some("""
+      SELECT n.n_name, t.c_name, t.c_acctbal
+      FROM nation n
+      JOIN LATERAL (
+        SELECT c_name, c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY c_acctbal DESC, c_name
+        LIMIT 2) t ON true
+      ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
+  )
+
   def defs: Seq[QueryDef] = Seq(innerShuffle, broadcastDim, leftOuter,
     rightOuter, fullOuter, semi, anti, antiNullAware, scalarSubquery, cross,
     nonEquiSelf, functionJoin, skewSalted, bloomPrefilter, fuzzyEditJoin,
-    skyline)
+    skyline, lateralTopN)
 }

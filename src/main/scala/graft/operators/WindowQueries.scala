@@ -323,7 +323,49 @@ object WindowQueries {
       ORDER BY o_custkey, o_orderkey""")
   )
 
+  /** Moving EXACT median over a sliding row frame (robust smoother — the
+    * windowed dual of the percentile battery; unlike avg it shrugs off
+    * the odd 10× outlier row, which is why monitoring pipelines prefer
+    * it). Exact median over a 5-row frame; quantities are integral
+    * doubles so the even-count midpoint average is exact in both
+    * engines. Spark refuses median() with an explicit frame, so the
+    * frame's values are collected and the midpoint taken — ≤5 elements
+    * per row, constant memory, and the whole expression stays codegen'd
+    * (DuckDB's native windowed median is the oracle). */
+  val movingMedian: QueryDef = QueryDef(
+    "w_moving_median",
+    (s, dir) => {
+      Tables.registerAll(s, dir)
+      s.sql("""
+        SELECT l_orderkey, l_linenumber, l_quantity,
+               CASE WHEN size(vals) % 2 = 1
+                    THEN element_at(vals, CAST(size(vals) DIV 2 AS INT) + 1)
+                    ELSE (element_at(vals, CAST(size(vals) DIV 2 AS INT))
+                          + element_at(vals,
+                              CAST(size(vals) DIV 2 AS INT) + 1)) / 2.0
+               END AS med5
+        FROM (
+          SELECT l_orderkey, l_linenumber, l_quantity,
+                 sort_array(collect_list(l_quantity) OVER (
+                   PARTITION BY l_returnflag
+                   ORDER BY l_orderkey, l_linenumber, l_quantity
+                   ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)) AS vals
+          FROM lineitem
+          WHERE l_orderkey < 2000)
+        ORDER BY l_orderkey, l_linenumber""")
+    },
+    oracle = Some("""
+      SELECT l_orderkey, l_linenumber, l_quantity,
+             median(l_quantity) OVER (
+               PARTITION BY l_returnflag
+               ORDER BY l_orderkey, l_linenumber, l_quantity
+               ROWS BETWEEN 4 PRECEDING AND CURRENT ROW) AS med5
+      FROM lineitem
+      WHERE l_orderkey < 2000
+      ORDER BY l_orderkey, l_linenumber""")
+  )
+
   def defs: Seq[QueryDef] = Seq(ranking, rankTies, rowsFrames, rangeFrames,
     offsets, ntileBuckets, percentiles, distinctOverWindow, nullsOrdering,
-    ignoreNulls)
+    ignoreNulls, movingMedian)
 }
