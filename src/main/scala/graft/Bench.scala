@@ -62,7 +62,13 @@ object Bench {
     "x_graph_triangles",
     "x_events_pattern",
     "j_skyline_dominance",
-    "x_dedup_setjoin")
+    "x_dedup_setjoin",
+    // round-6 additions
+    "x_dedup_minhash_calibration",
+    "x_ann_recall_ivf",
+    "d_time_travel",
+    "d_zorder_layout",
+    "d_matview_incremental")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -272,7 +278,8 @@ object Bench {
           operators.AnnIndex.ensureBuilt(spark, sfDir)
           operators.AnnIndex.ensureBuilt(spark, tmp.toString)
           val scaleQs = Seq("x_dedup_minhash_lsh", "x_dedup_chunks",
-            "x_dedup_cc", "x_search_bm25", "x_ann_ivfpq_indexed")
+            "x_dedup_cc", "x_search_bm25", "x_ann_ivfpq_indexed",
+            "x_dedup_setjoin")
           val entries = scaleQs.map { name =>
             try {
               val x1 = (1 to 2).map(_ => runE2eIn(name, sfDir)).min
