@@ -834,9 +834,63 @@ object EventsQueries {
       FROM j ORDER BY user_id""")
   )
 
+  /** Linear multi-touch attribution: each purchase's value splits equally
+    * across the same user's clicks in the hour before it (the fair-share
+    * complement of j_asof_attribution's last-touch). The time-range match
+    * is BANDED — purchases explode to their own and the previous hour
+    * bucket, join clicks on (user_id, bucket) equality, then the exact
+    * (p_ts − 1 h, p_ts] check filters — a pure equi-join plan whose
+    * candidate volume is 2× clicks-per-user-hour, never a theta join (at
+    * 100 TB event volume a time-range theta join is the classic
+    * accidental cross product). Credit division is one IEEE op per
+    * purchase; per-user credit sums round to 4 on both engines. */
+  val attributionLinear: QueryDef = QueryDef(
+    "x_events_attribution_linear",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val clicks = e.filter(col("event_type") === "click")
+        .select(col("user_id"), unix_seconds(col("ts")).as("c_sec"))
+        .withColumn("hb", expr("c_sec div 3600"))
+      val purchases = e.filter(col("event_type") === "purchase")
+        .select(col("user_id"), col("event_id"),
+          unix_seconds(col("ts")).as("p_sec"), col("value"))
+      val banded = purchases
+        .withColumn("hb", explode(expr(
+          "array(p_sec div 3600, p_sec div 3600 - 1)")))
+        .join(clicks, Seq("user_id", "hb"))
+        .filter(col("c_sec") > col("p_sec") - 3600 &&
+          col("c_sec") <= col("p_sec"))
+      val perPurchase = banded
+        .groupBy(col("user_id"), col("event_id"), col("value"))
+        .agg(count(lit(1)).as("n_touch"))
+      perPurchase
+        .groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n_attributed"),
+          sum(col("n_touch")).as("n_touches"),
+          round(sum(col("value")), 4).as("attributed_value"),
+          round(sum(col("value") / col("n_touch")), 4)
+            .as("per_touch_credit"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some("""
+      WITH c AS (SELECT user_id, epoch(ts::TIMESTAMP) AS c_sec
+                 FROM events WHERE event_type = 'click'),
+      p AS (SELECT user_id, event_id, epoch(ts::TIMESTAMP) AS p_sec, value
+            FROM events WHERE event_type = 'purchase'),
+      m AS (SELECT p.user_id, p.event_id, p.value, count(*) AS n_touch
+            FROM p JOIN c ON c.user_id = p.user_id
+             AND c.c_sec > p.p_sec - 3600 AND c.c_sec <= p.p_sec
+            GROUP BY p.user_id, p.event_id, p.value)
+      SELECT user_id, count(*) AS n_attributed,
+             CAST(sum(n_touch) AS BIGINT) AS n_touches,
+             round(sum(value), 4) AS attributed_value,
+             round(sum(value / n_touch), 4) AS per_touch_credit
+      FROM m GROUP BY user_id ORDER BY user_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
     resample, winsorize, transitions, streamTransitions, ewma, scd2,
-    pattern)
+    pattern, attributionLinear)
 }

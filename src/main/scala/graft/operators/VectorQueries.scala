@@ -169,7 +169,8 @@ ${LshOracleSql.cosineExpr} AS cos
   )
 
   // ---- IVF / PQ / IVF+PQ — quantizer machinery lives in AnnIndex -------
-  import AnnIndex.{coarseCentroids, coarseProbes, coarseTrainTo, pqSubs,
+  import AnnIndex.{coarseCentroids, coarseProbes, coarseReassign,
+    coarseTrainTo, pqEncode, pqSubs,
     pqCodebookOf, pqTrainCodesTo, pqDtab, adcTopK, inlineScratch, l2sqExpr}
 
   /** IVF-style ANN: a coarse k-means quantizer (deterministic hash init +
@@ -362,6 +363,56 @@ ${LshOracleSql.cosineExpr} AS cos
       kpq = 16, iters = 2))
   )
 
+  /** STREAMING frozen-index ingest — the production arrival path for the
+    * lifecycle's third leg: new vectors land on a file stream and encode
+    * against the frozen coarse centroids / PQ codebook as two STATELESS
+    * append streams (per-row argmax/argmin folds over broadcast artifact
+    * arrays — no watermark, no state store, no shuffle; the exact shape
+    * that absorbs a 100 TB/day embedding firehose). The batch readback
+    * assembles (vec_id, cid, codes_csv) and must equal the batch ingest
+    * bit-for-bit — same DuckDB oracle as x_ann_index_ingest. */
+  val streamIngest: QueryDef = QueryDef(
+    "x_stream_ann_ingest",
+    (s, dir) => {
+      val all = emb(s, dir)
+      val base = all.filter(pmod(col("vec_id"), lit(8)) =!= 0)
+      val assignB = AnnIndex.coarseTrainTo(base, 16, 2,
+        inlineScratch(dir, "s_ing_assign"))
+      val centsB = coarseCentroids(base, assignB)
+      val subsB = pqSubs(base, 16, 4)
+      val codesB = pqTrainCodesTo(subsB, 4, 16, 2,
+        inlineScratch(dir, "s_ing_codes"))
+      val bookB = pqCodebookOf(codesB.join(subsB, Seq("vec_id", "ss")), 4)
+      val tmp = DdlDmlQueries.scratch("stream_ann_ingest")
+      all.filter(pmod(col("vec_id"), lit(8)) === 0)
+        .repartition(4).write.mode("overwrite").parquet(s"$tmp/src")
+      val schema = all.schema
+      def runStream(out: String)(f: DataFrame => DataFrame): Unit = {
+        val q = f(s.readStream.schema(schema).parquet(s"$tmp/src"))
+          .writeStream.outputMode("append").format("parquet")
+          .option("path", s"$tmp/$out")
+          .option("checkpointLocation", s"$tmp/cp_$out")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+      }
+      runStream("coarse")(st => coarseReassign(st, centsB))
+      runStream("codes")(st => pqEncode(pqSubs(st, 16, 4), bookB)
+        .select(col("vec_id"), col("ss"), col("cid")))
+      val codes = s.read.parquet(s"$tmp/codes")
+        .groupBy(col("vec_id"))
+        .agg(expr(
+          "array_join(transform(sort_array(collect_list(struct(ss, cid))), "
+            + "x -> cast(x.cid as string)), ',')").as("codes_csv"))
+      s.read.parquet(s"$tmp/coarse")
+        .join(codes, Seq("vec_id"))
+        .select(col("vec_id"), col("cid"), col("codes_csv"))
+        .orderBy(col("vec_id"))
+    },
+    oracle = Some(IvfPqOracleSql.ingestSql(k = 16, m = 16, sub = 4,
+      kpq = 16, iters = 2))
+  )
+
   /** Measured ANN quality gate: recall@3 of the prebuilt IVF index
     * (probe-pruned exact-cosine search over the persisted artifacts)
     * against the exact brute-force top-3 — the number a production ANN
@@ -545,6 +596,6 @@ ${LshOracleSql.cosineExpr} AS cos
   )
 
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
-    pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, recallIvf,
-    centroids, sq8TopK)
+    pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
+    recallIvf, centroids, sq8TopK)
 }
