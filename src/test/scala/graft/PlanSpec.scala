@@ -119,6 +119,16 @@ class PlanSpec extends GraftSuite {
     assert(math.abs(r.getDouble(1) - unsalted.getDouble(1)) < 1e-4)
   }
 
+  test("lateral top-n decorrelates to a ranked window, no cartesian") {
+    // the correlated ORDER BY ... LIMIT subquery must not execute per
+    // outer row: Catalyst rewrites it to one windowed rank over a single
+    // customer shuffle — a cartesian/nested-loop here would be the
+    // classic lateral scale trap
+    val plan = planOf(operators.JoinQueries.lateralTopN.run(spark, sf))
+    assert(!plan.contains("CartesianProduct"), plan.take(2000))
+    assert(plan.contains("Window"), plan.take(2000))
+  }
+
   test("z-order layout clusters both dims and prunes by z-bucket") {
     // run the layout query (writes the z-clustered copy), then prove the
     // physical payoff: every bucket's bounding box covers ≤ 1/4 of each

@@ -492,6 +492,20 @@ class VectorTextSpec extends GraftSuite {
     tmp
   }
 
+  test("minhash calibration puts an identical pair in error decile 0") {
+    // docs 1,2 identical (jaccard 1, every signature position equal →
+    // est 1, error 0); doc 3 disjoint and must produce no candidate at
+    // all — the calibration histogram must be exactly one decile-0 row
+    val text = (1 to 30).map(i => s"w$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, text, "fx"), (2L, text, "fx"),
+      (3L, (1 to 30).map(i => s"z$i").mkString(" "), "fx")))
+    val rows = operators.DedupQueries.minhashCalibration.run(spark, tmp)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    assert(rows.toSeq == Seq((0, 1L, 1.0, 1.0)), rows.toSeq.toString)
+  }
+
   test("k-anonymity suppresses small groups into one residual row") {
     // 9 docs in (en, big) — released; 2 + 1 docs in small groups —
     // collapsed into the '*' residual with recomputed (not averaged)
