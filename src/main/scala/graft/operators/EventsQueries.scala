@@ -873,9 +873,11 @@ object EventsQueries {
         .orderBy(col("user_id"))
     },
     oracle = Some("""
-      WITH c AS (SELECT user_id, epoch(ts::TIMESTAMP) AS c_sec
+      WITH c AS (SELECT user_id,
+                   CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS c_sec
                  FROM events WHERE event_type = 'click'),
-      p AS (SELECT user_id, event_id, epoch(ts::TIMESTAMP) AS p_sec, value
+      p AS (SELECT user_id, event_id,
+              CAST(floor(epoch(ts::TIMESTAMP)) AS BIGINT) AS p_sec, value
             FROM events WHERE event_type = 'purchase'),
       m AS (SELECT p.user_id, p.event_id, p.value, count(*) AS n_touch
             FROM p JOIN c ON c.user_id = p.user_id
