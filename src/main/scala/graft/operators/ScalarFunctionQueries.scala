@@ -699,6 +699,59 @@ object ScalarFunctionQueries {
     * oracle hash stays row-sortable; set-producing ops sort before any
     * size/join so DuckDB's unspecified list_distinct order can't leak
     * into results. */
+  /** JSON parse/extract battery (parity-plus; the reference's MySQL
+    * predates JSON functions): a nested JSON document is constructed
+    * with identical concat logic on both engines (integer/string content
+    * only — float text formatting is engine-specific), then pulled apart
+    * via from_json with an explicit schema and json-path extraction
+    * (json_tuple is a generator in Spark and cannot nest — both id paths
+    * go through scalar extraction). The oracle replays extraction with DuckDB's json_*
+    * functions — values compared, never JSON text. */
+  val jsonBattery: QueryDef = QueryDef(
+    "fn_json_battery",
+    (s, dir) =>
+      Tables.table(s, dir, "orders")
+        .filter(col("o_orderkey") < 200)
+        .withColumn("js", concat(
+          lit("{\"id\":"), col("o_orderkey"),
+          lit(",\"st\":\""), col("o_orderstatus"),
+          lit("\",\"arr\":["), col("o_custkey"),
+          lit(","), col("o_orderkey") % 7,
+          lit("],\"nested\":{\"pr\":\""), col("o_orderpriority"),
+          lit("\"}}")))
+        .select(
+          col("o_orderkey"),
+          from_json(col("js"), org.apache.spark.sql.types.StructType(Seq(
+            org.apache.spark.sql.types.StructField("id",
+              org.apache.spark.sql.types.LongType),
+            org.apache.spark.sql.types.StructField("st",
+              org.apache.spark.sql.types.StringType)))).getField("id")
+            .as("j_id"),
+          get_json_object(col("js"), "$.st").as("j_st"),
+          get_json_object(col("js"), "$.nested.pr").as("j_pr"),
+          get_json_object(col("js"), "$.arr[0]").cast("bigint")
+            .as("j_arr0"),
+          expr("json_array_length(get_json_object(js, '$.arr'))")
+            .as("j_arr_len"),
+          get_json_object(col("js"), "$.id").cast("bigint")
+            .as("j_tup_id"))
+        .orderBy(col("o_orderkey")),
+    oracle = Some("""
+      WITH j AS (SELECT o_orderkey,
+                   '{"id":' || o_orderkey || ',"st":"' || o_orderstatus ||
+                   '","arr":[' || o_custkey || ',' || (o_orderkey % 7) ||
+                   '],"nested":{"pr":"' || o_orderpriority || '"}}' AS js
+                 FROM orders WHERE o_orderkey < 200)
+      SELECT o_orderkey,
+             CAST(js ->> '$.id' AS BIGINT) AS j_id,
+             js ->> '$.st' AS j_st,
+             js ->> '$.nested.pr' AS j_pr,
+             CAST(js ->> '$.arr[0]' AS BIGINT) AS j_arr0,
+             CAST(json_array_length(js, '$.arr') AS INTEGER) AS j_arr_len,
+             CAST(js ->> '$.id' AS BIGINT) AS j_tup_id
+      FROM j ORDER BY o_orderkey""")
+  )
+
   val arrayNested: QueryDef = QueryDef(
     "fn_array_nested",
     (s, dir) =>
@@ -759,5 +812,5 @@ object ScalarFunctionQueries {
   def defs: Seq[QueryDef] = Seq(stringBasic, stringAdvanced, mathBattery,
     dateExtract, dateArith, controlFlow, mysqlStrings, mysqlDates,
     pseudoColumns, timeBattery, divZeroDecimal, weekModes, registryTail,
-    udfSqlSurface, arrayNested)
+    udfSqlSurface, arrayNested, jsonBattery)
 }
