@@ -206,6 +206,42 @@ object DdlDmlQueries {
       ORDER BY o_orderstatus, o_orderpriority""")
   )
 
+  /** Small-file compaction — the operational sibling of the layout ops:
+    * streaming/incremental ingests leave a long tail of small files, and
+    * at 100 TB the scan's task count (and the namenode/listing pressure)
+    * tracks FILE count, not byte count. Compaction re-bins a fragmented
+    * table to ceil(bytes / target_file_size) files; here the bin count is
+    * pinned (64 → 4) so the assertion is deterministic, and the oracle
+    * checks content invariance (rows + exact sum survive the rewrite). */
+  val compaction: QueryDef = QueryDef(
+    "d_compaction",
+    (s, dir) => {
+      val tmp = scratch("compaction")
+      val slice = t(s, dir, "lineitem")
+        .filter(col("l_orderkey") < 20000)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+      slice.repartition(64).write.mode("overwrite").parquet(s"$tmp/small")
+      def nFiles(p: String): Int =
+        new java.io.File(p).listFiles()
+          .count(f => f.getName.startsWith("part-"))
+      val before = nFiles(s"$tmp/small")
+      s.read.parquet(s"$tmp/small").repartition(4)
+        .write.mode("overwrite").parquet(s"$tmp/compact")
+      val after = nFiles(s"$tmp/compact")
+      s.read.parquet(s"$tmp/compact")
+        .agg(count(lit(1)).as("n_rows"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"))
+        .select(lit(before).as("files_before"), lit(after).as("files_after"),
+          col("n_rows"), col("sum_qty"))
+    },
+    oracle = Some("""
+      SELECT 64 AS files_before, 4 AS files_after, count(*) AS n_rows,
+             CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+               AS sum_qty
+      FROM lineitem WHERE l_orderkey < 20000""")
+  )
+
   /** Z-order data layout (the write-side half of the reference's extent
     * map + casual partitioning, extentmap.h:99 — blocks carry min/max per
     * column and scans drop extents whose range can't match): interleave
@@ -624,5 +660,5 @@ object DdlDmlQueries {
     bucketedJoin,
     partitionedWrite, showPartitions, dropPartition, tableStats,
     viewRoundtrip, mergeUpsert, timeTravel, zorderLayout,
-    matviewIncremental)
+    matviewIncremental, compaction)
 }

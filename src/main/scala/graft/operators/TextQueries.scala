@@ -1516,8 +1516,62 @@ object TextQueries {
       FROM r ORDER BY source""")
   )
 
+  /** Deterministic 3-way train/val/test split (80/10/10): the split
+    * bucket hashes a PURPOSE-SALTED key ("split:" + doc_id), so split
+    * membership is independent of every other hash decision in the
+    * pipeline (sampling, sharding) — the standard guard against
+    * correlated selection. Disjointness and coverage are structural
+    * (CASE over one bucket); the oracle replays the salted fingerprint
+    * and the per-split/lang footprint. */
+  val split3: QueryDef = QueryDef(
+    "x_pipeline_split",
+    (s, dir) =>
+      docs(s, dir)
+        .withColumn("bucket", pmod(fingerprint64(
+          concat(lit("split:"), col("doc_id").cast("string"))), lit(100L)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("split"), col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("sum_chars"))
+        .orderBy(col("split"), col("lang")),
+    oracle = Some("""
+      WITH f AS (
+        SELECT doc_id, lang, n_chars,
+          list_reduce(
+            list_prepend(0::HUGEINT,
+              list_transform(range(1,
+                  octet_length(encode('split:' || doc_id)) + 1),
+                i -> CAST((strpos('0123456789ABCDEF',
+                         substr(hex(encode('split:' || doc_id)), i*2-1, 1))
+                         - 1) * 16
+                   + (strpos('0123456789ABCDEF',
+                         substr(hex(encode('split:' || doc_id)), i*2, 1))
+                         - 1) AS HUGEINT))),
+            (acc, b) -> (acc * 1000003::HUGEINT + b)
+                        % 18446744073709551616::HUGEINT) AS acc
+        FROM documents),
+      sg AS (SELECT lang, n_chars,
+               ((CAST(CASE WHEN acc >= 9223372036854775808::HUGEINT
+                           THEN acc - 18446744073709551616::HUGEINT
+                           ELSE acc END AS BIGINT) % 100) + 100) % 100
+                 AS bucket
+             FROM f),
+      sp AS (SELECT lang, n_chars,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM sg)
+      SELECT split, lang, count(*) AS n_docs,
+             CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      FROM sp GROUP BY split, lang ORDER BY split, lang""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
-    hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix)
+    hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix,
+    split3)
 }
