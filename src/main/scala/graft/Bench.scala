@@ -68,7 +68,8 @@ object Bench {
     "x_ann_recall_ivf",
     "d_time_travel",
     "d_zorder_layout",
-    "d_matview_incremental")
+    "d_matview_incremental",
+    "x_ann_nprobe_sweep")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -95,6 +95,53 @@ ${cos("eq.emb", "ev.emb")} AS cos
       SELECT q_id, rk, vec_id, cos FROM ranked WHERE rk <= $topk
       ORDER BY q_id, rk"""
 
+  /** Oracle for `x_ann_nprobe_sweep`: probes ranked once to `maxProbe`,
+    * each sweep level filters the rank, top-k per (np, query), average
+    * recall vs the brute-force top-k per level. */
+  def sweepSql(k: Int, maxProbe: Int, iters: Int, topk: Int,
+      nq: Int): String = s"""
+      WITH ${coreCtes(k, maxProbe, iters, nq)},
+      kprbr AS (SELECT q_id, cid, rk AS prk FROM (
+                SELECT q.vec_id AS q_id, c.cid,
+                       row_number() OVER (PARTITION BY q.vec_id
+                                          ORDER BY
+${cos("q.emb", "c.cen")} DESC, c.cid) AS rk
+                FROM eraw q CROSS JOIN kc${iters + 1}v c
+                WHERE q.vec_id < $nq) WHERE rk <= $maxProbe),
+      cands AS (SELECT DISTINCT n.np, p.q_id, a.vec_id
+               FROM ka$iters a JOIN kprbr p USING (cid)
+               CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS np) n
+               WHERE p.prk <= n.np AND a.vec_id <> p.q_id),
+      scored AS (SELECT c.np, c.q_id, c.vec_id,
+${cos("eq.emb", "ev.emb")} AS cos
+                 FROM cands c
+                 JOIN eraw eq ON eq.vec_id = c.q_id
+                 JOIN eraw ev ON ev.vec_id = c.vec_id),
+      ranked AS (SELECT np, q_id, vec_id,
+                   row_number() OVER (PARTITION BY np, q_id
+                                      ORDER BY cos DESC, vec_id) AS rk
+                 FROM scored),
+      ivf3 AS (SELECT np, q_id, vec_id FROM ranked WHERE rk <= $topk),
+      bscored AS (SELECT q.vec_id AS q_id, e.vec_id,
+${cos("q.emb", "e.emb")} AS cos
+                  FROM eraw q JOIN eraw e ON e.vec_id <> q.vec_id
+                  WHERE q.vec_id < $nq),
+      branked AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos DESC, vec_id) AS rk
+                  FROM bscored),
+      brute3 AS (SELECT q_id, vec_id FROM branked WHERE rk <= $topk),
+      swept AS (SELECT n.np, b.q_id, b.vec_id,
+                  CASE WHEN i.vec_id IS NOT NULL THEN 1 ELSE 0 END AS hit
+                FROM brute3 b
+                CROSS JOIN (SELECT unnest([1, 2, 4, 8]) AS np) n
+                LEFT JOIN ivf3 i
+                  ON i.np = n.np AND i.q_id = b.q_id
+                 AND i.vec_id = b.vec_id)
+      SELECT np, CAST(count(DISTINCT q_id) AS BIGINT) AS n_queries,
+             round(CAST(sum(hit) AS DOUBLE) / count(*), 4) AS avg_recall
+      FROM swept GROUP BY np ORDER BY np"""
+
   /** Oracle for `x_ann_recall_ivf`: the IVF chain's top-k next to the
     * exact brute-force top-k, recall = |∩| / k per query. */
   def recallSql(k: Int, nprobe: Int, iters: Int, topk: Int,

@@ -451,6 +451,68 @@ ${LshOracleSql.cosineExpr} AS cos
       topk = 3, nq = 10))
   )
 
+  /** IVF nprobe tuning sweep — the recall side of the latency/recall
+    * curve an ANN deployment tunes: recall@3 vs brute force at nprobe ∈
+    * {1,2,4,8}, computed in one pass (probes ranked once to the max
+    * nprobe, each sweep level filters the rank — candidate scoring work
+    * is shared, exactly how a real sweep amortizes). Average recall per
+    * level, rounded identically on both engines. */
+  val nprobeSweep: QueryDef = QueryDef(
+    "x_ann_nprobe_sweep",
+    (s, dir) => {
+      AnnIndex.ensureBuilt(s, dir)
+      val nq = 10; val topk = 3; val maxProbe = 8
+      val base = emb(s, dir)
+      val cents = s.read.parquet(AnnIndex.centroidsPath(dir))
+      val assign = s.read.parquet(AnnIndex.assignPath(dir))
+      val queries = base.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wp = Window.partitionBy(col("q_id"))
+        .orderBy(col("qcos").desc, col("cid"))
+      val probesRanked = queries.crossJoin(broadcast(cents))
+        .select(col("q_id"), col("cid"),
+          cosineSim(col("q_emb"), col("centroid")).as("qcos"))
+        .withColumn("prk", row_number().over(wp))
+        .filter(col("prk") <= maxProbe)
+        .select(col("q_id"), col("cid"), col("prk"))
+      val cands = assign.join(broadcast(probesRanked), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("np", explode(expr("array(1, 2, 4, 8)")))
+        .filter(col("prk") <= col("np"))
+        .select(col("np"), col("q_id"), col("vec_id"))
+        .distinct()
+      val wR = Window.partitionBy(col("np"), col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val ivf = cands.join(base, Seq("vec_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("np"), col("q_id"), col("vec_id"),
+          cosineSim(col("q_emb"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(wR))
+        .filter(col("rk") <= topk)
+        .select(col("np"), col("q_id"), col("vec_id"))
+        .withColumn("hit", lit(1L))
+      val wB = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val brute = base.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineSim(col("q_emb"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= topk)
+        .select(col("q_id"), col("vec_id"))
+      brute
+        .withColumn("np", explode(expr("array(1, 2, 4, 8)")))
+        .join(ivf, Seq("np", "q_id", "vec_id"), "left")
+        .groupBy(col("np"))
+        .agg(countDistinct(col("q_id")).as("n_queries"),
+          round(sum(coalesce(col("hit"), lit(0L))).cast("double") /
+            count(lit(1)), 4).as("avg_recall"))
+        .orderBy(col("np"))
+    },
+    oracle = Some(IvfOracleSql.sweepSql(k = 16, maxProbe = 8, iters = 2,
+      topk = 3, nq = 10))
+  )
+
   /** Centroid search: per-label mean vector (array aggregation via
     * element-wise avg), then each label's medoid-ish closest member —
     * exercises array aggregation at scale (zip_with + aggregate). */
@@ -597,5 +659,5 @@ ${LshOracleSql.cosineExpr} AS cos
 
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
     pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
-    recallIvf, centroids, sq8TopK)
+    recallIvf, nprobeSweep, centroids, sq8TopK)
 }
