@@ -124,11 +124,16 @@ object Bench {
     } catch { case e: Throwable => System.err.println(s"[bench] warmup: $e") }
 
     // SPARK_GRAFT_BENCH_ALL=1 times every registered query (slow-outlier
-    // hunting); default is the headline set the driver records.
+    // hunting); SPARK_GRAFT_BENCH_ONLY=a,b,c times just those (local
+    // iteration on one op); default is the headline set the driver records.
     val names =
-      if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
-        SparkEntry.queries.keys.toSeq.sorted
-      else headline
+      sys.env.get("SPARK_GRAFT_BENCH_ONLY") match {
+        case Some(list) => list.split(",").map(_.trim).filter(_.nonEmpty).toSeq
+        case None =>
+          if (sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1"))
+            SparkEntry.queries.keys.toSeq.sorted
+          else headline
+      }
     // best-of-N (default 2): the first execution of a plan pays one-time
     // whole-stage-codegen compilation; steady-state is the throughput
     // number comparable to a warmed reference engine
@@ -136,6 +141,25 @@ object Bench {
     // a failed query is reported as JSON null, never a numeric sentinel a
     // consumer could silently fold into sums/averages
     def jnum(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
+    // targeted iteration mode: time just the named queries end-to-end
+    // (construction included, like the extended section), print one line,
+    // and skip every other section
+    if (sys.env.contains("SPARK_GRAFT_BENCH_ONLY")) {
+      val only = names.map { name =>
+        val sec =
+          try Some((1 to runs).map(_ => runE2eIn(name, sfDir)).min)
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name failed: ${e.getMessage}")
+            None
+          }
+        "\"" + name + "\":" + jnum(sec)
+      }
+      println(s"""{"metric":"only","queries":${
+        only.mkString("{", ",", "}")},"sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
     val results: Seq[(String, Option[Double])] = names.map { name =>
       val sec =
         try Some((1 to runs).map(_ => run(name)).min)

@@ -655,10 +655,74 @@ object DdlDmlQueries {
       FROM final GROUP BY c_mktsegment ORDER BY c_mktsegment""")
   )
 
+  /** Transaction ROLLBACK analog over the MVCC catalog (reference: DML
+    * rollback re-applies version-buffer undo images, versioning/BRM/
+    * dbrm.h:163-192): a failed "transaction" of two mutations is undone
+    * by restoring the pre-transaction snapshot. The final table must be
+    * byte-identical to the untouched source, and the version chain must
+    * show all three retained pre-images (update, delete, rollback) —
+    * the abort leaves an audit trail, exactly like the reference's
+    * version buffer before VSS aging. */
+  val txnRollback: QueryDef = QueryDef(
+    "d_txn_rollback",
+    (s, dir) => {
+      val cat = new Catalog(s, scratch("txn"))
+      cat.createTableAs("cust", t(s, dir, "customer"))
+      // the doomed transaction: a mistaken bulk UPDATE…
+      cat.update("cust", df =>
+        df.withColumn("c_acctbal", col("c_acctbal") * 2))
+      // …then a DELETE on the corrupted balances
+      cat.delete("cust", _.filter(col("c_acctbal") >= 0))
+      // ROLLBACK: restore the pre-transaction pre-image (v0)
+      cat.rollbackTo("cust", 0)
+      val nVersions = cat.versions("cust").size
+      cat.table("cust")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("c_acctbal")), 4).as("total_bal"),
+          round(min(col("c_acctbal")), 4).as("min_bal"))
+        .withColumn("n_versions", lit(nVersions))
+    },
+    oracle = Some("""
+      SELECT count(*) AS n, round(sum(c_acctbal), 4) AS total_bal,
+             round(min(c_acctbal), 4) AS min_bal, 3 AS n_versions
+      FROM customer""")
+  )
+
+  /** ORC round-trip: the second columnar interchange format the loader
+    * supports alongside parquet (reference ships its own column files,
+    * writeengine/wrapper/we_colop.cpp; on Spark both formats are
+    * first-class sources with pushdown + pruning, so "support ORC" is a
+    * write/read contract, not a new engine). Write a pruned projection,
+    * read it back, aggregate — values must match the parquet source
+    * exactly. */
+  val orcRoundtrip: QueryDef = QueryDef(
+    "d_orc_roundtrip",
+    (s, dir) => {
+      val tmp = scratch("orc_rt")
+      t(s, dir, "lineitem")
+        .filter(col("l_shipdate") >= lit("1998-01-01"))
+        .select("l_orderkey", "l_returnflag", "l_quantity",
+          "l_extendedprice")
+        .write.mode("overwrite").orc(s"$tmp/li_orc")
+      s.read.orc(s"$tmp/li_orc")
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("l_quantity")), 4).as("qty"),
+          round(sum(col("l_extendedprice")), 4).as("revenue"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = Some("""
+      SELECT l_returnflag, count(*) AS n,
+             round(sum(l_quantity), 4) AS qty,
+             round(sum(l_extendedprice), 4) AS revenue
+      FROM lineitem WHERE l_shipdate >= '1998-01-01'
+      GROUP BY l_returnflag ORDER BY l_returnflag""")
+  )
+
   def defs: Seq[QueryDef] = Seq(ctasRoundtrip, insertIntoSelect, updateDelete,
     alterTable, csvRoundtrip, jsonlRoundtrip, loaderRejects, crossEngine,
     bucketedJoin,
     partitionedWrite, showPartitions, dropPartition, tableStats,
     viewRoundtrip, mergeUpsert, timeTravel, zorderLayout,
-    matviewIncremental, compaction)
+    matviewIncremental, compaction, txnRollback, orcRoundtrip)
 }

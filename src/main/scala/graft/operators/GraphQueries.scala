@@ -101,15 +101,24 @@ object GraphQueries {
     "x_graph_pagerank",
     (s, dir) => {
       val d = docs(s, dir)
-      val edges = starEdges(chunkDigests(d))
+      // materialize the derived graph ONCE (same localCheckpoint pattern
+      // as x_dedup_cc): without it every loop reference re-derives
+      // edges-from-text — the lazy plan held 114 parquet scans of the
+      // corpus. Checkpointed state is (src, dst, od) longs only; on a
+      // real cluster swap localCheckpoint for a reliable checkpoint dir
+      // so executor loss doesn't force a re-derivation.
+      val edges = starEdges(chunkDigests(d)).localCheckpoint()
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
+        .localCheckpoint()
       // per-edge contribution denominator rides with the edge, so each
       // round's join touches ranks only
       val edgesDeg = edges.join(deg, Seq("src"))
       val nodes = d.select(col("doc_id"))
       val base = nodes.agg(count(lit(1)).as("n"))
         .select(expr(s"${Scale}L div n").as("base"))
-      val nodesBase = nodes.crossJoin(broadcast(base))
+      // id + constant per node, referenced by all 5 rounds — checkpoint
+      // cuts the repeated doc scan (cheap but not free × rounds)
+      val nodesBase = nodes.crossJoin(broadcast(base)).localCheckpoint()
       var ranks = nodesBase.select(col("doc_id"), col("base").as("r"))
       for (_ <- 1 to 5) {
         val contrib = edgesDeg
@@ -166,7 +175,9 @@ object GraphQueries {
   val triangles: QueryDef = QueryDef(
     "x_graph_triangles",
     (s, dir) => {
-      val edges = starEdges(chunkDigests(docs(s, dir)))
+      // one materialization of the derived graph (see pagerank note):
+      // oriented is read three times below (both wedge sides + closing)
+      val edges = starEdges(chunkDigests(docs(s, dir))).localCheckpoint()
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       // orient: src < dst by (degree, id) — each undirected edge once
       val oriented = edges
@@ -177,6 +188,7 @@ object GraphQueries {
         .filter(col("du") < col("dv") ||
           (col("du") === col("dv") && col("src") < col("dst")))
         .select(col("src").as("a"), col("dst").as("b"))
+        .localCheckpoint()
       val wedges = oriented.as("e1")
         .join(oriented.as("e2"),
           col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))

@@ -119,7 +119,57 @@ object SubqueryQueries {
     QueryDef("sub_cte", sql(q), oracle = Some(q))
   }
 
+  /** Recursive-CTE surface (parity-plus — the reference's MySQL 5.x front
+    * end has no WITH RECURSIVE; modern MySQL/MariaDB do, so a migrating
+    * user expects it): transitive closure over a synthetic supplier
+    * hierarchy (parent = s_suppkey div 10; node 0 is the sole root).
+    * Spark has no recursive CTE, so the closure is computed by POINTER
+    * DOUBLING: a pointer table (node → furthest-known ancestor + distance)
+    * self-joined k times reaches ancestors 2^k hops away — O(log depth)
+    * id-only shuffle rounds instead of the naive O(depth), which is the
+    * difference between 4 rounds and a thousand on a deep hierarchy at
+    * 100 TB. Four rounds cover depth ≤ 16 (hierarchies to 10^16 keys).
+    * The DuckDB oracle replays it with a genuine WITH RECURSIVE. */
+  val recursiveClosure: QueryDef = QueryDef(
+    "sub_recursive_closure",
+    (s, dir) => {
+      val supp = Tables.table(s, dir, "supplier")
+      var ptr = supp.select(
+        col("s_suppkey").as("node"),
+        expr("s_suppkey div 10").as("anc"),
+        when(expr("s_suppkey div 10") === col("s_suppkey"), lit(0L))
+          .otherwise(lit(1L)).as("d"),
+        (expr("s_suppkey div 10") === col("s_suppkey")).as("done"))
+      for (_ <- 1 to 4) {
+        val hop = ptr.select(col("node").as("h_node"),
+          col("anc").as("h_anc"), col("d").as("h_d"),
+          col("done").as("h_done"))
+        ptr = ptr.join(hop, col("anc") === col("h_node"))
+          .select(col("node"),
+            when(col("done"), col("anc")).otherwise(col("h_anc")).as("anc"),
+            when(col("done"), col("d")).otherwise(col("d") + col("h_d"))
+              .as("d"),
+            when(col("done"), lit(true)).otherwise(col("h_done")).as("done"))
+      }
+      ptr.select(col("node").as("s_suppkey"), col("anc").as("root_key"),
+          col("d").as("depth"))
+        .orderBy(col("s_suppkey"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE r AS (
+        SELECT s_suppkey AS node, s_suppkey AS root_key,
+               CAST(0 AS BIGINT) AS depth
+        FROM supplier WHERE s_suppkey // 10 = s_suppkey
+        UNION ALL
+        SELECT s.s_suppkey, r.root_key, r.depth + 1
+        FROM supplier s JOIN r ON s.s_suppkey // 10 = r.node
+        WHERE s.s_suppkey // 10 <> s.s_suppkey
+      )
+      SELECT node AS s_suppkey, root_key, depth
+      FROM r ORDER BY node""")
+  )
+
   def defs: Seq[QueryDef] = Seq(selectListScalar, correlatedExists,
     correlatedNotExists, derivedTable, correlatedScalarWhere, havingSubquery,
-    cte)
+    cte, recursiveClosure)
 }

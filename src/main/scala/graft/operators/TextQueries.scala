@@ -1569,9 +1569,68 @@ object TextQueries {
       FROM sp GROUP BY split, lang ORDER BY split, lang""")
   )
 
+  /** Per-domain cap (crawl-curation standard: no single domain may
+    * dominate the corpus — C4/RefinedWeb-style source diversity): keep at
+    * most 15 docs per source, best-first by (n_chars desc, doc_id). One
+    * ranked window partitioned by source — the shuffle moves (doc_id,
+    * source, n_chars) triples only, never text, and each partition's
+    * bounded rank check stops scoring after the cap at 100 TB (Spark's
+    * WindowGroupLimit pushes rk <= 15 into the sort). */
+  val domainCap: QueryDef = QueryDef(
+    "x_pipeline_domain_cap",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+        .withColumn("rk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("source"))
+            .orderBy(col("n_chars").desc, col("doc_id"))))
+        .filter(col("rk") <= 15)
+        .orderBy(col("source"), col("rk")),
+    oracle = Some("""
+      SELECT doc_id, source, n_chars, CAST(rk AS INT) AS rk FROM (
+        SELECT doc_id, source, n_chars,
+               row_number() OVER (PARTITION BY source
+                 ORDER BY n_chars DESC, doc_id) AS rk
+        FROM documents)
+      WHERE rk <= 15 ORDER BY source, rk""")
+  )
+
+  /** Deterministic global shuffle + shard assignment for training export:
+    * every epoch pipeline needs a reproducible random order. Key =
+    * md5("shuffle:42:" + doc_id) (engine-portable, seed-salted); shard =
+    * first two hex nibbles (256 shards); position = rank within shard by
+    * key. No global sort anywhere — shard assignment is a per-row map,
+    * and each shard orders independently (at 100 TB shard count scales
+    * with the corpus so one shard ≈ one executor-sized output file; 256
+    * here). Salt differs from x_pipeline_split's on purpose: shuffle
+    * order must not correlate with split membership. */
+  val shuffleShards: QueryDef = QueryDef(
+    "x_pipeline_shuffle",
+    (s, dir) =>
+      docs(s, dir)
+        .select(col("doc_id"),
+          md5(concat(lit("shuffle:42:"), col("doc_id").cast("string")))
+            .as("k"))
+        .withColumn("shard", substring(col("k"), 1, 2))
+        .withColumn("pos", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy(col("shard")).orderBy(col("k"), col("doc_id"))))
+        .select(col("doc_id"), col("shard"), col("pos"))
+        .orderBy(col("shard"), col("pos")),
+    oracle = Some("""
+      SELECT doc_id, shard, CAST(pos AS INT) AS pos FROM (
+        SELECT doc_id, substr(k, 1, 2) AS shard,
+               row_number() OVER (PARTITION BY substr(k, 1, 2)
+                 ORDER BY k, doc_id) AS pos
+        FROM (SELECT doc_id, md5('shuffle:42:' || doc_id) AS k
+              FROM documents))
+      ORDER BY shard, pos""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
     hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix,
-    split3)
+    split3, domainCap, shuffleShards)
 }

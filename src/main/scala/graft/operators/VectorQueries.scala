@@ -657,7 +657,39 @@ ${LshOracleSql.cosineExpr} AS cos
       WHERE r.rk <= 3 ORDER BY r.q_id, r.rk""")
   )
 
+  /** IVF+PQ with EXACT-COSINE RERANK — the standard production quality
+    * knob on a PQ index (retrieve-then-rerank): the 8-byte ADC codes
+    * pull a shortlist of 10 candidates per query (cheap, probe-pruned),
+    * then ONLY those 10 are re-scored with the true cosine and the top 3
+    * re-ranked. At 100 TB the exact pass touches nprobe/k of the corpus
+    * codes plus 10 full vectors per query — ADC throughput with
+    * near-exact quality; the full-vector fetch is a keyed join on the
+    * shortlist ids, never a scan. The oracle replays the whole composed
+    * index to the same shortlist, then the identical rerank. */
+  val ivfpqRerank: QueryDef = QueryDef(
+    "x_ann_ivfpq_rerank",
+    (s, dir) => {
+      AnnIndex.ensureBuilt(s, dir)
+      val shortlist = AnnIndex.ivfPqQuery(s, dir, topk = 10)
+      val w = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      shortlist
+        .withColumn("rk2", row_number().over(w))
+        .filter(col("rk2") <= 3)
+        .select(col("q_id"), col("rk2").as("rk"), col("vec_id"), col("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    oracle = Some(s"""
+      SELECT q_id, CAST(rk2 AS INT) AS rk, vec_id, cos FROM (
+        SELECT q_id, vec_id, cos,
+               row_number() OVER (PARTITION BY q_id
+                 ORDER BY cos DESC, vec_id) AS rk2
+        FROM (${IvfPqOracleSql.sql(k = 16, nprobe = 4, m = 16, sub = 4,
+          kpq = 16, iters = 2, topk = 10, nq = 10)}) t)
+      WHERE rk2 <= 3 ORDER BY q_id, rk2""")
+  )
+
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
     pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
-    recallIvf, nprobeSweep, centroids, sq8TopK)
+    recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank)
 }

@@ -247,6 +247,16 @@ class Catalog(spark: SparkSession, root: String) {
     versions(name).dropRight(keep).foreach(v =>
       deleteRecursively(versionsDir(name).resolve(s"v$v")))
 
+  /** ROLLBACK analog: restore the retained pre-image snapshot v as the
+    * current table state (reference: a DML rollback re-applies the
+    * version buffer's undo images, versioning/BRM/dbrm.h:163-192 +
+    * dmlproc rollback path). Goes through the versioned `rewrite`, so
+    * the state being rolled back is itself retained as a new version —
+    * the audit trail survives the abort, and at 100 TB the cost is one
+    * snapshot copy, never a log replay. */
+  def rollbackTo(name: String, v: Int): Unit =
+    rewrite(name, _ => tableAsOf(name, v))
+
   /** INSERT … ON DUPLICATE KEY UPDATE (MySQL upsert, full-row form): a
     * batch row whose key matches an existing row replaces it; the rest
     * append. One read-modify-overwrite pass built from an anti-join on

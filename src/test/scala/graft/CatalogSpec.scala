@@ -66,6 +66,23 @@ class CatalogSpec extends GraftSuite {
     intercept[IllegalArgumentException](cat.tableAsOf("t", 0))
   }
 
+  test("rollbackTo restores the pre-image and keeps the audit trail") {
+    val cat = freshCatalog()
+    cat.createTableAs("t", Seq((1L, 10.0), (2L, -5.0), (3L, 7.0))
+      .toDF("id", "v"))
+    cat.update("t", df => df.withColumn("v", $"v" * 2))   // retains v0
+    cat.delete("t", _.filter($"v" >= 0))                  // retains v1
+    cat.rollbackTo("t", 0)                                // retains v2
+    // current state is byte-identical to the original
+    assert(cat.table("t").orderBy("id").collect().map(r =>
+      (r.getLong(0), r.getDouble(1))).toSeq ==
+      Seq((1L, 10.0), (2L, -5.0), (3L, 7.0)))
+    // the aborted state survives as version 2 (audit trail)
+    assert(cat.versions("t") == Seq(0, 1, 2))
+    assert(cat.tableAsOf("t", 2).orderBy("id").select("v")
+      .collect().map(_.getDouble(0)).toSeq == Seq(20.0, 14.0))
+  }
+
   test("catalog recovers a table whose live dir vanished mid-rewrite") {
     import java.nio.file.{Files, Paths}
     val root = java.nio.file.Files.createTempDirectory("graft_cat").toString

@@ -279,4 +279,49 @@ class EngineSpec extends GraftSuite {
       .map(_.getLong(0)).toSeq
     assert(keys == Seq(2L, 3L, 4L, 5L, 6L), s"frontier: $keys")
   }
+
+  test("recursive closure: pointer doubling reaches a depth-5 chain") {
+    import spark.implicits._
+    // planted supplier keys along one decimal chain: 0 → 7 → 73 → 731 →
+    // 7313 → 73133 (parent = key div 10); depth = chain position. Five
+    // levels exceeds what a single- or double-hop pass could close, so
+    // this pins that the doubling loop actually composes pointers.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_rec").toString
+    Seq(0L, 7L, 73L, 731L, 7313L, 73133L).toDF("s_suppkey")
+      .write.mode("overwrite").parquet(s"$tmp/supplier.parquet")
+    val out = operators.SubqueryQueries.recursiveClosure.run(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(out(0L) == ((0L, 0L)))
+    assert(out(7L) == ((0L, 1L)))
+    assert(out(73133L) == ((0L, 5L)), s"deep node: ${out(73133L)}")
+  }
+
+  test("domain cap keeps at most 15 docs per source, best-first") {
+    val df = operators.TextQueries.domainCap.run(spark, sf)
+    val rows = df.collect()
+    val bySrc = rows.groupBy(_.getString(1))
+    assert(bySrc.values.forall(_.length <= 15))
+    // within a source, ranks are 1..n and n_chars never increases
+    bySrc.values.foreach { rs =>
+      val sorted = rs.sortBy(_.getInt(3))
+      assert(sorted.map(_.getInt(3)).toSeq == (1 to rs.length))
+      val chars = sorted.map(_.getLong(2)).toSeq
+      assert(chars.zip(chars.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("deterministic shuffle: shards partition the corpus, pos contiguous") {
+    val df = operators.TextQueries.shuffleShards.run(spark, sf)
+    val rows = df.collect()
+    val total = Tables.table(spark, sf, "documents").count()
+    assert(rows.length == total, "every doc lands in exactly one shard")
+    rows.groupBy(_.getString(1)).values.foreach { rs =>
+      assert(rs.map(_.getInt(2)).sorted.toSeq == (1 to rs.length),
+        "per-shard positions must be 1..n")
+    }
+    // re-running yields the identical assignment (determinism)
+    val again = operators.TextQueries.shuffleShards.run(spark, sf).collect()
+    assert(rows.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
 }
