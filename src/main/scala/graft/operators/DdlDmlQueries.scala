@@ -580,6 +580,51 @@ object DdlDmlQueries {
       FROM lineitem""")
   )
 
+  /** ANALYZE-histogram stats (MySQL 8 `ANALYZE TABLE … UPDATE HISTOGRAM`
+    * analog; the reference's optimizer reads extent min/max + casual
+    * partitioning stats, versioning/BRM/extentmap.h — a column histogram
+    * is the same stats surface one level finer): 8 equi-depth buckets of
+    * l_extendedprice. Boundaries come from ONE exact-percentile
+    * aggregation (a 7-value row, broadcast back); rows then bucket by
+    * range comparison — a per-row map, no global sort or single-partition
+    * window anywhere. At 100 TB swap the exact percentile for
+    * approx_percentile(ε) and the plan shape is unchanged. */
+  val analyzeHistogram: QueryDef = QueryDef(
+    "d_analyze_histogram",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+      val cuts = (1 to 7).map(i => expr(
+        s"percentile(l_extendedprice, ${i}.0d / 8) ").as(s"c$i"))
+      val bounds = li.agg(cuts.head, cuts.tail: _*)
+      val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>
+        acc + when(col("l_extendedprice") > col(s"c$i"), 1).otherwise(0)
+      }
+      li.crossJoin(broadcast(bounds))
+        .withColumn("bucket", bucket)
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(min(col("l_extendedprice")), 4).as("lo"),
+          round(max(col("l_extendedprice")), 4).as("hi"))
+        .orderBy(col("bucket"))
+    },
+    oracle = Some("""
+      WITH b AS (SELECT quantile_cont(l_extendedprice,
+                   [0.125, 0.25, 0.375, 0.5, 0.625, 0.75, 0.875]) AS cs
+                 FROM lineitem),
+      assigned AS (SELECT l_extendedprice AS v,
+          (CASE WHEN l_extendedprice > cs[1] THEN 1 ELSE 0 END +
+           CASE WHEN l_extendedprice > cs[2] THEN 1 ELSE 0 END +
+           CASE WHEN l_extendedprice > cs[3] THEN 1 ELSE 0 END +
+           CASE WHEN l_extendedprice > cs[4] THEN 1 ELSE 0 END +
+           CASE WHEN l_extendedprice > cs[5] THEN 1 ELSE 0 END +
+           CASE WHEN l_extendedprice > cs[6] THEN 1 ELSE 0 END +
+           CASE WHEN l_extendedprice > cs[7] THEN 1 ELSE 0 END) AS bucket
+        FROM lineitem, b)
+      SELECT bucket, count(*) AS n, round(min(v), 4) AS lo,
+             round(max(v), 4) AS hi
+      FROM assigned GROUP BY bucket ORDER BY bucket""")
+  )
+
   /** Persisted-view roundtrip (reference: dbcon/mysql/ha_view.cpp — MySQL
     * views resolved through the vtable rewrite survive the connection):
     * CREATE VIEW over a join is stored in the catalog dir, then a FRESH
@@ -724,5 +769,6 @@ object DdlDmlQueries {
     bucketedJoin,
     partitionedWrite, showPartitions, dropPartition, tableStats,
     viewRoundtrip, mergeUpsert, timeTravel, zorderLayout,
-    matviewIncremental, compaction, txnRollback, orcRoundtrip)
+    matviewIncremental, compaction, txnRollback, orcRoundtrip,
+    analyzeHistogram)
 }

@@ -890,9 +890,62 @@ object EventsQueries {
       FROM m GROUP BY user_id ORDER BY user_id""")
   )
 
+  /** Seasonal decomposition (additive, hour-of-day profile): each
+    * event_type's hourly count series splits into seasonal (the mean of
+    * its hour-of-day slot across the series) + residual; hours whose
+    * |residual| exceeds 2× the type's residual stddev flag as
+    * seasonally-adjusted anomalies — the spike detector that does NOT
+    * fire on a normal daily peak (unlike a plain trailing z-score).
+    *
+    * Scale shape: collapse-first (events → |types|×|hours| rows in one
+    * two-phase agg), then the seasonal profile is a |types|×24-row agg
+    * joined back BY KEY, and the residual stddev another tiny agg —
+    * three shuffles over collapsed series regardless of event volume. */
+  val seasonal: QueryDef = QueryDef(
+    "x_events_seasonal",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          expr("CAST(floor(unix_timestamp(ts) / 3600) AS BIGINT)").as("hr"))
+        .agg(count(lit(1)).as("cnt"))
+        .withColumn("hod", pmod(col("hr"), lit(24)))
+      val profile = hourly.groupBy(col("event_type"), col("hod"))
+        .agg(avg(col("cnt")).as("seasonal"))
+      val resid = hourly.join(profile, Seq("event_type", "hod"))
+        .withColumn("residual", col("cnt") - col("seasonal"))
+      val spread = resid.groupBy(col("event_type"))
+        .agg(stddev_samp(col("residual")).as("sd"))
+      resid.join(spread, Seq("event_type"))
+        .select(col("event_type"), col("hr"), col("cnt"),
+          round(col("seasonal"), 4).as("seasonal"),
+          round(col("residual"), 4).as("residual"),
+          (col("sd") > 0 &&
+            abs(col("residual")) > lit(2) * col("sd")).as("is_anomaly"))
+        .orderBy(col("event_type"), col("hr"))
+    },
+    oracle = Some("""
+      WITH h AS (SELECT event_type,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) AS hr, count(*) AS cnt
+             FROM events GROUP BY 1, 2),
+      hh AS (SELECT event_type, hr, cnt, hr % 24 AS hod FROM h),
+      p AS (SELECT event_type, hod, avg(cnt) AS seasonal
+            FROM hh GROUP BY event_type, hod),
+      r AS (SELECT hh.event_type, hh.hr, hh.cnt, p.seasonal,
+              hh.cnt - p.seasonal AS residual
+            FROM hh JOIN p USING (event_type, hod)),
+      sd AS (SELECT event_type, stddev_samp(residual) AS sd
+             FROM r GROUP BY event_type)
+      SELECT r.event_type, r.hr, r.cnt,
+             round(r.seasonal, 4) AS seasonal,
+             round(r.residual, 4) AS residual,
+             (sd.sd > 0 AND abs(r.residual) > 2 * sd.sd) AS is_anomaly
+      FROM r JOIN sd USING (event_type)
+      ORDER BY r.event_type, r.hr""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
     resample, winsorize, transitions, streamTransitions, ewma, scd2,
-    pattern, attributionLinear)
+    pattern, attributionLinear, seasonal)
 }

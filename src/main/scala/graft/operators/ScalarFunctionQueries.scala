@@ -809,8 +809,48 @@ object ScalarFunctionQueries {
       FROM t ORDER BY doc_id""")
   )
 
+  /** Regex function battery (MySQL 8 / MariaDB REGEXP surface the
+    * reference's front end exposes: REGEXP/RLIKE predicate,
+    * REGEXP_SUBSTR, REGEXP_REPLACE, plus Spark's regexp_count /
+    * regexp_extract_all as the modern extensions). Patterns stick to the
+    * POSIX-portable core — classes, quantifiers, anchors, alternation,
+    * capture groups — where Java regex (Spark) and RE2-ish (DuckDB)
+    * semantics coincide; DuckDB's regexp_replace needs the 'g' flag to
+    * match Spark's replace-all default. All codegen'd built-ins, so the
+    * whole battery rides the scan stage. */
+  val regexpBattery: QueryDef = QueryDef(
+    "fn_regexp_battery",
+    (s, dir) =>
+      Tables.table(s, dir, "part")
+        .select(col("p_partkey"),
+          col("p_name").rlike("^(red|blue) [a-z]+$").as("f_rlike"),
+          regexp_extract(col("p_name"), "^([a-z]+) ([a-z]+)$", 2)
+            .as("f_extract_noun"),
+          regexp_replace(col("p_name"), "[aeiou]", "_")
+            .as("f_replace_all"),
+          regexp_count(col("p_name"), lit("o+")).as("f_count"),
+          array_join(expr("regexp_extract_all(p_name, '[a-z]{4,}', 0)"),
+            "|").as("f_extract_all"),
+          regexp_extract(col("p_brand"), "#([0-9]+)", 1).cast("int")
+            .as("f_brand_num"))
+        .orderBy(col("p_partkey")),
+    oracle = Some("""
+      SELECT p_partkey,
+             regexp_matches(p_name, '^(red|blue) [a-z]+$') AS f_rlike,
+             regexp_extract(p_name, '^([a-z]+) ([a-z]+)$', 2)
+               AS f_extract_noun,
+             regexp_replace(p_name, '[aeiou]', '_', 'g') AS f_replace_all,
+             CAST(len(regexp_extract_all(p_name, 'o+')) AS INT) AS f_count,
+             coalesce(array_to_string(
+                 regexp_extract_all(p_name, '[a-z]{4,}'), '|'), '')
+               AS f_extract_all,
+             CAST(regexp_extract(p_brand, '#([0-9]+)', 1) AS INT)
+               AS f_brand_num
+      FROM part ORDER BY p_partkey""")
+  )
+
   def defs: Seq[QueryDef] = Seq(stringBasic, stringAdvanced, mathBattery,
     dateExtract, dateArith, controlFlow, mysqlStrings, mysqlDates,
     pseudoColumns, timeBattery, divZeroDecimal, weekModes, registryTail,
-    udfSqlSurface, arrayNested, jsonBattery)
+    udfSqlSurface, arrayNested, jsonBattery, regexpBattery)
 }

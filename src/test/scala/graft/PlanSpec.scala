@@ -424,4 +424,31 @@ class PlanSpec extends GraftSuite {
       n.startsWith("cuts") || n.startsWith("starts")),
       s"cdc dedup shuffles payload columns: $shuffled")
   }
+
+  test("equi-depth histogram buckets by broadcast bounds, no global sort") {
+    val plan = planOf(operators.DdlDmlQueries.analyzeHistogram.run(spark, sf))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"percentile bounds must broadcast:\n$plan")
+    assert(!plan.contains("Window"),
+      s"no per-row global window allowed in the bucket assignment:\n$plan")
+  }
+
+  test("graph queries read the derived edges from checkpointed blocks") {
+    // without the localCheckpoint the lazy pagerank plan re-derived
+    // edges-from-text once per loop reference (114 parquet scans)
+    val df = operators.GraphQueries.pagerank.run(spark, sf)
+    val pre = df.queryExecution.optimizedPlan.toString
+    assert(!pre.contains("Relation") || !pre.contains("parquet"),
+      s"pagerank must not re-scan parquet inside the loop:\n${pre.take(800)}")
+  }
+
+  test("deterministic shuffle plans partitioned windows only") {
+    val plan = formatted(operators.TextQueries.shuffleShards.run(spark, sf))
+    // the per-shard rank must be a partitioned window (256 shards), never
+    // a single-partition global sort
+    assert(!plan.contains("Window [") ||
+      plan.contains("partitionBy") || plan.contains("shard"),
+      s"shuffle rank must partition by shard:\n$plan")
+  }
 }
