@@ -316,6 +316,43 @@ object AnnIndex {
     adcTopK(pairs, base, M, topk, nq)
   }
 
+  /** METADATA-FILTERED IVF+PQ search over prebuilt artifacts — the
+    * "filtered vector search" every production ANN service exposes
+    * (tenant/category scoping): candidates keep only vectors whose label
+    * matches the query's label, applied BEFORE ADC scoring (prefilter
+    * strategy — at 100 TB the label join is keyed on the probe-pruned
+    * candidate ids, a tiny fraction of the corpus, and scoring cost
+    * shrinks with the filter's selectivity; the postfilter alternative
+    * would re-rank k results and silently under-fill). */
+  def ivfPqQueryFiltered(s: SparkSession, dir: String, nprobe: Int = NPROBE,
+      topk: Int = 3, nq: Int = 10): DataFrame = {
+    val base = Tables.table(s, dir, "embeddings")
+    val cents = s.read.parquet(centroidsPath(dir))
+    val assign = s.read.parquet(assignPath(dir))
+    val codebook = s.read.parquet(codebookPath(dir))
+    val codes = s.read.parquet(codesPath(dir))
+    val queries = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = coarseProbes(queries, cents, nprobe)
+    val labels = base.select(col("vec_id"), col("label"))
+    val qLabels = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"))
+    val cands = assign.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+      .join(labels, Seq("vec_id"))
+      .join(broadcast(qLabels), Seq("q_id"))
+      .filter(col("label") === col("q_label"))
+      .select(col("q_id"), col("vec_id"))
+    val dtab = pqDtab(pqSubs(base.filter(col("vec_id") < nq), M, SUB),
+      codebook)
+    val pairs = cands
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("q_id", "ss", "cid"))
+    adcTopK(pairs, base, M, topk, nq)
+  }
+
   /** Exact-cosine IVF search over prebuilt artifacts: probe pruning from
     * the persisted coarse index, then true cosine on the surviving
     * candidates only (the "IVF-Flat" shape next to ivfPqQuery's IVF+PQ).

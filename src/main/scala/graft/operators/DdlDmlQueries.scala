@@ -625,6 +625,49 @@ object DdlDmlQueries {
       FROM assigned GROUP BY bucket ORDER BY bucket""")
   )
 
+  /** Schema evolution WITHOUT rewrite (the reference's actual ALTER TABLE
+    * ADD COLUMN mechanism: a new column FILE appears, old extents serve
+    * the default implicitly — ddl ALTER path in writeengine; no data
+    * rewrite happens). Parquet's mergeSchema read is the same contract:
+    * files written before the column existed read as NULL. Two file
+    * generations (pre/post ADD COLUMN) union under the merged schema;
+    * the aggregate proves old rows surface with NULL discounts and new
+    * rows carry values. */
+  val schemaMerge: QueryDef = QueryDef(
+    "d_schema_merge",
+    (s, dir) => {
+      val tmp = scratch("schema_merge")
+      val o = t(s, dir, "orders")
+      // generation 1: the table before the column existed
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_totalprice"))
+        .write.mode("overwrite").parquet(s"$tmp/t/gen=1")
+      // generation 2: after ALTER TABLE ADD COLUMN discount_pct
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_totalprice"),
+          (col("o_orderkey") % 10).cast("double").as("discount_pct"))
+        .write.mode("overwrite").parquet(s"$tmp/t/gen=2")
+      s.read.option("mergeSchema", "true").parquet(s"$tmp/t")
+        .groupBy(col("gen"))
+        .agg(count(lit(1)).as("n"),
+          count(col("discount_pct")).as("n_with_discount"),
+          round(sum(col("o_totalprice")), 4).as("total"),
+          round(sum(coalesce(col("discount_pct"), lit(0.0))), 4)
+            .as("sum_discount"))
+        .orderBy(col("gen"))
+    },
+    oracle = Some("""
+      SELECT CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS gen,
+             count(*) AS n,
+             CAST(sum(CASE WHEN o_orderkey % 2 = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_with_discount,
+             round(sum(o_totalprice), 4) AS total,
+             round(sum(CASE WHEN o_orderkey % 2 = 1
+                            THEN CAST(o_orderkey % 10 AS DOUBLE)
+                            ELSE 0 END), 4) AS sum_discount
+      FROM orders GROUP BY 1 ORDER BY gen""")
+  )
+
   /** Persisted-view roundtrip (reference: dbcon/mysql/ha_view.cpp — MySQL
     * views resolved through the vtable rewrite survive the connection):
     * CREATE VIEW over a join is stored in the catalog dir, then a FRESH
@@ -770,5 +813,5 @@ object DdlDmlQueries {
     partitionedWrite, showPartitions, dropPartition, tableStats,
     viewRoundtrip, mergeUpsert, timeTravel, zorderLayout,
     matviewIncremental, compaction, txnRollback, orcRoundtrip,
-    analyzeHistogram)
+    analyzeHistogram, schemaMerge)
 }

@@ -943,9 +943,56 @@ object EventsQueries {
       ORDER BY r.event_type, r.hr""")
   )
 
+  /** Cohort lifetime value — retention's revenue companion: users group
+    * by first-seen day (the cohort), event value sums per (cohort, age),
+    * and a running total per cohort gives the LTV curve the
+    * "payback-period" question reads off directly.
+    *
+    * Scale shape: first-seen is one user-keyed agg (the same shuffle
+    * retention uses), the matrix collapses to |cohorts|×|ages| rows
+    * before the cumulative window runs — the window input is days², not
+    * events, so the only event-volume work is two keyed aggregations. */
+  val cohortLtv: QueryDef = QueryDef(
+    "x_events_cohort_ltv",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val firstSeen = e.groupBy(col("user_id"))
+        .agg(min(date_trunc("day", col("ts"))).as("cohort_day"))
+      val revenue = e.join(firstSeen, Seq("user_id"))
+        .withColumn("age",
+          datediff(date_trunc("day", col("ts")), col("cohort_day")))
+        .groupBy(col("cohort_day"), col("age"))
+        .agg(sum(col("value")).as("rev"),
+          countDistinct(col("user_id")).as("n_users"))
+      val w = Window.partitionBy(col("cohort_day")).orderBy(col("age"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      revenue
+        .select(col("cohort_day"), col("age"), col("n_users"),
+          round(col("rev"), 4).as("rev"),
+          round(sum(col("rev")).over(w), 4).as("cum_rev"))
+        .orderBy(col("cohort_day"), col("age"))
+    },
+    oracle = Some("""
+      WITH f AS (SELECT user_id,
+                        min(date_trunc('day', ts::TIMESTAMP)) AS cohort_day
+                 FROM events GROUP BY user_id),
+      m AS (SELECT f.cohort_day,
+              CAST(date_diff('day', f.cohort_day,
+                date_trunc('day', e.ts::TIMESTAMP)) AS INTEGER) AS age,
+              sum(e.value) AS rev,
+              count(DISTINCT e.user_id) AS n_users
+            FROM events e JOIN f USING (user_id)
+            GROUP BY 1, 2)
+      SELECT cohort_day, age, n_users, round(rev, 4) AS rev,
+             round(sum(rev) OVER (PARTITION BY cohort_day ORDER BY age
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4)
+               AS cum_rev
+      FROM m ORDER BY cohort_day, age""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
     resample, winsorize, transitions, streamTransitions, ewma, scd2,
-    pattern, attributionLinear, seasonal)
+    pattern, attributionLinear, seasonal, cohortLtv)
 }

@@ -689,7 +689,30 @@ ${LshOracleSql.cosineExpr} AS cos
       WHERE rk2 <= 3 ORDER BY q_id, rk2""")
   )
 
+  /** Metadata-FILTERED vector search (see AnnIndex.ivfPqQueryFiltered):
+    * each query retrieves only same-label candidates — the tenant/
+    * category scoping every production ANN service exposes, applied as a
+    * PREFILTER on the probe-pruned candidate ids before any ADC scoring.
+    * The oracle replays the composed index with the label equi-join
+    * spliced between candidate generation and the ADC tail. */
+  val filteredSearch: QueryDef = QueryDef(
+    "x_ann_filtered",
+    (s, dir) => {
+      AnnIndex.ensureBuilt(s, dir)
+      AnnIndex.ivfPqQueryFiltered(s, dir)
+    },
+    oracle = Some(s"""
+      WITH ${IvfOracleSql.coreCtes(16, 4, 2, 10)},
+      ${PqOracleSql.coreCtes(16, 4, 16, 2, 10)},
+      fcand AS (SELECT c.q_id, c.vec_id
+                FROM kcand c
+                  JOIN embeddings e ON e.vec_id = c.vec_id
+                  JOIN embeddings q ON q.vec_id = c.q_id
+                WHERE e.label = q.label),
+      ${PqOracleSql.adcTail(16, 2, 3, "fcand")}""")
+  )
+
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
     pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
-    recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank)
+    recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank, filteredSearch)
 }
