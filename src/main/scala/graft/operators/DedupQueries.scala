@@ -1245,8 +1245,65 @@ ${LshOracleSql.cosineExpr} AS c
       ORDER BY i.da, i.db""")
   )
 
+  /** KEEP-BEST dedup consolidation — the decision step after clustering:
+    * "which duplicate do you keep?" Each minhash cluster (same derivation
+    * as x_dedup_clusters) elects the member with the most content
+    * (n_chars desc, doc_id tiebreak) as its survivor; the report gives
+    * per-cluster member count, survivor, and the chars kept vs dropped —
+    * the numbers a curation run logs to justify its deletions.
+    *
+    * Scale shape: clustering shuffles (doc_id, band key) longs; the
+    * election is one ranked window over (cluster_id, doc_id, n_chars)
+    * triples — never text; cluster sizes are bounded by the band
+    * geometry, so no window partition explodes. */
+  val keepBest: QueryDef = QueryDef(
+    "x_dedup_keep_best",
+    (s, dir) => {
+      val d0 = docs(s, dir)
+      val base = d0
+        .select(col("doc_id"), array_distinct(split(col("text"), " "))
+          .as("toks"))
+        .withColumn("sig", minhashSig(col("toks"), 32))
+      val bands = minhashBands(base)
+      val bucketMin = bands.groupBy(col("band_id"), col("band_key"))
+        .agg(min(col("doc_id")).as("bucket_min"))
+      val clusterOf = bands
+        .join(bucketMin, Seq("band_id", "band_key"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("bucket_min")).as("cluster_id"))
+      val withQ = clusterOf
+        .join(d0.select(col("doc_id"), col("n_chars")), Seq("doc_id"))
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(col("n_chars").desc, col("doc_id"))
+      withQ.withColumn("rk", row_number().over(w))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          max(when(col("rk") === 1, col("doc_id"))).as("kept_doc"),
+          max(when(col("rk") === 1, col("n_chars"))).as("kept_chars"),
+          (sum(col("n_chars")) -
+            max(when(col("rk") === 1, col("n_chars")))).as("dropped_chars"))
+        .orderBy(col("cluster_id"))
+    },
+    oracle = Some(minhashBandsSql + """,
+      bucket_min AS (SELECT b, h0, h1, h2, h3, min(doc_id) AS m
+                     FROM bands GROUP BY b, h0, h1, h2, h3),
+      cl AS (SELECT x.doc_id, min(bm.m) AS cluster_id
+             FROM bands x JOIN bucket_min bm USING (b, h0, h1, h2, h3)
+             GROUP BY x.doc_id),
+      q AS (SELECT cl.cluster_id, cl.doc_id, dd.n_chars,
+              row_number() OVER (PARTITION BY cl.cluster_id
+                ORDER BY dd.n_chars DESC, cl.doc_id) AS rk
+            FROM cl JOIN documents dd USING (doc_id))
+      SELECT cluster_id, count(*) AS n_members,
+             max(CASE WHEN rk = 1 THEN doc_id END) AS kept_doc,
+             max(CASE WHEN rk = 1 THEN n_chars END) AS kept_chars,
+             CAST(sum(n_chars) - max(CASE WHEN rk = 1 THEN n_chars END)
+               AS BIGINT) AS dropped_chars
+      FROM q GROUP BY cluster_id ORDER BY cluster_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh,
     minhashCalibration, simhash,
     embeddingNearDup, clusters, incremental, semdedup, cc, chunkDedup,
-    spanDedup, kmvOverlap, cdcChunks, setJoin)
+    spanDedup, kmvOverlap, cdcChunks, setJoin, keepBest)
 }

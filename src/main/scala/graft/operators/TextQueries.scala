@@ -1628,9 +1628,52 @@ object TextQueries {
       ORDER BY shard, pos""")
   )
 
+  /** Exact PHRASE search via a positional inverted index — the query
+    * class bag-of-words BM25 cannot express ("slow hash batch" as
+    * consecutive tokens, not three independent terms). The posting list
+    * (token, doc_id, pos) is filtered to the phrase's tokens immediately
+    * after tokenization — inside the scan stage, before any shuffle, so
+    * only the three terms' postings ever leave the mappers; then
+    * consecutive-position equi-joins chain the terms (t0.pos + 1 =
+    * t1.pos, …). At 100 TB the postings come from a PREBUILT inverted
+    * index table (the same one x_search_bm25 would persist) and the term
+    * filter becomes a genuine parquet pushdown on its token column; the
+    * join chain is identical. Per-doc hit counts + first occurrence come
+    * out of one grouped pass over matched starts. The oracle re-derives
+    * matches by direct window scan — algorithm-independent agreement. */
+  val phraseSearch: QueryDef = QueryDef(
+    "x_search_phrase",
+    (s, dir) => {
+      val phrase = Seq("slow", "hash", "batch")
+      val postings = docs(s, dir)
+        .select(col("doc_id"), posexplode(split(col("text"), " ")))
+        .withColumnRenamed("pos", "p")
+        .withColumnRenamed("col", "tok")
+        .filter(col("tok").isin(phrase: _*))
+      val starts = phrase.zipWithIndex.map { case (t, i) =>
+        postings.filter(col("tok") === t)
+          .select(col("doc_id"), (col("p") - i).as("start"))
+      }.reduce((a, b) => a.join(b, Seq("doc_id", "start")))
+      starts.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_hits"), min(col("start")).as("first_pos"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      r AS (SELECT doc_id, unnest(range(0, len(toks) - 2)) AS i, toks
+            FROM t),
+      m AS (SELECT doc_id, i FROM r
+            WHERE toks[i+1] = 'slow' AND toks[i+2] = 'hash'
+              AND toks[i+3] = 'batch')
+      SELECT doc_id, count(*) AS n_hits,
+             CAST(min(i) AS INT) AS first_pos
+      FROM m GROUP BY doc_id ORDER BY doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
     hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix,
-    split3, domainCap, shuffleShards)
+    split3, domainCap, shuffleShards, phraseSearch)
 }

@@ -297,6 +297,43 @@ class EngineSpec extends GraftSuite {
     assert(out(73133L) == ((0L, 5L)), s"deep node: ${out(73133L)}")
   }
 
+  test("phrase search finds planted consecutive runs, not bag matches") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_phrase").toString
+    Seq(
+      // two true occurrences (positions 1 and 5)
+      (1L, "x slow hash batch x slow hash batch", 35L),
+      // all three tokens present but never consecutive — must NOT match
+      (2L, "slow x hash x batch slow", 24L),
+      // overlapping-ish: run at position 0 only
+      (3L, "slow hash batch hash batch", 26L))
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val out = operators.TextQueries.phraseSearch.run(spark, tmp)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getInt(2))))
+      .toMap
+    assert(out == Map(1L -> ((2L, 1)), 3L -> ((1L, 0))), s"got $out")
+  }
+
+  test("keep-best elects the largest member of a planted dup cluster") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("graft_kb").toString
+    val dupText = "alpha beta gamma delta epsilon zeta eta theta"
+    Seq(
+      (10L, dupText, 100L), (11L, dupText, 300L), (12L, dupText, 200L),
+      (13L, "totally different content words here right now", 50L))
+      .toDF("doc_id", "text", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = operators.DedupQueries.keepBest.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    // cluster 10: three identical docs; survivor = largest (11, 300),
+    // dropped = 100 + 200
+    assert(rows(10L) == ((3L, 11L, 300L, 300L)), s"got ${rows.get(10L)}")
+    // the distinct doc forms its own singleton cluster, drops nothing
+    assert(rows(13L) == ((1L, 13L, 50L, 0L)), s"got ${rows.get(13L)}")
+  }
+
   test("domain cap keeps at most 15 docs per source, best-first") {
     val df = operators.TextQueries.domainCap.run(spark, sf)
     val rows = df.collect()
