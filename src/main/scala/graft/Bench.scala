@@ -160,9 +160,18 @@ object Bench {
       return
     }
 
+    // queries whose construction now materializes eagerly (the banded
+    // dedup family localCheckpoints its band table at build time) are
+    // timed END-TO-END in the headline so the metric keeps measuring the
+    // same work it measured when their plans were fully lazy — otherwise
+    // the checkpoint would silently move the signature map out of the
+    // timed window and fake a speedup
+    val eagerHeadline = Set("x_dedup_minhash_lsh")
     val results: Seq[(String, Option[Double])] = names.map { name =>
+      def once(): Double =
+        if (eagerHeadline(name)) runE2eIn(name, sfDir) else run(name)
       val sec =
-        try Some((1 to runs).map(_ => run(name)).min)
+        try Some((1 to runs).map(_ => once()).min)
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
@@ -195,7 +204,8 @@ object Bench {
             spark.sparkContext.setLocalProperty(
               "spark.scheduler.pool", s"user$u")
             concNames.foreach { n =>
-              try times.add(n -> run(n))
+              try times.add(n ->
+                (if (eagerHeadline(n)) runE2eIn(n, sfDir) else run(n)))
               catch { case e: Throwable =>
                 System.err.println(s"[bench] concurrent $n: ${e.getMessage}")
                 times.add(n -> -1.0)

@@ -38,6 +38,12 @@ object DedupQueries {
         "sig[b*4+2] AS h2, sig[b*4+3] AS h3))")))
     .withColumnRenamed("pos", "band_id")
     .withColumnRenamed("col", "band_key")
+    // materialize ONCE: every banded op reads the band table at least
+    // twice (bucket-rep aggregation + member join); without this each
+    // reference re-runs the 32-hash signature map over the tokenized
+    // corpus — the dominant per-row compute of the whole family.
+    // Checkpointed state is (id, band_id, 4 longs) only, never text.
+    .localCheckpoint()
 
   /** Exact dedup via content digest: first occurrence wins, copies counted
     * (hash-groupBy — the scalable exact-dedup plan). */
