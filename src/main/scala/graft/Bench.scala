@@ -314,7 +314,7 @@ object Bench {
           operators.AnnIndex.ensureBuilt(spark, tmp.toString)
           val scaleQs = Seq("x_dedup_minhash_lsh", "x_dedup_chunks",
             "x_dedup_cc", "x_search_bm25", "x_ann_ivfpq_indexed",
-            "x_dedup_setjoin")
+            "x_dedup_setjoin", "x_graph_pagerank")
           val entries = scaleQs.map { name =>
             try {
               val x1 = (1 to 2).map(_ => runE2eIn(name, sfDir)).min

@@ -117,7 +117,7 @@ ${l2sq("q.svec", "c.cen", sub)} AS dd
                  FROM approx),
       hits AS (SELECT q_id, rk, vec_id, approx_dist FROM ranked
                WHERE rk <= $topk)
-      SELECT h.q_id, h.rk, h.vec_id, h.approx_dist,
+      SELECT h.q_id, CAST(h.rk AS INT) AS rk, h.vec_id, h.approx_dist,
 ${cos("eq.emb", "ev.emb")} AS cos
       FROM hits h
       JOIN eraw eq ON eq.vec_id = h.q_id
