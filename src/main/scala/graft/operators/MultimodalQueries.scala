@@ -560,6 +560,82 @@ object MultimodalQueries {
       FROM hx ORDER BY doc_id""")
   )
 
+  /** Scene-cut detection over the real Y4M codec path — the shot-boundary
+    * pass a video training pipeline runs before per-scene sampling: each
+    * synthesized clip carries one known cut (pixel formula shifts +128
+    * from frame `cut` on), the kernel decodes the genuine YUV4MPEG2
+    * bytes and flags transitions whose per-pixel abs-diff sum exceeds
+    * 64·w·h. Margins are deterministic by construction: a smooth
+    * transition's mean |Δ| ≈ 21 (11-step drift + mod-wrap tail), a cut's
+    * ≥ 117 — no float, no tie. The oracle re-derives every transition
+    * from the same formula via SQL, so decoder and detector check each
+    * other. Video bytes never leave the partition; one feature row per
+    * clip flows. */
+  case class SceneFeatures(doc_id: Long, n_frames: Int, n_cuts: Int,
+      cut_frame: Int, max_trans_sum: Long)
+
+  val sceneCuts: QueryDef = QueryDef(
+    "x_media_scene_cuts",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (col("doc_id") % 16 + 4).cast("int").as("w"),
+          (col("n_chars") % 16 + 4).cast("int").as("h"),
+          (col("doc_id") % 6 + 3).cast("int").as("nf"))
+        .as[(Long, Int, Int, Int)]
+      rows.mapPartitions(_.map { case (id, w, h, nf) =>
+        val cut = (id % (nf - 1) + 1).toInt
+        val y4m = graft.functions.Y4mCodec.encodeMono(w, h, nf, 25, 1,
+          (x, y, f) => ((x * 3 + y * 5 + f * 11 + id +
+            (if (f >= cut) 128 else 0)) % 256).toInt)
+        val v = graft.functions.Y4mCodec.decodeMono(y4m)
+        val trans = (1 until v.frames.length).map { f =>
+          val a = v.frames(f - 1); val b = v.frames(f)
+          var sum = 0L
+          var i = 0
+          while (i < a.length) {
+            sum += math.abs((b(i) & 0xff) - (a(i) & 0xff)); i += 1
+          }
+          (f, sum)
+        }
+        val thresh = 64L * w * h
+        val cuts = trans.filter(_._2 > thresh)
+        SceneFeatures(id, v.frames.length, cuts.length,
+          cuts.headOption.map(_._1).getOrElse(-1), trans.map(_._2).max)
+      }).toDF()
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 16 + 4 AS INTEGER) AS w,
+                        CAST(n_chars % 16 + 4 AS INTEGER) AS h,
+                        CAST(doc_id % 6 + 3 AS INTEGER) AS nf,
+                        doc_id % (doc_id % 6 + 2) + 1 AS cut
+                 FROM documents WHERE doc_id < 200),
+      fr AS (SELECT doc_id, w, h, nf, cut, unnest(range(1, nf)) AS f
+             FROM d),
+      gx AS (SELECT doc_id, w, h, nf, cut, f, unnest(range(0, w)) AS x
+             FROM fr),
+      gxy AS (SELECT doc_id, w, h, nf, cut, f, x, unnest(range(0, h)) AS y
+              FROM gx),
+      px AS (SELECT doc_id, w, h, nf, f,
+               (x*3 + y*5 + f*11 + doc_id +
+                  CASE WHEN f >= cut THEN 128 ELSE 0 END) % 256 AS p2,
+               (x*3 + y*5 + (f-1)*11 + doc_id +
+                  CASE WHEN f-1 >= cut THEN 128 ELSE 0 END) % 256 AS p1
+             FROM gxy),
+      tr AS (SELECT doc_id, w, h, nf, f, sum(abs(p2 - p1)) AS s
+             FROM px GROUP BY doc_id, w, h, nf, f)
+      SELECT doc_id, nf AS n_frames,
+             CAST(sum(CASE WHEN s > 64 * w * h THEN 1 ELSE 0 END)
+               AS INTEGER) AS n_cuts,
+             CAST(coalesce(min(CASE WHEN s > 64 * w * h THEN f END), -1)
+               AS INTEGER) AS cut_frame,
+             CAST(max(s) AS BIGINT) AS max_trans_sum
+      FROM tr GROUP BY doc_id, nf ORDER BY doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(decodePipeline, frameSample, pixelDecode,
-    resize, audioDecode, audioVad, videoDecode, phashDedup)
+    resize, audioDecode, audioVad, videoDecode, phashDedup, sceneCuts)
 }
