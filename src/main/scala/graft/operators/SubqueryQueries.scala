@@ -150,6 +150,10 @@ object SubqueryQueries {
             when(col("done"), col("d")).otherwise(col("d") + col("h_d"))
               .as("d"),
             when(col("done"), lit(true)).otherwise(col("h_done")).as("done"))
+          // materialize each round (same pattern as x_dedup_cc): the lazy
+          // tower doubles its own subtree per round — 2^k base scans by
+          // round k — while the checkpointed state is 4 longs per node
+          .localCheckpoint()
       }
       ptr.select(col("node").as("s_suppkey"), col("anc").as("root_key"),
           col("d").as("depth"))
