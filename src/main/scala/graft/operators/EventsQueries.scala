@@ -1,7 +1,7 @@
 package graft.operators
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -990,9 +990,98 @@ object EventsQueries {
       FROM m ORDER BY cohort_day, age""")
   )
 
+  /** RFM segmentation (recency / frequency / monetary) — the classic
+    * user-scoring pass: one user-keyed aggregation, then quintile scores
+    * from ONE exact-percentile row broadcast back (the same
+    * no-global-window pattern as d_analyze_histogram — ntile over all
+    * users would be a single-partition sort; percentile bounds + a
+    * per-row comparison ladder is the shape that survives a billion
+    * users). Recency scores invert (fewest days = 5). Segments:
+    * champion (r≥4 ∧ f≥4 ∧ m≥4), at_risk (r≤2 ∧ f≥4), regular. */
+  val rfm: QueryDef = QueryDef(
+    "x_events_rfm",
+    (s, dir) => {
+      val e = ev(s, dir)
+      val perUser = e.groupBy(col("user_id"))
+        .agg(max(date_trunc("day", col("ts"))).as("last_day"),
+          count(lit(1)).as("f"),
+          // monetary in integer CENTS: a float sum's engine-dependent
+          // last bit must not sit on a quintile-score discontinuity
+          sum(round(col("value") * 100).cast("long")).as("m"))
+      val corpusDay = e.agg(max(date_trunc("day", col("ts")))
+        .as("corpus_day"))
+      val withR = perUser.crossJoin(broadcast(corpusDay))
+        .withColumn("days",
+          datediff(col("corpus_day"), col("last_day")).cast("long"))
+      val cutCols = for {
+        (dim, nm) <- Seq(("days", "d"), ("f", "fq"), ("m", "mq"))
+        q <- Seq(20, 40, 60, 80)
+      } yield expr(s"percentile($dim, 0.$q)").as(s"${nm}$q")
+      val cuts = withR.agg(cutCols.head, cutCols.tail: _*)
+      def ladder(v: Column, nm: String): Column =
+        lit(1) + Seq(20, 40, 60, 80)
+          .map(q => when(v > col(s"${nm}$q"), 1).otherwise(0))
+          .reduce(_ + _)
+      withR.crossJoin(broadcast(cuts))
+        .withColumn("r_score", lit(6) - ladder(col("days"), "d"))
+        .withColumn("f_score", ladder(col("f"), "fq"))
+        .withColumn("m_score", ladder(col("m"), "mq"))
+        .withColumn("segment",
+          when(col("r_score") >= 4 && col("f_score") >= 4 &&
+            col("m_score") >= 4, "champion")
+            .when(col("r_score") <= 2 && col("f_score") >= 4, "at_risk")
+            .otherwise("regular"))
+        .select(col("user_id"), col("days"), col("f"), col("m"),
+          col("r_score"), col("f_score"), col("m_score"), col("segment"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some("""
+      WITH u AS (SELECT user_id,
+               max(date_trunc('day', ts::TIMESTAMP)) AS last_day,
+               CAST(count(*) AS BIGINT) AS f,
+               CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT) AS m
+             FROM events GROUP BY user_id),
+      mx AS (SELECT max(date_trunc('day', ts::TIMESTAMP)) AS corpus_day
+             FROM events),
+      r AS (SELECT u.*, CAST(date_diff('day', last_day, corpus_day)
+              AS BIGINT) AS days FROM u, mx),
+      c AS (SELECT quantile_cont(days, 0.2) AS d20,
+              quantile_cont(days, 0.4) AS d40,
+              quantile_cont(days, 0.6) AS d60,
+              quantile_cont(days, 0.8) AS d80,
+              quantile_cont(f, 0.2) AS fq20, quantile_cont(f, 0.4) AS fq40,
+              quantile_cont(f, 0.6) AS fq60, quantile_cont(f, 0.8) AS fq80,
+              quantile_cont(m, 0.2) AS mq20, quantile_cont(m, 0.4) AS mq40,
+              quantile_cont(m, 0.6) AS mq60, quantile_cont(m, 0.8) AS mq80
+            FROM r),
+      sc AS (SELECT r.user_id, r.days, r.f, r.m,
+               6 - (1 + CASE WHEN r.days > c.d20 THEN 1 ELSE 0 END
+                      + CASE WHEN r.days > c.d40 THEN 1 ELSE 0 END
+                      + CASE WHEN r.days > c.d60 THEN 1 ELSE 0 END
+                      + CASE WHEN r.days > c.d80 THEN 1 ELSE 0 END)
+                 AS r_score,
+               1 + CASE WHEN r.f > c.fq20 THEN 1 ELSE 0 END
+                 + CASE WHEN r.f > c.fq40 THEN 1 ELSE 0 END
+                 + CASE WHEN r.f > c.fq60 THEN 1 ELSE 0 END
+                 + CASE WHEN r.f > c.fq80 THEN 1 ELSE 0 END AS f_score,
+               1 + CASE WHEN r.m > c.mq20 THEN 1 ELSE 0 END
+                 + CASE WHEN r.m > c.mq40 THEN 1 ELSE 0 END
+                 + CASE WHEN r.m > c.mq60 THEN 1 ELSE 0 END
+                 + CASE WHEN r.m > c.mq80 THEN 1 ELSE 0 END AS m_score
+             FROM r, c)
+      SELECT user_id, days, f, m,
+             CAST(r_score AS INT) AS r_score, CAST(f_score AS INT) AS f_score,
+             CAST(m_score AS INT) AS m_score,
+             CASE WHEN r_score >= 4 AND f_score >= 4 AND m_score >= 4
+                  THEN 'champion'
+                  WHEN r_score <= 2 AND f_score >= 4 THEN 'at_risk'
+                  ELSE 'regular' END AS segment
+      FROM sc ORDER BY user_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
     resample, winsorize, transitions, streamTransitions, ewma, scd2,
-    pattern, attributionLinear, seasonal, cohortLtv)
+    pattern, attributionLinear, seasonal, cohortLtv, rfm)
 }

@@ -712,7 +712,39 @@ ${LshOracleSql.cosineExpr} AS cos
       ${PqOracleSql.adcTail(16, 2, 3, "fcand")}""")
   )
 
+  /** RANGE search (radius query): every corpus vector within cosine ≥
+    * 0.30 of each query (≈ the p99 of this synthetic corpus's pair
+    * similarity — the radius that returns the genuine neighbor tail) — the "find ALL near-duplicates" complement to
+    * top-k (k truncates; a dedup or recall-audit pass must not). Exact
+    * one-pass scan × broadcast query set, same shape as brute top-k but
+    * with a threshold filter instead of a rank window — no sort at all.
+    * At 100 TB the IVF probe prefilter (x_ann_filtered's candidate
+    * stage) bounds the scan; the threshold filter is unchanged. */
+  val rangeSearch: QueryDef = QueryDef(
+    "x_ann_range_search",
+    (s, dir) => {
+      val base = emb(s, dir)
+      val queries = base.filter(col("vec_id") < 10)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      base.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineSim(col("q_emb"), col("embedding")).as("cos"))
+        .filter(col("cos") >= 0.30)
+        .orderBy(col("q_id"), col("vec_id"))
+    },
+    oracle = Some(s"""
+      WITH ${AnnOracleCommon.erawCte}
+      SELECT q.vec_id AS q_id, v.vec_id,
+             ${AnnOracleCommon.cos("q.emb", "v.emb")} AS cos
+      FROM eraw q JOIN eraw v ON v.vec_id <> q.vec_id
+      WHERE q.vec_id < 10
+        AND ${AnnOracleCommon.cos("q.emb", "v.emb")} >= 0.30
+      ORDER BY q_id, v.vec_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
     pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
-    recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank, filteredSearch)
+    recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank, filteredSearch,
+    rangeSearch)
 }
