@@ -194,4 +194,29 @@ object MySqlFunctions {
       ((v / 256L) % 256).cast("long").cast("string"),
       (v % 256).cast("string"))
   }
+
+  /** MySQL CONVERT_TZ(dt, from, to) for fixed-offset zones ('±HH:MM' —
+    * reference: utils/funcexp/func_convert_tz.cpp; the offset form is
+    * pure interval arithmetic and therefore engine-portable). Out-of-
+    * range offsets (beyond ±13:59, MySQL's limit) return NULL, matching
+    * MySQL. Named zones ('America/New_York') should go through Spark's
+    * own convert_timezone, which consults the JVM tz database — not
+    * replayable in an engine-independent oracle, so not modeled here. */
+  def convertTz(dt: Column, from: String, to: String): Column = {
+    def offsetSec(z: String): Option[Long] = {
+      val m = "^([+-])(\\d{2}):(\\d{2})$".r.findFirstMatchIn(z)
+      m.flatMap { g =>
+        val sign = if (g.group(1) == "-") -1L else 1L
+        val h = g.group(2).toLong
+        val mi = g.group(3).toLong
+        if (h > 13 || mi > 59) None else Some(sign * (h * 3600 + mi * 60))
+      }
+    }
+    (offsetSec(from), offsetSec(to)) match {
+      case (Some(f), Some(t)) =>
+        // interval add preserves sub-second precision
+        dt + expr(s"INTERVAL ${t - f} SECOND")
+      case _ => lit(null).cast("timestamp")
+    }
+  }
 }

@@ -849,8 +849,38 @@ object ScalarFunctionQueries {
       FROM part ORDER BY p_partkey""")
   )
 
+  /** CONVERT_TZ battery (reference: utils/funcexp/func_convert_tz.cpp) —
+    * the fixed-offset form is pure interval arithmetic, replayed in the
+    * oracle as ± INTERVAL; out-of-range offsets (beyond MySQL's ±13:59)
+    * are NULL. Exercised over events.ts so sub-second preservation is
+    * covered too. */
+  val convertTzBattery: QueryDef = QueryDef(
+    "fn_convert_tz",
+    (s, dir) =>
+      Tables.table(s, dir, "events")
+        .filter(col("event_id") < 200)
+        .select(col("event_id"),
+          graft.functions.MySqlFunctions
+            .convertTz(col("ts"), "+00:00", "+05:30").as("f_ist"),
+          graft.functions.MySqlFunctions
+            .convertTz(col("ts"), "+02:00", "-08:00").as("f_west10"),
+          graft.functions.MySqlFunctions
+            .convertTz(col("ts"), "+00:00", "+14:00").as("f_bad_offset"),
+          graft.functions.MySqlFunctions
+            .convertTz(col("ts"), "junk", "+01:00").as("f_bad_zone"))
+        .orderBy(col("event_id")),
+    oracle = Some("""
+      SELECT event_id,
+             ts::TIMESTAMP + INTERVAL 19800 SECOND AS f_ist,
+             ts::TIMESTAMP - INTERVAL 36000 SECOND AS f_west10,
+             CAST(NULL AS TIMESTAMP) AS f_bad_offset,
+             CAST(NULL AS TIMESTAMP) AS f_bad_zone
+      FROM events WHERE event_id < 200 ORDER BY event_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(stringBasic, stringAdvanced, mathBattery,
     dateExtract, dateArith, controlFlow, mysqlStrings, mysqlDates,
     pseudoColumns, timeBattery, divZeroDecimal, weekModes, registryTail,
-    udfSqlSurface, arrayNested, jsonBattery, regexpBattery)
+    udfSqlSurface, arrayNested, jsonBattery, regexpBattery,
+    convertTzBattery)
 }
