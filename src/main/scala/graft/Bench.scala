@@ -69,7 +69,12 @@ object Bench {
     "d_time_travel",
     "d_zorder_layout",
     "d_matview_incremental",
-    "x_ann_nprobe_sweep")
+    "x_ann_nprobe_sweep",
+    "x_graph_labelprop",
+    "x_graph_khop",
+    "x_pipeline_dsir",
+    "x_text_hash_embed",
+    "d_analyze_histogram")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -226,5 +226,117 @@ object GraphQueries {
       FROM corner GROUP BY doc_id ORDER BY doc_id""")
   )
 
-  def defs: Seq[QueryDef] = Seq(pagerank, triangles)
+  /** Community detection by synchronous label propagation — 4 fixed
+    * rounds; each node adopts the most frequent label among its
+    * neighbors PLUS its own current label (the self-vote/inertia
+    * variant: without it a 2-node component oscillates forever under
+    * synchronous updates — and shared-chunk components are very often
+    * pairs), ties broken by the smallest label. Both the round count and
+    * the tie rule are fixed, so the result is deterministic under any
+    * partitioning: per-(node,label) counts are exact integers and the
+    * argmax is (count desc, label asc). Communities here are template/
+    * boilerplate families — the clusters a curation pipeline caps or
+    * downsamples as a group.
+    *
+    * Scale shape: each round is one (edge ⨝ label-by-src) shuffle plus
+    * two grouped aggregations keyed by node — three longs per edge in
+    * flight; labels are localCheckpointed per round so the lineage stays
+    * O(1) deep (swap for a reliable checkpoint dir on a real cluster). */
+  val labelprop: QueryDef = QueryDef(
+    "x_graph_labelprop",
+    (s, dir) => {
+      val d = docs(s, dir)
+      // self-loop per node implements the self-vote; star edges carry
+      // the neighbor votes
+      val edges = starEdges(chunkDigests(d))
+        .union(d.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+        .localCheckpoint()
+      var labels = d.select(col("doc_id"), col("doc_id").as("lab"))
+        .localCheckpoint()
+      for (_ <- 1 to 4) {
+        val cnt = edges
+          .join(labels.select(col("doc_id").as("src"), col("lab")),
+            Seq("src"))
+          .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+        // most-frequent neighbor label, smallest label on count ties:
+        // (c, -lab) is unique per dst, so max_by is deterministic
+        val best = cnt.groupBy(col("dst"))
+          .agg(expr("max_by(lab, struct(c, -lab))").as("blab"))
+        labels = labels
+          .join(best.withColumnRenamed("dst", "doc_id"),
+            Seq("doc_id"), "left_outer")
+          .select(col("doc_id"),
+            coalesce(col("blab"), col("lab")).as("lab"))
+          .localCheckpoint()
+      }
+      val sizes = labels.groupBy(col("lab"))
+        .agg(count(lit(1)).as("community_size"))
+      labels.join(sizes, Seq("lab"))
+        .select(col("doc_id"), col("lab").as("community"),
+          col("community_size"))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some {
+      val rounds = (1 to 4).map { i =>
+        s"""cnt$i AS (SELECT e.dst AS doc_id, l.lab, count(*) AS c
+             FROM edges2 e JOIN lp${i - 1} l ON l.doc_id = e.src
+             GROUP BY e.dst, l.lab),
+           best$i AS (SELECT doc_id, lab FROM (
+               SELECT doc_id, lab, row_number() OVER
+                 (PARTITION BY doc_id ORDER BY c DESC, lab ASC) AS rn
+               FROM cnt$i) WHERE rn = 1),
+           lp$i AS (SELECT p.doc_id, coalesce(b.lab, p.lab) AS lab
+             FROM lp${i - 1} p LEFT JOIN best$i b USING (doc_id))"""
+      }.mkString(",\n")
+      edgesSql + s""",
+      edges2 AS (SELECT src, dst FROM edges
+                 UNION ALL SELECT doc_id, doc_id FROM n),
+      lp0 AS (SELECT doc_id, doc_id AS lab FROM n),
+      $rounds,
+      sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS community_size
+             FROM lp4 GROUP BY lab)
+      SELECT l.doc_id, l.lab AS community, s.community_size
+      FROM lp4 l JOIN sz s USING (lab) ORDER BY l.doc_id"""
+    }
+  )
+
+  /** Exactly-2-hop reachability counts — distinct nodes reachable in two
+    * steps but not one (and not self): the friend-of-friend expansion a
+    * crawl scheduler uses to estimate frontier growth, and a template-
+    * ring detector (high 2-hop mass with low direct degree = hub-and-
+    * spoke boilerplate).
+    *
+    * Scale shape: the two-path join is the same wedge generation as
+    * triangle counting (bounded by Σ deg² — the star-edge derivation
+    * already caps hub degree by construction since every bucket
+    * contributes only representative edges); everything in flight is
+    * (id, id) pairs, deduped before the anti join against direct edges. */
+  val khop: QueryDef = QueryDef(
+    "x_graph_khop",
+    (s, dir) => {
+      val edges = starEdges(chunkDigests(docs(s, dir))).localCheckpoint()
+      val two = edges.as("e1")
+        .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
+        .filter(col("e1.src") =!= col("e2.dst"))
+        .select(col("e1.src").as("src"), col("e2.dst").as("d2"))
+        .distinct()
+      val strict = two.join(
+        edges.select(col("src"), col("dst").as("d2")),
+        Seq("src", "d2"), "left_anti")
+      strict.groupBy(col("src")).agg(count(lit(1)).as("n_2hop"))
+        .withColumnRenamed("src", "doc_id")
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some(edgesSql + """,
+      two AS (SELECT DISTINCT e1.src, e2.dst AS d2
+              FROM edges e1 JOIN edges e2 ON e1.dst = e2.src
+              WHERE e1.src <> e2.dst),
+      strict AS (SELECT t.src, t.d2 FROM two t
+                 WHERE NOT EXISTS (SELECT 1 FROM edges e
+                                   WHERE e.src = t.src AND e.dst = t.d2))
+      SELECT src AS doc_id, CAST(count(*) AS BIGINT) AS n_2hop
+      FROM strict GROUP BY src ORDER BY doc_id""")
+  )
+
+  def defs: Seq[QueryDef] = Seq(pagerank, triangles, labelprop, khop)
 }

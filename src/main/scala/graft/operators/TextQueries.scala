@@ -1671,9 +1671,173 @@ object TextQueries {
       FROM m GROUP BY doc_id ORDER BY doc_id""")
   )
 
+  /** md5-prefix hash bucket shared by the DSIR features and the hashed
+    * embedding: first hex byte of md5(token) mod m. Weak as a general
+    * hash but deterministic and byte-identical across engines, which is
+    * what the oracle gate needs; both sides lowercase-hex their md5. */
+  private def mdBucket(tok: org.apache.spark.sql.Column,
+      m: Int): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(tok), 1, 2), 16, 10).cast("int"), lit(m))
+
+  private def duckBucket(e: String, m: Int): String =
+    s"((16 * (strpos('0123456789abcdef', substr(md5($e), 1, 1)) - 1) + " +
+      s"(strpos('0123456789abcdef', substr(md5($e), 2, 1)) - 1)) % $m)"
+
+  /** DSIR-style importance resampling (Xie et al. 2023, public): score
+    * every document by how target-like its hashed unigram features are —
+    * avg over tokens of ln p_target(bucket) − ln p_raw(bucket), both
+    * add-one-smoothed over 256 md5 buckets — then keep the top quarter.
+    * The "target" here is a fixed source allowlist standing in for a
+    * curated seed corpus (in production: Wikipedia/books vs crawl).
+    *
+    * Scale shape: two 256-row histograms (two-phase agg, broadcastable),
+    * then a per-token map joined against those tiny tables and one
+    * per-doc aggregation — no payload shuffle. The global top-quarter
+    * rank is a single-partition window over one row per DOC (fine at
+    * sf, the known pattern to swap at 100 TB: take the score threshold
+    * from approx_percentile and filter instead). */
+  val dsir: QueryDef = QueryDef(
+    "x_pipeline_dsir",
+    (s, dir) => {
+      val targetSrc = Seq("src18", "src7", "src6")
+      val tok = docs(s, dir)
+        .select(col("doc_id"), col("source"),
+          explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), col("source"),
+          mdBucket(col("tok"), 256).as("b"))
+      val isT = col("source").isin(targetSrc: _*)
+      val ct = tok.filter(isT).groupBy(col("b"))
+        .agg(count(lit(1)).as("ct"))
+      val cr = tok.filter(!isT).groupBy(col("b"))
+        .agg(count(lit(1)).as("cr"))
+      val tot = tok.agg(
+        sum(when(isT, 1L).otherwise(0L)).as("tt"),
+        sum(when(!isT, 1L).otherwise(0L)).as("tr"))
+      val lr = tok
+        .join(broadcast(ct), Seq("b"), "left_outer")
+        .join(broadcast(cr), Seq("b"), "left_outer")
+        .crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (log((coalesce(col("ct"), lit(0L)) + 1).cast("double") /
+              (col("tt") + 256)) -
+            log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
+              (col("tr") + 256))).as("lr"))
+      val sc = lr.groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_toks"), round(avg(col("lr")), 4).as("score"))
+      val n = sc.agg(count(lit(1)).as("n"))
+      val ranked = sc
+        .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
+        .withColumn("sel_rank",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      ranked.crossJoin(broadcast(n))
+        .filter(col("sel_rank") <= ceil(col("n") / 4.0))
+        .select(col("doc_id"), col("source"), col("n_toks"), col("score"),
+          col("sel_rank"))
+        .orderBy(col("sel_rank"))
+    },
+    oracle = Some(s"""
+      WITH t AS (SELECT doc_id, source, string_split(text, ' ') AS toks
+                 FROM documents),
+      tk AS (SELECT doc_id, source, unnest(toks) AS tok FROM t),
+      bk AS (SELECT doc_id, source, ${duckBucket("tok", 256)} AS b FROM tk),
+      ct AS (SELECT b, count(*) AS ct FROM bk
+             WHERE source IN ('src18', 'src7', 'src6') GROUP BY b),
+      cr AS (SELECT b, count(*) AS cr FROM bk
+             WHERE source NOT IN ('src18', 'src7', 'src6') GROUP BY b),
+      tot AS (SELECT
+          (SELECT count(*) FROM bk
+           WHERE source IN ('src18', 'src7', 'src6')) AS tt,
+          (SELECT count(*) FROM bk
+           WHERE source NOT IN ('src18', 'src7', 'src6')) AS tr),
+      lr AS (SELECT x.doc_id,
+               ln(CAST(coalesce(ct.ct, 0) + 1 AS DOUBLE) / (tot.tt + 256)) -
+               ln(CAST(coalesce(cr.cr, 0) + 1 AS DOUBLE) / (tot.tr + 256))
+                 AS lr
+             FROM bk x LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)
+             CROSS JOIN tot),
+      sc AS (SELECT doc_id, count(*) AS n_toks, round(avg(lr), 4) AS score
+             FROM lr GROUP BY doc_id),
+      rk AS (SELECT s.doc_id, d.source, s.n_toks, s.score,
+               CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id)
+                 AS INT) AS sel_rank
+             FROM sc s JOIN documents d USING (doc_id)),
+      n AS (SELECT count(*) AS n FROM sc)
+      SELECT doc_id, source, n_toks, score, sel_rank
+      FROM rk CROSS JOIN n WHERE sel_rank <= ceil(n / 4.0)
+      ORDER BY sel_rank"""
+    )
+  )
+
+  /** Hashed-TF text embedding + cosine top-k (feature-hashing trick,
+    * public): each doc becomes a sparse 64-dim term-frequency vector
+    * (md5 bucket → count), and the five probe docs (doc_id < 5) retrieve
+    * their 5 nearest corpus neighbors by cosine. Bridges the text and
+    * vector families without a model: dot products and squared norms
+    * stay EXACT INTEGERS (sparse join on bucket, sum of count products),
+    * so the only float op is the final normalize — one divide + sqrt,
+    * bit-stable across engines, rounded to 4.
+    *
+    * Scale shape: the probe side is tiny and broadcast; the corpus side
+    * is one groupBy(doc, bucket) histogram — candidates are bounded by
+    * docs sharing a bucket with a probe (≤ 64 buckets), and the top-k
+    * per probe is a bounded window over candidates, not the corpus. */
+  val hashEmbed: QueryDef = QueryDef(
+    "x_text_hash_embed",
+    (s, dir) => {
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+        .select(col("doc_id"), mdBucket(col("tok"), 64).as("b"))
+        .groupBy(col("doc_id"), col("b")).agg(count(lit(1)).as("c"))
+      val nrm = tf.groupBy(col("doc_id"))
+        .agg(sum(col("c") * col("c")).as("n2"))
+      val q = tf.filter(col("doc_id") < 5)
+        .select(col("doc_id").as("query_id"), col("b"), col("c").as("qc"))
+      val dot = tf.join(broadcast(q), Seq("b"))
+        .filter(col("doc_id") =!= col("query_id"))
+        .groupBy(col("query_id"), col("doc_id"))
+        .agg(sum(col("qc") * col("c")).as("dot"))
+      val scored = dot
+        .join(nrm.withColumnRenamed("doc_id", "query_id")
+          .withColumnRenamed("n2", "qn2"), Seq("query_id"))
+        .join(nrm, Seq("doc_id"))
+        .select(col("query_id"), col("doc_id"), col("dot"),
+          round(col("dot") / sqrt(col("qn2").cast("double") * col("n2")), 4)
+            .as("cos"))
+      scored.withColumn("rn",
+          row_number().over(org.apache.spark.sql.expressions.Window
+            .partitionBy(col("query_id"))
+            .orderBy(col("cos").desc, col("doc_id"))).cast("int"))
+        .filter(col("rn") <= 5)
+        .orderBy(col("query_id"), col("rn"))
+    },
+    oracle = Some(s"""
+      WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+                  FROM documents),
+      tf AS (SELECT doc_id, ${duckBucket("tok", 64)} AS b, count(*) AS c
+             FROM tk GROUP BY doc_id, b),
+      nrm AS (SELECT doc_id, sum(c * c) AS n2 FROM tf GROUP BY doc_id),
+      q AS (SELECT doc_id AS query_id, b, c AS qc FROM tf WHERE doc_id < 5),
+      dt AS (SELECT q.query_id, t.doc_id, CAST(sum(q.qc * t.c) AS BIGINT)
+                 AS dot
+             FROM tf t JOIN q USING (b) WHERE t.doc_id <> q.query_id
+             GROUP BY q.query_id, t.doc_id),
+      sc AS (SELECT d.query_id, d.doc_id, d.dot,
+               round(d.dot / sqrt(CAST(nq.n2 AS DOUBLE) * nc.n2), 4) AS cos
+             FROM dt d
+               JOIN nrm nq ON nq.doc_id = d.query_id
+               JOIN nrm nc ON nc.doc_id = d.doc_id),
+      rk AS (SELECT query_id, doc_id, dot, cos,
+               CAST(row_number() OVER (PARTITION BY query_id
+                 ORDER BY cos DESC, doc_id) AS INT) AS rn
+             FROM sc)
+      SELECT query_id, doc_id, dot, cos, rn FROM rk
+      WHERE rn <= 5 ORDER BY query_id, rn""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
     hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix,
-    split3, domainCap, shuffleShards, phraseSearch)
+    split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed)
 }

@@ -492,6 +492,70 @@ class VectorTextSpec extends GraftSuite {
     tmp
   }
 
+  test("label propagation merges a shared-chunk pair and keeps isolates") {
+    // docs 1,2 share their first chunk (edge 1↔2); doc 3 isolated. The
+    // self-vote rule must converge the pair onto min label 1 (pure
+    // synchronous LPA would oscillate on a 2-node component forever)
+    val shared = (1 to 10).map(i => s"s$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, shared + " " + (1 to 10).map(i => s"a$i").mkString(" "), "fx"),
+      (2L, shared + " " + (1 to 10).map(i => s"b$i").mkString(" "), "fx"),
+      (3L, (1 to 20).map(i => s"c$i").mkString(" "), "fx")))
+    val rows = operators.GraphQueries.labelprop.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(rows(1L) == ((1L, 2L)), s"node 1: ${rows(1L)}")
+    assert(rows(2L) == ((1L, 2L)), "pair must converge to community 1")
+    assert(rows(3L) == ((3L, 1L)), "isolate keeps its own singleton label")
+  }
+
+  test("2-hop reachability counts exactly-distance-2 nodes on a path") {
+    // path 1—2—3 (1,2 share chunk x; 2,3 share chunk y): ends see one
+    // node at distance 2, the middle sees none (its 2-paths loop back)
+    def chunk(p: String) = (1 to 10).map(i => s"$p$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, chunk("x") + " " + chunk("a"), "fx"),
+      (2L, chunk("x") + " " + chunk("y"), "fx"),
+      (3L, chunk("y") + " " + chunk("b"), "fx")))
+    val rows = operators.GraphQueries.khop.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(rows == Map(1L -> 1L, 3L -> 1L),
+      s"path ends reach one node at distance 2, middle none: $rows")
+  }
+
+  test("dsir selects the target-like raw doc over boilerplate") {
+    // target doc (src18) establishes 'good' as the target feature; raw
+    // doc 3 matches it, raw docs full of 'bad' score below. Top quarter
+    // of 8 docs = 2 selected: the target doc itself + the target-like
+    // raw doc (tie on identical text broken by doc_id)
+    val good = Seq.fill(5)("good").mkString(" ")
+    val bad = Seq.fill(5)("bad").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, good, "src18"), (2L, bad, "src0"), (3L, good, "src0"),
+      (4L, bad, "src0"), (5L, bad, "src0"), (6L, bad, "src0"),
+      (7L, bad, "src0"), (8L, bad, "src0")))
+    val sel = operators.TextQueries.dsir.run(spark, tmp).collect()
+      .map(r => (r.getInt(4), r.getLong(0))).sorted
+    assert(sel.toSeq == Seq((1, 1L), (2, 3L)),
+      s"rank 1 = target doc, rank 2 = target-like raw doc: ${sel.toSeq}")
+  }
+
+  test("hashed-TF embedding ranks an identical doc first with cosine 1") {
+    // doc 10 repeats query doc 0's text exactly → identical sparse
+    // vector, cosine 1.0 at rank 1 regardless of bucket collisions; the
+    // half-overlap doc ranks below 1.0
+    val tmp = writeDocs(Seq(
+      (0L, "alpha alpha beta gamma", "fx"),
+      (10L, "alpha alpha beta gamma", "fx"),
+      (11L, "alpha beta delta epsilon", "fx")))
+    val rows = operators.TextQueries.hashEmbed.run(spark, tmp).collect()
+      .filter(_.getLong(0) == 0L)
+      .map(r => (r.getInt(4), r.getLong(1), r.getDouble(3)))
+    val byRank = rows.map(r => r._1 -> (r._2, r._3)).toMap
+    assert(byRank(1) == ((10L, 1.0)), s"identical doc at rank 1: $byRank")
+    assert(byRank(2)._1 == 11L && byRank(2)._2 < 1.0,
+      s"partial overlap ranks second below 1.0: $byRank")
+  }
+
   test("minhash calibration puts an identical pair in error decile 0") {
     // docs 1,2 identical (jaccard 1, every signature position equal →
     // est 1, error 0); doc 3 disjoint and must produce no candidate at
