@@ -74,7 +74,10 @@ object Bench {
     "x_graph_khop",
     "x_pipeline_dsir",
     "x_text_hash_embed",
-    "d_analyze_histogram")
+    "d_analyze_histogram",
+    "x_pipeline_expectations",
+    "x_pipeline_drift_psi",
+    "a_moments")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -501,8 +501,61 @@ object AggregateQueries {
       ORDER BY l_returnflag, metric""")
   )
 
+  /** Higher central moments per group — skewness and excess kurtosis
+    * computed from EXACT INTEGER power sums (l_quantity is integral, so
+    * Σx..Σx⁴ are exact longs: the largest, Σx⁴ ≈ 50⁴×|rows|, stays far
+    * under 2⁵³), then one fixed single-threaded float expression per
+    * group. The usual float-skewness pitfall — distributed summation
+    * order perturbing the result, and engines disagreeing on
+    * population-vs-sample factors — is gone by construction: both
+    * engines evaluate the identical population formula from identical
+    * integers. Median rides along via interpolated percentile.
+    *
+    * Scale shape: one two-phase agg (map-side partials of five longs per
+    * group); the float math touches |groups| rows only. */
+  val moments: QueryDef = QueryDef(
+    "a_moments",
+    (s, dir) => {
+      val li = t(s, dir, "lineitem")
+        .select(col("l_returnflag"), col("l_quantity").cast("long").as("x"))
+      li.groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("x")).as("s1"),
+          sum(col("x") * col("x")).as("s2"),
+          sum(col("x") * col("x") * col("x")).as("s3"),
+          sum(col("x") * col("x") * col("x") * col("x")).as("s4"),
+          expr("percentile(x, 0.5d)").as("med"))
+        .select(col("l_returnflag"), col("n"),
+          round(col("med"), 4).as("median"),
+          round(expr("s1 / cast(n as double)"), 4).as("mean"),
+          round(expr(
+            "(s3/cast(n as double) - 3*(s1/cast(n as double))*(s2/cast(n as double)) + 2*pow(s1/cast(n as double), 3)) / " +
+              "pow(s2/cast(n as double) - pow(s1/cast(n as double), 2), 1.5)"),
+            4).as("skewness_pop"),
+          round(expr(
+            "(s4/cast(n as double) - 4*(s1/cast(n as double))*(s3/cast(n as double)) + 6*pow(s1/cast(n as double), 2)*(s2/cast(n as double)) - 3*pow(s1/cast(n as double), 4)) / " +
+              "pow(s2/cast(n as double) - pow(s1/cast(n as double), 2), 2) - 3"),
+            4).as("kurtosis_excess"))
+        .orderBy(col("l_returnflag"))
+    },
+    oracle = Some("""
+      WITH p AS (SELECT l_returnflag, count(*) AS n,
+                   sum(x) AS s1, sum(x*x) AS s2, sum(x*x*x) AS s3,
+                   sum(x*x*x*x) AS s4,
+                   quantile_cont(x, 0.5) AS med
+                 FROM (SELECT l_returnflag, CAST(l_quantity AS BIGINT) AS x
+                       FROM lineitem)
+                 GROUP BY l_returnflag)
+      SELECT l_returnflag, n, round(med, 4) AS median,
+             round(s1 / CAST(n AS DOUBLE), 4) AS mean,
+             round((s3/CAST(n AS DOUBLE) - 3*(s1/CAST(n AS DOUBLE))*(s2/CAST(n AS DOUBLE)) + 2*pow(s1/CAST(n AS DOUBLE), 3)) /
+                   pow(s2/CAST(n AS DOUBLE) - pow(s1/CAST(n AS DOUBLE), 2), 1.5), 4) AS skewness_pop,
+             round((s4/CAST(n AS DOUBLE) - 4*(s1/CAST(n AS DOUBLE))*(s3/CAST(n AS DOUBLE)) + 6*pow(s1/CAST(n AS DOUBLE), 2)*(s2/CAST(n AS DOUBLE)) - 3*pow(s1/CAST(n AS DOUBLE), 4)) /
+                   pow(s2/CAST(n AS DOUBLE) - pow(s1/CAST(n AS DOUBLE), 2), 2) - 3, 4) AS kurtosis_excess
+      FROM p ORDER BY l_returnflag""")
+  )
+
   def defs: Seq[QueryDef] = Seq(basicStats, distinctAggs, bitAggs, regression,
     groupConcatCustom, groupConcatDistinct, having, rollup, cube, emptyInput,
     highCardinality, mysqlShims, approxDistinct, approxPercentile, listAgg,
-    groupingSets, pivot, unpivot, topkPerGroup)
+    groupingSets, pivot, unpivot, topkPerGroup, moments)
 }

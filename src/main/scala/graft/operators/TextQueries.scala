@@ -1835,9 +1835,143 @@ object TextQueries {
       WHERE rn <= 5 ORDER BY query_id, rn""")
   )
 
+  /** Data-quality expectations gate (Deequ-style, public pattern): one
+    * scan of the corpus computes every check's violation count — null
+    * text, duplicate ids, out-of-vocabulary language, n_chars
+    * inconsistent with the text, length bounds — then unpivots into one
+    * row per check with a pass flag. The contract a training pipeline
+    * runs before accepting an ingest batch: a single failed row blocks
+    * the batch, and the violation counts say how bad.
+    *
+    * Scale shape: one two-phase aggregation (count-distinct for the
+    * uniqueness check is the only shuffle-heavy piece); the unpivot
+    * touches a single row. */
+  val expectations: QueryDef = QueryDef(
+    "x_pipeline_expectations",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val langs = Seq("en", "de", "fr", "es", "zh")
+      d.agg(
+          count(lit(1)).as("n"),
+          sum(when(col("text").isNull, 1L).otherwise(0L)).as("null_text"),
+          (count(lit(1)) - countDistinct(col("doc_id"))).as("dup_ids"),
+          sum(when(!col("lang").isin(langs: _*), 1L).otherwise(0L))
+            .as("bad_lang"),
+          sum(when(col("n_chars") =!= length(col("text")), 1L)
+            .otherwise(0L)).as("len_mismatch"),
+          sum(when(col("n_chars") < 1 || col("n_chars") > 100000, 1L)
+            .otherwise(0L)).as("len_oob"))
+        .select(expr(
+          "stack(6, " +
+            "'row_count', n, n > 0, " +
+            "'null_text', null_text, null_text = 0, " +
+            "'dup_doc_id', dup_ids, dup_ids = 0, " +
+            "'bad_lang', bad_lang, bad_lang = 0, " +
+            "'len_mismatch', len_mismatch, len_mismatch = 0, " +
+            "'len_out_of_bounds', len_oob, len_oob = 0) " +
+            "AS (check_name, metric, pass)"))
+        .orderBy(col("check_name"))
+    },
+    oracle = Some("""
+      WITH a AS (SELECT count(*) AS n,
+          sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS null_text,
+          count(*) - count(DISTINCT doc_id) AS dup_ids,
+          sum(CASE WHEN lang NOT IN ('en','de','fr','es','zh')
+              THEN 1 ELSE 0 END) AS bad_lang,
+          sum(CASE WHEN n_chars <> length(text) THEN 1 ELSE 0 END)
+            AS len_mismatch,
+          sum(CASE WHEN n_chars < 1 OR n_chars > 100000 THEN 1 ELSE 0 END)
+            AS len_oob
+        FROM documents)
+      SELECT check_name, CAST(metric AS BIGINT) AS metric, pass FROM (
+        SELECT 'row_count' AS check_name, n AS metric, n > 0 AS pass FROM a
+        UNION ALL SELECT 'null_text', null_text, null_text = 0 FROM a
+        UNION ALL SELECT 'dup_doc_id', dup_ids, dup_ids = 0 FROM a
+        UNION ALL SELECT 'bad_lang', bad_lang, bad_lang = 0 FROM a
+        UNION ALL SELECT 'len_mismatch', len_mismatch, len_mismatch = 0 FROM a
+        UNION ALL SELECT 'len_out_of_bounds', len_oob, len_oob = 0 FROM a)
+      ORDER BY check_name""")
+  )
+
+  /** Distribution-drift detection between two corpus snapshots via the
+    * population stability index (PSI, standard model-monitoring metric):
+    * docs split by id parity stand in for last-week/this-week ingests;
+    * each monitored feature (length in fixed 50-char buckets capped at
+    * 10, language) gets PSI = Σ_b (p_b − q_b)·ln(p_b/q_b) with add-one
+    * smoothing over the feature's observed bucket domain. PSI > 0.2 is
+    * the conventional "investigate the pipeline" alarm.
+    *
+    * Scale shape: two grouped histograms (buckets ≤ max(10, |langs|)),
+    * all float math on the tiny bucket table; the per-feature sum folds
+    * over buckets in sorted order (`aggregate` over a sort_array'd
+    * list), so distributed execution and the serial oracle add in the
+    * identical sequence. */
+  val driftPsi: QueryDef = QueryDef(
+    "x_pipeline_drift_psi",
+    (s, dir) => {
+      val d = docs(s, dir)
+      val feats = d.select(
+          when(pmod(col("doc_id"), lit(2)) === 0, lit("old"))
+            .otherwise(lit("new")).as("side"),
+          expr("least(n_chars div 50, 9)").cast("string").as("len_b"),
+          col("lang"))
+      val b = feats.select(col("side"), lit("len_bucket").as("feature"),
+          col("len_b").as("bucket"))
+        .union(feats.select(col("side"), lit("lang").as("feature"),
+          col("lang").as("bucket")))
+      val cnt = b.groupBy(col("feature"), col("bucket"))
+        .agg(sum(when(col("side") === "old", 1L).otherwise(0L)).as("co"),
+          sum(when(col("side") === "new", 1L).otherwise(0L)).as("cn"))
+      val tot = cnt.groupBy(col("feature"))
+        .agg(sum(col("co")).as("n_old"), sum(col("cn")).as("n_new"),
+          count(lit(1)).as("k"))
+      cnt.join(tot, Seq("feature"))
+        .select(col("feature"), col("bucket"),
+          ((col("co") + 1) / (col("n_old") + col("k")) -
+            (col("cn") + 1) / (col("n_new") + col("k"))).as("diff"),
+          log(((col("co") + 1) / (col("n_old") + col("k"))) /
+            ((col("cn") + 1) / (col("n_new") + col("k")))).as("lr"),
+          col("n_old"), col("n_new"), col("k"))
+        .groupBy(col("feature"), col("n_old"), col("n_new"), col("k"))
+        .agg(round(expr(
+          "aggregate(transform(sort_array(collect_list(" +
+            "struct(bucket, diff * lr))), t -> t.col2), " +
+            "0.0d, (acc, x) -> acc + x)"), 4).as("psi"))
+        .select(col("feature"), col("n_old"), col("n_new"), col("k"),
+          col("psi"))
+        .orderBy(col("feature"))
+    },
+    oracle = Some("""
+      WITH f AS (SELECT CASE WHEN doc_id % 2 = 0 THEN 'old' ELSE 'new' END
+                   AS side,
+                 CAST(least(n_chars // 50, 9) AS VARCHAR) AS len_b, lang
+                 FROM documents),
+      b AS (SELECT side, 'len_bucket' AS feature, len_b AS bucket FROM f
+            UNION ALL SELECT side, 'lang', lang FROM f),
+      cnt AS (SELECT feature, bucket,
+                sum(CASE WHEN side = 'old' THEN 1 ELSE 0 END) AS co,
+                sum(CASE WHEN side = 'new' THEN 1 ELSE 0 END) AS cn
+              FROM b GROUP BY feature, bucket),
+      tot AS (SELECT feature, sum(co) AS n_old, sum(cn) AS n_new,
+                count(*) AS k
+              FROM cnt GROUP BY feature),
+      term AS (SELECT c.feature, c.bucket, t.n_old, t.n_new, t.k,
+                 ((c.co + 1) / CAST(t.n_old + t.k AS DOUBLE) -
+                  (c.cn + 1) / CAST(t.n_new + t.k AS DOUBLE)) *
+                 ln(((c.co + 1) / CAST(t.n_old + t.k AS DOUBLE)) /
+                    ((c.cn + 1) / CAST(t.n_new + t.k AS DOUBLE))) AS x
+               FROM cnt c JOIN tot t USING (feature))
+      SELECT feature, CAST(n_old AS BIGINT) AS n_old,
+             CAST(n_new AS BIGINT) AS n_new, CAST(k AS BIGINT) AS k,
+             round(list_reduce(list_prepend(0.0,
+               list(x ORDER BY bucket)), (a, v) -> a + v), 4) AS psi
+      FROM term GROUP BY feature, n_old, n_new, k ORDER BY feature""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
     hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix,
-    split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed)
+    split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed,
+    expectations, driftPsi)
 }

@@ -198,6 +198,24 @@ class EngineSpec extends GraftSuite {
     assert(r.getLong(3) == r.getLong(1) - 40L)
   }
 
+  test("moments replay hand-computed skewness and kurtosis exactly") {
+    import spark.implicits._
+    // A: {1,2,3} symmetric → skew 0, excess kurtosis −1.5 (uniform-3).
+    // B: {1,1,1,5} right-tailed → m2=3, m3=6, m4=21:
+    //    skew = 6/3^1.5 = 1.1547, kurt = 21/9 − 3 = −0.6667, median 1.
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mom").toString
+    (Seq(1, 2, 3).map(q => ("A", q.toDouble)) ++
+      Seq(1, 1, 1, 5).map(q => ("B", q.toDouble)))
+      .toDF("l_returnflag", "l_quantity")
+      .write.mode("overwrite").parquet(s"$tmp/lineitem.parquet")
+    val rows = operators.AggregateQueries.moments.run(spark, tmp).collect()
+      .map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5))).toMap
+    assert(rows("A") == ((3L, 2.0, 2.0, 0.0, -1.5)), s"A: ${rows("A")}")
+    assert(rows("B") == ((4L, 1.0, 2.0, 1.1547, -0.6667)), s"B: ${rows("B")}")
+  }
+
   test("fuzzy edit join finds subs and indels, rejects transpositions") {
     import spark.implicits._
     // carol/carl: deletion pair (dist 1). mike/mika: substitution (dist 1).

@@ -556,6 +556,36 @@ class VectorTextSpec extends GraftSuite {
       s"partial overlap ranks second below 1.0: $byRank")
   }
 
+  test("expectations gate flags planted violations and passes clean checks") {
+    import spark.implicits._
+    // dup id 1; lang 'xx' out of vocabulary; doc 3's n_chars lies
+    val tmp = java.nio.file.Files.createTempDirectory("graft_exp").toString
+    Seq((1L, "hello", "en", "fx", 5L), (1L, "world", "en", "fx", 5L),
+      (2L, "abc", "xx", "fx", 3L), (3L, "abcd", "en", "fx", 99L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = operators.TextQueries.expectations.run(spark, tmp).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+    assert(rows("row_count") == ((4L, true)))
+    assert(rows("null_text") == ((0L, true)))
+    assert(rows("dup_doc_id") == ((1L, false)))
+    assert(rows("bad_lang") == ((1L, false)))
+    assert(rows("len_mismatch") == ((1L, false)))
+    assert(rows("len_out_of_bounds") == ((0L, true)))
+  }
+
+  test("drift PSI is exactly zero for identically distributed halves") {
+    // even/odd ids carry pairwise-identical text and lang → every bucket
+    // count matches across sides, every PSI term is (p−p)·ln(1) = 0
+    val tmp = writeDocs((0 until 10).flatMap { i =>
+      val text = (1 to (i + 1) * 12).map(_ => "w").mkString(" ")
+      Seq((2L * i, text, "fx"), (2L * i + 1, text, "fx"))
+    })
+    val rows = operators.TextQueries.driftPsi.run(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getDouble(4)).toMap
+    assert(rows == Map("len_bucket" -> 0.0, "lang" -> 0.0), s"got $rows")
+  }
+
   test("minhash calibration puts an identical pair in error decile 0") {
     // docs 1,2 identical (jaccard 1, every signature position equal →
     // est 1, error 0); doc 3 disjoint and must produce no candidate at
