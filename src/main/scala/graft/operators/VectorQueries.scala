@@ -743,8 +743,73 @@ ${LshOracleSql.cosineExpr} AS cos
       ORDER BY q_id, v.vec_id""")
   )
 
+  /** Contrastive triplet mining over the labeled embedding corpus — for
+    * each anchor (vec_id < 20): the positive is its nearest same-label
+    * neighbor, the hard negative its nearest OTHER-label neighbor (the
+    * highest-cosine impostor — exactly the pair contrastive/metric-
+    * learning training wants), and the margin pos−neg says how hard the
+    * anchor is (negative margin = an impostor sits closer than any
+    * true neighbor).
+    *
+    * Scale shape: anchors broadcast against the corpus scan (same shape
+    * as brute top-k); both argmaxes come from one window rank partitioned
+    * by (anchor, same-label side), so the corpus is scored once, not
+    * twice. Cosines come from the codegen'd fixed-order kernel, so the
+    * argmax is deterministic and the oracle replays it bit-exactly. */
+  val triplets: QueryDef = QueryDef(
+    "x_ann_triplets",
+    (s, dir) => {
+      val corpus = emb(s, dir)
+      val anchors = corpus.filter(col("vec_id") < 20)
+        .select(col("vec_id").as("a_id"), col("embedding").as("a_emb"),
+          col("label").as("a_label"))
+      val scored = corpus.crossJoin(broadcast(anchors))
+        .filter(col("vec_id") =!= col("a_id"))
+        .select(col("a_id"), col("a_label"), col("vec_id"), col("label"),
+          (col("label") === col("a_label")).as("same"),
+          cosineSim(col("a_emb"), col("embedding")).as("cos"))
+      val w = Window.partitionBy(col("a_id"), col("same"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val best = scored.withColumn("rk", row_number().over(w))
+        .filter(col("rk") === 1)
+      val pos = best.filter(col("same"))
+        .select(col("a_id"), col("a_label"), col("vec_id").as("pos_id"),
+          col("cos").as("pos_cos"))
+      val neg = best.filter(!col("same"))
+        .select(col("a_id"), col("vec_id").as("neg_id"),
+          col("cos").as("neg_cos"))
+      pos.join(neg, Seq("a_id"))
+        .select(col("a_id"), col("a_label"), col("pos_id"), col("pos_cos"),
+          col("neg_id"), col("neg_cos"),
+          round(col("pos_cos") - col("neg_cos"), 4).as("margin"))
+        .orderBy(col("a_id"))
+    },
+    oracle = Some("""
+      WITH a AS (SELECT vec_id AS a_id, embedding AS a_emb,
+                   label AS a_label
+                 FROM embeddings WHERE vec_id < 20),
+      scored AS (SELECT a.a_id, a.a_label, e.vec_id,
+                   e.label = a.a_label AS same,
+                   list_cosine_similarity(CAST(a.a_emb AS DOUBLE[]),
+                     CAST(e.embedding AS DOUBLE[])) AS cos
+                 FROM embeddings e CROSS JOIN a
+                 WHERE e.vec_id <> a.a_id),
+      best AS (SELECT * FROM (
+                 SELECT a_id, a_label, vec_id, same, cos,
+                   row_number() OVER (PARTITION BY a_id, same
+                     ORDER BY cos DESC, vec_id) AS rk
+                 FROM scored) WHERE rk = 1),
+      pos AS (SELECT a_id, a_label, vec_id AS pos_id, cos AS pos_cos
+              FROM best WHERE same),
+      neg AS (SELECT a_id, vec_id AS neg_id, cos AS neg_cos
+              FROM best WHERE NOT same)
+      SELECT p.a_id, p.a_label, p.pos_id, p.pos_cos, n.neg_id, n.neg_cos,
+             round(p.pos_cos - n.neg_cos, 4) AS margin
+      FROM pos p JOIN neg n USING (a_id) ORDER BY p.a_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
     pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
     recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank, filteredSearch,
-    rangeSearch)
+    rangeSearch, triplets)
 }

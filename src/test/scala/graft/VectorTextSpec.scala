@@ -556,6 +556,25 @@ class VectorTextSpec extends GraftSuite {
       s"partial overlap ranks second below 1.0: $byRank")
   }
 
+  test("triplet mining picks the planted positive and hard negative") {
+    import spark.implicits._
+    // anchor 0 (label 0): vec 21 = same direction, same label → positive;
+    // vec 22 = same direction but label 1 → the impostor hard negative
+    // (cos 1 > the orthogonal same-label vec 23); margin = 1 − 1 = 0
+    val e1 = Array(1f, 0f, 0f, 0f)
+    val e2 = Array(0f, 1f, 0f, 0f)
+    val vecs = Seq((0L, e1, 0), (21L, e1, 0), (22L, e1, 1), (23L, e2, 0),
+      (24L, e2, 1))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_trip").toString
+    vecs.toDF("vec_id", "embedding", "label")
+      .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+    val rows = operators.VectorQueries.triplets.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(2), r.getLong(4),
+        r.getDouble(6))).toMap
+    assert(rows(0L) == ((21L, 22L, 0.0)),
+      s"anchor 0: positive 21, hard negative 22, margin 0: ${rows(0L)}")
+  }
+
   test("expectations gate flags planted violations and passes clean checks") {
     import spark.implicits._
     // dup id 1; lang 'xx' out of vocabulary; doc 3's n_chars lies
