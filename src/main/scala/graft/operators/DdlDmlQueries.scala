@@ -105,6 +105,54 @@ object DdlDmlQueries {
       FROM supplier WHERE s_acctbal >= 0""")
   )
 
+  /** Multi-table DML — MySQL's `UPDATE t1 JOIN t2 …` / `DELETE t1 FROM
+    * t1 JOIN t2 …` surface, which the reference executes through the
+    * same vtable rewrite as joined SELECTs (dbcon/mysql DML path). Here
+    * the update transform is a broadcast left join against the driving
+    * dimension (BUILDING customers get a 5% discount) and the joined
+    * delete is a left-anti join (AUTOMOBILE customers' orders removed);
+    * both run through the catalog's versioned rewrite like every other
+    * DML.
+    *
+    * Scale shape: the dimension sides are filtered keys only and
+    * broadcast; the fact table rewrites in place without a shuffle. */
+  val dmlJoin: QueryDef = QueryDef(
+    "d_dml_join",
+    (s, dir) => {
+      val cat = new Catalog(s, scratch("dmljoin"))
+      cat.createTableAs("ord", t(s, dir, "orders"))
+      val bld = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "BUILDING")
+        .select(col("c_custkey"))
+      cat.update("ord", df => df
+        .join(broadcast(bld), df("o_custkey") === bld("c_custkey"),
+          "left_outer")
+        .withColumn("o_totalprice",
+          when(col("c_custkey").isNotNull, col("o_totalprice") * 0.95)
+            .otherwise(col("o_totalprice")))
+        .drop("c_custkey"))
+      val auto = t(s, dir, "customer")
+        .filter(col("c_mktsegment") === "AUTOMOBILE")
+        .select(col("c_custkey"))
+      cat.delete("ord", df => df.join(broadcast(auto),
+        df("o_custkey") === auto("c_custkey"), "left_anti"))
+      cat.table("ord")
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("o_totalprice")), 2).as("total"))
+    },
+    oracle = Some("""
+      WITH b AS (SELECT c_custkey FROM customer
+                 WHERE c_mktsegment = 'BUILDING'),
+      a AS (SELECT c_custkey FROM customer
+            WHERE c_mktsegment = 'AUTOMOBILE')
+      SELECT count(*) AS n,
+             round(sum(CASE WHEN o_custkey IN (SELECT c_custkey FROM b)
+                            THEN o_totalprice * 0.95
+                            ELSE o_totalprice END), 2) AS total
+      FROM orders
+      WHERE o_custkey NOT IN (SELECT c_custkey FROM a)""")
+  )
+
   /** Snapshot time travel over the catalog's MVCC retention (reference:
     * versioning/BRM/dbrm.h:163-192 — the version buffer keeps each DML's
     * pre-image until it ages out; here every versioned rewrite retains
@@ -818,5 +866,5 @@ object DdlDmlQueries {
     partitionedWrite, showPartitions, dropPartition, tableStats,
     viewRoundtrip, mergeUpsert, timeTravel, zorderLayout,
     matviewIncremental, compaction, txnRollback, orcRoundtrip,
-    analyzeHistogram, schemaMerge)
+    analyzeHistogram, schemaMerge, dmlJoin)
 }

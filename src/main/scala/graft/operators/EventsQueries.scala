@@ -1079,9 +1079,69 @@ object EventsQueries {
       FROM sc ORDER BY user_id""")
   )
 
+  /** Market-basket co-occurrence with lift — classic association-rule
+    * mining over each user's purchased item set (items = the `k` prop):
+    * lift(a,b) = P(a,b) / (P(a)·P(b)) over user baskets, support ≥ 2
+    * users, top 20 by (lift desc, pair). All counts are exact integers
+    * from grouped aggregation; lift is one float division per surviving
+    * pair, so the ranking replays bit-exactly.
+    *
+    * Scale shape: the pair join is per-user (self-join keyed on user_id
+    * with item_a < item_b), so candidates are Σ basket² — bounded by
+    * basket size, never corpus²; item counts and the user total are
+    * broadcast-size tables. A production run caps pathological baskets
+    * first (the same hot-key guard as the dedup buckets). */
+  val copurchase: QueryDef = QueryDef(
+    "x_events_copurchase",
+    (s, dir) => {
+      val bought = ev(s, dir).filter(col("event_type") === "purchase")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item"))
+        .distinct()
+      val ic = bought.groupBy(col("item")).agg(count(lit(1)).as("c"))
+      val nu = bought.agg(countDistinct(col("user_id")).as("nu"))
+      val pairs = bought.as("a")
+        .join(bought.as("b"),
+          col("a.user_id") === col("b.user_id") &&
+            col("a.item") < col("b.item"))
+        .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+        .agg(count(lit(1)).as("c_ab"))
+        .filter(col("c_ab") >= 2)
+      pairs
+        .join(broadcast(ic.select(col("item").as("item_a"),
+          col("c").as("c_a"))), Seq("item_a"))
+        .join(broadcast(ic.select(col("item").as("item_b"),
+          col("c").as("c_b"))), Seq("item_b"))
+        .crossJoin(broadcast(nu))
+        .select(col("item_a"), col("item_b"), col("c_ab"), col("c_a"),
+          col("c_b"),
+          round((col("c_ab") * col("nu")) / (col("c_a") * col("c_b")), 4)
+            .as("lift"))
+        .orderBy(col("lift").desc, col("item_a"), col("item_b"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH p AS (SELECT DISTINCT user_id,
+                   CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS INT)
+                     AS item
+                 FROM events WHERE event_type = 'purchase'),
+      ic AS (SELECT item, count(*) AS c FROM p GROUP BY item),
+      nu AS (SELECT count(DISTINCT user_id) AS nu FROM p),
+      pr AS (SELECT a.item AS item_a, b.item AS item_b, count(*) AS c_ab
+             FROM p a JOIN p b
+               ON a.user_id = b.user_id AND a.item < b.item
+             GROUP BY 1, 2 HAVING count(*) >= 2)
+      SELECT pr.item_a, pr.item_b, pr.c_ab, ia.c AS c_a, ib.c AS c_b,
+             round((pr.c_ab * nu.nu) / CAST(ia.c * ib.c AS DOUBLE), 4)
+               AS lift
+      FROM pr JOIN ic ia ON ia.item = pr.item_a
+        JOIN ic ib ON ib.item = pr.item_b CROSS JOIN nu
+      ORDER BY lift DESC, pr.item_a, pr.item_b LIMIT 20""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
     resample, winsorize, transitions, streamTransitions, ewma, scd2,
-    pattern, attributionLinear, seasonal, cohortLtv, rfm)
+    pattern, attributionLinear, seasonal, cohortLtv, rfm, copurchase)
 }

@@ -47,6 +47,25 @@ class CatalogSpec extends GraftSuite {
     assert(cat.table("t").count() == 2)
   }
 
+  test("joined update and joined delete rewrite via the dimension keys") {
+    val cat = freshCatalog()
+    cat.createTableAs("f", Seq((1L, 100L, 10.0), (2L, 200L, 20.0),
+      (3L, 300L, 30.0)).toDF("id", "k", "v"))
+    val disc = Seq(100L).toDF("dk")
+    // UPDATE f JOIN dim: only key 100 is discounted
+    cat.update("f", df => df
+      .join(broadcast(disc), df("k") === disc("dk"), "left_outer")
+      .withColumn("v", when($"dk".isNotNull, $"v" / 2).otherwise($"v"))
+      .drop("dk"))
+    val dead = Seq(300L).toDF("dk")
+    // DELETE f FROM f JOIN dim: key 300's row goes away
+    cat.delete("f", df => df.join(broadcast(dead),
+      df("k") === dead("dk"), "left_anti"))
+    val rows = cat.table("f").orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getDouble(2)))
+    assert(rows.toSeq == Seq((1L, 5.0), (2L, 20.0)), rows.toSeq.toString)
+  }
+
   test("versioned rewrites retain readable pre-images; vacuum ages them out") {
     val cat = freshCatalog()
     cat.createTableAs("t", Seq((1L, 10.0), (2L, -5.0), (3L, 7.0))

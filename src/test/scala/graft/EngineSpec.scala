@@ -198,6 +198,22 @@ class EngineSpec extends GraftSuite {
     assert(r.getLong(3) == r.getLong(1) - 40L)
   }
 
+  test("copurchase lift replays the hand-computed basket math") {
+    import spark.implicits._
+    // baskets: u1{1,2} u2{1,2} u3{1,3} u4{2} → pair (1,2) support 2,
+    // lift = 2·4/(3·3) = 0.8889; pair (1,3) support 1 is cut
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cop").toString
+    Seq((1L, 1), (1L, 2), (2L, 1), (2L, 2), (3L, 1), (3L, 3), (4L, 2))
+      .map { case (u, k) => (u, "purchase", s"""{"k": $k}""") }
+      .toDF("user_id", "event_type", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val rows = operators.EventsQueries.copurchase.run(spark, tmp).collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getDouble(5)))
+    assert(rows.toSeq == Seq((1, 2, 2L, 3L, 3L, 0.8889)),
+      s"got ${rows.toSeq}")
+  }
+
   test("moments replay hand-computed skewness and kurtosis exactly") {
     import spark.implicits._
     // A: {1,2,3} symmetric → skew 0, excess kurtosis −1.5 (uniform-3).

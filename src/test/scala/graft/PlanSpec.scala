@@ -333,7 +333,9 @@ class PlanSpec extends GraftSuite {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     for (q <- Seq(operators.GraphQueries.pagerank,
-      operators.GraphQueries.triangles, operators.DedupQueries.setJoin)) {
+      operators.GraphQueries.triangles, operators.GraphQueries.labelprop,
+      operators.GraphQueries.khop, operators.TextQueries.dsir,
+      operators.TextQueries.hashEmbed, operators.DedupQueries.setJoin)) {
       val df = q.run(spark, sf)
       df.collect()
       val finalPlan = df.queryExecution.executedPlan match {
