@@ -77,7 +77,14 @@ object Bench {
     "d_analyze_histogram",
     "x_pipeline_expectations",
     "x_pipeline_drift_psi",
-    "a_moments")
+    "a_moments",
+    // round-6 session-2 additions
+    "x_dedup_containment",
+    "x_media_phash_hamming_join",
+    "x_ann_mrl_truncate",
+    "x_pipeline_tokenizer_coverage",
+    "x_pipeline_split_leakage",
+    "x_stream_cdc_upsert")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

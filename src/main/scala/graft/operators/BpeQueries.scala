@@ -122,7 +122,51 @@ object BpeQueries {
     oracle = Some(BpeOracleSql.sql(N_MERGES))
   )
 
-  def defs: Seq[QueryDef] = Seq(tokensBpe)
+  /** Tokenizer fertility / coverage report — the acceptance metric a
+    * tokenizer training run logs before the tokenizer ships: per
+    * language, tokens-per-word (fertility) and the fraction of tokens
+    * that are LEARNED merges rather than single-character fallbacks
+    * (merged_frac ≈ how much of the corpus the merge table actually
+    * covers). A merge table trained on English boilerplate shows high
+    * fertility and near-zero merged_frac on zh — exactly the imbalance
+    * this report exists to catch.
+    *
+    * Scale shape: training is the same bounded-driver-state loop as
+    * x_text_tokens_bpe (N-row merge table); the report is a per-row map
+    * (apply merges, split cells, count) followed by one |langs|-row
+    * aggregation — document text never shuffles. */
+  val tokenizerCoverage: QueryDef = QueryDef(
+    "x_pipeline_tokenizer_coverage",
+    (s, dir) => {
+      val merges = trainMerges(s, docs(s, dir), N_MERGES,
+        AnnIndex.inlineScratch(dir, "bpe_cov_words"))
+      encodeDocs(docs(s, dir))
+        .withColumn("m", applyMerges(col("e"), merges))
+        .withColumn("mu", replace(col("m"), lit(E + W + S), lit(E + S)))
+        .withColumn("syms", when(length(col("mu")) === 0,
+            expr("array()"))
+          .otherwise(split(expr("substring(mu, 2, length(mu) - 2)"), E + S)))
+        .withColumn("n_words", when(length(col("m")) === 0, lit(0))
+          .otherwise(length(col("m")) -
+            length(replace(col("m"), lit(W), lit(""))) + 1))
+        .withColumn("n_tokens", size(col("syms")))
+        .withColumn("n_merged",
+          size(expr("filter(syms, x -> length(x) > 1)")))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_words")).as("n_words"),
+          sum(col("n_tokens")).as("n_tokens"),
+          sum(col("n_merged")).as("n_merged"))
+        .withColumn("fertility",
+          col("n_tokens").cast("double") / col("n_words").cast("double"))
+        .withColumn("merged_frac",
+          col("n_merged").cast("double") / col("n_tokens").cast("double"))
+        .orderBy(col("lang"))
+    },
+    oracle = Some(BpeOracleSql.coverageSql(N_MERGES))
+  )
+
+  def defs: Seq[QueryDef] = Seq(tokensBpe, tokenizerCoverage)
 }
 
 /** DuckDB oracle that replays BPE training AND application bit-exactly:
@@ -133,12 +177,16 @@ object BpeQueries {
   * order. Integer pair counts + literal (non-regex) replace on both
   * engines ⇒ identical merge tables ⇒ identical tokenizations. */
 private[operators] object BpeOracleSql {
-  def sql(n: Int): String = {
-    val S = "chr(1)"; val E = "chr(2)"; val W = "chr(3)"
-    def encWord(w: String) =
-      s"CASE WHEN length($w) = 0 THEN '' ELSE " +
-        s"array_to_string(list_transform(range(1, length($w) + 1), " +
-        s"i -> $S || substr($w, i, 1) || $E), '') END"
+  private val S = "chr(1)"; private val E = "chr(2)"
+  private val W = "chr(3)"
+
+  private def encWord(w: String) =
+    s"CASE WHEN length($w) = 0 THEN '' ELSE " +
+      s"array_to_string(list_transform(range(1, length($w) + 1), " +
+      s"i -> $S || substr($w, i, 1) || $E), '') END"
+
+  /** Shared WITH body: training stages v0..vN and document chain e0..eN. */
+  private def ctes(n: Int): String = {
     val stages = (1 to n).map { i =>
       s"""
       sp$i AS (SELECT freq, syms, unnest(range(1, len(syms))) AS j
@@ -169,7 +217,11 @@ private[operators] object BpeOracleSql {
                CASE WHEN length(text) = 0 THEN '' ELSE
                  array_to_string(list_transform(string_split(text, ' '),
                    w -> ${encWord("w")}), $W) END AS e
-             FROM documents),$stages
+             FROM documents),$stages"""
+  }
+
+  def sql(n: Int): String =
+    s"""${ctes(n)}
       SELECT doc_id,
              len(string_split(text, ' ')) AS n_ws_tokens,
              length(e) - length(replace(e, $S, '')) AS n_bpe_tokens,
@@ -177,5 +229,34 @@ private[operators] object BpeOracleSql {
                $E || $W || $S, ' '), $E || $S, ' '), $W, ' '),
                $S, ''), $E, '') AS bpe_text
       FROM e$n ORDER BY doc_id"""
-  }
+
+  /** Oracle for `x_pipeline_tokenizer_coverage`: same training chain,
+    * then the per-language fertility / merged-fraction rollup. */
+  def coverageSql(n: Int): String =
+    s"""${ctes(n)},
+      u AS (SELECT d.lang, e.e,
+              replace(e.e, $E || $W || $S, $E || $S) AS mu
+            FROM e$n e JOIN documents d USING (doc_id)),
+      sy AS (SELECT lang,
+               CASE WHEN length(mu) = 0 THEN 0
+                    ELSE length(e) - length(replace(e, $W, '')) + 1
+                 END AS n_words,
+               CASE WHEN length(mu) = 0 THEN []::VARCHAR[]
+                    ELSE string_split(substr(mu, 2, length(mu) - 2),
+                      $E || $S) END AS syms
+             FROM u),
+      per AS (SELECT lang, n_words,
+                CAST(len(syms) AS INTEGER) AS n_tokens,
+                CAST(len(list_filter(syms, x -> length(x) > 1))
+                  AS INTEGER) AS n_merged
+              FROM sy)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(n_words) AS BIGINT) AS n_words,
+             CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+             CAST(sum(n_merged) AS BIGINT) AS n_merged,
+             CAST(sum(n_tokens) AS DOUBLE) / CAST(sum(n_words) AS DOUBLE)
+               AS fertility,
+             CAST(sum(n_merged) AS DOUBLE) / CAST(sum(n_tokens) AS DOUBLE)
+               AS merged_frac
+      FROM per GROUP BY lang ORDER BY lang"""
 }

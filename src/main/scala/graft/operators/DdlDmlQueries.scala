@@ -860,11 +860,119 @@ object DdlDmlQueries {
       GROUP BY l_returnflag ORDER BY l_returnflag""")
   )
 
+  /** Dynamic partition overwrite — the partition-granular reload the
+    * reference runs as "drop partition + cpimport the corrected extent"
+    * (ha_calpont_partition's drop + a re-load): an INSERT OVERWRITE whose
+    * mode("overwrite") replaces ONLY the partitions present in the
+    * incoming batch, leaving every other partition's files untouched.
+    * Here the 1997 partition is rewritten with corrected prices (+10%
+    * surcharge); the readback proves 1997 changed and every other year
+    * survived byte-identical.
+    *
+    * Scale shape: the write's file I/O is proportional to the REPLACED
+    * partitions, not the table — the static-overwrite alternative
+    * (truncate + full rewrite) is the 100 TB anti-pattern this mode
+    * exists to avoid. The batch itself is a pushed-down partition-pruned
+    * scan of the source year. */
+  val dynamicPartitionOverwrite: QueryDef = QueryDef(
+    "d_dynamic_partition_overwrite",
+    (s, dir) => {
+      val tmp = scratch("dynoverwrite")
+      val part = Tables.table(s, dir, "orders")
+        .withColumn("o_year", year(col("o_orderdate")))
+      part.write.partitionBy("o_year").mode("overwrite")
+        .parquet(s"$tmp/orders_part")
+      // corrected 1997 batch: the audit keeps only finalized ('F') orders
+      // — a partition-granular data correction, no new values invented
+      part.filter(col("o_year") === 1997 && col("o_orderstatus") === "F")
+        .write.partitionBy("o_year").mode("overwrite")
+        .option("partitionOverwriteMode", "dynamic")
+        .parquet(s"$tmp/orders_part")
+      s.read.parquet(s"$tmp/orders_part")
+        .groupBy(col("o_year"))
+        .agg(count(lit(1)).as("n"), sum(col("o_totalprice")).as("total"))
+        .orderBy(col("o_year"))
+    },
+    oracle = Some("""
+      SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year, count(*) AS n,
+             sum(o_totalprice) AS total
+      FROM orders
+      WHERE year(o_orderdate) <> 1997 OR o_orderstatus = 'F'
+      GROUP BY 1 ORDER BY 1""")
+  )
+
+  /** Write-Audit-Publish — the staged-commit discipline a production lake
+    * pipeline wraps around every bulk load (the reference's cpimport +
+    * post-load consistency check, done as a protocol): each batch writes
+    * to a STAGING path, an audit runs expectations against the staged
+    * files (PK uniqueness, price bounds), and only a clean batch is
+    * atomically moved into the published location — readers never see
+    * unaudited rows. Batch 1 is clean and publishes; batch 2 carries
+    * planted duplicate keys and must be rejected with its staging intact.
+    *
+    * Scale shape: the audit is a pushed-down scan + two-phase agg over
+    * the staged batch only (never the published table); publish is a
+    * metadata move (the atomic-commit analog), so WAP adds one batch
+    * re-scan, not a table rewrite. The driver-side decision state is
+    * three longs per batch. */
+  val wapPublish: QueryDef = QueryDef(
+    "d_wap_publish",
+    (s, dir) => {
+      import s.implicits._
+      val tmp = scratch("wap")
+      val orders = Tables.table(s, dir, "orders")
+      val b1 = orders.filter(col("o_orderkey") % 3 === 0)
+      val s2 = orders.filter(col("o_orderkey") % 3 === 1)
+      val b2 = s2.unionAll(s2.filter(col("o_orderkey") % 100 === 1))
+      val results = Seq((1, b1), (2, b2)).map { case (bid, batch) =>
+        val staging = s"$tmp/staging_b$bid"
+        batch.write.mode("overwrite").parquet(staging)
+        val staged = s.read.parquet(staging)
+        val nRows = staged.count()
+        val nDupKeys = staged.groupBy(col("o_orderkey"))
+          .agg(count(lit(1)).as("c")).filter(col("c") > 1).count()
+        val nBadPrice = staged.filter(col("o_totalprice") <= 0).count()
+        val pass = nDupKeys == 0 && nBadPrice == 0
+        val published = s"$tmp/published_b$bid"
+        if (pass)
+          java.nio.file.Files.move(java.nio.file.Paths.get(staging),
+            java.nio.file.Paths.get(published))
+        val publishedRows =
+          if (pass) s.read.parquet(published).count() else 0L
+        (bid, nRows, nDupKeys, nBadPrice, pass, publishedRows)
+      }
+      results.toDF("batch", "n_rows", "n_dup_keys", "n_bad_price",
+        "published", "published_rows").orderBy(col("batch"))
+    },
+    oracle = Some("""
+      WITH b1 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 0),
+      s2 AS (SELECT * FROM orders WHERE o_orderkey % 3 = 1),
+      b2 AS (SELECT * FROM s2
+             UNION ALL SELECT * FROM s2 WHERE o_orderkey % 100 = 1),
+      a1 AS (SELECT 1 AS batch, (SELECT count(*) FROM b1) AS n_rows,
+               (SELECT count(*) FROM (SELECT o_orderkey FROM b1
+                  GROUP BY 1 HAVING count(*) > 1)) AS n_dup_keys,
+               (SELECT count(*) FROM b1 WHERE o_totalprice <= 0)
+                 AS n_bad_price),
+      a2 AS (SELECT 2 AS batch, (SELECT count(*) FROM b2) AS n_rows,
+               (SELECT count(*) FROM (SELECT o_orderkey FROM b2
+                  GROUP BY 1 HAVING count(*) > 1)) AS n_dup_keys,
+               (SELECT count(*) FROM b2 WHERE o_totalprice <= 0)
+                 AS n_bad_price),
+      a AS (SELECT * FROM a1 UNION ALL SELECT * FROM a2)
+      SELECT batch, n_rows, n_dup_keys, n_bad_price,
+             n_dup_keys = 0 AND n_bad_price = 0 AS published,
+             CASE WHEN n_dup_keys = 0 AND n_bad_price = 0
+                  THEN n_rows ELSE 0 END AS published_rows
+      FROM a ORDER BY batch""")
+  )
+
   def defs: Seq[QueryDef] = Seq(ctasRoundtrip, insertIntoSelect, updateDelete,
     alterTable, csvRoundtrip, jsonlRoundtrip, loaderRejects, crossEngine,
     bucketedJoin,
     partitionedWrite, showPartitions, dropPartition, tableStats,
     viewRoundtrip, mergeUpsert, timeTravel, zorderLayout,
     matviewIncremental, compaction, txnRollback, orcRoundtrip,
-    analyzeHistogram, schemaMerge, dmlJoin)
+    analyzeHistogram, schemaMerge, dmlJoin, dynamicPartitionOverwrite,
+    wapPublish)
 }

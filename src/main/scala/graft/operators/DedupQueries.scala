@@ -1327,8 +1327,191 @@ ${LshOracleSql.cosineExpr} AS c
       FROM q GROUP BY cluster_id ORDER BY cluster_id""")
   )
 
+  /** EXACT containment self-join at C(A→B) = |A∩B|/|A| ≥ 4/5 over
+    * 3-token shingle sets — the ASYMMETRIC complement to x_dedup_setjoin:
+    * Jaccard misses a short doc quoted inside a long one (the union term
+    * swamps the overlap), containment is exactly the "A is mostly inside
+    * B" test a quote/boilerplate/partial-copy pass needs, and it is
+    * directional (A⊂B does not imply B⊂A).
+    *
+    * Candidate generation uses the one-sided prefix bound: if
+    * |A∩B| ≥ τ·|A| then A must share a shingle among its
+    * n_a − ⌈τ·n_a⌉ + 1 rarest (global-frequency-ascending order) — but
+    * B gets NO prefix (containment does not bound B's size), so A's
+    * prefix joins B's FULL posting list. That stays cheap for the same
+    * reason setjoin's prefix does: prefixes are by construction the
+    * corpus-rarest shingles, so their posting lists are short.
+    *
+    * Scale shape: identical shuffle discipline to setjoin — shingles are
+    * xxhash64'd before any shuffle (longs, never text), the frequency
+    * table joins BY KEY, and the verify intersect runs on candidates
+    * only. The threshold test is integer (5·ix ≥ 4·na); the reported
+    * containment is one int/int division, identical in both engines. */
+  val containment: QueryDef = QueryDef(
+    "x_dedup_containment",
+    (s, dir) => {
+      val d = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .select(col("doc_id"), array_distinct(when(size(col("toks")) >= 3,
+          expr("transform(sequence(0, size(toks) - 3), " +
+            "i -> concat_ws(' ', slice(toks, i + 1, 3)))"))
+          .otherwise(expr("array()"))).as("shs"))
+        .select(col("doc_id"),
+          expr("transform(shs, x -> xxhash64(x))").as("sh"))
+        .withColumn("n", size(col("sh")).cast("long"))
+        .filter(col("n") > 0)
+        .localCheckpoint()
+      val tok = d.select(col("doc_id"), col("n"), explode(col("sh")).as("t"))
+      val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
+      // A-side prefix: rarest n - ceil(4n/5) + 1 shingles
+      val pref = tok.join(freq, Seq("t"))
+        .withColumn("rk", row_number().over(Window.partitionBy(col("doc_id"))
+          .orderBy(col("f"), col("t"))))
+        .filter(col("rk") <= col("n") - expr("(4 * n + 4) div 5") + 1)
+        .select(col("t"), col("doc_id").as("da"))
+      val cand = pref
+        .join(tok.select(col("t"), col("doc_id").as("db")), Seq("t"))
+        .filter(col("da") =!= col("db"))
+        .select(col("da"), col("db")).distinct()
+      val sets = d.select(col("doc_id"), sort_array(col("sh")).as("sha"),
+        col("n"))
+      cand
+        .join(sets.select(col("doc_id").as("da"), col("sha").as("sa"),
+          col("n").as("na")), Seq("da"))
+        .join(sets.select(col("doc_id").as("db"), col("sha").as("sb")),
+          Seq("db"))
+        .withColumn("ix", size(array_intersect(col("sa"), col("sb")))
+          .cast("long"))
+        .filter(expr("5 * ix >= 4 * na"))
+        .select(col("da"), col("db"), col("ix"), col("na"),
+          (col("ix").cast("double") / col("na")).as("containment"))
+        .orderBy(col("da"), col("db"))
+    },
+    oracle = Some("""
+      WITH dd AS (SELECT doc_id, string_split(text, ' ') AS toks
+                  FROM documents),
+      sh AS (SELECT doc_id, list_distinct(list_transform(
+               range(0, len(toks) - 2),
+               i -> array_to_string(toks[i+1 : i+3], ' '))) AS s
+             FROM dd WHERE len(toks) >= 3),
+      nn AS (SELECT doc_id, CAST(len(s) AS BIGINT) AS n FROM sh
+             WHERE len(s) > 0),
+      tok AS (SELECT doc_id, unnest(s) AS t FROM sh),
+      freq AS (SELECT t, count(*) AS f FROM tok GROUP BY t),
+      pref AS (SELECT doc_id, t FROM (
+                 SELECT x.doc_id, x.t, nn.n,
+                   row_number() OVER (PARTITION BY x.doc_id
+                     ORDER BY freq.f, x.t) AS rk
+                 FROM tok x JOIN freq USING (t) JOIN nn USING (doc_id))
+               WHERE rk <= n - (4 * n + 4) // 5 + 1),
+      cand AS (SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+               FROM pref a JOIN tok b
+                 ON a.t = b.t AND a.doc_id <> b.doc_id),
+      inter AS (SELECT c.da, c.db, CAST(count(*) AS BIGINT) AS ix
+                FROM cand c
+                  JOIN tok x ON x.doc_id = c.da
+                  JOIN tok y ON y.doc_id = c.db AND y.t = x.t
+                GROUP BY c.da, c.db)
+      SELECT i.da, i.db, i.ix, na.n AS na,
+             CAST(i.ix AS DOUBLE) / na.n AS containment
+      FROM inter i JOIN nn na ON na.doc_id = i.da
+      WHERE 5 * i.ix >= 4 * na.n
+      ORDER BY i.da, i.db""")
+  )
+
+  /** Cross-split LEAKAGE audit — the contamination check every eval-split
+    * pipeline must run and most forget: a near-dup cluster whose members
+    * land in DIFFERENT splits leaks training text into val/test (the
+    * model "memorizes" the test set through its train-side twin), which
+    * dedup-then-split avoids only if dedup keys the split — this op
+    * measures whether it did. Clusters come from the same minhash
+    * banding as x_dedup_clusters; splits from the same salted hash as
+    * x_pipeline_split; the report lists every cluster straddling ≥2
+    * splits with its per-split membership.
+    *
+    * Scale shape: both inputs are per-row maps over the scan (signature
+    * + split bucket); the audit itself aggregates (cluster_id, split)
+    * pairs — ids and enum strings, never text — and the straddle filter
+    * prunes the overwhelmingly common single-split clusters before
+    * anything is reported. */
+  val splitLeakage: QueryDef = QueryDef(
+    "x_pipeline_split_leakage",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
+        .withColumn("sig", minhashSig(col("toks"), 32))
+      val bands = minhashBands(base)
+      val bucketMin = bands.groupBy(col("band_id"), col("band_key"))
+        .agg(min(col("doc_id")).as("bucket_min"))
+      val clusterOf = bands
+        .join(bucketMin, Seq("band_id", "band_key"))
+        .groupBy(col("doc_id"))
+        .agg(min(col("bucket_min")).as("cluster_id"))
+      clusterOf
+        .withColumn("bucket", pmod(fingerprint64(
+          concat(lit("split:"), col("doc_id").cast("string"))), lit(100L)))
+        .withColumn("split",
+          when(col("bucket") < 80, "train")
+            .when(col("bucket") < 90, "val")
+            .otherwise("test"))
+        .groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          countDistinct(col("split")).as("n_splits"),
+          sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+          sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"),
+          sum(when(col("split") === "test", 1L).otherwise(0L)).as("n_test"))
+        .filter(col("n_splits") > 1)
+        .orderBy(col("cluster_id"))
+    },
+    oracle = Some(minhashBandsSql + """,
+      bucket_min AS (SELECT b, h0, h1, h2, h3, min(doc_id) AS m
+                     FROM bands GROUP BY b, h0, h1, h2, h3),
+      cl AS (SELECT x.doc_id, min(bm.m) AS cluster_id
+             FROM bands x JOIN bucket_min bm USING (b, h0, h1, h2, h3)
+             GROUP BY x.doc_id),
+      sfp AS (SELECT doc_id,
+          list_reduce(
+            list_prepend(0::HUGEINT,
+              list_transform(range(1,
+                  octet_length(encode('split:' || doc_id)) + 1),
+                i -> CAST((strpos('0123456789ABCDEF',
+                         substr(hex(encode('split:' || doc_id)), i*2-1, 1))
+                         - 1) * 16
+                   + (strpos('0123456789ABCDEF',
+                         substr(hex(encode('split:' || doc_id)), i*2, 1))
+                         - 1) AS HUGEINT))),
+            (acc, b) -> (acc * 1000003::HUGEINT + b)
+                        % 18446744073709551616::HUGEINT) AS acc
+        FROM documents),
+      ssp AS (SELECT doc_id,
+               CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'val'
+                    ELSE 'test' END AS split
+             FROM (SELECT doc_id,
+                     ((CAST(CASE WHEN acc >= 9223372036854775808::HUGEINT
+                                 THEN acc - 18446744073709551616::HUGEINT
+                                 ELSE acc END AS BIGINT) % 100) + 100) % 100
+                       AS bucket
+                   FROM sfp)),
+      jj AS (SELECT cl.cluster_id, ssp.split
+             FROM cl JOIN ssp USING (doc_id))
+      SELECT cluster_id, count(*) AS n_members,
+             count(DISTINCT split) AS n_splits,
+             CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_train,
+             CAST(sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_val,
+             CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_test
+      FROM jj GROUP BY cluster_id
+      HAVING count(DISTINCT split) > 1
+      ORDER BY cluster_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(exact, ngramJaccard, minhashLsh,
     minhashCalibration, simhash,
     embeddingNearDup, clusters, incremental, semdedup, cc, chunkDedup,
-    spanDedup, kmvOverlap, cdcChunks, setJoin, keepBest)
+    spanDedup, kmvOverlap, cdcChunks, setJoin, keepBest, containment,
+    splitLeakage)
 }

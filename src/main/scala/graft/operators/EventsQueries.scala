@@ -1139,9 +1139,80 @@ object EventsQueries {
       ORDER BY lift DESC, pr.item_a, pr.item_b LIMIT 20""")
   )
 
+  /** Streaming CDC APPLY — the "stream into a serving table" pattern: the
+    * event stream is a change feed keyed by user_id, and each micro-batch
+    * MERGEs into a persisted per-user state table (last-writer-wins by
+    * (ts, event_id), plus a running change count). maxFilesPerTrigger=1
+    * forces 4 real micro-batches, so the upsert genuinely runs 4 times
+    * and the final table is provably batch-boundary-independent: LWW
+    * under a total order and count-sum are both associative, so the state
+    * equals the batch answer byte-for-byte — which is exactly what the
+    * DuckDB oracle checks.
+    *
+    * Scale shape: state is ONE row per key (bounded by |users|, not event
+    * volume); each merge shuffles (key, 24-byte struct) pairs — batch
+    * size + state size, never history; at 100 TB this is the foreachBatch
+    * MERGE a lakehouse CDC sink runs, with the parquet-swap standing in
+    * for the table format's atomic commit. */
+  val streamCdcUpsert: QueryDef = QueryDef(
+    "x_stream_cdc_upsert",
+    (s, dir) => {
+      val tmp = DdlDmlQueries.scratch("stream_cdc_upsert")
+      val staged = s"$tmp/events_src"
+      ev(s, dir).repartition(4).write.mode("overwrite").parquet(staged)
+      val stateDir = s"$tmp/state"
+      val fs = java.nio.file.Paths.get(stateDir)
+      def stateExists = java.nio.file.Files.exists(fs)
+      val q = s.readStream.schema(ev(s, dir).schema)
+        .option("maxFilesPerTrigger", 1).parquet(staged)
+        .writeStream
+        .foreachBatch { (batch: DataFrame, bid: Long) =>
+          val bAgg = batch.groupBy(col("user_id"))
+            .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+              col("value"))).as("st"),
+              count(lit(1)).as("n"))
+          val merged =
+            if (!stateExists) bAgg
+            else batch.sparkSession.read.parquet(stateDir)
+              .unionByName(bAgg)
+              .groupBy(col("user_id"))
+              .agg(max(col("st")).as("st"), sum(col("n")).as("n"))
+          // write-then-swap: the state read above is eager within this
+          // batch's plan only after the write starts, so stage to a new
+          // dir and atomically replace (the table-format commit analog)
+          val next = s"$tmp/state_next_$bid"
+          merged.write.mode("overwrite").parquet(next)
+          graft.sources.FsUtil.deleteRecursively(fs, swallowErrors = true)
+          java.nio.file.Files.move(java.nio.file.Paths.get(next), fs)
+          ()
+        }
+        .option("checkpointLocation", s"$tmp/cp")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.read.parquet(stateDir)
+        .select(col("user_id"), col("st.ts").as("last_ts"),
+          col("st.event_type").as("last_type"),
+          col("st.value").as("last_value"), col("n").as("n_events"))
+        .orderBy(col("user_id"))
+    },
+    oracle = Some("""
+      WITH r AS (SELECT user_id, ts::TIMESTAMP AS ts, event_type, value,
+                   row_number() OVER (PARTITION BY user_id
+                     ORDER BY ts::TIMESTAMP DESC, event_id DESC) AS rk
+                 FROM events),
+           c AS (SELECT user_id, count(*) AS n_events FROM events
+                 GROUP BY user_id)
+      SELECT r.user_id, r.ts AS last_ts, r.event_type AS last_type,
+             r.value AS last_value, c.n_events
+      FROM r JOIN c USING (user_id) WHERE rk = 1
+      ORDER BY r.user_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
     resample, winsorize, transitions, streamTransitions, ewma, scd2,
-    pattern, attributionLinear, seasonal, cohortLtv, rfm, copurchase)
+    pattern, attributionLinear, seasonal, cohortLtv, rfm, copurchase,
+    streamCdcUpsert)
 }

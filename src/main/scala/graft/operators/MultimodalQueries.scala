@@ -636,6 +636,126 @@ object MultimodalQueries {
       FROM tr GROUP BY doc_id, nf ORDER BY doc_id""")
   )
 
+  /** NEAR-duplicate image search: banded Hamming join over aHashes — the
+    * image analog of MinHash-LSH banding. x_media_phash_dedup groups
+    * EQUAL hashes; real re-encodes (crop dust, slight brightness ramps,
+    * one-pixel watermarks) flip a few hash bits, so near-dup needs
+    * "Hamming distance ≤ 3", and an all-pairs XOR is the O(n²) scale
+    * killer. The pigeonhole banding fix: split the 64-bit hash into 4
+    * bands of 16 bits — any pair within distance 3 has ≥ 1 band intact
+    * (3 flips touch ≤ 3 bands), so an equi-join on (band, band_value)
+    * finds EVERY qualifying pair, and the exact popcount filter on the
+    * candidates drops the false ones. This is the standard
+    * pigeonhole/PartEnum technique for Hamming joins, exact at radius
+    * ≤ bands − 1.
+    *
+    * The planted corpus makes near-not-equal structure: content group
+    * gid = id % 40, and variant v = id/40 ∈ 1..4 spikes ONE sampled
+    * pixel (+90 at thumbnail cell 7 + 13·(v−1)), so each variant's hash
+    * sits a few bits from its group's baseline — byte dedup sees 200
+    * files, equal-hash dedup sees the unspiked dups only, the Hamming
+    * join recovers the variant pairs.
+    *
+    * Scale shape: image bytes never leave the partition (hashing is a
+    * map); the join shuffles (doc_id, band, 16-bit key) longs; the
+    * verify popcount runs on candidates only. DuckDB replays the pixel
+    * formula and verifies with brute-force XOR over all pairs —
+    * algorithm-independent ground truth for the banded plan. */
+  val phashHammingJoin: QueryDef = QueryDef(
+    "x_media_phash_hamming_join",
+    (s, dir) => {
+      import s.implicits._
+      val T = 8
+      val w = 32
+      val h = 24
+      val rows = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id")).as[Long]
+      val hashed = rows.mapPartitions(_.map { id =>
+        val gid = id % 40
+        val v = ((id / 40) % 5).toInt
+        val c = if (v == 0) -1 else 7 + (v - 1) * 13
+        val png = graft.functions.PngCodec.encodeGray(w, h, (x, y) => {
+          val base = ((x * 31 + y * 17 + gid * 7) % 250).toInt
+          val spike =
+            if (c >= 0 && x == (c % T) * (w / T) && y == (c / T) * (h / T)) 90
+            else 0
+          math.min(base + spike, 255)
+        })
+        val (dw, dh, px) = graft.functions.PngCodec.decodeGray(png)
+        val thumb = Array.tabulate(T * T) { k =>
+          val tx = k % T
+          val ty = k / T
+          px((ty * dh / T) * dw + (tx * dw / T)) & 0xff
+        }
+        val total = thumb.foldLeft(0L)(_ + _)
+        var hi = 0L
+        var lo = 0L
+        var k = 0
+        while (k < 64) {
+          if (thumb(k).toLong * 64 > total) {
+            if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+          }
+          k += 1
+        }
+        AHashRow(id, dw, dh, hi, lo)
+      }).toDF()
+      val bands = hashed.select(col("doc_id"), col("hash_hi"),
+          col("hash_lo"),
+          posexplode(array(
+            col("hash_lo").bitwiseAND(lit(0xFFFFL)),
+            shiftrightunsigned(col("hash_lo"), 16)
+              .bitwiseAND(lit(0xFFFFL)),
+            col("hash_hi").bitwiseAND(lit(0xFFFFL)),
+            shiftrightunsigned(col("hash_hi"), 16)
+              .bitwiseAND(lit(0xFFFFL)))))
+        .withColumnRenamed("pos", "band")
+        .withColumnRenamed("col", "bkey")
+      val cand = bands.as("a").join(bands.as("b"),
+          col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey")
+            && col("a.doc_id") < col("b.doc_id"))
+        .select(col("a.doc_id").as("da"), col("b.doc_id").as("db"),
+          col("a.hash_hi").as("ha_hi"), col("a.hash_lo").as("ha_lo"),
+          col("b.hash_hi").as("hb_hi"), col("b.hash_lo").as("hb_lo"))
+        .distinct()
+      cand
+        .withColumn("hamming",
+          bit_count(expr("ha_hi ^ hb_hi")) + bit_count(expr("ha_lo ^ hb_lo")))
+        .filter(col("hamming") <= 3)
+        .select(col("da"), col("db"), col("hamming"))
+        .orderBy(col("da"), col("db"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, doc_id % 40 AS gid,
+                        CAST(doc_id // 40 % 5 AS INTEGER) AS v
+                 FROM documents WHERE doc_id < 200),
+      kk AS (SELECT unnest(range(0, 64)) AS k),
+      px AS (SELECT d.doc_id, CAST(kk.k AS INTEGER) AS k,
+               LEAST(((kk.k % 8) * 4 * 31 + (kk.k // 8) * 3 * 17
+                      + d.gid * 7) % 250
+                 + CASE WHEN d.v > 0 AND kk.k = 7 + (d.v - 1) * 13
+                        THEN 90 ELSE 0 END, 255) AS p
+             FROM d CROSS JOIN kk),
+      tot AS (SELECT doc_id, sum(p) AS total FROM px GROUP BY doc_id),
+      hx AS (SELECT px.doc_id,
+               CAST(sum(CASE WHEN px.p * 64 > tot.total AND px.k >= 32
+                 THEN CAST(1 AS BIGINT) << (px.k - 32) ELSE 0 END)
+                 AS BIGINT) AS hash_hi,
+               CAST(sum(CASE WHEN px.p * 64 > tot.total AND px.k < 32
+                 THEN CAST(1 AS BIGINT) << px.k ELSE 0 END)
+                 AS BIGINT) AS hash_lo
+             FROM px JOIN tot USING (doc_id) GROUP BY px.doc_id)
+      SELECT a.doc_id AS da, b.doc_id AS db,
+             CAST(bit_count(xor(a.hash_hi, b.hash_hi))
+                + bit_count(xor(a.hash_lo, b.hash_lo)) AS INTEGER)
+               AS hamming
+      FROM hx a JOIN hx b ON a.doc_id < b.doc_id
+      WHERE bit_count(xor(a.hash_hi, b.hash_hi))
+          + bit_count(xor(a.hash_lo, b.hash_lo)) <= 3
+      ORDER BY da, db""")
+  )
+
   def defs: Seq[QueryDef] = Seq(decodePipeline, frameSample, pixelDecode,
-    resize, audioDecode, audioVad, videoDecode, phashDedup, sceneCuts)
+    resize, audioDecode, audioVad, videoDecode, phashDedup, sceneCuts,
+    phashHammingJoin)
 }

@@ -1968,10 +1968,65 @@ object TextQueries {
       FROM term GROUP BY feature, n_old, n_new, k ORDER BY feature""")
   )
 
+  /** Deterministic k-fold cross-validation assignment (k=5): fold =
+    * fingerprint64("fold:" + doc_id) mod 5 — salt-independent of every
+    * other pipeline hash (split/shuffle/sample), so fold membership never
+    * correlates with split or shard membership. Reports, per fold, the
+    * held-out size and the complementary training-set size — the balance
+    * check a CV harness logs before training k models.
+    *
+    * Scale shape: the assignment is a per-row map over the scan (no
+    * shuffle); the report aggregates k=5 rows, and the complement
+    * n_train = total − n_val comes from an unpartitioned window over
+    * those 5 rows, not a second corpus pass. */
+  val kfold: QueryDef = QueryDef(
+    "x_pipeline_kfold",
+    (s, dir) => {
+      val wAll = org.apache.spark.sql.expressions.Window
+        .partitionBy(lit(1))
+      docs(s, dir)
+        .withColumn("fold", pmod(fingerprint64(
+          concat(lit("fold:"), col("doc_id").cast("string"))), lit(5L)))
+        .groupBy(col("fold"))
+        .agg(count(lit(1)).as("n_val"), sum(col("n_chars")).as("val_chars"))
+        .withColumn("n_train", sum(col("n_val")).over(wAll) - col("n_val"))
+        .select(col("fold"), col("n_val"), col("val_chars"), col("n_train"))
+        .orderBy(col("fold"))
+    },
+    oracle = Some("""
+      WITH f AS (
+        SELECT doc_id, n_chars,
+          list_reduce(
+            list_prepend(0::HUGEINT,
+              list_transform(range(1,
+                  octet_length(encode('fold:' || doc_id)) + 1),
+                i -> CAST((strpos('0123456789ABCDEF',
+                         substr(hex(encode('fold:' || doc_id)), i*2-1, 1))
+                         - 1) * 16
+                   + (strpos('0123456789ABCDEF',
+                         substr(hex(encode('fold:' || doc_id)), i*2, 1))
+                         - 1) AS HUGEINT))),
+            (acc, b) -> (acc * 1000003::HUGEINT + b)
+                        % 18446744073709551616::HUGEINT) AS acc
+        FROM documents),
+      sg AS (SELECT n_chars,
+               ((CAST(CASE WHEN acc >= 9223372036854775808::HUGEINT
+                           THEN acc - 18446744073709551616::HUGEINT
+                           ELSE acc END AS BIGINT) % 5) + 5) % 5
+                 AS fold
+             FROM f),
+      agg AS (SELECT fold, count(*) AS n_val,
+                CAST(sum(n_chars) AS BIGINT) AS val_chars
+              FROM sg GROUP BY fold)
+      SELECT fold, n_val, val_chars,
+             CAST(sum(n_val) OVER () - n_val AS BIGINT) AS n_train
+      FROM agg ORDER BY fold""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
     hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix,
     split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed,
-    expectations, driftPsi)
+    expectations, driftPsi, kfold)
 }

@@ -808,8 +808,90 @@ ${LshOracleSql.cosineExpr} AS cos
       FROM pos p JOIN neg n USING (a_id) ORDER BY p.a_id""")
   )
 
+  /** Matryoshka-style dimension truncation sweep — the read-bandwidth
+    * lever of the ANN toolbox: score with only the first d dims of each
+    * embedding (MRL-trained models front-load information, so prefixes
+    * are usable embeddings) and measure recall@3 against the full-64-dim
+    * exact top-3 at d ∈ {8, 16, 32}.
+    *
+    * Scale shape: at 100 TB the truncated scan reads d/64 of the vector
+    * bytes — with a columnar layout that stores prefix slices separately
+    * this is a plain column-pruning win, and d doubles as the rerank
+    * ladder (score at d=8, rerank survivors at 64). All three sweep
+    * levels share ONE corpus×query pass (the dims explode happens after
+    * the join, like the nprobe sweep shares its candidate scoring), and
+    * the slice feeds the same codegen'd cosine kernel, so the argsort is
+    * deterministic and DuckDB replays it bit-exactly. */
+  val mrlTruncate: QueryDef = QueryDef(
+    "x_ann_mrl_truncate",
+    (s, dir) => {
+      val nq = 10; val topk = 3
+      val base = emb(s, dir)
+      val queries = base.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wB = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val truth = base.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineSim(col("q_emb"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= topk)
+        .select(col("q_id"), col("vec_id"))
+      val wT = Window.partitionBy(col("dims"), col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val trunc = base.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .withColumn("dims", explode(array(lit(8), lit(16), lit(32))))
+        .select(col("dims"), col("q_id"), col("vec_id"),
+          cosineSim(slice(col("q_emb"), lit(1), col("dims")),
+            slice(col("embedding"), lit(1), col("dims"))).as("cos"))
+        .withColumn("rk", row_number().over(wT))
+        .filter(col("rk") <= topk)
+        .select(col("dims"), col("q_id"), col("vec_id"),
+          lit(1L).as("hit"))
+      truth
+        .withColumn("dims", explode(array(lit(8), lit(16), lit(32))))
+        .join(trunc, Seq("dims", "q_id", "vec_id"), "left")
+        .groupBy(col("dims"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .withColumn("recall_at_3",
+          col("hits").cast("double") / col("n_true").cast("double"))
+        .orderBy(col("dims"))
+    },
+    oracle = Some("""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+                 WHERE vec_id < 10),
+      truth AS (SELECT q_id, vec_id FROM (
+          SELECT q.q_id, e.vec_id,
+            row_number() OVER (PARTITION BY q.q_id ORDER BY
+              list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+                CAST(e.embedding AS DOUBLE[])) DESC, e.vec_id) AS rk
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+        WHERE rk <= 3),
+      d AS (SELECT unnest([8, 16, 32]) AS dims),
+      tr AS (SELECT dims, q_id, vec_id FROM (
+          SELECT d.dims, q.q_id, e.vec_id,
+            row_number() OVER (PARTITION BY d.dims, q.q_id ORDER BY
+              list_cosine_similarity(CAST(q.q_emb[1:d.dims] AS DOUBLE[]),
+                CAST(e.embedding[1:d.dims] AS DOUBLE[])) DESC,
+              e.vec_id) AS rk
+          FROM embeddings e CROSS JOIN q CROSS JOIN d
+          WHERE e.vec_id <> q.q_id) WHERE rk <= 3),
+      tx AS (SELECT d.dims, t.q_id, t.vec_id FROM truth t CROSS JOIN d)
+      SELECT tx.dims, count(*) AS n_true,
+             CAST(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS BIGINT) AS hits,
+             CAST(sum(CASE WHEN tr.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+               AS DOUBLE) / CAST(count(*) AS DOUBLE) AS recall_at_3
+      FROM tx LEFT JOIN tr ON tr.dims = tx.dims AND tr.q_id = tx.q_id
+                          AND tr.vec_id = tx.vec_id
+      GROUP BY tx.dims ORDER BY tx.dims""")
+  )
+
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
     pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
     recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank, filteredSearch,
-    rangeSearch, triplets)
+    rangeSearch, triplets, mrlTruncate)
 }

@@ -223,4 +223,36 @@ class CatalogSpec extends GraftSuite {
     cat.upsert("t", batch, Seq("id"))
     assert(state() == expected, "re-applying the same batch must be a no-op")
   }
+
+  test("dynamic partition overwrite replaces only the batch's partitions") {
+    import org.apache.spark.sql.functions.{col, year}
+    val rows = operators.DdlDmlQueries.dynamicPartitionOverwrite
+      .run(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val src = Tables.table(spark, sf, "orders")
+      .withColumn("o_year", year(col("o_orderdate")))
+    val untouched = src.filter(col("o_year") =!= 1997)
+      .groupBy(col("o_year"))
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    for ((y, n) <- untouched)
+      assert(rows(y)._1 == n, s"partition $y must survive the overwrite")
+    val kept = src.filter(col("o_year") === 1997 &&
+      col("o_orderstatus") === "F").count()
+    assert(rows(1997)._1 == kept, "1997 must hold only the corrected batch")
+  }
+
+  test("write-audit-publish publishes the clean batch and rejects the dirty one") {
+    val rows = operators.DdlDmlQueries.wapPublish.run(spark, sf).collect()
+      .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4), r.getLong(5))).toMap
+    val (n1, dup1, bad1, pub1, pr1) = rows(1)
+    assert(pub1 && dup1 == 0L && bad1 == 0L && pr1 == n1,
+      s"clean batch publishes all rows: ${rows(1)}")
+    val (n2, dup2, _, pub2, pr2) = rows(2)
+    assert(!pub2 && dup2 > 0L && pr2 == 0L,
+      s"dirty batch must be rejected whole: ${rows(2)}")
+    assert(n2 > n1 / 2, "planted batch sizes sane")
+  }
 }

@@ -179,4 +179,39 @@ class MultimodalSpec extends GraftSuite {
         s"max_segment_frames for doc $id")
     }
   }
+
+  test("banded hamming join finds every planted spiked-variant pair") {
+    val rows = operators.MultimodalQueries.phashHammingJoin.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    assert(rows.nonEmpty)
+    assert(rows.forall(_._3 <= 3), "exact popcount filter must hold")
+    assert(rows.forall(p => p._1 < p._2), "ordered pairs only")
+    val found = rows.map(p => (p._1, p._2)).toSet
+    // completeness vs brute force: the pigeonhole banding must find every
+    // pair within radius 3 — recompute hashes serially and cross-check
+    def hash(id: Long): (Long, Long) = {
+      val gid = id % 40
+      val v = ((id / 40) % 5).toInt
+      val c = if (v == 0) -1 else 7 + (v - 1) * 13
+      val thumb = Array.tabulate(64) { k =>
+        val x = (k % 8) * 4
+        val y = (k / 8) * 3
+        val base = ((x * 31 + y * 17 + gid * 7) % 250).toInt
+        val spike = if (c == k) 90 else 0
+        math.min(base + spike, 255)
+      }
+      val total = thumb.foldLeft(0L)(_ + _)
+      var hi = 0L; var lo = 0L
+      for (k <- 0 until 64 if thumb(k).toLong * 64 > total)
+        if (k < 32) lo |= 1L << k else hi |= 1L << (k - 32)
+      (hi, lo)
+    }
+    val hs = (0L until 200L).map(id => id -> hash(id)).toMap
+    for (a <- 0L until 200L; b <- (a + 1) until 200L) {
+      val d = java.lang.Long.bitCount(hs(a)._1 ^ hs(b)._1) +
+        java.lang.Long.bitCount(hs(a)._2 ^ hs(b)._2)
+      assert(found.contains((a, b)) == (d <= 3),
+        s"pair ($a,$b) dist $d: banding must be exact at radius 3")
+    }
+  }
 }

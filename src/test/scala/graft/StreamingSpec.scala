@@ -191,4 +191,22 @@ class StreamingSpec extends GraftSuite {
     q.stop()
     assert(diff == 0, "streaming and batch tumbling disagree")
   }
+
+  test("streaming cdc upsert state equals the batch last-writer-wins answer") {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions.{row_number, count, lit}
+    val state = operators.EventsQueries.streamCdcUpsert.run(spark, sf)
+    val ev = Tables.table(spark, sf, "events")
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    val batch = ev.withColumn("rk", row_number().over(w))
+      .withColumn("n_events",
+        count(lit(1)).over(Window.partitionBy(col("user_id"))))
+      .filter(col("rk") === 1)
+      .select(col("user_id"), col("ts").as("last_ts"),
+        col("event_type").as("last_type"), col("value").as("last_value"),
+        col("n_events"))
+    val diff = state.exceptAll(batch).count() + batch.exceptAll(state).count()
+    assert(diff == 0, "4-micro-batch merged state must equal batch LWW")
+  }
 }

@@ -979,4 +979,87 @@ class VectorTextSpec extends GraftSuite {
     assert(math.abs(r.getDouble(3)) < 0.5,
       s"m=64 estimate should land within 50%: rel_err ${r.getDouble(3)}")
   }
+
+  test("containment join finds the quoted doc but not the reverse direction") {
+    // doc 1 (10 tokens → 8 shingles) is fully quoted at the head of
+    // doc 2 (28 tokens → 26 shingles): C(1→2) = 8/8 = 1.0 reported,
+    // C(2→1) = 8/26 < 0.8 suppressed — the asymmetry Jaccard cannot
+    // express (J = 8/26 would miss the pair entirely). Doc 3 unrelated.
+    val quoted = (1 to 10).map(i => s"a$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, quoted, "fx"),
+      (2L, quoted + " " + (1 to 20).map(i => s"x$i").mkString(" "), "fx"),
+      (3L, (1 to 15).map(i => s"c$i").mkString(" "), "fx")))
+    val rows = operators.DedupQueries.containment.run(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(rows.toSeq == Seq((1L, 2L, 8L, 8L, 1.0)),
+      s"exactly the quoted direction: ${rows.toSeq}")
+  }
+
+  test("containment join includes the exact 4/5 boundary") {
+    // docs 4,5 share 4 of each other's 5 shingles → both directions sit
+    // exactly at τ = 0.8 and must BOTH be reported (≥, not >)
+    val t = (1 to 6).map(i => s"t$i")
+    val tmp = writeDocs(Seq(
+      (4L, (t :+ "t7").mkString(" "), "fx"),
+      (5L, (t :+ "z").mkString(" "), "fx")))
+    val rows = operators.DedupQueries.containment.run(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4))).toSeq.sorted
+    assert(rows == Seq((4L, 5L, 4L, 5L, 0.8), (5L, 4L, 4L, 5L, 0.8)),
+      s"both boundary directions: $rows")
+  }
+
+  test("mrl truncation sweep reports a full recall row per dims level") {
+    val rows = operators.VectorQueries.mrlTruncate.run(spark, sf).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.map(_._1).toSeq == Seq(8, 16, 32), s"dims levels: ${rows.toSeq}")
+    for ((dims, nTrue, hits, recall) <- rows) {
+      assert(nTrue == 30L, s"dims=$dims ground truth must be 10q × top-3")
+      assert(hits >= 0L && hits <= nTrue, s"dims=$dims hits in range")
+      assert(recall >= 0.0 && recall <= 1.0 && recall == hits.toDouble / 30.0,
+        s"dims=$dims recall consistent")
+    }
+  }
+
+  test("kfold assignment partitions the corpus and is deterministic") {
+    val tmp = writeDocs((1L to 20L).map(i =>
+      (i, s"doc $i body", "fx")))
+    def run() = operators.TextQueries.kfold.run(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    val rows = run()
+    assert(rows.map(_._2).sum == 20L, "folds partition the corpus")
+    assert(rows.forall { case (f, nVal, _, nTrain) =>
+      f >= 0 && f < 5 && nTrain == 20L - nVal }, s"complement sizes: ${rows.toSeq}")
+    assert(rows.toSeq == run().toSeq, "assignment must be deterministic")
+  }
+
+  test("split leakage audit flags a straddling cluster with consistent counts") {
+    // 20 byte-identical docs → one minhash cluster; the salted split hash
+    // scatters ids 1..20 across train/val/test, so the cluster MUST
+    // straddle and appear in the audit with all 20 members accounted for
+    val body = (1 to 30).map(i => s"w$i").mkString(" ")
+    val tmp = writeDocs((1L to 20L).map(i => (i, body, "fx")))
+    val rows = operators.DedupQueries.splitLeakage.run(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(rows.length == 1, s"one straddling cluster: ${rows.toSeq}")
+    val (cid, n, nSplits, nTrain, nVal, nTest) = rows(0)
+    assert(cid == 1L && n == 20L, "cluster head is min doc, all members in")
+    assert(nSplits >= 2 && nTrain + nVal + nTest == 20L,
+      s"membership partition: $rows")
+  }
+
+  test("tokenizer coverage reports sane fertility per language") {
+    val rows = operators.BpeQueries.tokenizerCoverage.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      val (words, tokens, merged) = (r.getLong(2), r.getLong(3), r.getLong(4))
+      assert(tokens >= words, s"${r.getString(0)}: every word is ≥1 token")
+      assert(merged <= tokens, s"${r.getString(0)}: merged subset of tokens")
+      assert(r.getDouble(5) == tokens.toDouble / words.toDouble)
+      assert(r.getDouble(6) >= 0.0 && r.getDouble(6) <= 1.0)
+    }
+  }
 }
