@@ -84,7 +84,11 @@ object Bench {
     "x_ann_mrl_truncate",
     "x_pipeline_tokenizer_coverage",
     "x_pipeline_split_leakage",
-    "x_stream_cdc_upsert")
+    "x_stream_cdc_upsert",
+    "x_ann_centroid_drift",
+    "x_text_lm_kn",
+    "x_search_more_like_this",
+    "x_events_changepoint")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -1209,10 +1209,102 @@ object EventsQueries {
       ORDER BY r.user_id""")
   )
 
+  /** CUSUM change-point detection over the hourly rate — the sequential
+    * complement to x_events_anomaly's pointwise z-score: a z-score flags
+    * one loud hour, CUSUM accumulates SMALL persistent shifts
+    * (S_h = max(0, S_{h−1} + (y_h − μ − 0.5σ))) and fires when the
+    * cumulative drift exceeds 4σ — the "traffic quietly doubled over six
+    * hours" alarm a per-point rule never raises. Per event type: hourly
+    * counts (observed hours), exact-integer mean/variance sums, the
+    * recursive CUSUM via an ordered array fold (same mechanics as
+    * x_events_ewma), and a flag rollup (first alarm hour, alarm count,
+    * peak statistic).
+    *
+    * Scale shape: the fold runs over |types| × |observed hours| rows —
+    * event volume collapses in the first two-phase agg; recursion state
+    * is one double per type. The flat-σ guard mirrors x_events_anomaly. */
+  val changepoint: QueryDef = QueryDef(
+    "x_events_changepoint",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      hourly.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("hr"), col("n")))).as("s"),
+          count(lit(1)).as("n_hours"),
+          sum(col("n")).as("tot"),
+          sum(col("n") * col("n")).as("tot2"))
+        .withColumn("mu", col("tot").cast("double") / col("n_hours"))
+        .withColumn("sigma", sqrt(col("tot2").cast("double") / col("n_hours")
+          - col("mu") * col("mu")))
+        .withColumn("cus", expr("""
+          aggregate(s, cast(array() as array<double>),
+            (acc, x) -> concat(acc, array(
+              greatest(0.0D,
+                CASE WHEN size(acc) = 0 THEN 0.0D
+                     ELSE element_at(acc, -1) END
+                + (cast(x.n as double) - mu - 0.5D * sigma)))))"""))
+        .select(col("event_type"), col("n_hours"), col("mu"),
+          col("sigma"), col("cus"), posexplode(col("s")))
+        .select(col("event_type"), col("n_hours"), col("mu"), col("sigma"),
+          col("col.hr").as("hr"),
+          element_at(col("cus"), col("pos") + 1).as("cusum"))
+        .withColumn("flag",
+          col("sigma") > 0 && col("cusum") > lit(4.0) * col("sigma"))
+        .groupBy(col("event_type"), col("n_hours"))
+        .agg(round(first(col("mu")), 4).as("mu"),
+          round(first(col("sigma")), 4).as("sigma"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_flags"),
+          min(when(col("flag"), col("hr"))).as("first_flag_hr"),
+          round(max(col("cusum")), 4).as("max_cusum"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY date_trunc('hour', ts)) AS idx
+        FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      st AS (SELECT event_type, count(*) AS n_hours,
+               CAST(sum(n) AS BIGINT) AS tot,
+               CAST(sum(n * n) AS BIGINT) AS tot2
+             FROM h GROUP BY event_type),
+      sm AS (SELECT event_type, n_hours,
+               CAST(tot AS DOUBLE) / n_hours AS mu,
+               sqrt(CAST(tot2 AS DOUBLE) / n_hours
+                 - (CAST(tot AS DOUBLE) / n_hours)
+                   * (CAST(tot AS DOUBLE) / n_hours)) AS sigma
+             FROM st),
+      r AS (SELECT h.event_type, h.idx, h.hr,
+              greatest(0.0, CAST(h.n AS DOUBLE) - sm.mu - 0.5 * sm.sigma)
+                AS cusum
+            FROM h JOIN sm USING (event_type) WHERE h.idx = 1
+            UNION ALL
+            SELECT h.event_type, h.idx, h.hr,
+              greatest(0.0,
+                r.cusum + (CAST(h.n AS DOUBLE) - sm.mu - 0.5 * sm.sigma))
+                AS cusum
+            FROM h JOIN r ON h.event_type = r.event_type
+                         AND h.idx = r.idx + 1
+                   JOIN sm ON sm.event_type = h.event_type)
+      SELECT sm.event_type, sm.n_hours, round(sm.mu, 4) AS mu,
+             round(sm.sigma, 4) AS sigma,
+             CAST(sum(CASE WHEN sm.sigma > 0 AND r.cusum > 4.0 * sm.sigma
+                           THEN 1 ELSE 0 END) AS BIGINT) AS n_flags,
+             min(CASE WHEN sm.sigma > 0 AND r.cusum > 4.0 * sm.sigma
+                      THEN r.hr END) AS first_flag_hr,
+             round(max(r.cusum), 4) AS max_cusum
+      FROM r JOIN sm USING (event_type)
+      GROUP BY sm.event_type, sm.n_hours, sm.mu, sm.sigma
+      ORDER BY sm.event_type""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
     resample, winsorize, transitions, streamTransitions, ewma, scd2,
     pattern, attributionLinear, seasonal, cohortLtv, rfm, copurchase,
-    streamCdcUpsert)
+    streamCdcUpsert, changepoint)
 }

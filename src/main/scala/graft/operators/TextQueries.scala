@@ -2023,10 +2023,158 @@ object TextQueries {
       FROM agg ORDER BY fold""")
   )
 
+  /** Kneser-Ney-smoothed bigram LM scoring — the standard-smoothing
+    * upgrade of x_text_lm_score's add-one: absolute discounting (D=0.75)
+    * backed off to the CONTINUATION unigram (how many distinct contexts
+    * a word follows, not how often it occurs — the "San Francisco"
+    * correction: "Francisco" is frequent but follows only one context,
+    * so KN scores it low as a novel continuation). All four count
+    * tables (bigram, context, distinct-successor, distinct-predecessor)
+    * are exact integers from two-phase aggs; P(w2|w1) =
+    * max(c12−D,0)/c1 + D·N1+(w1,·)/c1 · N1+(·,w2)/|bigram types|.
+    * Scoring the training corpus itself means no zero-context rows.
+    *
+    * Scale shape: same as the add-one LM — the model tables join the
+    * doc-bigram stream BY KEY (corpus-vocabulary-sized, never
+    * broadcast); only the scalar type-count broadcasts. */
+  val lmScoreKn: QueryDef = QueryDef(
+    "x_text_lm_kn",
+    (s, dir) => {
+      val D = 0.75
+      val base = docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+      val bg = base.select(col("doc_id"), explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(element_at(toks, i + 1) AS w1, " +
+          "element_at(toks, i + 2) AS w2))")).as("b"))
+        .select(col("doc_id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val c2 = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("c2"))
+      val c1 = bg.groupBy(col("w1")).agg(count(lit(1)).as("c1"),
+        countDistinct(col("w2")).as("nfwd"))
+      val nback = bg.groupBy(col("w2"))
+        .agg(countDistinct(col("w1")).as("nback"))
+      val types = c2.agg(count(lit(1)).as("n_types"))
+      bg.join(c2, Seq("w1", "w2"))
+        .join(c1, Seq("w1"))
+        .join(nback, Seq("w2"))
+        .crossJoin(broadcast(types))
+        .select(col("doc_id"),
+          log(greatest(col("c2") - D, lit(0.0)) / col("c1") +
+            (lit(D) * col("nfwd") / col("c1")) *
+              (col("nback").cast("double") / col("n_types"))).as("lp"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_bigrams"),
+          round(avg(col("lp")), 4).as("avg_logp"))
+        .withColumn("ppl", round(exp(-col("avg_logp")), 4))
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents
+                 WHERE len(string_split(text, ' ')) >= 2),
+      bg AS (SELECT doc_id,
+               unnest(list_transform(range(0, len(toks) - 1),
+                 i -> {'w1': toks[i+1], 'w2': toks[i+2]}), recursive := true)
+             FROM t),
+      c2 AS (SELECT w1, w2, count(*) AS c2 FROM bg GROUP BY w1, w2),
+      c1 AS (SELECT w1, count(*) AS c1, count(DISTINCT w2) AS nfwd
+             FROM bg GROUP BY w1),
+      nback AS (SELECT w2, count(DISTINCT w1) AS nback FROM bg GROUP BY w2),
+      types AS (SELECT count(*) AS n_types FROM c2),
+      lp AS (SELECT bg.doc_id,
+               ln(greatest(c2.c2 - 0.75, 0.0) / c1.c1 +
+                  (0.75 * c1.nfwd / c1.c1) *
+                    (CAST(nback.nback AS DOUBLE) / types.n_types)) AS lp
+             FROM bg JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+                     JOIN nback USING (w2)
+             CROSS JOIN types)
+      SELECT doc_id, count(*) AS n_bigrams,
+             round(avg(lp), 4) AS avg_logp,
+             round(exp(-round(avg(lp), 4)), 4) AS ppl
+      FROM lp GROUP BY doc_id ORDER BY doc_id""")
+  )
+
+  /** More-like-this retrieval — document-to-document search (the "related
+    * articles" / "find duplicates of this ticket" query): each query doc
+    * (doc_id < 5) is summarized to its top-5 TF-IDF terms, and candidates
+    * are scored by the summed idf of the SHARED selected terms — the
+    * Lucene MoreLikeThis recipe (select by tf·idf, score by idf overlap),
+    * with the same Lucene idf and round-before-rank policy as
+    * x_search_bm25.
+    *
+    * Scale shape: term selection prunes each query doc to 5 terms, so
+    * the candidate join fans out by posting-list length of 5·|queries|
+    * rare-ish terms, never the full token inventory; tf/df are the same
+    * two-phase tables BM25 builds, N is one broadcast scalar. At 100 TB
+    * the df table is an index artifact shared with the BM25 path. */
+  val moreLikeThis: QueryDef = QueryDef(
+    "x_search_more_like_this",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val tf = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("tf"))
+      val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      val st = docs(s, dir).agg(count(lit(1)).as("n_docs"))
+      val wSel = Window.partitionBy(col("doc_id"))
+        .orderBy(col("tfidf").desc, col("token"))
+      val qsel = tf.filter(col("doc_id") < 5)
+        .join(df, Seq("token"))
+        .crossJoin(broadcast(st))
+        .withColumn("idf", log((col("n_docs") - col("df") + 0.5) /
+          (col("df") + 0.5) + 1))
+        .withColumn("tfidf", round(col("tf") * col("idf"), 4))
+        .withColumn("trk", row_number().over(wSel))
+        .filter(col("trk") <= 5)
+        .select(col("doc_id").as("q_id"), col("token"), col("idf"))
+      val wR = Window.partitionBy(col("q_id"))
+        .orderBy(col("score").desc, col("doc_id"))
+      qsel.join(tf.select(col("doc_id"), col("token")), Seq("token"))
+        .filter(col("doc_id") =!= col("q_id"))
+        .groupBy(col("q_id"), col("doc_id"))
+        .agg(round(sum(col("idf")), 4).as("score"),
+          count(lit(1)).as("n_shared"))
+        .withColumn("rk", row_number().over(wR))
+        .filter(col("rk") <= 3)
+        .select(col("q_id"), col("rk"), col("doc_id"), col("score"),
+          col("n_shared"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    oracle = Some("""
+      WITH tf AS (SELECT doc_id, token, count(*) AS tf FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS token
+                    FROM documents)
+                  GROUP BY doc_id, token),
+      df AS (SELECT token, count(*) AS df FROM tf GROUP BY token),
+      st AS (SELECT count(*) AS n_docs FROM documents),
+      qsel AS (SELECT doc_id AS q_id, token, idf FROM (
+          SELECT tf.doc_id, tf.token,
+            ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1) AS idf,
+            row_number() OVER (PARTITION BY tf.doc_id
+              ORDER BY round(tf.tf *
+                ln((st.n_docs - df.df + 0.5) / (df.df + 0.5) + 1), 4) DESC,
+                tf.token) AS trk
+          FROM tf JOIN df USING (token) CROSS JOIN st
+          WHERE tf.doc_id < 5) WHERE trk <= 5),
+      sc AS (SELECT q.q_id, tf.doc_id, round(sum(q.idf), 4) AS score,
+               count(*) AS n_shared
+             FROM qsel q JOIN tf ON tf.token = q.token
+                               AND tf.doc_id <> q.q_id
+             GROUP BY q.q_id, tf.doc_id),
+      r AS (SELECT *, row_number() OVER (PARTITION BY q_id
+              ORDER BY score DESC, doc_id) AS rk
+            FROM sc)
+      SELECT q_id, CAST(rk AS INTEGER) AS rk, doc_id, score, n_shared
+      FROM r WHERE rk <= 3
+      ORDER BY q_id, rk""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
     hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix,
     split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed,
-    expectations, driftPsi, kfold)
+    expectations, driftPsi, kfold, lmScoreKn, moreLikeThis)
 }

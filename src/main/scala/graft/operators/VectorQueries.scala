@@ -890,8 +890,86 @@ ${LshOracleSql.cosineExpr} AS cos
       GROUP BY tx.dims ORDER BY tx.dims""")
   )
 
+  /** Index STALENESS monitor — the fourth leg of the index lifecycle
+    * (build → ingest → query → REBUILD?): as frozen-index ingest batches
+    * accumulate, the data distribution drifts away from the one the
+    * coarse quantizer was trained on, probe pruning degrades, and the
+    * operational question is WHEN to pay for retraining. This op answers
+    * it with numbers: assign the training corpus and the ingest batch to
+    * the same frozen centroids and report per-cluster occupancy shares
+    * plus the add-one-smoothed PSI contribution — the same drift statistic
+    * x_pipeline_drift_psi applies to features, here applied to the
+    * index's own cluster histogram. A spiking psi_term pinpoints WHICH
+    * clusters absorb the new mass.
+    *
+    * Scale shape: both assignments are shuffle-free broadcast-argmax maps
+    * (coarseReassign); the report aggregates to k=16 rows. The empty-
+    * cluster spine keeps dead centroids visible — at 100 TB a centroid
+    * that captures none of the new data is itself a rebuild signal. */
+  val centroidDrift: QueryDef = QueryDef(
+    "x_ann_centroid_drift",
+    (s, dir) => {
+      val all = emb(s, dir)
+      val base = all.filter(pmod(col("vec_id"), lit(8)) =!= 0)
+      val batch = all.filter(pmod(col("vec_id"), lit(8)) === 0)
+      val assignB = AnnIndex.coarseTrainTo(base, 16, 2,
+        inlineScratch(dir, "drift_assign"))
+      val cents = coarseCentroids(base, assignB)
+      val nb = coarseReassign(base, cents).groupBy(col("cid"))
+        .agg(count(lit(1)).as("nb"))
+      val nn = coarseReassign(batch, cents).groupBy(col("cid"))
+        .agg(count(lit(1)).as("nn"))
+      val spine = s.range(16).select(col("id").as("cid"))
+      val wAll = Window.partitionBy(lit(1))
+      spine.join(nb, Seq("cid"), "left").join(nn, Seq("cid"), "left")
+        .select(col("cid"), coalesce(col("nb"), lit(0L)).as("n_base"),
+          coalesce(col("nn"), lit(0L)).as("n_new"))
+        .withColumn("share_base", (col("n_base") + 1).cast("double") /
+          (sum(col("n_base")).over(wAll) + 16).cast("double"))
+        .withColumn("share_new", (col("n_new") + 1).cast("double") /
+          (sum(col("n_new")).over(wAll) + 16).cast("double"))
+        .withColumn("psi_term", round((col("share_new") - col("share_base"))
+          * log(col("share_new") / col("share_base")), 8))
+        .orderBy(col("cid"))
+    },
+    oracle = Some(s"""
+      WITH ${IvfOracleSql.coreCtes(16, 4, 2, 10, "vec_id % 8 <> 0")},
+      basea AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${AnnOracleCommon.cos("e.emb", "c.cen")} DESC,
+                c.cid DESC) AS rk
+          FROM eraw e CROSS JOIN kc3v c WHERE e.vec_id % 8 <> 0)
+        WHERE rk = 1),
+      newa AS (SELECT vec_id, cid FROM (
+          SELECT e.vec_id, c.cid,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${AnnOracleCommon.cos("e.emb", "c.cen")} DESC,
+                c.cid DESC) AS rk
+          FROM eraw e CROSS JOIN kc3v c WHERE e.vec_id % 8 = 0)
+        WHERE rk = 1),
+      nb AS (SELECT cid, count(*) AS n FROM basea GROUP BY cid),
+      nn AS (SELECT cid, count(*) AS n FROM newa GROUP BY cid),
+      spine AS (SELECT CAST(unnest(range(0, 16)) AS BIGINT) AS cid),
+      jj AS (SELECT s.cid, coalesce(nb.n, 0) AS n_base,
+               coalesce(nn.n, 0) AS n_new
+             FROM spine s LEFT JOIN nb USING (cid) LEFT JOIN nn USING (cid)),
+      tt AS (SELECT cid, n_base, n_new,
+               CAST(n_base + 1 AS DOUBLE) /
+                 CAST((SELECT sum(n_base) FROM jj) + 16 AS DOUBLE)
+                 AS share_base,
+               CAST(n_new + 1 AS DOUBLE) /
+                 CAST((SELECT sum(n_new) FROM jj) + 16 AS DOUBLE)
+                 AS share_new
+             FROM jj)
+      SELECT cid, n_base, n_new, share_base, share_new,
+             round((share_new - share_base) * ln(share_new / share_base), 8)
+               AS psi_term
+      FROM tt ORDER BY cid""")
+  )
+
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
     pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
     recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank, filteredSearch,
-    rangeSearch, triplets, mrlTruncate)
+    rangeSearch, triplets, mrlTruncate, centroidDrift)
 }

@@ -167,6 +167,35 @@ class EngineSpec extends GraftSuite {
       "single observation must seed the smoother with itself")
   }
 
+  test("cusum change-point fires on a small persistent shift, not on noise") {
+    import spark.implicits._
+    // "shift": 20 hours at 10/h then 20 at 14/h → μ=12, σ=2, drift
+    // y−μ−0.5σ = y−13: the CUSUM climbs 1/shifted-hour and crosses the
+    // 4σ=8 alarm at the 9th shifted hour (hour 28); a pointwise z-score
+    // never fires (max z = 1). "quiet": constant rate, σ=0 → no flags.
+    val rows = (0 until 40).flatMap { h =>
+      def mk(typ: String, n: Int) = (0 until n).map(i =>
+        (h.toLong * 10000 + typ.length * 1000 + i,
+          new java.sql.Timestamp(h.toLong * 3600 * 1000), 1L, typ, 1.0, "{}"))
+      mk("shift", if (h < 20) 10 else 14) ++ mk("quiet", 7)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_cp").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.EventsQueries.changepoint.run(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val sh = out("shift")
+    assert(sh.getDouble(2) == 12.0 && sh.getDouble(3) == 2.0,
+      s"planted stats: mu=${sh.getDouble(2)} sigma=${sh.getDouble(3)}")
+    assert(sh.getLong(4) == 12L, s"flags from S=9..20: ${sh.getLong(4)}")
+    assert(sh.getTimestamp(5).getTime == 28L * 3600 * 1000,
+      "first alarm at the 9th shifted hour")
+    assert(sh.getDouble(6) == 20.0, "peak statistic = total drift")
+    val q = out("quiet")
+    assert(q.getLong(4) == 0L && q.getTimestamp(5) == null,
+      "flat-sigma series must not alarm")
+  }
+
   test("bloom prefilter never false-negatives and matches an in-process replay") {
     import spark.implicits._
     import graft.functions.Fnv64

@@ -1051,6 +1051,51 @@ class VectorTextSpec extends GraftSuite {
       s"membership partition: $rows")
   }
 
+  test("kneser-ney lm replays the hand-computed two-doc case") {
+    // corpus "a b" / "a c": c(a·)=2, both bigrams count 1, a has 2
+    // distinct successors, b and c each 1 distinct predecessor, 2 bigram
+    // types → P = max(1−.75,0)/2 + (.75·2/2)·(1/2) = 0.5 for both docs
+    val tmp = writeDocs(Seq((1L, "a b", "fx"), (2L, "a c", "fx")))
+    val rows = operators.TextQueries.lmScoreKn.run(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    val lp = math.rint(math.log(0.5) * 10000) / 10000
+    val ppl = math.rint(math.exp(-lp) * 10000) / 10000
+    assert(rows.toSeq == Seq((1L, 1L, lp, ppl), (2L, 1L, lp, ppl)),
+      s"hand replay: ${rows.toSeq} vs lp=$lp ppl=$ppl")
+  }
+
+  test("more-like-this returns ranked non-self neighbors with bounded overlap") {
+    val rows = operators.TextQueries.moreLikeThis.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getLong(4)))
+    assert(rows.nonEmpty)
+    assert(rows.forall { case (q, rk, d, _, ns) =>
+      rk >= 1 && rk <= 3 && d != q && ns >= 1 && ns <= 5 })
+    rows.groupBy(_._1).values.foreach { g =>
+      val byRank = g.sortBy(_._2).map(_._4)
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a >= b },
+        s"scores must be non-increasing in rank: ${g.toSeq}")
+    }
+  }
+
+  test("centroid drift report accounts for every base and ingest vector") {
+    import org.apache.spark.sql.functions.{col, pmod, lit}
+    val rows = operators.VectorQueries.centroidDrift.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 16, "one row per centroid, empty clusters included")
+    val emb = Tables.table(spark, sf, "embeddings")
+    val nBase = emb.filter(pmod(col("vec_id"), lit(8)) =!= 0).count()
+    val nNew = emb.filter(pmod(col("vec_id"), lit(8)) === 0).count()
+    assert(rows.map(_._2).sum == nBase && rows.map(_._3).sum == nNew,
+      "occupancies must partition both corpora")
+    assert(math.abs(rows.map(_._4).sum - 1.0) < 1e-9 &&
+      math.abs(rows.map(_._5).sum - 1.0) < 1e-9,
+      "smoothed shares sum to 1")
+    assert(rows.forall(r => !r._6.isNaN && !r._6.isInfinite),
+      "psi terms finite (add-one smoothing)")
+  }
+
   test("tokenizer coverage reports sane fertility per language") {
     val rows = operators.BpeQueries.tokenizerCoverage.run(spark, sf).collect()
     assert(rows.nonEmpty)
