@@ -88,7 +88,9 @@ object Bench {
     "x_ann_centroid_drift",
     "x_text_lm_kn",
     "x_search_more_like_this",
-    "x_events_changepoint")
+    "x_events_changepoint",
+    "x_pipeline_dataset_card",
+    "x_events_abtest")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

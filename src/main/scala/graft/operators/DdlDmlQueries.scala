@@ -967,6 +967,71 @@ object DdlDmlQueries {
       FROM a ORDER BY batch""")
   )
 
+  /** Column-masking view — row/column-level governance over the persisted
+    * view surface (the MySQL-view counterpart of x_text_pii's redaction
+    * kernel): the raw table carries planted PII (emails, phone numbers);
+    * consumers get a CATALOG VIEW whose definition applies the redaction
+    * regexes, so no query through the governed surface can see a raw
+    * identifier. The readback queries the view from a FRESH session (the
+    * definition must resolve from the persisted catalog alone) and
+    * reports per-language doc counts, redacted-text volume, and a leak
+    * counter that the redaction guarantees to be zero — checked by the
+    * oracle, not asserted.
+    *
+    * Scale shape: the view adds two codegen'd regexp_replace maps to the
+    * scan — no extra shuffle, no copy of the corpus; governance by
+    * rewrite, exactly how the reference's vtable views work. */
+  val maskedView: QueryDef = QueryDef(
+    "d_masked_view",
+    (s, dir) => {
+      val root = scratch("maskedview")
+      val cat = new Catalog(s, root)
+      val raw = Tables.table(s, dir, "documents")
+        .withColumn("text", concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@example.com or +1-555-"),
+          lpad(pmod(col("doc_id"), lit(10000L)).cast("string"), 4, "0")))
+      cat.createTableAs("docs_raw", raw)
+      cat.createView("docs_masked", """
+        SELECT doc_id, lang, source,
+               regexp_replace(regexp_replace(text,
+                 '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}',
+                 '<EMAIL>'),
+                 '\\+1-555-[0-9]{4}', '<PHONE>') AS text
+        FROM docs_raw""")
+      val s2 = s.newSession()
+      graft.Tables.registerAll(s2, dir, root)
+      s2.sql("""
+        SELECT lang, count(*) AS n_docs,
+               sum(length(text)) AS sum_red_len,
+               sum(CASE WHEN text LIKE '%@example.com%' THEN 1 ELSE 0 END)
+                 AS n_leaks,
+               sum(CASE WHEN text LIKE '%<EMAIL>%' THEN 1 ELSE 0 END)
+                 AS n_masked
+        FROM docs_masked GROUP BY lang ORDER BY lang""")
+    },
+    oracle = Some("""
+      WITH a AS (SELECT doc_id, lang,
+                   text || ' contact user' || CAST(doc_id AS VARCHAR)
+                        || '@example.com or +1-555-'
+                        || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                     AS text
+                 FROM documents),
+      r AS (SELECT doc_id, lang,
+              regexp_replace(regexp_replace(text,
+                '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                '<EMAIL>', 'g'),
+                '\+1-555-[0-9]{4}', '<PHONE>', 'g') AS text
+            FROM a)
+      SELECT lang, count(*) AS n_docs,
+             CAST(sum(length(text)) AS BIGINT) AS sum_red_len,
+             CAST(sum(CASE WHEN text LIKE '%@example.com%' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_leaks,
+             CAST(sum(CASE WHEN text LIKE '%<EMAIL>%' THEN 1 ELSE 0 END)
+               AS BIGINT) AS n_masked
+      FROM r GROUP BY lang ORDER BY lang""")
+  )
+
   def defs: Seq[QueryDef] = Seq(ctasRoundtrip, insertIntoSelect, updateDelete,
     alterTable, csvRoundtrip, jsonlRoundtrip, loaderRejects, crossEngine,
     bucketedJoin,
@@ -974,5 +1039,5 @@ object DdlDmlQueries {
     viewRoundtrip, mergeUpsert, timeTravel, zorderLayout,
     matviewIncremental, compaction, txnRollback, orcRoundtrip,
     analyzeHistogram, schemaMerge, dmlJoin, dynamicPartitionOverwrite,
-    wapPublish)
+    wapPublish, maskedView)
 }

@@ -1301,10 +1301,111 @@ object EventsQueries {
       ORDER BY sm.event_type""")
   )
 
+  /** A/B experiment readout — the analysis every product experiment runs
+    * over an event stream: users are hash-assigned to two arms
+    * (fingerprint64 with an experiment-scoped salt, independent of every
+    * pipeline hash — assignment must not correlate with splits or
+    * shards), conversion = "user has ≥1 purchase", and the readout is
+    * per-arm rates plus the pooled two-proportion z statistic the
+    * launch decision reads. Salted-hash assignment is also what makes
+    * the experiment REPRODUCIBLE: any cluster recomputes the same arms.
+    *
+    * Scale shape: one groupBy(user) collapse (conversion flag per user),
+    * then a 2-row arm aggregation; the z-statistic is driver-free column
+    * arithmetic on the aggregate row. Event volume only touches the
+    * first two-phase agg. */
+  val abtest: QueryDef = QueryDef(
+    "x_events_abtest",
+    (s, dir) => {
+      // "converted" = heavy purchaser (count above the corpus median) —
+      // a scale-free criterion: the planted data has every user buying
+      // at least once, so presence alone would make both rates 1.0 and
+      // the z statistic 0/0; a median split guarantees both outcome
+      // classes are populated at any corpus size
+      val np = ev(s, dir)
+        .groupBy(col("user_id"))
+        .agg(sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+          .as("np"))
+      val med = np.agg(expr("percentile(np, 0.5)").as("med"))
+      val users = np.crossJoin(broadcast(med))
+        .withColumn("converted",
+          when(col("np") > col("med"), 1L).otherwise(0L))
+        .withColumn("arm", pmod(graft.functions.HashFunctions.fingerprint64(
+          concat(lit("exp1:"), col("user_id").cast("string"))), lit(2L)))
+      users.agg(
+          sum(when(col("arm") === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("arm") === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when(col("arm") === 0, col("converted")).otherwise(0L))
+            .as("conv_a"),
+          sum(when(col("arm") === 1, col("converted")).otherwise(0L))
+            .as("conv_b"))
+        .withColumn("rate_a",
+          round(col("conv_a").cast("double") / col("n_a"), 6))
+        .withColumn("rate_b",
+          round(col("conv_b").cast("double") / col("n_b"), 6))
+        .withColumn("pooled", (col("conv_a") + col("conv_b")).cast("double")
+          / (col("n_a") + col("n_b")))
+        .withColumn("z", round(
+          (col("conv_b").cast("double") / col("n_b")
+            - col("conv_a").cast("double") / col("n_a"))
+          / sqrt(col("pooled") * (lit(1.0) - col("pooled"))
+            * (lit(1.0) / col("n_a") + lit(1.0) / col("n_b"))), 4))
+        .select(col("n_a"), col("n_b"), col("conv_a"), col("conv_b"),
+          col("rate_a"), col("rate_b"), col("z"))
+    },
+    oracle = Some("""
+      WITH np AS (SELECT user_id,
+                    CAST(sum(CASE WHEN event_type = 'purchase'
+                             THEN 1 ELSE 0 END) AS BIGINT) AS np
+                  FROM events GROUP BY user_id),
+      md AS (SELECT quantile_cont(np, 0.5) AS med FROM np),
+      u AS (SELECT user_id,
+              CASE WHEN np.np > md.med THEN 1 ELSE 0 END AS converted
+            FROM np CROSS JOIN md),
+      f AS (SELECT user_id, converted,
+          list_reduce(
+            list_prepend(0::HUGEINT,
+              list_transform(range(1,
+                  octet_length(encode('exp1:' || user_id)) + 1),
+                i -> CAST((strpos('0123456789ABCDEF',
+                         substr(hex(encode('exp1:' || user_id)), i*2-1, 1))
+                         - 1) * 16
+                   + (strpos('0123456789ABCDEF',
+                         substr(hex(encode('exp1:' || user_id)), i*2, 1))
+                         - 1) AS HUGEINT))),
+            (acc, b) -> (acc * 1000003::HUGEINT + b)
+                        % 18446744073709551616::HUGEINT) AS acc
+        FROM u),
+      arm AS (SELECT converted,
+               ((CAST(CASE WHEN acc >= 9223372036854775808::HUGEINT
+                           THEN acc - 18446744073709551616::HUGEINT
+                           ELSE acc END AS BIGINT) % 2) + 2) % 2 AS arm
+             FROM f),
+      a AS (SELECT
+              CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_a,
+              CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_b,
+              CAST(sum(CASE WHEN arm = 0 THEN converted ELSE 0 END)
+                AS BIGINT) AS conv_a,
+              CAST(sum(CASE WHEN arm = 1 THEN converted ELSE 0 END)
+                AS BIGINT) AS conv_b
+            FROM arm)
+      SELECT n_a, n_b, conv_a, conv_b,
+             round(CAST(conv_a AS DOUBLE) / n_a, 6) AS rate_a,
+             round(CAST(conv_b AS DOUBLE) / n_b, 6) AS rate_b,
+             round((CAST(conv_b AS DOUBLE) / n_b
+                    - CAST(conv_a AS DOUBLE) / n_a)
+               / sqrt((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+                 * (1.0 / n_a + 1.0 / n_b)), 4) AS z
+      FROM a""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
     resample, winsorize, transitions, streamTransitions, ewma, scd2,
     pattern, attributionLinear, seasonal, cohortLtv, rfm, copurchase,
-    streamCdcUpsert, changepoint)
+    streamCdcUpsert, changepoint, abtest)
 }

@@ -2171,10 +2171,63 @@ object TextQueries {
       ORDER BY q_id, rk""")
   )
 
+  /** Dataset card — the datasheet a curated corpus ships with (Datasheets
+    * for Datasets / model-card practice): one row per source with size,
+    * language spread, token volume, length profile, and the corpus-wide
+    * exact-duplicate exposure of that source's docs. This is the
+    * release-gate summary a data consumer reads BEFORE training — and
+    * because every number is oracle-checked, the card is evidence, not
+    * marketing.
+    *
+    * Scale shape: one digest groupBy (the same shuffle class as
+    * x_dedup_exact) feeds dup membership by key; everything else is a
+    * single two-phase per-source aggregation. No text shuffles — digests
+    * and per-row stats only. */
+  val datasetCard: QueryDef = QueryDef(
+    "x_pipeline_dataset_card",
+    (s, dir) => {
+      val d = docs(s, dir).withColumn("digest", md5(col("text")))
+      val dupCount = d.groupBy(col("digest"))
+        .agg(count(lit(1)).as("n_copies"))
+      d.join(dupCount, Seq("digest"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(col("n_chars")).as("total_chars"),
+          sum(size(split(col("text"), " ")).cast("long")).as("total_tokens"),
+          round(avg(col("n_chars")), 2).as("mean_chars"),
+          min(col("n_chars")).as("min_chars"),
+          max(col("n_chars")).as("max_chars"),
+          sum(when(col("n_copies") > 1, 1L).otherwise(0L)).as("n_dup_docs"))
+        .withColumn("dup_frac",
+          round(col("n_dup_docs").cast("double") / col("n_docs"), 4))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT source, lang, n_chars, text, md5(text) AS digest
+                 FROM documents),
+      dc AS (SELECT digest, count(*) AS n_copies FROM d GROUP BY digest),
+      j AS (SELECT d.*, dc.n_copies FROM d JOIN dc USING (digest)),
+      a AS (SELECT source, count(*) AS n_docs,
+              count(DISTINCT lang) AS n_langs,
+              CAST(sum(n_chars) AS BIGINT) AS total_chars,
+              CAST(sum(len(string_split(text, ' '))) AS BIGINT)
+                AS total_tokens,
+              round(avg(n_chars), 2) AS mean_chars,
+              min(n_chars) AS min_chars, max(n_chars) AS max_chars,
+              CAST(sum(CASE WHEN n_copies > 1 THEN 1 ELSE 0 END) AS BIGINT)
+                AS n_dup_docs
+            FROM j GROUP BY source)
+      SELECT source, n_docs, n_langs, total_chars, total_tokens, mean_chars,
+             min_chars, max_chars, n_dup_docs,
+             round(CAST(n_dup_docs AS DOUBLE) / n_docs, 4) AS dup_frac
+      FROM a ORDER BY source""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
     hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix,
     split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed,
-    expectations, driftPsi, kfold, lmScoreKn, moreLikeThis)
+    expectations, driftPsi, kfold, lmScoreKn, moreLikeThis, datasetCard)
 }

@@ -243,6 +243,17 @@ class CatalogSpec extends GraftSuite {
     assert(rows(1997)._1 == kept, "1997 must hold only the corrected batch")
   }
 
+  test("masked view leaks nothing and masks every planted identifier") {
+    val rows = operators.DdlDmlQueries.maskedView.run(spark, sf).collect()
+    assert(rows.nonEmpty)
+    for (r <- rows) {
+      assert(r.getLong(3) == 0L,
+        s"${r.getString(0)}: raw email visible through the governed view")
+      assert(r.getLong(4) == r.getLong(1),
+        s"${r.getString(0)}: every doc carries a planted email to mask")
+    }
+  }
+
   test("write-audit-publish publishes the clean batch and rejects the dirty one") {
     val rows = operators.DdlDmlQueries.wapPublish.run(spark, sf).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

@@ -196,6 +196,20 @@ class EngineSpec extends GraftSuite {
       "flat-sigma series must not alarm")
   }
 
+  test("abtest readout is a consistent two-arm partition with finite z") {
+    val r = operators.EventsQueries.abtest.run(spark, sf).collect()(0)
+    val (na, nb, ca, cb) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3))
+    val nUsers = Tables.table(spark, sf, "events")
+      .select("user_id").distinct().count()
+    assert(na + nb == nUsers, "arms partition the user population")
+    assert(na > 0 && nb > 0, "salted hash must populate both arms")
+    assert(ca <= na && cb <= nb)
+    // median-split conversion: both outcome classes populated → finite z
+    assert(ca + cb > 0 && ca + cb < na + nb, "non-degenerate conversion")
+    assert(!r.getDouble(6).isNaN && !r.getDouble(6).isInfinite)
+  }
+
   test("bloom prefilter never false-negatives and matches an in-process replay") {
     import spark.implicits._
     import graft.functions.Fnv64

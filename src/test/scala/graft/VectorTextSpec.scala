@@ -1096,6 +1096,21 @@ class VectorTextSpec extends GraftSuite {
       "psi terms finite (add-one smoothing)")
   }
 
+  test("dataset card replays planted per-source stats") {
+    val tmp = writeDocs(Seq(
+      (1L, "x y", "s1"), (2L, "x y", "s1"), (3L, "a b c", "s2")))
+    val rows = operators.TextQueries.datasetCard.run(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val s1 = rows("s1")
+    assert(s1.getLong(1) == 2L && s1.getLong(4) == 4L,
+      s"s1 docs/tokens: $s1")
+    assert(s1.getLong(8) == 2L && s1.getDouble(9) == 1.0,
+      "identical pair is fully dup-exposed")
+    val s2 = rows("s2")
+    assert(s2.getLong(1) == 1L && s2.getLong(4) == 3L &&
+      s2.getLong(8) == 0L && s2.getDouble(9) == 0.0, s"s2: $s2")
+  }
+
   test("tokenizer coverage reports sane fertility per language") {
     val rows = operators.BpeQueries.tokenizerCoverage.run(spark, sf).collect()
     assert(rows.nonEmpty)
