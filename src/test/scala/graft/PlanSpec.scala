@@ -335,7 +335,9 @@ class PlanSpec extends GraftSuite {
     for (q <- Seq(operators.GraphQueries.pagerank,
       operators.GraphQueries.triangles, operators.GraphQueries.labelprop,
       operators.GraphQueries.khop, operators.TextQueries.dsir,
-      operators.TextQueries.hashEmbed, operators.DedupQueries.setJoin)) {
+      operators.TextQueries.hashEmbed, operators.DedupQueries.setJoin,
+      operators.DedupQueries.containment,
+      operators.DedupQueries.splitLeakage)) {
       val df = q.run(spark, sf)
       df.collect()
       val finalPlan = df.queryExecution.executedPlan match {
@@ -443,6 +445,32 @@ class PlanSpec extends GraftSuite {
     val pre = df.queryExecution.optimizedPlan.toString
     assert(!pre.contains("Relation") || !pre.contains("parquet"),
       s"pagerank must not re-scan parquet inside the loop:\n${pre.take(800)}")
+  }
+
+  test("retrieval, card, and hamming-join shuffles never carry payloads") {
+    // the 100 TB contract of the round-6 additions: more-like-this and
+    // the KN LM join model tables BY KEY (term/bigram longs and small
+    // structs), the dataset card shuffles digests + per-row stats, and
+    // the banded Hamming join shuffles (doc_id, band, 16-bit key) rows —
+    // document text and image bytes stay in their scan partitions
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
+    for (q <- Seq(operators.TextQueries.moreLikeThis,
+      operators.TextQueries.lmScoreKn, operators.TextQueries.datasetCard,
+      operators.MultimodalQueries.phashHammingJoin)) {
+      val df = q.run(spark, sf)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffled = finalPlan.collect {
+        case s: ShuffleExchangeLike => s.output.map(_.name)
+      }.flatten
+      assert(!shuffled.exists(n => n.startsWith("text") ||
+        n.startsWith("toks") || n.startsWith("png") || n == "bytes"),
+        s"${q.name} shuffles a payload column: $shuffled")
+    }
   }
 
   test("deterministic shuffle plans partitioned windows only") {
