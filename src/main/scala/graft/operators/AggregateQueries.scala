@@ -554,8 +554,28 @@ object AggregateQueries {
       FROM p ORDER BY l_returnflag""")
   )
 
+  /** FILTER-clause aggregates (SQL:2003 `agg(...) FILTER (WHERE …)`) —
+    * one scan producing several conditionally-restricted aggregates, the
+    * declarative form of the CASE-WHEN pivot idiom. One SQL text runs
+    * unchanged on both engines. */
+  val filterClause: QueryDef = {
+    val q = """
+      SELECT o_orderstatus,
+             count(*) AS n,
+             count(*) FILTER (WHERE o_totalprice > 100000) AS n_big,
+             count(*) FILTER (WHERE year(o_orderdate) = 1997) AS n_1997,
+             min(o_totalprice) FILTER (WHERE o_orderpriority LIKE '1%')
+               AS min_urgent,
+             max(o_totalprice) FILTER (WHERE o_orderpriority LIKE '5%')
+               AS max_low
+      FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"""
+    QueryDef("a_filter_clause",
+      (s, dir) => { graft.Tables.registerAll(s, dir); s.sql(q) },
+      oracle = Some(q))
+  }
+
   def defs: Seq[QueryDef] = Seq(basicStats, distinctAggs, bitAggs, regression,
     groupConcatCustom, groupConcatDistinct, having, rollup, cube, emptyInput,
     highCardinality, mysqlShims, approxDistinct, approxPercentile, listAgg,
-    groupingSets, pivot, unpivot, topkPerGroup, moments)
+    groupingSets, pivot, unpivot, topkPerGroup, moments, filterClause)
 }

@@ -307,7 +307,31 @@ object FilterQueries {
       FROM g ORDER BY seg_rep""")
   )
 
+  /** LIKE … ESCAPE — literal `%` / `_` matching through a user escape
+    * char (MySQL surface; the dictionary scan treats the escaped char as
+    * a literal byte). Wildcard-bearing strings are planted per partkey
+    * class; `!` is the escape so the one SQL text runs unchanged on both
+    * engines (backslash would hit Spark's string-literal escaping). */
+  val likeEscape: QueryDef = {
+    val q = """
+      SELECT count(*) AS n_total,
+        CAST(sum(CASE WHEN aug LIKE '%100!%' ESCAPE '!'
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_lit_pct,
+        CAST(sum(CASE WHEN aug LIKE '%100!_x' ESCAPE '!'
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_lit_underscore,
+        CAST(sum(CASE WHEN aug LIKE '%100_%' ESCAPE '!'
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_wild_underscore
+      FROM (SELECT p_name ||
+              CASE WHEN p_partkey % 7 = 0 THEN ' 100%'
+                   WHEN p_partkey % 7 = 1 THEN ' 100_x'
+                   ELSE '' END AS aug
+            FROM part) t"""
+    QueryDef("f_like_escape",
+      (s, dir) => { graft.Tables.registerAll(s, dir); s.sql(q) },
+      oracle = Some(q))
+  }
+
   def defs: Seq[QueryDef] = Seq(predicateMatrix, likePatterns,
     constantFilterOrChain, nullSemantics, whereFalse, constantProjection,
-    casts, pruneProject, unsignedBigint, collationCi)
+    casts, pruneProject, unsignedBigint, collationCi, likeEscape)
 }

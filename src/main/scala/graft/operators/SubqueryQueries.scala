@@ -173,7 +173,46 @@ object SubqueryQueries {
       FROM r ORDER BY node""")
   )
 
+  /** Quantified comparisons (> ALL / > ANY / < ALL subqueries — MySQL
+    * surface the reference's front end accepts). Spark's parser has no
+    * quantified-comparison subquery, so the engine runs the standard
+    * desugaring — > ALL(S) ⇔ > max(S), > ANY(S) ⇔ > min(S) on a
+    * non-empty non-null S — as scalar subqueries; the DuckDB oracle runs
+    * the REAL ALL/ANY syntax, so the rewrite's equivalence is what the
+    * gate checks. */
+  val anyAll: QueryDef = {
+    val rewritten = """
+      SELECT
+        count(*) AS n_total,
+        CAST(sum(CASE WHEN o_totalprice >
+            (SELECT max(a) FROM (SELECT avg(o_totalprice) AS a FROM orders
+                                 GROUP BY o_orderpriority) t)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_above_all,
+        CAST(sum(CASE WHEN o_totalprice >
+            (SELECT min(a) FROM (SELECT avg(o_totalprice) AS a FROM orders
+                                 GROUP BY o_orderpriority) t)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_above_any,
+        CAST(sum(CASE WHEN o_totalprice <
+            (SELECT min(a) FROM (SELECT avg(o_totalprice) AS a FROM orders
+                                 GROUP BY o_orderpriority) t)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_below_all
+      FROM orders"""
+    QueryDef("sub_any_all", sql(rewritten), oracle = Some("""
+      SELECT
+        count(*) AS n_total,
+        CAST(sum(CASE WHEN o_totalprice > ALL
+            (SELECT avg(o_totalprice) FROM orders GROUP BY o_orderpriority)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_above_all,
+        CAST(sum(CASE WHEN o_totalprice > ANY
+            (SELECT avg(o_totalprice) FROM orders GROUP BY o_orderpriority)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_above_any,
+        CAST(sum(CASE WHEN o_totalprice < ALL
+            (SELECT avg(o_totalprice) FROM orders GROUP BY o_orderpriority)
+          THEN 1 ELSE 0 END) AS BIGINT) AS n_below_all
+      FROM orders"""))
+  }
+
   def defs: Seq[QueryDef] = Seq(selectListScalar, correlatedExists,
     correlatedNotExists, derivedTable, correlatedScalarWhere, havingSubquery,
-    cte, recursiveClosure)
+    cte, recursiveClosure, anyAll)
 }
