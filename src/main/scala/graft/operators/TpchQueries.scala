@@ -814,7 +814,107 @@ object TpchQueries {
       ORDER BY c_nationkey""")
   )
 
+  // ---- faithful partsupp shapes --------------------------------------
+  //
+  // The testdata ships no partsupp table, so q02/q09/q11/q20 above run
+  // ADAPTED shapes (noted in README). These four *_partsupp_* variants
+  // run the REAL TPC-H query shapes against a DETERMINISTIC derived
+  // partsupp: one row per distinct (l_partkey, l_suppkey) pair — the
+  // TPC-H invariant that every lineitem pair exists in partsupp — with
+  // availqty/supplycost synthesized by integer formulas, so both engines
+  // derive the identical table from the identical SQL text and the
+  // oracle checks the genuine shape (min-cost correlated subquery,
+  // supplycost profit, stock-value HAVING fraction, excess-stock
+  // double-nested IN).
+  private val partsuppCte = """partsupp AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               (l_partkey * 7 + l_suppkey * 3) % 1000 + 1 AS ps_availqty,
+               CAST((l_partkey * 31 + l_suppkey * 17) % 10000 AS DOUBLE)
+                 / 100 AS ps_supplycost
+        FROM lineitem)"""
+
+  private def sameSql(name: String, q: String): QueryDef =
+    QueryDef(name,
+      (s, dir) => { Tables.registerAll(s, dir); s.sql(q) },
+      oracle = Some(q))
+
+  /** Q2 faithful: min-supplycost supplier per part via the correlated
+    * partsupp subquery (reference: dbcon/doc/tpch02.sql). */
+  val q02ps: QueryDef = sameSql("q02_partsupp_min_cost", s"""
+      WITH $partsuppCte
+      SELECT s_acctbal, s_name, n_name, p_partkey, p_brand, ps_supplycost
+      FROM part, supplier, partsupp, nation, region
+      WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+        AND p_size = 15 AND p_type = 'LARGE'
+        AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        AND r_name = 'EUROPE'
+        AND ps_supplycost = (
+          SELECT min(ps2.ps_supplycost)
+          FROM partsupp ps2, supplier s2, nation n2, region r2
+          WHERE part.p_partkey = ps2.ps_partkey
+            AND s2.s_suppkey = ps2.ps_suppkey
+            AND s2.s_nationkey = n2.n_nationkey
+            AND n2.n_regionkey = r2.r_regionkey
+            AND r2.r_name = 'EUROPE')
+      ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      LIMIT 100""")
+
+  /** Q9 faithful: product profit with the partsupp supplycost term
+    * (reference: dbcon/doc/tpch09.sql). */
+  val q09ps: QueryDef = sameSql("q09_partsupp_profit", s"""
+      WITH $partsuppCte
+      SELECT n_name AS nation,
+             CAST(year(o_orderdate) AS INTEGER) AS o_year,
+             CAST(sum(CAST(l_extendedprice * (1 - l_discount)
+                 - ps_supplycost * l_quantity AS DECIMAL(18,4)))
+               AS DOUBLE) AS sum_profit
+      FROM part, supplier, lineitem, partsupp, orders, nation
+      WHERE s_suppkey = l_suppkey AND ps_suppkey = l_suppkey
+        AND ps_partkey = l_partkey AND p_partkey = l_partkey
+        AND o_orderkey = l_orderkey AND s_nationkey = n_nationkey
+        AND p_name LIKE '%re%'
+      GROUP BY n_name, CAST(year(o_orderdate) AS INTEGER)
+      ORDER BY nation, o_year DESC""")
+
+  /** Q11 faithful: stock value per part vs a global-fraction scalar
+    * subquery over partsupp (reference: dbcon/doc/tpch11.sql). */
+  val q11ps: QueryDef = sameSql("q11_partsupp_stock_value", s"""
+      WITH $partsuppCte
+      SELECT ps_partkey,
+             CAST(sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4)))
+               AS DOUBLE) AS value
+      FROM partsupp, supplier, nation
+      WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+        AND n_name = 'NATION_7'
+      GROUP BY ps_partkey
+      HAVING sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4))) > (
+        SELECT sum(CAST(ps_supplycost * ps_availqty AS DECIMAL(18,4)))
+                 * 0.001
+        FROM partsupp, supplier, nation
+        WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+          AND n_name = 'NATION_7')
+      ORDER BY value DESC, ps_partkey""")
+
+  /** Q20 faithful: excess-stock suppliers via the double-nested IN with
+    * the correlated half-of-shipped-quantity bound
+    * (reference: dbcon/doc/tpch20.sql). */
+  val q20ps: QueryDef = sameSql("q20_partsupp_excess", s"""
+      WITH $partsuppCte
+      SELECT s_name, s_acctbal
+      FROM supplier, nation
+      WHERE s_suppkey IN (
+          SELECT ps_suppkey FROM partsupp
+          WHERE ps_partkey IN (SELECT p_partkey FROM part
+                               WHERE p_name LIKE 'red%')
+            AND ps_availqty > (
+              SELECT 0.5 * sum(l_quantity) FROM lineitem
+              WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+                AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+                AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+        AND s_nationkey = n_nationkey AND n_name = 'NATION_3'
+      ORDER BY s_name""")
+
   def defs: Seq[QueryDef] = Seq(
     q01, q02, q03, q04, q05, q06, q07, q08, q09, q10, q11, q12, q13, q14,
-    q15, q16, q17, q18, q19, q20, q21, q22)
+    q15, q16, q17, q18, q19, q20, q21, q22, q02ps, q09ps, q11ps, q20ps)
 }
