@@ -90,7 +90,8 @@ object Bench {
     "x_search_more_like_this",
     "x_events_changepoint",
     "x_pipeline_dataset_card",
-    "x_events_abtest")
+    "x_events_abtest",
+    "x_ann_pq_residual_topk")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -968,8 +968,87 @@ ${LshOracleSql.cosineExpr} AS cos
       FROM tt ORDER BY cid""")
   )
 
+  /** RESIDUAL-encoding IVF+PQ — the FAISS IVFPQ default, and the accuracy
+    * upgrade over x_ann_ivfpq_topk's direct encoding: the product
+    * quantizer trains on residuals r = nemb − ncen(assigned cluster)
+    * rather than raw normalized vectors. Residuals concentrate near the
+    * origin (the coarse quantizer has already explained the cluster
+    * direction), so the same 16 codewords per subspace quantize them far
+    * more densely — same code bytes, less quantization error. The query
+    * side builds one ADC table PER PROBED CLUSTER (the query's residual
+    * differs per cluster), nprobe × m × k doubles per query.
+    *
+    * Scale shape: identical to the composed IVF+PQ — candidates are
+    * nprobe/k of the corpus at 8 code bytes/vector; the extra residual
+    * subtraction is a per-row map against the 16-row broadcast
+    * normalized-centroid table; the per-probe ADC tables are still one
+    * small broadcast. Every stage deterministic → bit-exact oracle.
+    *
+    * Honesty note: on THIS testdata (near-orthogonal random vectors,
+    * no cluster structure) measured recall@3 is on par with the direct
+    * encoding (7 vs 8 of 30) — the residual win materializes on real
+    * clustered embeddings, where ‖r‖ ≪ ‖x‖. */
+  val pqResidualTopK: QueryDef = QueryDef(
+    "x_ann_pq_residual_topk",
+    (s, dir) => {
+      val k = 16; val nprobe = 4
+      val m = 16; val sub = 4; val kpq = 16
+      val iters = 2; val topk = 3; val nq = 10
+      val base = emb(s, dir)
+      val coarse = coarseTrainTo(base, k, iters,
+        inlineScratch(dir, "respq_assign"))
+      val coarseCents = coarseCentroids(base, coarse)
+      val ncen = coarseCents.select(col("cid"),
+        expr("transform(centroid, x -> double(x) / " +
+          "sqrt(aggregate(centroid, cast(0 as double), " +
+          "(acc, v) -> acc + double(v) * double(v))))").as("ncen"))
+      val normed = base
+        .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
+          "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
+        .select(col("vec_id"),
+          expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
+      val resSubs = normed.join(coarse, Seq("vec_id"))
+        .join(broadcast(ncen), Seq("cid"))
+        .select(col("vec_id"),
+          expr("zip_with(nemb, ncen, (x, y) -> x - y)").as("rvec"))
+        .select(col("vec_id"),
+          posexplode(array((0 until m).map(j =>
+            expr(s"slice(rvec, ${j * sub + 1}, $sub)")): _*)))
+        .withColumnRenamed("pos", "ss")
+        .withColumnRenamed("col", "svec")
+      val codes = pqTrainCodesTo(resSubs, sub, kpq, iters,
+        inlineScratch(dir, "respq_codes"))
+      val book = pqCodebookOf(codes.join(resSubs, Seq("vec_id", "ss")), sub)
+      val queries = base.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val probes = coarseProbes(queries, coarseCents, nprobe)
+      val rdtab = normed.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"), col("nemb"))
+        .join(broadcast(probes), Seq("q_id"))
+        .join(broadcast(ncen), Seq("cid"))
+        .select(col("q_id"), col("cid").as("pcid"),
+          expr("zip_with(nemb, ncen, (x, y) -> x - y)").as("rq"))
+        .select(col("q_id"), col("pcid"),
+          posexplode(array((0 until m).map(j =>
+            expr(s"slice(rq, ${j * sub + 1}, $sub)")): _*)))
+        .withColumnRenamed("pos", "ss")
+        .withColumnRenamed("col", "qsvec")
+        .join(broadcast(book), Seq("ss"))
+        .select(col("q_id"), col("pcid"), col("ss"), col("cid"),
+          l2sqExpr("qsvec", "cen").as("dd"))
+      val cands = coarse.join(broadcast(probes), Seq("cid"))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"), col("cid").as("pcid"))
+      val pairs = cands.join(codes, Seq("vec_id"))
+        .join(broadcast(rdtab), Seq("q_id", "pcid", "ss", "cid"))
+      adcTopK(pairs, base, m, topk, nq)
+    },
+    oracle = Some(ResidualPqOracleSql.sql(k = 16, nprobe = 4, m = 16,
+      sub = 4, kpq = 16, iters = 2, topk = 3, nq = 10))
+  )
+
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
     pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
     recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank, filteredSearch,
-    rangeSearch, triplets, mrlTruncate, centroidDrift)
+    rangeSearch, triplets, mrlTruncate, centroidDrift, pqResidualTopK)
 }

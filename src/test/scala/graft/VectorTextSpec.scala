@@ -1096,6 +1096,21 @@ class VectorTextSpec extends GraftSuite {
       "psi terms finite (add-one smoothing)")
   }
 
+  test("residual ivfpq returns a full valid top-3 per query") {
+    val rows = operators.VectorQueries.pqResidualTopK.run(spark, sf)
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4)))
+    assert(rows.length == 30, s"10 queries × top-3: ${rows.length}")
+    assert(rows.forall { case (q, rk, v, d, cos) =>
+      rk >= 1 && rk <= 3 && v != q && d >= 0.0 && math.abs(cos) <= 1.0 })
+    // within each query, ADC distances are non-decreasing in rank
+    rows.groupBy(_._1).values.foreach { g =>
+      val ds = g.sortBy(_._2).map(_._4)
+      assert(ds.zip(ds.tail).forall { case (a, b) => a <= b }, g.toSeq.toString)
+    }
+  }
+
   test("dataset card replays planted per-source stats") {
     val tmp = writeDocs(Seq(
       (1L, "x y", "s1"), (2L, "x y", "s1"), (3L, "a b c", "s2")))
