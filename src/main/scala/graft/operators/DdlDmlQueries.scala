@@ -1032,6 +1032,65 @@ object DdlDmlQueries {
       FROM r GROUP BY lang ORDER BY lang""")
   )
 
+  /** CHECK / NOT NULL constraint enforcement on the DML insert path —
+    * the cpimport reject contract (d_loader_rejects) applied to
+    * catalog-table DML: an insert batch carries planted violations
+    * (negative-beyond-floor balances, NULL names), the valid rows
+    * append, the violating rows are rejected and counted per rule, and
+    * the readback proves the table absorbed exactly the clean rows.
+    * At 100 TB constraint checks are per-row scan predicates (codegen'd,
+    * no shuffle) evaluated before the append write — reject accounting
+    * is a two-phase count.
+    */
+  val checkConstraints: QueryDef = QueryDef(
+    "d_check_constraints",
+    (s, dir) => {
+      import s.implicits._
+      val cat = new Catalog(s, scratch("checkcons"))
+      val cust = Tables.table(s, dir, "customer")
+      cat.createTableAs("cust_c", cust.filter(col("c_custkey") % 2 === 0))
+      // batch: odd keys, with planted violations
+      val batch = cust.filter(col("c_custkey") % 2 === 1)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 1, lit(-99999.0))
+            .otherwise(col("c_acctbal")))
+        .withColumn("c_name",
+          when(col("c_custkey") % 13 === 3, lit(null).cast("string"))
+            .otherwise(col("c_name")))
+      val violCheck = col("c_acctbal") < -1000.0
+      val violNull = col("c_name").isNull
+      val nCheck = batch.filter(violCheck).count()
+      val nNull = batch.filter(!violCheck && violNull).count()
+      val valid = batch.filter(!violCheck && !violNull)
+      val nValid = valid.count()
+      cat.insertIntoSelect("cust_c", valid)
+      val after = cat.table("cust_c").count()
+      Seq((nCheck, nNull, nValid, after))
+        .toDF("n_rejected_check", "n_rejected_null", "n_appended",
+          "table_rows_after")
+    },
+    oracle = Some("""
+      WITH batch AS (
+        SELECT c_custkey,
+               CASE WHEN c_custkey % 10 = 1 THEN -99999.0
+                    ELSE c_acctbal END AS bal,
+               CASE WHEN c_custkey % 13 = 3 THEN NULL
+                    ELSE c_name END AS name
+        FROM customer WHERE c_custkey % 2 = 1),
+      f AS (SELECT bal < -1000.0 AS vc, name IS NULL AS vn FROM batch)
+      SELECT
+        CAST(sum(CASE WHEN vc THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_rejected_check,
+        CAST(sum(CASE WHEN NOT vc AND vn THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_rejected_null,
+        CAST(sum(CASE WHEN NOT vc AND NOT vn THEN 1 ELSE 0 END) AS BIGINT)
+          AS n_appended,
+        (SELECT count(*) FROM customer WHERE c_custkey % 2 = 0)
+          + CAST(sum(CASE WHEN NOT vc AND NOT vn THEN 1 ELSE 0 END)
+              AS BIGINT) AS table_rows_after
+      FROM f""")
+  )
+
   def defs: Seq[QueryDef] = Seq(ctasRoundtrip, insertIntoSelect, updateDelete,
     alterTable, csvRoundtrip, jsonlRoundtrip, loaderRejects, crossEngine,
     bucketedJoin,
@@ -1039,5 +1098,5 @@ object DdlDmlQueries {
     viewRoundtrip, mergeUpsert, timeTravel, zorderLayout,
     matviewIncremental, compaction, txnRollback, orcRoundtrip,
     analyzeHistogram, schemaMerge, dmlJoin, dynamicPartitionOverwrite,
-    wapPublish, maskedView)
+    wapPublish, maskedView, checkConstraints)
 }

@@ -2224,10 +2224,80 @@ object TextQueries {
       FROM a ORDER BY source""")
   )
 
+  /** Collocation mining via pointwise mutual information — the classic
+    * "New York"-detector (Church & Hanks): PMI = ln(p(ab) / p(a)p(b))
+    * over corpus bigram vs unigram frequencies finds word pairs that
+    * co-occur far more than chance — multiword expressions a tokenizer
+    * or glossary builder wants as single units. Min-count 5 suppresses
+    * the low-frequency PMI explosion; scores round to 4 decimals BEFORE
+    * ranking (w1, w2 tiebreak) so a 1-ulp ln() difference can't flip a
+    * rank — the same policy as x_search_bm25.
+    *
+    * Scale shape: two two-phase count tables (bigram, unigram) joined BY
+    * KEY; the scalar totals broadcast; top-20 is a bounded
+    * TakeOrdered — no global sort of the vocabulary. */
+  val collocationsPmi: QueryDef = QueryDef(
+    "x_text_collocations_pmi",
+    (s, dir) => {
+      val base = docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 2)
+      val bg = base.select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), " +
+          "i -> struct(element_at(toks, i + 1) AS w1, " +
+          "element_at(toks, i + 2) AS w2))")).as("b"))
+        .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      val cb = bg.groupBy(col("w1"), col("w2")).agg(count(lit(1)).as("cab"))
+      val uni = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("cw"))
+      val totals = cb.agg(sum(col("cab")).as("nbi"))
+        .crossJoin(uni.agg(sum(col("cw")).as("nuni")))
+      cb.filter(col("cab") >= 5)
+        .join(uni.select(col("w").as("w1"), col("cw").as("ca")), Seq("w1"))
+        .join(uni.select(col("w").as("w2"), col("cw").as("cb2")), Seq("w2"))
+        .crossJoin(broadcast(totals))
+        .withColumn("pmi", round(log(
+          (col("cab").cast("double") / col("nbi")) /
+            ((col("ca").cast("double") / col("nuni")) *
+              (col("cb2").cast("double") / col("nuni")))), 4))
+        .orderBy(col("pmi").desc, col("w1"), col("w2"))
+        .limit(20)
+        .select(col("w1"), col("w2"), col("cab"), col("ca"),
+          col("cb2"), col("pmi"))
+    },
+    oracle = Some("""
+      WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents
+                 WHERE len(string_split(text, ' ')) >= 2),
+      bg AS (SELECT unnest(list_transform(range(0, len(toks) - 1),
+               i -> {'w1': toks[i+1], 'w2': toks[i+2]}),
+               recursive := true)
+             FROM t),
+      cb AS (SELECT w1, w2, count(*) AS cab FROM bg GROUP BY w1, w2),
+      uni AS (SELECT w, count(*) AS cw FROM (
+                SELECT unnest(string_split(text, ' ')) AS w
+                FROM documents) GROUP BY w),
+      tot AS (SELECT (SELECT CAST(sum(cab) AS BIGINT) FROM cb) AS nbi,
+                     (SELECT CAST(sum(cw) AS BIGINT) FROM uni) AS nuni),
+      scored AS (SELECT cb.w1, cb.w2, cb.cab,
+                   ua.cw AS ca, ub.cw AS cb2,
+                   round(ln((CAST(cb.cab AS DOUBLE) / tot.nbi) /
+                     ((CAST(ua.cw AS DOUBLE) / tot.nuni) *
+                      (CAST(ub.cw AS DOUBLE) / tot.nuni))), 4) AS pmi
+                 FROM cb
+                 JOIN uni ua ON ua.w = cb.w1
+                 JOIN uni ub ON ub.w = cb.w2
+                 CROSS JOIN tot
+                 WHERE cb.cab >= 5)
+      SELECT w1, w2, cab, ca, cb2, pmi FROM scored
+      ORDER BY pmi DESC, w1, w2 LIMIT 20""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
     hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix,
     split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed,
-    expectations, driftPsi, kfold, lmScoreKn, moreLikeThis, datasetCard)
+    expectations, driftPsi, kfold, lmScoreKn, moreLikeThis, datasetCard,
+    collocationsPmi)
 }

@@ -254,6 +254,20 @@ class CatalogSpec extends GraftSuite {
     }
   }
 
+  test("check constraints reject planted violations and append the rest") {
+    import org.apache.spark.sql.functions.col
+    val r = operators.DdlDmlQueries.checkConstraints.run(spark, sf)
+      .collect()(0)
+    val cust = Tables.table(spark, sf, "customer")
+    val nOdd = cust.filter(col("c_custkey") % 2 === 1).count()
+    val nEven = cust.filter(col("c_custkey") % 2 === 0).count()
+    assert(r.getLong(0) > 0 && r.getLong(1) > 0, "both rules must fire")
+    assert(r.getLong(0) + r.getLong(1) + r.getLong(2) == nOdd,
+      "rejects + appends partition the batch")
+    assert(r.getLong(3) == nEven + r.getLong(2),
+      "table absorbs exactly the clean rows")
+  }
+
   test("write-audit-publish publishes the clean batch and rejects the dirty one") {
     val rows = operators.DdlDmlQueries.wapPublish.run(spark, sf).collect()
       .map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),

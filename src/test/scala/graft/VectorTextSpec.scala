@@ -1111,6 +1111,19 @@ class VectorTextSpec extends GraftSuite {
     }
   }
 
+  test("pmi collocations rank the planted pair with the hand-computed score") {
+    // 6 copies of "new york visit": both adjacent pairs have
+    // PMI = ln((6/12) / ((6/18)·(6/18))) = ln(4.5); tie broken by w1
+    val tmp = writeDocs((1L to 6L).map(i => (i, "new york visit", "fx")))
+    val rows = operators.TextQueries.collocationsPmi.run(spark, tmp)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(5)))
+    val want = math.rint(math.log(4.5) * 10000) / 10000
+    assert(rows.toSeq == Seq(("new", "york", 6L, want),
+      ("york", "visit", 6L, want)), s"got ${rows.toSeq}, want pmi=$want")
+  }
+
   test("dataset card replays planted per-source stats") {
     val tmp = writeDocs(Seq(
       (1L, "x y", "s1"), (2L, "x y", "s1"), (3L, "a b c", "s2")))
