@@ -1047,8 +1047,74 @@ ${LshOracleSql.cosineExpr} AS cos
       sub = 4, kpq = 16, iters = 2, topk = 3, nq = 10))
   )
 
+  /** MRL two-stage retrieve-then-rerank — the production use of the
+    * truncation sweep: score the corpus with only the FIRST 8 dims
+    * (1/8 of the vector bytes — at 100 TB this stage reads a prefix
+    * column), keep a 10-deep shortlist, then rerank ONLY the shortlist
+    * with full-64-dim exact cosine. The same shape as the ADC rerank
+    * (x_ann_ivfpq_rerank) with dimension truncation as the cheap stage
+    * instead of code compression.
+    *
+    * Scale shape: the shortlist window ranks (q_id, vec_id, prefix-cos)
+    * triples — full vectors never enter the shuffle; the rerank re-joins
+    * the 10·|queries| shortlisted ids back to the corpus BY KEY to read
+    * their full vectors. */
+  val mrlRerank: QueryDef = QueryDef(
+    "x_ann_mrl_rerank",
+    (s, dir) => {
+      val nq = 10; val shortlist = 10; val topk = 3; val d = 8
+      val base = emb(s, dir)
+      val queries = base.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val wS = Window.partitionBy(col("q_id"))
+        .orderBy(col("dcos").desc, col("vec_id"))
+      val short = base.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineSim(slice(col("q_emb"), lit(1), lit(d)),
+            slice(col("embedding"), lit(1), lit(d))).as("dcos"))
+        .withColumn("srk", row_number().over(wS))
+        .filter(col("srk") <= shortlist)
+        .select(col("q_id"), col("vec_id"))
+      val wR = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      short.join(base, Seq("vec_id"))
+        .join(broadcast(queries), Seq("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineSim(col("q_emb"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(wR))
+        .filter(col("rk") <= topk)
+        .select(col("q_id"), col("rk"), col("vec_id"), col("cos"))
+        .orderBy(col("q_id"), col("rk"))
+    },
+    oracle = Some("""
+      WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+                 WHERE vec_id < 10),
+      short AS (SELECT q_id, vec_id FROM (
+          SELECT q.q_id, e.vec_id,
+            row_number() OVER (PARTITION BY q.q_id ORDER BY
+              list_cosine_similarity(CAST(q.q_emb[1:8] AS DOUBLE[]),
+                CAST(e.embedding[1:8] AS DOUBLE[])) DESC, e.vec_id) AS srk
+          FROM embeddings e CROSS JOIN q WHERE e.vec_id <> q.q_id)
+        WHERE srk <= 10),
+      rer AS (SELECT s.q_id, s.vec_id,
+                list_cosine_similarity(CAST(q.q_emb AS DOUBLE[]),
+                  CAST(e.embedding AS DOUBLE[])) AS cos
+              FROM short s
+              JOIN embeddings e ON e.vec_id = s.vec_id
+              JOIN q ON q.q_id = s.q_id),
+      ranked AS (SELECT q_id, vec_id, cos,
+                   row_number() OVER (PARTITION BY q_id
+                     ORDER BY cos DESC, vec_id) AS rk
+                 FROM rer)
+      SELECT q_id, CAST(rk AS INT) AS rk, vec_id, cos FROM ranked
+      WHERE rk <= 3
+      ORDER BY q_id, rk""")
+  )
+
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
     pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
     recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank, filteredSearch,
-    rangeSearch, triplets, mrlTruncate, centroidDrift, pqResidualTopK)
+    rangeSearch, triplets, mrlTruncate, centroidDrift, pqResidualTopK,
+    mrlRerank)
 }

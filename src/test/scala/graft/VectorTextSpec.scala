@@ -1111,6 +1111,19 @@ class VectorTextSpec extends GraftSuite {
     }
   }
 
+  test("mrl rerank produces a full exact-cosine-ordered top-3 per query") {
+    val rows = operators.VectorQueries.mrlRerank.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
+    assert(rows.length == 30, s"10 queries × top-3: ${rows.length}")
+    assert(rows.forall { case (q, rk, v, cos) =>
+      rk >= 1 && rk <= 3 && v != q && math.abs(cos) <= 1.0 })
+    rows.groupBy(_._1).values.foreach { g =>
+      val cs = g.sortBy(_._2).map(_._4)
+      assert(cs.zip(cs.tail).forall { case (a, b) => a >= b },
+        s"rerank must order by exact cosine: ${g.toSeq}")
+    }
+  }
+
   test("pmi collocations rank the planted pair with the hand-computed score") {
     // 6 copies of "new york visit": both adjacent pairs have
     // PMI = ln((6/12) / ((6/18)·(6/18))) = ln(4.5); tie broken by w1
