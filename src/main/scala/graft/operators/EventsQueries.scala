@@ -1402,10 +1402,76 @@ object EventsQueries {
       FROM a""")
   )
 
+  /** Robust outlier detection via MAD (median absolute deviation) — the
+    * heavy-tail-safe complement to x_events_anomaly's z-score: a mean/σ
+    * rule is itself dragged by the outliers it hunts (one 100× spike
+    * inflates σ and hides a 10× spike); the modified z-score
+    * 0.6745·(y − median)/MAD (Iglewicz-Hoaglin, |rz| > 3.5) is immune to
+    * up to 50% contamination. Exact interpolated medians on both
+    * engines; MAD = 0 (constant series) pins rz to 0 — the flat-σ rule
+    * again.
+    *
+    * Scale shape: event volume collapses in the hourly two-phase agg;
+    * both medians are per-type exact percentiles over |hours| rows —
+    * the same broadcast-percentile shape as x_events_rfm, no global
+    * sort. */
+  val outlierMad: QueryDef = QueryDef(
+    "x_events_outlier_mad",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      val med = hourly.groupBy(col("event_type"))
+        .agg(expr("percentile(n, 0.5)").as("med"))
+      val dev = hourly.join(med, Seq("event_type"))
+        .withColumn("adev", abs(col("n").cast("double") - col("med")))
+      val madT = dev.groupBy(col("event_type"))
+        .agg(expr("percentile(adev, 0.5)").as("mad"))
+      dev.join(madT, Seq("event_type"))
+        .withColumn("rz", when(col("mad") > 0,
+          lit(0.6745) * (col("n").cast("double") - col("med")) / col("mad"))
+          .otherwise(lit(0.0)))
+        .withColumn("flag", abs(col("rz")) > 3.5)
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_hours"),
+          round(min(col("med")), 4).as("med"),
+          round(min(col("mad")), 4).as("mad"),
+          sum(when(col("flag"), 1L).otherwise(0L)).as("n_flags"),
+          min(when(col("flag"), col("hr"))).as("first_flag_hr"),
+          round(max(abs(col("rz"))), 4).as("max_abs_rz"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+                   CAST(count(*) AS BIGINT) AS n
+                 FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      md AS (SELECT event_type, quantile_cont(n, 0.5) AS med
+             FROM h GROUP BY event_type),
+      dv AS (SELECT h.event_type, h.hr, h.n, md.med,
+               abs(CAST(h.n AS DOUBLE) - md.med) AS adev
+             FROM h JOIN md USING (event_type)),
+      m2 AS (SELECT event_type, quantile_cont(adev, 0.5) AS mad
+             FROM dv GROUP BY event_type),
+      rz AS (SELECT dv.event_type, dv.hr, dv.n, dv.med, m2.mad,
+               CASE WHEN m2.mad > 0
+                    THEN 0.6745 * (CAST(dv.n AS DOUBLE) - dv.med) / m2.mad
+                    ELSE 0.0 END AS rz
+             FROM dv JOIN m2 USING (event_type))
+      SELECT event_type, count(*) AS n_hours,
+             round(min(med), 4) AS med,
+             round(min(mad), 4) AS mad,
+             CAST(sum(CASE WHEN abs(rz) > 3.5 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_flags,
+             min(CASE WHEN abs(rz) > 3.5 THEN hr END) AS first_flag_hr,
+             round(max(abs(rz)), 4) AS max_abs_rz
+      FROM rz GROUP BY event_type ORDER BY event_type""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
     resample, winsorize, transitions, streamTransitions, ewma, scd2,
     pattern, attributionLinear, seasonal, cohortLtv, rfm, copurchase,
-    streamCdcUpsert, changepoint, abtest)
+    streamCdcUpsert, changepoint, abtest, outlierMad)
 }

@@ -242,33 +242,54 @@ object GraphQueries {
     * two grouped aggregations keyed by node — three longs per edge in
     * flight; labels are localCheckpointed per round so the lineage stays
     * O(1) deep (swap for a reliable checkpoint dir on a real cluster). */
+  /** The 4-round self-vote LPA loop, shared by x_graph_labelprop and
+    * x_graph_modularity: returns the final (doc_id, lab) table. */
+  private def lpaLabels(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    // self-loop per node implements the self-vote; star edges carry
+    // the neighbor votes
+    val edges = starEdges(chunkDigests(d))
+      .union(d.select(col("doc_id").as("src"), col("doc_id").as("dst")))
+      .localCheckpoint()
+    var labels = d.select(col("doc_id"), col("doc_id").as("lab"))
+      .localCheckpoint()
+    for (_ <- 1 to 4) {
+      val cnt = edges
+        .join(labels.select(col("doc_id").as("src"), col("lab")),
+          Seq("src"))
+        .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
+      // most-frequent neighbor label, smallest label on count ties:
+      // (c, -lab) is unique per dst, so max_by is deterministic
+      val best = cnt.groupBy(col("dst"))
+        .agg(expr("max_by(lab, struct(c, -lab))").as("blab"))
+      labels = labels
+        .join(best.withColumnRenamed("dst", "doc_id"),
+          Seq("doc_id"), "left_outer")
+        .select(col("doc_id"),
+          coalesce(col("blab"), col("lab")).as("lab"))
+        .localCheckpoint()
+    }
+    labels
+  }
+
+  /** The LPA rounds as DuckDB CTEs (cnt1..best4..lp4), shared by both
+    * oracles; expects `edges2` (edges + self-loops) and `lp0` defined. */
+  private val lpaRoundsSql: String = (1 to 4).map { i =>
+    s"""cnt$i AS (SELECT e.dst AS doc_id, l.lab, count(*) AS c
+           FROM edges2 e JOIN lp${i - 1} l ON l.doc_id = e.src
+           GROUP BY e.dst, l.lab),
+         best$i AS (SELECT doc_id, lab FROM (
+             SELECT doc_id, lab, row_number() OVER
+               (PARTITION BY doc_id ORDER BY c DESC, lab ASC) AS rn
+             FROM cnt$i) WHERE rn = 1),
+         lp$i AS (SELECT p.doc_id, coalesce(b.lab, p.lab) AS lab
+           FROM lp${i - 1} p LEFT JOIN best$i b USING (doc_id))"""
+  }.mkString(",\n")
+
   val labelprop: QueryDef = QueryDef(
     "x_graph_labelprop",
     (s, dir) => {
-      val d = docs(s, dir)
-      // self-loop per node implements the self-vote; star edges carry
-      // the neighbor votes
-      val edges = starEdges(chunkDigests(d))
-        .union(d.select(col("doc_id").as("src"), col("doc_id").as("dst")))
-        .localCheckpoint()
-      var labels = d.select(col("doc_id"), col("doc_id").as("lab"))
-        .localCheckpoint()
-      for (_ <- 1 to 4) {
-        val cnt = edges
-          .join(labels.select(col("doc_id").as("src"), col("lab")),
-            Seq("src"))
-          .groupBy(col("dst"), col("lab")).agg(count(lit(1)).as("c"))
-        // most-frequent neighbor label, smallest label on count ties:
-        // (c, -lab) is unique per dst, so max_by is deterministic
-        val best = cnt.groupBy(col("dst"))
-          .agg(expr("max_by(lab, struct(c, -lab))").as("blab"))
-        labels = labels
-          .join(best.withColumnRenamed("dst", "doc_id"),
-            Seq("doc_id"), "left_outer")
-          .select(col("doc_id"),
-            coalesce(col("blab"), col("lab")).as("lab"))
-          .localCheckpoint()
-      }
+      val labels = lpaLabels(s, dir)
       val sizes = labels.groupBy(col("lab"))
         .agg(count(lit(1)).as("community_size"))
       labels.join(sizes, Seq("lab"))
@@ -276,28 +297,98 @@ object GraphQueries {
           col("community_size"))
         .orderBy(col("doc_id"))
     },
-    oracle = Some {
-      val rounds = (1 to 4).map { i =>
-        s"""cnt$i AS (SELECT e.dst AS doc_id, l.lab, count(*) AS c
-             FROM edges2 e JOIN lp${i - 1} l ON l.doc_id = e.src
-             GROUP BY e.dst, l.lab),
-           best$i AS (SELECT doc_id, lab FROM (
-               SELECT doc_id, lab, row_number() OVER
-                 (PARTITION BY doc_id ORDER BY c DESC, lab ASC) AS rn
-               FROM cnt$i) WHERE rn = 1),
-           lp$i AS (SELECT p.doc_id, coalesce(b.lab, p.lab) AS lab
-             FROM lp${i - 1} p LEFT JOIN best$i b USING (doc_id))"""
-      }.mkString(",\n")
-      edgesSql + s""",
+    oracle = Some(edgesSql + s""",
       edges2 AS (SELECT src, dst FROM edges
                  UNION ALL SELECT doc_id, doc_id FROM n),
       lp0 AS (SELECT doc_id, doc_id AS lab FROM n),
-      $rounds,
+      $lpaRoundsSql,
       sz AS (SELECT lab, CAST(count(*) AS BIGINT) AS community_size
              FROM lp4 GROUP BY lab)
       SELECT l.doc_id, l.lab AS community, s.community_size
-      FROM lp4 l JOIN sz s USING (lab) ORDER BY l.doc_id"""
-    }
+      FROM lp4 l JOIN sz s USING (lab) ORDER BY l.doc_id""")
+  )
+
+  /** Newman MODULARITY of the LPA partition — the number that says
+    * whether the detected communities are real structure or noise:
+    * Q = Σ_c [ e_c/E − (d_c/E)² ] over the symmetric star-edge graph
+    * (e_c = intra-community directed edges, d_c = community out-degree
+    * mass, E = total directed edges; self-loops excluded). A curation
+    * pipeline reads per-community q_contrib to decide which template
+    * families are coherent enough to cap as a unit, and q_total to
+    * compare parameterizations. Exact integer edge counts → the only
+    * doubles are the final ratios; oracle replays the LPA chain and the
+    * rollup.
+    *
+    * Scale shape: one (edge ⨝ label) keyed join — (src, dst, lab) longs
+    * in flight — then |communities|-row aggregation; E broadcasts as a
+    * one-row count. */
+  val modularity: QueryDef = QueryDef(
+    "x_graph_modularity",
+    (s, dir) => {
+      val edges = starEdges(chunkDigests(docs(s, dir))).localCheckpoint()
+      val labels = lpaLabels(s, dir)
+      val tot = edges.agg(count(lit(1)).cast("double").as("m"))
+      val el = edges
+        .join(labels.select(col("doc_id").as("src"), col("lab").as("lsrc")),
+          Seq("src"))
+        .join(labels.select(col("doc_id").as("dst"), col("lab").as("ldst")),
+          Seq("dst"))
+      val intra = el.filter(col("lsrc") === col("ldst"))
+        .groupBy(col("lsrc").as("community"))
+        .agg(count(lit(1)).as("intra_edges"))
+      val degc = el.groupBy(col("lsrc").as("community"))
+        .agg(count(lit(1)).as("degree_sum"))
+      val members = labels.groupBy(col("lab").as("community"))
+        .agg(count(lit(1)).as("n_members"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
+      members
+        .join(intra, Seq("community"), "left")
+        .join(degc, Seq("community"), "left")
+        .select(col("community"), col("n_members"),
+          coalesce(col("intra_edges"), lit(0L)).as("intra_edges"),
+          coalesce(col("degree_sum"), lit(0L)).as("degree_sum"))
+        .crossJoin(broadcast(tot))
+        .withColumn("qc", col("intra_edges").cast("double") / col("m")
+          - (col("degree_sum").cast("double") / col("m"))
+            * (col("degree_sum").cast("double") / col("m")))
+        .withColumn("q_contrib", round(col("qc"), 6))
+        .withColumn("q_total", round(sum(col("qc")).over(wAll), 6))
+        .select(col("community"), col("n_members"), col("intra_edges"),
+          col("degree_sum"), col("q_contrib"), col("q_total"))
+        .orderBy(col("community"))
+    },
+    oracle = Some(edgesSql + s""",
+      edges2 AS (SELECT src, dst FROM edges
+                 UNION ALL SELECT doc_id, doc_id FROM n),
+      lp0 AS (SELECT doc_id, doc_id AS lab FROM n),
+      $lpaRoundsSql,
+      mm AS (SELECT CAST(count(*) AS DOUBLE) AS m FROM edges),
+      el AS (SELECT ls.lab AS lsrc, ld.lab AS ldst
+             FROM edges e
+             JOIN lp4 ls ON ls.doc_id = e.src
+             JOIN lp4 ld ON ld.doc_id = e.dst),
+      intra AS (SELECT lsrc AS community, CAST(count(*) AS BIGINT)
+                  AS intra_edges
+                FROM el WHERE lsrc = ldst GROUP BY lsrc),
+      degc AS (SELECT lsrc AS community, CAST(count(*) AS BIGINT)
+                 AS degree_sum
+               FROM el GROUP BY lsrc),
+      mem AS (SELECT lab AS community, count(*) AS n_members
+              FROM lp4 GROUP BY lab),
+      jj AS (SELECT mem.community, mem.n_members,
+               coalesce(intra.intra_edges, 0) AS intra_edges,
+               coalesce(degc.degree_sum, 0) AS degree_sum
+             FROM mem LEFT JOIN intra USING (community)
+                      LEFT JOIN degc USING (community)),
+      tt AS (SELECT jj.*,
+               CAST(intra_edges AS DOUBLE) / mm.m
+                 - (CAST(degree_sum AS DOUBLE) / mm.m)
+                   * (CAST(degree_sum AS DOUBLE) / mm.m) AS qc
+             FROM jj CROSS JOIN mm)
+      SELECT community, n_members, intra_edges, degree_sum,
+             round(qc, 6) AS q_contrib,
+             round(sum(qc) OVER (), 6) AS q_total
+      FROM tt ORDER BY community""")
   )
 
   /** Exactly-2-hop reachability counts — distinct nodes reachable in two
@@ -338,5 +429,6 @@ object GraphQueries {
       FROM strict GROUP BY src ORDER BY doc_id""")
   )
 
-  def defs: Seq[QueryDef] = Seq(pagerank, triangles, labelprop, khop)
+  def defs: Seq[QueryDef] = Seq(pagerank, triangles, labelprop, khop,
+    modularity)
 }

@@ -167,6 +167,34 @@ class EngineSpec extends GraftSuite {
       "single observation must seed the smoother with itself")
   }
 
+  test("mad outliers flag the spike a mean/sigma rule would dilute") {
+    import spark.implicits._
+    // "noisy": 15 hours of 9, 14 hours of 11, then a 100-spike → median
+    // 10, MAD 1, modified z = 0.6745·90 = 60.705 at hour 29 only.
+    // "flat": constant rate → MAD 0 → rz pinned to 0, no flags.
+    val rows = (0 until 30).flatMap { h =>
+      def mk(typ: String, n: Int) = (0 until n).map(i =>
+        (h.toLong * 10000 + typ.length * 1000 + i,
+          new java.sql.Timestamp(h.toLong * 3600 * 1000), 1L, typ, 1.0, "{}"))
+      mk("noisy", if (h == 29) 100 else if (h % 2 == 0) 9 else 11) ++
+        mk("flat", 7)
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_mad").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.EventsQueries.outlierMad.run(spark, tmp).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val n = out("noisy")
+    assert(n.getDouble(2) == 10.0 && n.getDouble(3) == 1.0,
+      s"median/MAD: ${n.getDouble(2)}/${n.getDouble(3)}")
+    assert(n.getLong(4) == 1L, "exactly the spike flags")
+    assert(n.getTimestamp(5).getTime == 29L * 3600 * 1000)
+    assert(n.getDouble(6) == 60.705, s"modified z: ${n.getDouble(6)}")
+    val f = out("flat")
+    assert(f.getLong(4) == 0L && f.getDouble(3) == 0.0,
+      "constant series must not alarm")
+  }
+
   test("cusum change-point fires on a small persistent shift, not on noise") {
     import spark.implicits._
     // "shift": 20 hours at 10/h then 20 at 14/h → μ=12, σ=2, drift

@@ -1111,6 +1111,25 @@ class VectorTextSpec extends GraftSuite {
     }
   }
 
+  test("modularity replays the hand-computed two-component partition") {
+    // two shared-chunk pairs (1↔2, 3↔4) + isolate 5 → E = 4 directed
+    // edges; each pair community: qc = 2/4 − (2/4)² = 0.25; Q = 0.5
+    val a = (1 to 10).map(i => s"a$i").mkString(" ")
+    val b = (1 to 10).map(i => s"b$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, a + " " + (1 to 10).map(i => s"x$i").mkString(" "), "fx"),
+      (2L, a + " " + (1 to 10).map(i => s"y$i").mkString(" "), "fx"),
+      (3L, b + " " + (1 to 10).map(i => s"z$i").mkString(" "), "fx"),
+      (4L, b + " " + (1 to 10).map(i => s"w$i").mkString(" "), "fx"),
+      (5L, (1 to 20).map(i => s"q$i").mkString(" "), "fx")))
+    val rows = operators.GraphQueries.modularity.run(spark, tmp).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5))).toMap
+    assert(rows(1L) == ((2L, 2L, 2L, 0.25, 0.5)), s"pair 1: ${rows(1L)}")
+    assert(rows(3L) == ((2L, 2L, 2L, 0.25, 0.5)), s"pair 3: ${rows(3L)}")
+    assert(rows(5L) == ((1L, 0L, 0L, 0.0, 0.5)), s"isolate: ${rows(5L)}")
+  }
+
   test("mrl rerank produces a full exact-cosine-ordered top-3 per query") {
     val rows = operators.VectorQueries.mrlRerank.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getDouble(3)))
