@@ -91,7 +91,13 @@ object Bench {
     "x_events_changepoint",
     "x_pipeline_dataset_card",
     "x_events_abtest",
-    "x_ann_pq_residual_topk")
+    "x_ann_pq_residual_topk",
+    "x_graph_modularity",
+    "x_events_outlier_mad",
+    "x_ann_mrl_rerank",
+    "x_text_collocations_pmi",
+    "x_ann_ood_detection",
+    "x_events_conversion_lag")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

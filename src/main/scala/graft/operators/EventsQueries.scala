@@ -1468,10 +1468,59 @@ object EventsQueries {
       FROM rz GROUP BY event_type ORDER BY event_type""")
   )
 
+  /** Funnel LATENCY: time-to-convert distribution (first view → first
+    * purchase) — the companion metric to x_events_funnel's conversion
+    * COUNT: two funnels with identical rates but hour-vs-week latency
+    * are different products. One per-user collapse yields each user's
+    * first view / first purchase; converted users (purchase strictly
+    * after view) contribute a lag; the report is the count + exact
+    * p50/p90/min/max of the lag distribution in seconds.
+    *
+    * Scale shape: event volume collapses in the per-user two-phase agg
+    * (two timestamps per user); the percentiles run over |users| rows.
+    * Exact interpolated percentiles match quantile_cont bit-for-bit. */
+  val conversionLag: QueryDef = QueryDef(
+    "x_events_conversion_lag",
+    (s, dir) => {
+      val f = ev(s, dir).groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts")))
+          .as("first_view"),
+          min(when(col("event_type") === "purchase", col("ts")))
+            .as("first_purchase"))
+        .filter(col("first_view").isNotNull &&
+          col("first_purchase").isNotNull &&
+          col("first_purchase") > col("first_view"))
+        .withColumn("lag_s",
+          (unix_micros(col("first_purchase")) -
+            unix_micros(col("first_view"))).cast("double") / lit(1000000))
+      f.agg(count(lit(1)).as("n_converted"),
+        round(expr("percentile(lag_s, 0.5)"), 3).as("p50_lag_s"),
+        round(expr("percentile(lag_s, 0.9)"), 3).as("p90_lag_s"),
+        round(min(col("lag_s")), 3).as("min_lag_s"),
+        round(max(col("lag_s")), 3).as("max_lag_s"))
+    },
+    oracle = Some("""
+      WITH f AS (SELECT user_id,
+                   min(CASE WHEN event_type = 'view'
+                            THEN ts::TIMESTAMP END) AS fv,
+                   min(CASE WHEN event_type = 'purchase'
+                            THEN ts::TIMESTAMP END) AS fp
+                 FROM events GROUP BY user_id),
+      g AS (SELECT CAST(epoch_us(fp) - epoch_us(fv) AS DOUBLE) / 1000000
+              AS lag_s
+            FROM f WHERE fv IS NOT NULL AND fp IS NOT NULL AND fp > fv)
+      SELECT count(*) AS n_converted,
+             round(quantile_cont(lag_s, 0.5), 3) AS p50_lag_s,
+             round(quantile_cont(lag_s, 0.9), 3) AS p90_lag_s,
+             round(min(lag_s), 3) AS min_lag_s,
+             round(max(lag_s), 3) AS max_lag_s
+      FROM g""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
     resample, winsorize, transitions, streamTransitions, ewma, scd2,
     pattern, attributionLinear, seasonal, cohortLtv, rfm, copurchase,
-    streamCdcUpsert, changepoint, abtest, outlierMad)
+    streamCdcUpsert, changepoint, abtest, outlierMad, conversionLag)
 }

@@ -1112,9 +1112,65 @@ ${LshOracleSql.cosineExpr} AS cos
       ORDER BY q_id, rk""")
   )
 
+  /** Out-of-distribution detection over the trained coarse quantizer —
+    * the embedding-quality gate a pipeline runs before vectors enter the
+    * index: a vector whose BEST centroid cosine is still low sits far
+    * from every mode of the corpus (corrupt embedding, wrong model
+    * version, genuine novelty) and would both search badly and poison
+    * incremental centroid updates. Reports every vector under the
+    * τ = 0.25 best-cosine threshold with its nearest centroid — the
+    * quarantine list.
+    *
+    * Scale shape: one broadcast-argmax map over the scan (the same
+    * shuffle-free coarseReassign shape), a threshold filter, and a
+    * small ranked output. No shuffle touches the vectors. */
+  val oodDetection: QueryDef = QueryDef(
+    "x_ann_ood_detection",
+    (s, dir) => {
+      val base = emb(s, dir)
+      val assign = AnnIndex.coarseTrainTo(base, 16, 2,
+        inlineScratch(dir, "ood_assign"))
+      val cents = coarseCentroids(base, assign)
+      val carr = cents.groupBy()
+        .agg(sort_array(collect_list(struct(col("cid"), col("centroid"))))
+          .as("carr"))
+      base.crossJoin(broadcast(carr))
+        .withColumn("best", expr(
+          """aggregate(
+               transform(carr, c -> struct(
+                 aggregate(zip_with(embedding, c.centroid,
+                     (x, y) -> double(x) * double(y)),
+                   cast(0 as double), (acc, v) -> acc + v)
+                 / (sqrt(aggregate(embedding, cast(0 as double),
+                      (acc, v) -> acc + double(v) * double(v)))
+                    * sqrt(aggregate(c.centroid, cast(0 as double),
+                        (acc, v) -> acc + double(v) * double(v)))) AS ccos,
+                 c.cid AS cid)),
+               struct(double(-2.0) AS ccos, -1 AS cid),
+               (best, s) -> if(s.ccos >= best.ccos, s, best))"""))
+        .select(col("vec_id"), col("best.cid").as("nearest_cid"),
+          round(col("best.ccos"), 6).as("best_cos"))
+        .filter(col("best_cos") < 0.25)
+        .orderBy(col("vec_id"))
+    },
+    oracle = Some(s"""
+      WITH ${IvfOracleSql.coreCtes(16, 4, 2, 10)},
+      best AS (SELECT vec_id, cid, ccos FROM (
+          SELECT e.vec_id, c.cid,
+            ${AnnOracleCommon.cos("e.emb", "c.cen")} AS ccos,
+            row_number() OVER (PARTITION BY e.vec_id
+              ORDER BY ${AnnOracleCommon.cos("e.emb", "c.cen")} DESC,
+                c.cid DESC) AS rk
+          FROM eraw e CROSS JOIN kc3v c) WHERE rk = 1)
+      SELECT vec_id, CAST(cid AS INTEGER) AS nearest_cid,
+             round(ccos, 6) AS best_cos
+      FROM best WHERE round(ccos, 6) < 0.25
+      ORDER BY vec_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
     pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
     recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank, filteredSearch,
     rangeSearch, triplets, mrlTruncate, centroidDrift, pqResidualTopK,
-    mrlRerank)
+    mrlRerank, oodDetection)
 }

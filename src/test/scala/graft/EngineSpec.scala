@@ -167,6 +167,25 @@ class EngineSpec extends GraftSuite {
       "single observation must seed the smoother with itself")
   }
 
+  test("conversion lag matches a direct recomputation") {
+    import org.apache.spark.sql.functions.{col, min => fmin, when, unix_micros, lit}
+    val r = operators.EventsQueries.conversionLag.run(spark, sf).collect()(0)
+    val lags = Tables.table(spark, sf, "events").groupBy(col("user_id"))
+      .agg(fmin(when(col("event_type") === "view", col("ts"))).as("fv"),
+        fmin(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+      .filter(col("fv").isNotNull && col("fp").isNotNull &&
+        col("fp") > col("fv"))
+      .select(((unix_micros(col("fp")) - unix_micros(col("fv")))
+        .cast("double") / lit(1000000)).as("lag"))
+      .collect().map(_.getDouble(0)).sorted
+    assert(r.getLong(0) == lags.length)
+    assert(r.getDouble(3) == math.rint(lags.head * 1000) / 1000)
+    assert(r.getDouble(4) == math.rint(lags.last * 1000) / 1000)
+    // p50 within the observed range and ≤ p90
+    assert(r.getDouble(1) >= lags.head && r.getDouble(1) <= lags.last)
+    assert(r.getDouble(1) <= r.getDouble(2))
+  }
+
   test("mad outliers flag the spike a mean/sigma rule would dilute") {
     import spark.implicits._
     // "noisy": 15 hours of 9, 14 hours of 11, then a 100-spike → median

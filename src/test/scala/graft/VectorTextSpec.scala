@@ -1111,6 +1111,33 @@ class VectorTextSpec extends GraftSuite {
     }
   }
 
+  test("ood detection quarantines only sub-threshold vectors") {
+    val rows = operators.VectorQueries.oodDetection.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.nonEmpty, "near-orthogonal corpus must have OOD vectors")
+    assert(rows.forall { case (_, cid, cos) =>
+      cid >= 0 && cid < 16 && cos < 0.25 })
+    val again = operators.VectorQueries.oodDetection.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.toSeq == again.toSeq, "quarantine list must be deterministic")
+  }
+
+  test("every set-similarity pair is containment-confirmed in both directions") {
+    // J(A,B) ≥ τ implies C(A→B) ≥ τ and C(B→A) ≥ τ (the union term can
+    // only shrink when divided by one side) — so the setjoin output must
+    // be a subset of the containment output, both directions. This pins
+    // the two prefix-filter implementations against each other on real
+    // corpus data, not just their own oracles.
+    val sj = operators.DedupQueries.setJoin.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val cm = operators.DedupQueries.containment.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    for ((a, b) <- sj) {
+      assert(cm.contains((a, b)), s"missing containment $a→$b")
+      assert(cm.contains((b, a)), s"missing containment $b→$a")
+    }
+  }
+
   test("modularity replays the hand-computed two-component partition") {
     // two shared-chunk pairs (1↔2, 3↔4) + isolate 5 → E = 4 directed
     // edges; each pair community: qc = 2/4 − (2/4)² = 0.25; Q = 0.5
