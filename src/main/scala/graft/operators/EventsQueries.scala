@@ -1517,10 +1517,104 @@ object EventsQueries {
       FROM g""")
   )
 
+  /** Kaplan-Meier survival curve for time-to-convert — the CENSORING-
+    * aware upgrade of x_events_conversion_lag: a plain lag distribution
+    * silently drops every user who hasn't converted YET, biasing the
+    * curve optimistic; KM keeps them in the risk set until their
+    * observation window ends (censor time = corpus end − first view).
+    * S(t) = Π_{u ≤ t} (1 − d_u/n_u) over event hours; the running
+    * product runs as exp(running-sum of ln), which both engines
+    * evaluate in the same t order — the one fp-noise-safe way to chain
+    * a product through a window.
+    *
+    * Scale shape: one per-user collapse (two timestamps), a |distinct
+    * hours|-row table, and ordered windows over it — event volume never
+    * reaches the windows. The corpus-end timestamp is one broadcast
+    * scalar. */
+  val survivalKm: QueryDef = QueryDef(
+    "x_events_survival_km",
+    (s, dir) => {
+      val w = Window.orderBy(col("t"))
+      val wBefore = w.rowsBetween(Window.unboundedPreceding, -1)
+      val fx = ev(s, dir).groupBy(col("user_id"))
+        .agg(min(when(col("event_type") === "view", col("ts"))).as("fv"),
+          min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
+      val mx = ev(s, dir).agg(max(col("ts")).as("mt"))
+      val coh = fx.crossJoin(broadcast(mx))
+        .filter(col("fv").isNotNull &&
+          (col("fp").isNull || col("fp") > col("fv")))
+        .select(
+          when(col("fp").isNotNull,
+            expr("(unix_micros(fp) - unix_micros(fv)) div 3600000000"))
+            .otherwise(
+              expr("(unix_micros(mt) - unix_micros(fv)) div 3600000000"))
+            .as("t"),
+          when(col("fp").isNotNull, 1L).otherwise(0L).as("ev"))
+      val nTotal = coh.agg(count(lit(1)).as("n_total"))
+      val at = coh.groupBy(col("t"))
+        .agg(count(lit(1)).as("c_all"), sum(col("ev")).as("d"))
+      at.crossJoin(broadcast(nTotal))
+        .withColumn("before",
+          coalesce(sum(col("c_all")).over(wBefore), lit(0L)))
+        .withColumn("n_risk", col("n_total") - col("before"))
+        .filter(col("d") >= 1)
+        // a time where EVERYONE at risk converts makes the ratio 0 —
+        // ln(0) diverges between engines (Spark null, DuckDB error), so
+        // the zero factor is carried as a running flag instead
+        .withColumn("term", when(col("d") < col("n_risk"),
+          log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+          .otherwise(lit(0.0)))
+        .withColumn("zeroed",
+          max(when(col("d") >= col("n_risk"), 1).otherwise(0)).over(w))
+        .withColumn("surv", round(when(col("zeroed") === 1, lit(0.0))
+          .otherwise(exp(sum(col("term")).over(w))), 6))
+        .select(col("t").as("t_hours"), col("n_risk"),
+          col("d").as("d_events"), col("surv"))
+        .orderBy(col("t_hours"))
+    },
+    oracle = Some("""
+      WITH fx AS (SELECT user_id,
+                    min(CASE WHEN event_type = 'view'
+                             THEN ts::TIMESTAMP END) AS fv,
+                    min(CASE WHEN event_type = 'purchase'
+                             THEN ts::TIMESTAMP END) AS fp
+                  FROM events GROUP BY user_id),
+      mx AS (SELECT max(ts::TIMESTAMP) AS mt FROM events),
+      coh AS (SELECT CASE WHEN fp IS NOT NULL
+                     THEN (epoch_us(fp) - epoch_us(fv)) // 3600000000
+                     ELSE (epoch_us(mt) - epoch_us(fv)) // 3600000000
+                       END AS t,
+                     CASE WHEN fp IS NOT NULL THEN 1 ELSE 0 END AS ev
+              FROM fx CROSS JOIN mx
+              WHERE fv IS NOT NULL AND (fp IS NULL OR fp > fv)),
+      nn AS (SELECT CAST(count(*) AS BIGINT) AS n_total FROM coh),
+      att AS (SELECT t, CAST(count(*) AS BIGINT) AS c_all,
+                CAST(sum(ev) AS BIGINT) AS d
+              FROM coh GROUP BY t),
+      rk AS (SELECT t, c_all, d,
+               coalesce(CAST(sum(c_all) OVER (ORDER BY t
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS BIGINT), 0) AS before
+             FROM att),
+      ev2 AS (SELECT rk.t, nn.n_total - rk.before AS n_risk, rk.d
+              FROM rk CROSS JOIN nn WHERE rk.d >= 1),
+      km AS (SELECT t, n_risk, d,
+               exp(sum(CASE WHEN d < n_risk
+                            THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
+                            ELSE 0.0 END) OVER (ORDER BY t)) AS sv,
+               max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
+                 OVER (ORDER BY t) AS zeroed
+             FROM ev2)
+      SELECT CAST(t AS BIGINT) AS t_hours, n_risk, d AS d_events,
+             round(CASE WHEN zeroed = 1 THEN 0.0 ELSE sv END, 6) AS surv
+      FROM km ORDER BY t_hours""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
     resample, winsorize, transitions, streamTransitions, ewma, scd2,
     pattern, attributionLinear, seasonal, cohortLtv, rfm, copurchase,
-    streamCdcUpsert, changepoint, abtest, outlierMad, conversionLag)
+    streamCdcUpsert, changepoint, abtest, outlierMad, conversionLag,
+    survivalKm)
 }

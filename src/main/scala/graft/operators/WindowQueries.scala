@@ -365,7 +365,27 @@ object WindowQueries {
       ORDER BY l_orderkey, l_linenumber""")
   )
 
+  /** Named WINDOW clause (SQL:2003 `WINDOW w AS (…)`) — one window
+    * definition shared by several functions, the declarative form that
+    * guarantees a single sort instead of N copy-pasted OVER clauses
+    * drifting apart. One SQL text runs unchanged on both engines. */
+  val namedWindow: QueryDef = {
+    val q = """
+      SELECT c_custkey, c_mktsegment, c_acctbal,
+             CAST(rank() OVER w AS INTEGER) AS bal_rank,
+             CAST(count(*) OVER w AS BIGINT) AS n_at_or_above,
+             round(CAST(sum(CAST(c_acctbal AS DECIMAL(18,4))) OVER w
+                     AS DOUBLE) / count(*) OVER w, 4) AS running_avg
+      FROM customer
+      WINDOW w AS (PARTITION BY c_mktsegment ORDER BY c_acctbal DESC,
+                   c_custkey)
+      ORDER BY c_mktsegment, bal_rank"""
+    QueryDef("w_named_window",
+      (s, dir) => { Tables.registerAll(s, dir); s.sql(q) },
+      oracle = Some(q))
+  }
+
   def defs: Seq[QueryDef] = Seq(ranking, rankTies, rowsFrames, rangeFrames,
     offsets, ntileBuckets, percentiles, distinctOverWindow, nullsOrdering,
-    ignoreNulls, movingMedian)
+    ignoreNulls, movingMedian, namedWindow)
 }

@@ -167,6 +167,27 @@ class EngineSpec extends GraftSuite {
       "single observation must seed the smoother with itself")
   }
 
+  test("kaplan-meier keeps the censored user in the risk set") {
+    import spark.implicits._
+    // users 1,2 convert at hour 2; user 4 at hour 5; user 3 never —
+    // censored at corpus end (hour 5). S(2) = 1−2/4 = 0.5;
+    // S(5) = 0.5·(1−1/2) = 0.25. A censoring-blind curve would read
+    // S(5) = 0 — user 3 is the whole point.
+    def ts(h: Long) = new java.sql.Timestamp(h * 3600 * 1000)
+    val rows = Seq(
+      (1L, ts(0), 1L, "view", 1.0, "{}"), (2L, ts(2), 1L, "purchase", 1.0, "{}"),
+      (3L, ts(0), 2L, "view", 1.0, "{}"), (4L, ts(2), 2L, "purchase", 1.0, "{}"),
+      (5L, ts(0), 3L, "view", 1.0, "{}"),
+      (6L, ts(0), 4L, "view", 1.0, "{}"), (7L, ts(5), 4L, "purchase", 1.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_km").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.EventsQueries.survivalKm.run(spark, tmp).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(out.toSeq == Seq((2L, 4L, 2L, 0.5), (5L, 2L, 1L, 0.25)),
+      s"KM curve: ${out.toSeq}")
+  }
+
   test("conversion lag matches a direct recomputation") {
     import org.apache.spark.sql.functions.{col, min => fmin, when, unix_micros, lit}
     val r = operators.EventsQueries.conversionLag.run(spark, sf).collect()(0)
