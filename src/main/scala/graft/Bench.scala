@@ -97,7 +97,9 @@ object Bench {
     "x_ann_mrl_rerank",
     "x_text_collocations_pmi",
     "x_ann_ood_detection",
-    "x_events_conversion_lag")
+    "x_events_conversion_lag",
+    "x_pipeline_quality_classifier",
+    "x_events_survival_km")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

@@ -2293,11 +2293,150 @@ object TextQueries {
       ORDER BY pmi DESC, w1, w2 LIMIT 20""")
   )
 
+  /** TRAINED quality classifier — logistic regression trained INSIDE
+    * the engine (the fastText-quality-classifier shape a curation
+    * pipeline trains on externally-supplied "good vs bad" labels): 3
+    * scan-stage features per doc (token count/100, mean token length/10,
+    * long-token fraction), 8 full-batch gradient steps (η = 2). The
+    * demo label is the doc's length class (n_chars > 290) — a label the
+    * linear model must genuinely LEARN from token statistics (token
+    * count correlates, the threshold doesn't appear in any feature);
+    * in production the y column is whatever labels the team has.
+    * Training state is FOUR DOUBLES on the driver — the model artifact,
+    * like the BPE merge table — and each step is one two-phase gradient
+    * aggregation over the corpus.
+    *
+    * Bit-exactness discipline: per-row gradient terms round to 9
+    * decimals, then sum through exact DECIMAL(28,12) — partial-agg order
+    * cannot perturb the weights; z = w·x evaluates in one fixed operand
+    * order; PREDICTION thresholds on the linear score (z ≥ 0), which
+    * needs no sigmoid at all. The oracle replays all 5 steps as unrolled
+    * single-row weight CTEs.
+    *
+    * Scale shape: features are a per-row map; each GD step shuffles one
+    * 4-double partial per partition; scoring is a broadcast-free per-row
+    * map with literal weights. */
+  val qualityClassifier: QueryDef = QueryDef(
+    "x_pipeline_quality_classifier",
+    (s, dir) => {
+      val feats = docs(s, dir)
+        .withColumn("toks", split(col("text"), " "))
+        .filter(size(col("toks")) >= 1)
+        .select(col("doc_id"),
+          (col("n_chars") > 290).cast("int").as("y"),
+          size(col("toks")).cast("double")./(lit(100)).as("x1"),
+          expr("aggregate(toks, 0, (acc, t) -> acc + length(t))")
+            .cast("double")./(size(col("toks")))./(lit(10)).as("x2"),
+          expr("size(filter(toks, t -> length(t) > 6))").cast("double")
+            ./(size(col("toks"))).as("x3"))
+        .localCheckpoint()
+      var w = Array(0.0, 0.0, 0.0, 0.0)
+      for (_ <- 1 to 8) {
+        val z = col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
+          col("w3") * col("x3")
+        val sig = lit(1.0) / (lit(1.0) + exp(-z))
+        val withW = feats
+          .withColumn("w0", lit(w(0))).withColumn("w1", lit(w(1)))
+          .withColumn("w2", lit(w(2))).withColumn("w3", lit(w(3)))
+          .withColumn("err", sig - col("y").cast("double"))
+        val g = withW.agg(
+          count(lit(1)).as("n"),
+          sum(round(col("err"), 9).cast("decimal(28,12)")).as("g0"),
+          sum(round(col("err") * col("x1"), 9).cast("decimal(28,12)"))
+            .as("g1"),
+          sum(round(col("err") * col("x2"), 9).cast("decimal(28,12)"))
+            .as("g2"),
+          sum(round(col("err") * col("x3"), 9).cast("decimal(28,12)"))
+            .as("g3")).collect()(0)
+        val n = g.getLong(0).toDouble
+        for (j <- 0 to 3)
+          w(j) = w(j) - 2.0 * (g.getDecimal(j + 1).doubleValue() / n)
+      }
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3")
+      feats.withColumn("pred", (z >= 0).cast("int"))
+        .groupBy()
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(col("pred") === 0 && col("y") === 0, 1L).otherwise(0L))
+            .as("tn"),
+          sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L))
+            .as("fn"))
+        .withColumn("accuracy", round((col("tp") + col("tn")).cast("double")
+          / col("n_docs"), 4))
+        .withColumn("w0", round(lit(w(0)), 6))
+        .withColumn("w1", round(lit(w(1)), 6))
+        .withColumn("w2", round(lit(w(2)), 6))
+        .withColumn("w3", round(lit(w(3)), 6))
+    },
+    oracle = Some {
+      val steps = (1 to 8).map { i =>
+        s"""g$i AS (SELECT count(*) AS n,
+               sum(CAST(round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
+                     + w.w2 * f.x2 + w.w3 * f.x3))) - f.y, 9)
+                   AS DECIMAL(28,12))) AS g0,
+               sum(CAST(round((1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
+                     + w.w2 * f.x2 + w.w3 * f.x3))) - f.y) * f.x1, 9)
+                   AS DECIMAL(28,12))) AS g1,
+               sum(CAST(round((1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
+                     + w.w2 * f.x2 + w.w3 * f.x3))) - f.y) * f.x2, 9)
+                   AS DECIMAL(28,12))) AS g2,
+               sum(CAST(round((1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
+                     + w.w2 * f.x2 + w.w3 * f.x3))) - f.y) * f.x3, 9)
+                   AS DECIMAL(28,12))) AS g3
+             FROM f CROSS JOIN w${i - 1} w),
+        w$i AS (SELECT w.w0 - 2.0 * (CAST(g.g0 AS DOUBLE) / g.n) AS w0,
+                 w.w1 - 2.0 * (CAST(g.g1 AS DOUBLE) / g.n) AS w1,
+                 w.w2 - 2.0 * (CAST(g.g2 AS DOUBLE) / g.n) AS w2,
+                 w.w3 - 2.0 * (CAST(g.g3 AS DOUBLE) / g.n) AS w3
+               FROM w${i - 1} w CROSS JOIN g$i g)"""
+      }.mkString(",")
+      s"""
+      WITH d0 AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+                  FROM documents
+                  WHERE len(string_split(text, ' ')) >= 1),
+      f AS (SELECT doc_id,
+              CAST(n_chars > 290 AS INTEGER) AS y,
+              CAST(len(toks) AS DOUBLE) / 100 AS x1,
+              CAST(list_reduce(list_prepend(0,
+                  list_transform(toks, t -> length(t))),
+                  (a, b) -> a + b) AS DOUBLE) / len(toks) / 10 AS x2,
+              CAST(len(list_filter(toks, t -> length(t) > 6)) AS DOUBLE)
+                / len(toks) AS x3
+            FROM d0),
+      w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+      $steps,
+      scored AS (SELECT f.y,
+                   CASE WHEN w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+                             + w.w3 * f.x3 >= 0 THEN 1 ELSE 0 END AS pred
+                 FROM f CROSS JOIN w8 w)
+      SELECT count(*) AS n_docs,
+             CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tp,
+             CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fp,
+             CAST(sum(CASE WHEN pred = 0 AND y = 0 THEN 1 ELSE 0 END)
+               AS BIGINT) AS tn,
+             CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+               AS BIGINT) AS fn,
+             round(CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END)
+               AS DOUBLE) / count(*), 4) AS accuracy,
+             round((SELECT w0 FROM w8), 6) AS w0,
+             round((SELECT w1 FROM w8), 6) AS w1,
+             round((SELECT w2 FROM w8), 6) AS w2,
+             round((SELECT w3 FROM w8), 6) AS w3
+      FROM scored"""
+    }
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
     hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix,
     split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed,
     expectations, driftPsi, kfold, lmScoreKn, moreLikeThis, datasetCard,
-    collocationsPmi)
+    collocationsPmi, qualityClassifier)
 }

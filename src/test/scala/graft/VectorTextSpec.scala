@@ -1111,6 +1111,20 @@ class VectorTextSpec extends GraftSuite {
     }
   }
 
+  test("trained classifier beats the majority baseline and is deterministic") {
+    def run() = operators.TextQueries.qualityClassifier.run(spark, sf)
+      .collect()(0)
+    val r = run()
+    val (n, tp, fp, tn, fn) = (r.getLong(0), r.getLong(1), r.getLong(2),
+      r.getLong(3), r.getLong(4))
+    assert(tp + fp + tn + fn == n, "confusion matrix partitions the corpus")
+    assert(tp > 0 && tn > 0, "both classes predicted — not a constant model")
+    val majority = math.max(tp + fn, tn + fp).toDouble / n
+    assert(r.getDouble(5) > majority + 0.05,
+      s"accuracy ${r.getDouble(5)} must beat majority $majority")
+    assert(run().toSeq == r.toSeq, "training must be bit-deterministic")
+  }
+
   test("ood detection quarantines only sub-threshold vectors") {
     val rows = operators.VectorQueries.oodDetection.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
