@@ -584,8 +584,27 @@ object JoinQueries {
       ORDER BY n.n_name, t.c_acctbal DESC, t.c_name""")
   )
 
+  /** SQL join-strategy HINT surface — the user-facing override the
+    * reference exposes through its session tuning (INFINIDB_* join
+    * variables / Calpont.xml thresholds): `/*+ BROADCAST(t) +*/` forces
+    * the small side to broadcast regardless of statistics. One SQL text
+    * runs on both engines — DuckDB parses the hint as a plain block
+    * comment (semantics unchanged, which is exactly the hint contract:
+    * hints may change the PLAN, never the RESULT). The broadcast
+    * actually taking effect is pinned in PlanSpec. */
+  val hintBroadcast: QueryDef = {
+    val q = """
+      SELECT /*+ BROADCAST(customer) */ c_mktsegment,
+             count(*) AS n_orders, sum(o_totalprice) AS total
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY c_mktsegment ORDER BY c_mktsegment"""
+    QueryDef("j_hint_broadcast",
+      (s, dir) => { Tables.registerAll(s, dir); s.sql(q) },
+      oracle = Some(q))
+  }
+
   def defs: Seq[QueryDef] = Seq(innerShuffle, broadcastDim, leftOuter,
     rightOuter, fullOuter, semi, anti, antiNullAware, scalarSubquery, cross,
     nonEquiSelf, functionJoin, skewSalted, bloomPrefilter, fuzzyEditJoin,
-    skyline, lateralTopN)
+    skyline, lateralTopN, hintBroadcast)
 }

@@ -473,6 +473,13 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("broadcast hint forces the hinted side to broadcast") {
+    val df = operators.JoinQueries.hintBroadcast.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"hint must force a broadcast join:\n${plan.take(1500)}")
+  }
+
   test("deterministic shuffle plans partitioned windows only") {
     val plan = formatted(operators.TextQueries.shuffleShards.run(spark, sf))
     // the per-shard rank must be a partitioned window (256 shards), never
