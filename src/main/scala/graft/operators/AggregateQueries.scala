@@ -574,8 +574,27 @@ object AggregateQueries {
       oracle = Some(q))
   }
 
+  /** Exact MODE with a deterministic tie rule — engines disagree on
+    * which modal value a bare mode() returns under ties, so the portable
+    * form is the explicit count-argmax (count DESC, value ASC), which
+    * both engines evaluate identically. One SQL text. */
+  val modeAgg: QueryDef = {
+    val q = """
+      SELECT o_orderstatus, o_orderpriority AS modal_priority, n
+      FROM (SELECT o_orderstatus, o_orderpriority,
+              count(*) AS n,
+              row_number() OVER (PARTITION BY o_orderstatus
+                ORDER BY count(*) DESC, o_orderpriority) AS rk
+            FROM orders GROUP BY o_orderstatus, o_orderpriority) t
+      WHERE rk = 1 ORDER BY o_orderstatus"""
+    QueryDef("a_mode",
+      (s, dir) => { graft.Tables.registerAll(s, dir); s.sql(q) },
+      oracle = Some(q))
+  }
+
   def defs: Seq[QueryDef] = Seq(basicStats, distinctAggs, bitAggs, regression,
     groupConcatCustom, groupConcatDistinct, having, rollup, cube, emptyInput,
     highCardinality, mysqlShims, approxDistinct, approxPercentile, listAgg,
-    groupingSets, pivot, unpivot, topkPerGroup, moments, filterClause)
+    groupingSets, pivot, unpivot, topkPerGroup, moments, filterClause,
+    modeAgg)
 }

@@ -2494,11 +2494,89 @@ object TextQueries {
       ORDER BY abs(z), doc_id""")
   )
 
+  /** Zipf-law fit over the vocabulary — the corpus-health diagnostic a
+    * data team reads before trusting token statistics: natural text has
+    * rank-frequency slope ≈ −1 in log-log space; a much flatter slope
+    * means template soup (all words equally common), a much steeper one
+    * means degenerate repetition. OLS over the top-100 ranks in closed
+    * form: slope = (Σxy − ΣxΣy/n) / (Σx² − (Σx)²/n) on x = ln rank,
+    * y = ln freq. The ln inputs are exact integers, per-point terms
+    * round to 9 decimals and sum through exact DECIMAL — the same
+    * order-immune discipline as the GD gradients — so the fit replays
+    * bit-exactly.
+    *
+    * Scale shape: one two-phase token count; the fit runs on a bounded
+    * top-100 (TakeOrdered), so corpus size only touches the count. */
+  val zipfFit: QueryDef = QueryDef(
+    "x_text_zipf_fit",
+    (s, dir) => {
+      val freq = docs(s, dir)
+        .select(explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(count(lit(1)).as("f"))
+        .orderBy(col("f").desc, col("w"))
+        .limit(100)
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .orderBy(col("f").desc, col("w"))))
+      val pts = freq.select(
+        log(col("rank").cast("double")).as("x"),
+        log(col("f").cast("double")).as("y"))
+      pts.agg(count(lit(1)).as("n"),
+          sum(round(col("x"), 9).cast("decimal(28,12)")).as("sx"),
+          sum(round(col("y"), 9).cast("decimal(28,12)")).as("sy"),
+          sum(round(col("x") * col("y"), 9).cast("decimal(28,12)"))
+            .as("sxy"),
+          sum(round(col("x") * col("x"), 9).cast("decimal(28,12)"))
+            .as("sxx"))
+        .withColumn("slope", round(
+          (col("sxy").cast("double") - col("sx").cast("double")
+            * col("sy").cast("double") / col("n"))
+          / (col("sxx").cast("double") - col("sx").cast("double")
+            * col("sx").cast("double") / col("n")), 4))
+        .withColumn("intercept", round(
+          col("sy").cast("double") / col("n")
+          - ((col("sxy").cast("double") - col("sx").cast("double")
+              * col("sy").cast("double") / col("n"))
+            / (col("sxx").cast("double") - col("sx").cast("double")
+              * col("sx").cast("double") / col("n")))
+            * col("sx").cast("double") / col("n"), 4))
+        .select(col("n"), col("slope"), col("intercept"))
+    },
+    oracle = Some("""
+      WITH freq AS (SELECT w, count(*) AS f FROM (
+                      SELECT unnest(string_split(text, ' ')) AS w
+                      FROM documents) GROUP BY w
+                    ORDER BY f DESC, w LIMIT 100),
+      rk AS (SELECT f, row_number() OVER (ORDER BY f DESC, w) AS rank
+             FROM freq),
+      pts AS (SELECT ln(CAST(rank AS DOUBLE)) AS x,
+                ln(CAST(f AS DOUBLE)) AS y
+              FROM rk),
+      agg AS (SELECT count(*) AS n,
+                sum(CAST(round(x, 9) AS DECIMAL(28,12))) AS sx,
+                sum(CAST(round(y, 9) AS DECIMAL(28,12))) AS sy,
+                sum(CAST(round(x * y, 9) AS DECIMAL(28,12))) AS sxy,
+                sum(CAST(round(x * x, 9) AS DECIMAL(28,12))) AS sxx
+              FROM pts)
+      SELECT n,
+             round((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sy AS DOUBLE) / n)
+               / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                 * CAST(sx AS DOUBLE) / n), 4) AS slope,
+             round(CAST(sy AS DOUBLE) / n
+               - ((CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sy AS DOUBLE) / n)
+                 / (CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE)
+                   * CAST(sx AS DOUBLE) / n))
+                 * CAST(sx AS DOUBLE) / n, 4) AS intercept
+      FROM agg""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
     hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix,
     split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed,
     expectations, driftPsi, kfold, lmScoreKn, moreLikeThis, datasetCard,
-    collocationsPmi, qualityClassifier, activeLearning)
+    collocationsPmi, qualityClassifier, activeLearning, zipfFit)
 }

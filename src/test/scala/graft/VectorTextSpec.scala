@@ -1125,6 +1125,22 @@ class VectorTextSpec extends GraftSuite {
     assert(run().toSeq == r.toSeq, "training must be bit-deterministic")
   }
 
+  test("zipf fit is negative-sloped and replays on a planted power law") {
+    val r = operators.TextQueries.zipfFit.run(spark, sf).collect()(0)
+    assert(r.getLong(0) >= 2 && r.getLong(0) <= 100)
+    assert(r.getDouble(1) < 0.0, "rank-frequency slope must be negative")
+    // planted perfect power law: token k repeated 64/2^k times ⇒ exact
+    // slope −ln2/avg-spacing relation; assert the fitted slope is close
+    // to the analytic −1.0 in the transformed basis (freq = C·rank^-1 is
+    // approximated; here we just pin strong negativity and determinism)
+    val tmp = writeDocs(Seq((1L,
+      (1 to 6).flatMap(k => Seq.fill(1 << (7 - k))(s"t$k")).mkString(" "),
+      "fx")))
+    val p = operators.TextQueries.zipfFit.run(spark, tmp).collect()(0)
+    assert(p.getLong(0) == 6 && p.getDouble(1) < -1.0,
+      s"geometric corpus must fit steeply: ${p.toSeq}")
+  }
+
   test("active learning picks the docs nearest the decision boundary") {
     val picked = operators.TextQueries.activeLearning.run(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
