@@ -2572,11 +2572,99 @@ object TextQueries {
       FROM agg""")
   )
 
+  /** Label-noise audit — the confident-learning step of the classifier
+    * loop (the Cleanlab recipe, inverted from active learning): where
+    * active learning asks for labels the model is UNSURE about, this
+    * flags rows whose label the model CONFIDENTLY contradicts (pred ≠ y
+    * with large |z|) — in a real pipeline these are the mislabeled
+    * examples that poison training, surfaced for re-annotation. Top-20
+    * by |z| DESC among disagreements, doc_id tiebreak on the rounded
+    * score.
+    *
+    * Scale shape: same training as the classifier; the audit is a
+    * filter + bounded top-k on (doc_id, z) pairs. */
+  val labelNoise: QueryDef = QueryDef(
+    "x_pipeline_label_noise",
+    (s, dir) => {
+      val feats = lrFeatures(s, dir)
+      val w = lrTrain(feats)
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3")
+      feats
+        .withColumn("z", round(z, 6))
+        .withColumn("pred", (col("z") >= 0).cast("int"))
+        .filter(col("pred") =!= col("y"))
+        .withColumn("conf", abs(col("z")))
+        .orderBy(col("conf").desc, col("doc_id"))
+        .limit(20)
+        .select(col("doc_id"), col("z"), col("pred"), col("y"))
+    },
+    oracle = Some(s"""
+      WITH $lrCtes,
+      scored AS (SELECT f.doc_id, f.y,
+                   round(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3, 6)
+                     AS z
+                 FROM f CROSS JOIN w8 w),
+      dis AS (SELECT doc_id, z,
+                CASE WHEN z >= 0 THEN 1 ELSE 0 END AS pred, y,
+                row_number() OVER (ORDER BY abs(z) DESC, doc_id) AS rk
+              FROM scored
+              WHERE (CASE WHEN z >= 0 THEN 1 ELSE 0 END) <> y)
+      SELECT doc_id, z, pred, y FROM dis WHERE rk <= 20
+      ORDER BY abs(z) DESC, doc_id""")
+  )
+
+  /** Heaps'-law vocabulary growth — the companion diagnostic to the Zipf
+    * fit: natural corpora grow vocabulary sublinearly (V ≈ K·N^β,
+    * β ≈ 0.5); a vocabulary that SATURATES (flat curve) is template
+    * soup, one that grows linearly is noise/IDs. Computed exactly and
+    * order-independently: each token's FIRST-SEEN doc (min doc_id)
+    * turns the curve into a cumulative histogram over doc_id
+    * thresholds — no sequential scan, two two-phase aggs.
+    *
+    * Scale shape: the first-seen table is vocabulary-sized, keyed by
+    * token; the curve collapses to |thresholds| rows. */
+  val heapsGrowth: QueryDef = QueryDef(
+    "x_text_vocab_growth",
+    (s, dir) => {
+      val thresholds = Seq(50L, 100L, 200L, 300L, 400L, 500L)
+      val firstSeen = docs(s, dir)
+        .select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+        .groupBy(col("w")).agg(min(col("doc_id")).as("first_doc"))
+      // each token votes into every threshold beyond its first sighting —
+      // a constant-width explode, no non-equi join against the vocabulary
+      firstSeen
+        .select(explode(array(thresholds.map(t =>
+          when(col("first_doc") < t, lit(t))): _*)).as("n_docs"))
+        .filter(col("n_docs").isNotNull)
+        .groupBy(col("n_docs"))
+        .agg(count(lit(1)).as("vocab_size"))
+        .crossJoin(broadcast(
+          firstSeen.agg(count(lit(1)).as("vocab_total"))))
+        .select(col("n_docs"), col("vocab_size"), col("vocab_total"))
+        .orderBy(col("n_docs"))
+    },
+    oracle = Some("""
+      WITH fs AS (SELECT w, min(doc_id) AS first_doc FROM (
+                    SELECT doc_id, unnest(string_split(text, ' ')) AS w
+                    FROM documents) GROUP BY w),
+      vt AS (SELECT CAST(count(*) AS BIGINT) AS vocab_total FROM fs),
+      th AS (SELECT CAST(unnest([50, 100, 200, 300, 400, 500]) AS BIGINT)
+               AS n_docs)
+      SELECT th.n_docs,
+             CAST(count(*) AS BIGINT) AS vocab_size,
+             vt.vocab_total
+      FROM fs JOIN th ON fs.first_doc < th.n_docs CROSS JOIN vt
+      GROUP BY th.n_docs, vt.vocab_total
+      ORDER BY th.n_docs""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
     hybridRrf, lmScore, manifest, cmsHeavyHitters, hllDistinct, budgetMix,
     split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed,
     expectations, driftPsi, kfold, lmScoreKn, moreLikeThis, datasetCard,
-    collocationsPmi, qualityClassifier, activeLearning, zipfFit)
+    collocationsPmi, qualityClassifier, activeLearning, zipfFit, labelNoise,
+    heapsGrowth)
 }

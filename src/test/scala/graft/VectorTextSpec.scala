@@ -1141,6 +1141,26 @@ class VectorTextSpec extends GraftSuite {
       s"geometric corpus must fit steeply: ${p.toSeq}")
   }
 
+  test("label-noise audit flags only confident disagreements, ranked") {
+    val rows = operators.TextQueries.labelNoise.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3)))
+    assert(rows.nonEmpty && rows.length <= 20)
+    assert(rows.forall { case (_, z, pred, y) =>
+      pred != y && pred == (if (z >= 0) 1 else 0) })
+    val confs = rows.map(r => math.abs(r._2))
+    assert(confs.zip(confs.tail).forall { case (a, b) => a >= b },
+      s"most-confident disagreements first: ${confs.toSeq}")
+  }
+
+  test("vocab growth curve is monotone and ends at the full vocabulary") {
+    val rows = operators.TextQueries.heapsGrowth.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == Seq(50L, 100L, 200L, 300L, 400L, 500L))
+    val vs = rows.map(_._2)
+    assert(vs.zip(vs.tail).forall { case (a, b) => a <= b }, "monotone")
+    assert(vs.last == rows.head._3, "curve must end at vocab_total")
+  }
+
   test("active learning picks the docs nearest the decision boundary") {
     val picked = operators.TextQueries.activeLearning.run(spark, sf)
       .collect().map(r => (r.getLong(0), r.getDouble(1)))
