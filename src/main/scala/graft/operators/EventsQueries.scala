@@ -1610,11 +1610,61 @@ object EventsQueries {
       FROM km ORDER BY t_hours""")
   )
 
+  /** Rolling active users (DAU / WAU / MAU) — the top-line product
+    * metric triple: distinct users per day, per trailing 7 days, per
+    * trailing 28 days. The trailing distinct-count is the classic
+    * scale trap: count(DISTINCT) over a RANGE window re-scans the
+    * window per day. The scalable formulation inverts it — each
+    * (user, active-day) row VOTES into the 7 (28) future days its
+    * activity keeps alive, then one distinct + count per target day:
+    * constant-factor explode, two-phase aggs, no windowed distinct.
+    * The DuckDB oracle uses the declarative BETWEEN-join form, so the
+    * vote formulation is checked against an algorithm-independent
+    * definition.
+    *
+    * Scale shape: |user-days| × 7 (28) vote rows — linear in activity,
+    * not in window × days; everything shuffled is (user_id, date). */
+  val activeUsers: QueryDef = QueryDef(
+    "x_events_active_users",
+    (s, dir) => {
+      val ud = ev(s, dir)
+        .select(col("user_id"), to_date(col("ts")).as("day")).distinct()
+      val bounds = ud.agg(max(col("day")).as("d1"))
+      val dau = ud.groupBy(col("day")).agg(count(lit(1)).as("dau"))
+      def rolling(days: Int, name: String) = ud
+        .select(col("user_id"),
+          explode(sequence(col("day"), date_add(col("day"), days - 1)))
+            .as("day"))
+        .distinct()
+        .groupBy(col("day")).agg(count(lit(1)).as(name))
+      dau.join(rolling(7, "wau"), Seq("day"))
+        .join(rolling(28, "mau"), Seq("day"))
+        .crossJoin(broadcast(bounds))
+        .filter(col("day") <= col("d1"))
+        .select(col("day").cast("timestamp").as("day"), col("dau"),
+          col("wau"), col("mau"))
+        .orderBy(col("day"))
+    },
+    oracle = Some("""
+      WITH ud AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day
+                  FROM events),
+      dau AS (SELECT day, count(*) AS dau FROM ud GROUP BY day),
+      wau AS (SELECT d.day, count(DISTINCT u.user_id) AS wau
+              FROM dau d JOIN ud u ON u.day BETWEEN d.day - 6 AND d.day
+              GROUP BY d.day),
+      mau AS (SELECT d.day, count(DISTINCT u.user_id) AS mau
+              FROM dau d JOIN ud u ON u.day BETWEEN d.day - 27 AND d.day
+              GROUP BY d.day)
+      SELECT CAST(dau.day AS TIMESTAMP) AS day, dau.dau, wau.wau, mau.mau
+      FROM dau JOIN wau USING (day) JOIN mau USING (day)
+      ORDER BY day""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
     resample, winsorize, transitions, streamTransitions, ewma, scd2,
     pattern, attributionLinear, seasonal, cohortLtv, rfm, copurchase,
     streamCdcUpsert, changepoint, abtest, outlierMad, conversionLag,
-    survivalKm)
+    survivalKm, activeUsers)
 }

@@ -2659,6 +2659,53 @@ object TextQueries {
       ORDER BY th.n_docs""")
   )
 
+  /** Probability calibration curve (reliability diagram) — the check
+    * that the classifier's SCORES mean what they claim: bucket σ(z)
+    * into deciles and compare each bucket's mean predicted probability
+    * against its OBSERVED positive rate. A well-calibrated model tracks
+    * the diagonal; a curve bowed away from it says the probabilities
+    * need temperature scaling before any threshold set on them can be
+    * trusted. Mean predicted prob uses the decimal-exact-sum
+    * discipline; observed rate is exact integers.
+    *
+    * Scale shape: training as before; the diagram is a 10-row two-phase
+    * aggregation over (bucket, y, rounded σ). */
+  val calibration: QueryDef = QueryDef(
+    "x_pipeline_calibration",
+    (s, dir) => {
+      val feats = lrFeatures(s, dir)
+      val w = lrTrain(feats)
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3")
+      feats
+        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+        .withColumn("bucket",
+          least(floor(col("p") * 10).cast("long"), lit(9L)))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          round(sum(col("p").cast("decimal(18,6)")).cast("double")
+            / count(lit(1)), 4).as("mean_pred"),
+          round(sum(col("y")).cast("double") / count(lit(1)), 4)
+            .as("obs_rate"))
+        .orderBy(col("bucket"))
+    },
+    oracle = Some(s"""
+      WITH $lrCtes,
+      sc AS (SELECT f.y,
+               round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+                 + w.w3 * f.x3))), 6) AS p
+             FROM f CROSS JOIN w8 w),
+      bk AS (SELECT y, p,
+               CAST(least(CAST(floor(p * 10) AS INTEGER), 9) AS BIGINT)
+                 AS bucket
+             FROM sc)
+      SELECT bucket, count(*) AS n,
+             round(CAST(sum(CAST(p AS DECIMAL(18,6))) AS DOUBLE)
+               / count(*), 4) AS mean_pred,
+             round(CAST(sum(y) AS DOUBLE) / count(*), 4) AS obs_rate
+      FROM bk GROUP BY bucket ORDER BY bucket""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
@@ -2666,5 +2713,5 @@ object TextQueries {
     split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed,
     expectations, driftPsi, kfold, lmScoreKn, moreLikeThis, datasetCard,
     collocationsPmi, qualityClassifier, activeLearning, zipfFit, labelNoise,
-    heapsGrowth)
+    heapsGrowth, calibration)
 }

@@ -167,6 +167,25 @@ class EngineSpec extends GraftSuite {
       "single observation must seed the smoother with itself")
   }
 
+  test("dau/wau/mau replay a planted sparse-activity calendar") {
+    import spark.implicits._
+    // users 1,2 on day 0; user 3 on day 10: DAU(10)=1, the 7-day window
+    // ending day 10 holds only user 3 (WAU=1), the 28-day window still
+    // remembers users 1,2 (MAU=3)
+    def ts(d: Long) = new java.sql.Timestamp(d * 86400 * 1000)
+    val rows = Seq((1L, ts(0), 1L, "view", 1.0, "{}"),
+      (2L, ts(0), 2L, "view", 1.0, "{}"),
+      (3L, ts(10), 3L, "view", 1.0, "{}"))
+    val tmp = java.nio.file.Files.createTempDirectory("graft_au").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val out = operators.EventsQueries.activeUsers.run(spark, tmp).collect()
+      .map(r => (r.getTimestamp(0).getTime / 86400000L,
+        r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(out.toSeq == Seq((0L, 2L, 2L, 2L), (10L, 1L, 1L, 3L)),
+      s"activity calendar: ${out.toSeq}")
+  }
+
   test("kaplan-meier keeps the censored user in the risk set") {
     import spark.implicits._
     // users 1,2 convert at hour 2; user 4 at hour 5; user 3 never —

@@ -1141,6 +1141,20 @@ class VectorTextSpec extends GraftSuite {
       s"geometric corpus must fit steeply: ${p.toSeq}")
   }
 
+  test("calibration curve partitions the corpus with sane bucket stats") {
+    val rows = operators.TextQueries.calibration.run(spark, sf).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    assert(rows.map(_._1).toSeq == rows.map(_._1).toSeq.sorted)
+    assert(rows.forall { case (b, n, mp, obs) =>
+      b >= 0 && b <= 9 && n > 0 &&
+        mp >= b / 10.0 - 1e-9 && mp <= (b + 1) / 10.0 + 1e-9 &&
+        obs >= 0.0 && obs <= 1.0 })
+    // the model discriminates: the top bucket's observed rate beats the
+    // bottom bucket's
+    assert(rows.last._4 > rows.head._4, s"discrimination: ${rows.toSeq}")
+  }
+
   test("label-noise audit flags only confident disagreements, ranked") {
     val rows = operators.TextQueries.labelNoise.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getDouble(1), r.getInt(2), r.getInt(3)))
