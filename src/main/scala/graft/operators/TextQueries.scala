@@ -2706,6 +2706,63 @@ object TextQueries {
       FROM bk GROUP BY bucket ORDER BY bucket""")
   )
 
+  /** Exact ROC AUC of the trained classifier — the threshold-free
+    * discrimination metric, computed as the Mann-Whitney rank statistic
+    * with tie-corrected average ranks: AUC = (Σ_{pos} R̄ − P(P+1)/2) /
+    * (P·N). Everything up to the final division is INTEGER arithmetic
+    * (u2 carries 2× the U statistic so tie half-ranks stay integral),
+    * so the metric is exact — no trapezoid sums, no fp accumulation.
+    *
+    * Scale note: ranking by score is one global sort of (y, z) pairs —
+    * the one metric in the suite that inherently needs a total order;
+    * everything else about the model pipeline stays two-phase. */
+  val aucMetric: QueryDef = QueryDef(
+    "x_pipeline_auc",
+    (s, dir) => {
+      val feats = lrFeatures(s, dir)
+      val w = lrTrain(feats)
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3")
+      val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("z"))
+      val wTie = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("z"))
+      val scored = feats.select(col("y"), round(z, 6).as("z"))
+        .withColumn("minrk", rank().over(wOrd).cast("long"))
+        .withColumn("tiecnt", count(lit(1)).over(wTie))
+        .withColumn("avg2", lit(2L) * col("minrk") + col("tiecnt") - 1L)
+      scored.agg(
+          sum(col("y").cast("long")).as("n_pos"),
+          sum(lit(1L) - col("y")).as("n_neg"),
+          sum(when(col("y") === 1, col("avg2")).otherwise(0L)).as("sum2"))
+        .withColumn("u2",
+          col("sum2") - col("n_pos") * (col("n_pos") + 1))
+        .withColumn("auc", round(col("u2").cast("double") /
+          (lit(2.0) * col("n_pos") * col("n_neg")), 6))
+        .select(col("n_pos"), col("n_neg"), col("u2"), col("auc"))
+    },
+    oracle = Some(s"""
+      WITH $lrCtes,
+      sc AS (SELECT f.y,
+               round(w.w0 + w.w1 * f.x1 + w.w2 * f.x2 + w.w3 * f.x3, 6)
+                 AS z
+             FROM f CROSS JOIN w8 w),
+      rk AS (SELECT y, z,
+               CAST(rank() OVER (ORDER BY z) AS BIGINT) AS minrk,
+               CAST(count(*) OVER (PARTITION BY z) AS BIGINT) AS tiecnt
+             FROM sc),
+      a AS (SELECT CAST(sum(y) AS BIGINT) AS n_pos,
+              CAST(sum(1 - y) AS BIGINT) AS n_neg,
+              CAST(sum(CASE WHEN y = 1
+                       THEN 2 * minrk + tiecnt - 1 ELSE 0 END)
+                AS BIGINT) AS sum2
+            FROM rk)
+      SELECT n_pos, n_neg,
+             sum2 - n_pos * (n_pos + 1) AS u2,
+             round(CAST(sum2 - n_pos * (n_pos + 1) AS DOUBLE)
+               / (2.0 * n_pos * n_neg), 6) AS auc
+      FROM a""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
@@ -2713,5 +2770,5 @@ object TextQueries {
     split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed,
     expectations, driftPsi, kfold, lmScoreKn, moreLikeThis, datasetCard,
     collocationsPmi, qualityClassifier, activeLearning, zipfFit, labelNoise,
-    heapsGrowth, calibration)
+    heapsGrowth, calibration, aucMetric)
 }

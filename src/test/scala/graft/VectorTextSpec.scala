@@ -1141,6 +1141,17 @@ class VectorTextSpec extends GraftSuite {
       s"geometric corpus must fit steeply: ${p.toSeq}")
   }
 
+  test("auc is an exact rank statistic with near-perfect discrimination") {
+    val r = operators.TextQueries.aucMetric.run(spark, sf).collect()(0)
+    val (p, n, u2) = (r.getLong(0), r.getLong(1), r.getLong(2))
+    assert(p > 0 && n > 0)
+    assert(u2 >= 0 && u2 <= 2 * p * n, "U statistic bounds")
+    assert(r.getDouble(3) >= 0.0 && r.getDouble(3) <= 1.0)
+    // the model ranks the length class almost perfectly even though the
+    // 0-threshold accuracy is ~82% — AUC is threshold-free
+    assert(r.getDouble(3) > 0.9, s"auc: ${r.getDouble(3)}")
+  }
+
   test("calibration curve partitions the corpus with sane bucket stats") {
     val rows = operators.TextQueries.calibration.run(spark, sf).collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3)))
