@@ -99,7 +99,11 @@ object Bench {
     "x_ann_ood_detection",
     "x_events_conversion_lag",
     "x_pipeline_quality_classifier",
-    "x_events_survival_km")
+    "x_events_survival_km",
+    "x_pipeline_auc",
+    "x_pipeline_active_learning",
+    "x_events_active_users",
+    "x_text_zipf_fit")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
