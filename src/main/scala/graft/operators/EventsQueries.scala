@@ -1660,11 +1660,84 @@ object EventsQueries {
       ORDER BY day""")
   )
 
+  /** Holt double-exponential smoothing (level + trend) with a one-hour-
+    * ahead forecast — the trend-aware upgrade of x_events_ewma: simple
+    * EWMA lags a trending series by construction; Holt carries a second
+    * smoothed TREND state (α = 0.3, β = 0.2, standard initialization
+    * l₁ = y₁, b₁ = y₂ − y₁) and forecasts ŷ = l + b. Reported per type:
+    * the final level/trend and the next-hour forecast — the number a
+    * capacity planner reads.
+    *
+    * Scale shape: same as EWMA — the coupled recursion folds over
+    * |types| × |hours| collapsed rows via an ordered array fold carrying
+    * a 2-double struct; the oracle replays it as a recursive CTE. Fold
+    * order is the hour order in both engines, so the doubles match. */
+  val holtForecast: QueryDef = QueryDef(
+    "x_events_holt_forecast",
+    (s, dir) => {
+      val hourly = ev(s, dir)
+        .groupBy(col("event_type"),
+          date_trunc("hour", col("ts")).as("hr"))
+        .agg(count(lit(1)).as("n"))
+      hourly.groupBy(col("event_type"))
+        .agg(sort_array(collect_list(struct(col("hr"), col("n"))))
+          .as("s"), count(lit(1)).as("n_hours"))
+        .filter(col("n_hours") >= 2)
+        // seed (l = y₁, b = y₂ − y₁); the fold then processes y₂..y_n as
+        // regular updates — the oracle's recursive CTE does the same
+        .withColumn("lb", expr("""
+          aggregate(slice(s, 2, size(s) - 1),
+            struct(cast(element_at(s, 1).n as double) AS l,
+                   cast(element_at(s, 2).n as double)
+                     - cast(element_at(s, 1).n as double) AS b),
+            (acc, x) -> struct(
+              0.3D * cast(x.n as double) + 0.7D * (acc.l + acc.b) AS l,
+              0.2D * ((0.3D * cast(x.n as double)
+                       + 0.7D * (acc.l + acc.b)) - acc.l)
+                + 0.8D * acc.b AS b))"""))
+        .select(col("event_type"), col("n_hours"),
+          round(col("lb.l"), 4).as("level"),
+          round(col("lb.b"), 4).as("trend"),
+          round(col("lb.l") + col("lb.b"), 4).as("forecast_next"))
+        .orderBy(col("event_type"))
+    },
+    oracle = Some("""
+      WITH RECURSIVE h AS (
+        SELECT event_type, date_trunc('hour', ts) AS hr,
+               CAST(count(*) AS BIGINT) AS n,
+               row_number() OVER (PARTITION BY event_type
+                 ORDER BY date_trunc('hour', ts)) AS idx
+        FROM events GROUP BY event_type, date_trunc('hour', ts)),
+      nh AS (SELECT event_type, count(*) AS n_hours FROM h
+             GROUP BY event_type HAVING count(*) >= 2),
+      init AS (SELECT h1.event_type,
+                 CAST(h1.n AS DOUBLE) AS l,
+                 CAST(h2.n AS DOUBLE) - CAST(h1.n AS DOUBLE) AS b,
+                 1 AS idx
+               FROM h h1 JOIN h h2 ON h2.event_type = h1.event_type
+                                  AND h1.idx = 1 AND h2.idx = 2),
+      r AS (SELECT event_type, l, b, idx FROM init
+            UNION ALL
+            SELECT h.event_type,
+              0.3 * CAST(h.n AS DOUBLE) + 0.7 * (r.l + r.b) AS l,
+              0.2 * ((0.3 * CAST(h.n AS DOUBLE) + 0.7 * (r.l + r.b))
+                     - r.l) + 0.8 * r.b AS b,
+              h.idx
+            FROM h JOIN r ON h.event_type = r.event_type
+                         AND h.idx = r.idx + 1)
+      SELECT r.event_type, nh.n_hours, round(r.l, 4) AS level,
+             round(r.b, 4) AS trend,
+             round(r.l + r.b, 4) AS forecast_next
+      FROM r JOIN nh ON nh.event_type = r.event_type
+                    AND r.idx = nh.n_hours
+      ORDER BY r.event_type""")
+  )
+
   def defs: Seq[QueryDef] = Seq(tumbling, sliding, sessionize, jsonExtract,
     dedupKeyed, leaderboard, funnel, retention, streamTumbling, streamDedup,
     streamSession, streamSliding, streamEnrich, streamJoin, anomaly,
     resample, winsorize, transitions, streamTransitions, ewma, scd2,
     pattern, attributionLinear, seasonal, cohortLtv, rfm, copurchase,
     streamCdcUpsert, changepoint, abtest, outlierMad, conversionLag,
-    survivalKm, activeUsers)
+    survivalKm, activeUsers, holtForecast)
 }

@@ -2763,6 +2763,95 @@ object TextQueries {
       FROM a""")
   )
 
+  /** Jensen-Shannon divergence of each SOURCE's token distribution from
+    * the corpus — the source-homogeneity diagnostic that complements
+    * x_pipeline_drift_psi's across-TIME drift: a source whose JSD spikes
+    * writes in a different vocabulary than the rest of the corpus
+    * (scraper drift, wrong-language feed, spam injection). Distributions
+    * live over the corpus top-50 tokens + an OTHER bucket (bounded,
+    * identical support everywhere), add-one smoothed; JSD =
+    * ½KL(p‖m) + ½KL(q‖m), m = ½(p+q), bounded in [0, ln 2]. Per-bucket
+    * terms round to 12 decimals and sum through exact DECIMAL, so the
+    * partial-agg order can't perturb the statistic.
+    *
+    * Scale shape: one two-phase corpus count + a bounded top-50, then a
+    * per-(source, token) count joined BY KEY against the broadcast
+    * corpus distribution; |sources| × 51 term rows aggregate at the
+    * end. */
+  val sourceJsd: QueryDef = QueryDef(
+    "x_text_source_jsd",
+    (s, dir) => {
+      val toks = docs(s, dir)
+        .select(col("source"), explode(split(col("text"), " ")).as("w"))
+      val top = toks.groupBy(col("w")).agg(count(lit(1)).as("cw"))
+        .orderBy(col("cw").desc, col("w")).limit(50)
+        .select(col("w"))
+      val bucketed = toks.join(broadcast(top).withColumn("keep", lit(1)),
+          Seq("w"), "left")
+        .select(col("source"),
+          when(col("keep").isNotNull, col("w")).otherwise(lit("OTHER"))
+            .as("b"))
+      val srcCnt = bucketed.groupBy(col("source"), col("b"))
+        .agg(count(lit(1)).as("c"))
+      val srcTot = bucketed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_tokens"))
+      val corpCnt = bucketed.groupBy(col("b"))
+        .agg(count(lit(1)).as("cc"))
+      val corpTot = bucketed.agg(count(lit(1)).as("nc"))
+      val nBuckets = lit(51)
+      // full (source × bucket) spine so zero-count buckets smooth in
+      val spine = srcTot.crossJoin(
+        broadcast(corpCnt.select(col("b"))))
+      spine
+        .join(srcCnt, Seq("source", "b"), "left")
+        .join(broadcast(corpCnt), Seq("b"))
+        .crossJoin(broadcast(corpTot))
+        .withColumn("p", (coalesce(col("c"), lit(0L)) + 1).cast("double")
+          / (col("n_tokens") + nBuckets))
+        .withColumn("q", (col("cc") + 1).cast("double")
+          / (col("nc") + nBuckets))
+        .withColumn("m", (col("p") + col("q")) / 2)
+        .withColumn("term",
+          (col("p") * log(col("p") / col("m"))
+            + col("q") * log(col("q") / col("m"))) / 2)
+        .groupBy(col("source"), col("n_tokens"))
+        .agg(round(sum(round(col("term"), 12).cast("decimal(28,14)"))
+          .cast("double"), 6).as("jsd"))
+        .orderBy(col("source"))
+    },
+    oracle = Some("""
+      WITH toks AS (SELECT source, unnest(string_split(text, ' ')) AS w
+                    FROM documents),
+      top AS (SELECT w FROM (SELECT w, count(*) AS cw FROM toks GROUP BY w
+                             ORDER BY cw DESC, w LIMIT 50)),
+      bk AS (SELECT t.source,
+               CASE WHEN top.w IS NOT NULL THEN t.w
+                    ELSE chr(1) || 'OTHER' END AS b
+             FROM toks t LEFT JOIN top ON top.w = t.w),
+      sc AS (SELECT source, b, CAST(count(*) AS BIGINT) AS c
+             FROM bk GROUP BY source, b),
+      st AS (SELECT source, CAST(count(*) AS BIGINT) AS n_tokens
+             FROM bk GROUP BY source),
+      cc AS (SELECT b, CAST(count(*) AS BIGINT) AS cc FROM bk GROUP BY b),
+      ct AS (SELECT CAST(count(*) AS BIGINT) AS nc FROM bk),
+      sp AS (SELECT st.source, st.n_tokens, cc.b, cc.cc
+             FROM st CROSS JOIN cc),
+      t AS (SELECT sp.source, sp.n_tokens,
+              CAST(coalesce(sc.c, 0) + 1 AS DOUBLE)
+                / (sp.n_tokens + 51) AS p,
+              CAST(sp.cc + 1 AS DOUBLE) / (ct.nc + 51) AS q
+            FROM sp LEFT JOIN sc ON sc.source = sp.source AND sc.b = sp.b
+            CROSS JOIN ct),
+      t2 AS (SELECT source, n_tokens,
+               (p * ln(p / ((p + q) / 2))
+                + q * ln(q / ((p + q) / 2))) / 2 AS term
+             FROM t)
+      SELECT source, n_tokens,
+             round(CAST(sum(CAST(round(term, 12) AS DECIMAL(28,14)))
+               AS DOUBLE), 6) AS jsd
+      FROM t2 GROUP BY source, n_tokens ORDER BY source""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
@@ -2770,5 +2859,5 @@ object TextQueries {
     split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed,
     expectations, driftPsi, kfold, lmScoreKn, moreLikeThis, datasetCard,
     collocationsPmi, qualityClassifier, activeLearning, zipfFit, labelNoise,
-    heapsGrowth, calibration, aucMetric)
+    heapsGrowth, calibration, aucMetric, sourceJsd)
 }

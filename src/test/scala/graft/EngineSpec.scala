@@ -167,6 +167,24 @@ class EngineSpec extends GraftSuite {
       "single observation must seed the smoother with itself")
   }
 
+  test("holt forecasting tracks a perfect linear trend exactly") {
+    import spark.implicits._
+    // counts 10,20,30,40 → Holt with l₁=10, b₁=10 stays locked on the
+    // line: level 40, trend 10, forecast 50 (simple EWMA would lag)
+    val rows = (0 until 4).flatMap { h =>
+      (0 until (h + 1) * 10).map(i =>
+        (h.toLong * 1000 + i, new java.sql.Timestamp(h.toLong * 3600 * 1000),
+          1L, "A", 1.0, "{}"))
+    }
+    val tmp = java.nio.file.Files.createTempDirectory("graft_holt").toString
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$tmp/events.parquet")
+    val r = operators.EventsQueries.holtForecast.run(spark, tmp).collect()(0)
+    assert(r.getLong(1) == 4L)
+    assert(r.getDouble(2) == 40.0 && r.getDouble(3) == 10.0 &&
+      r.getDouble(4) == 50.0, s"holt on a line: ${r.toSeq}")
+  }
+
   test("dau/wau/mau replay a planted sparse-activity calendar") {
     import spark.implicits._
     // users 1,2 on day 0; user 3 on day 10: DAU(10)=1, the 7-day window

@@ -1141,6 +1141,22 @@ class VectorTextSpec extends GraftSuite {
       s"geometric corpus must fit steeply: ${p.toSeq}")
   }
 
+  test("source jsd flags the alien-vocabulary source") {
+    // sources s1/s2 share a vocabulary; source "weird" writes entirely
+    // different tokens — its divergence from the corpus must dominate
+    val normal = (1 to 20).map(i => s"n$i").mkString(" ")
+    val alien = (1 to 20).map(i => s"z$i").mkString(" ")
+    val tmp = writeDocs(Seq(
+      (1L, normal, "s1"), (2L, normal, "s1"),
+      (3L, normal, "s2"), (4L, normal, "s2"),
+      (5L, alien, "weird")))
+    val rows = operators.TextQueries.sourceJsd.run(spark, tmp).collect()
+      .map(r => r.getString(0) -> r.getDouble(2)).toMap
+    assert(rows.values.forall(v => v >= 0.0 && v <= math.log(2.0) + 1e-9))
+    assert(rows("weird") > rows("s1") * 2 && rows("weird") > rows("s2") * 2,
+      s"alien source must stand out: $rows")
+  }
+
   test("auc is an exact rank statistic with near-perfect discrimination") {
     val r = operators.TextQueries.aucMetric.run(spark, sf).collect()(0)
     val (p, n, u2) = (r.getLong(0), r.getLong(1), r.getLong(2))
