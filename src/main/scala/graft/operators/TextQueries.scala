@@ -2852,6 +2852,82 @@ object TextQueries {
       FROM t2 GROUP BY source, n_tokens ORDER BY source""")
   )
 
+  /** Precision/recall curve at nine probability thresholds — the
+    * operating-point table that turns the classifier into a POLICY: a
+    * curation run picks the threshold whose precision meets its
+    * contamination budget and reads off the recall it pays. All counts
+    * are exact integers over the rounded-6 σ scores; P/R/F1 are single
+    * divisions with explicit empty-denominator rules.
+    *
+    * Scale shape: the threshold explode is constant-width (×9); one
+    * two-phase agg keyed by threshold. */
+  val prCurve: QueryDef = QueryDef(
+    "x_pipeline_pr_curve",
+    (s, dir) => {
+      val feats = lrFeatures(s, dir)
+      val w = lrTrain(feats)
+      val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
+        lit(w(3)) * col("x3")
+      val ths = (1 to 9).map(t => lit(t / 10.0))
+      feats
+        .withColumn("p", round(lit(1.0) / (lit(1.0) + exp(-z)), 6))
+        .select(col("y"), col("p"),
+          explode(array(ths: _*)).as("threshold"))
+        .withColumn("pred", (col("p") >= col("threshold")).cast("int"))
+        .groupBy(col("threshold"))
+        .agg(
+          sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L))
+            .as("tp"),
+          sum(when(col("pred") === 1 && col("y") === 0, 1L).otherwise(0L))
+            .as("fp"),
+          sum(when(col("pred") === 0 && col("y") === 1, 1L).otherwise(0L))
+            .as("fn"))
+        .withColumn("precision", when(col("tp") + col("fp") === 0, 0.0)
+          .otherwise(round(col("tp").cast("double")
+            / (col("tp") + col("fp")), 4)))
+        .withColumn("recall", when(col("tp") + col("fn") === 0, 0.0)
+          .otherwise(round(col("tp").cast("double")
+            / (col("tp") + col("fn")), 4)))
+        .withColumn("f1", when(col("precision") + col("recall") === 0.0, 0.0)
+          .otherwise(round(lit(2.0) * col("precision") * col("recall")
+            / (col("precision") + col("recall")), 4)))
+        .orderBy(col("threshold"))
+    },
+    oracle = Some(s"""
+      WITH $lrCtes,
+      sc AS (SELECT f.y,
+               round(1.0 / (1.0 + exp(-(w.w0 + w.w1 * f.x1 + w.w2 * f.x2
+                 + w.w3 * f.x3))), 6) AS p
+             FROM f CROSS JOIN w8 w),
+      th AS (SELECT CAST(unnest(
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS DOUBLE)
+               AS threshold),
+      ex AS (SELECT sc.y, sc.p, th.threshold,
+               CASE WHEN sc.p >= th.threshold THEN 1 ELSE 0 END AS pred
+             FROM sc CROSS JOIN th),
+      ag AS (SELECT threshold,
+               CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS tp,
+               CAST(sum(CASE WHEN pred = 1 AND y = 0 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fp,
+               CAST(sum(CASE WHEN pred = 0 AND y = 1 THEN 1 ELSE 0 END)
+                 AS BIGINT) AS fn
+             FROM ex GROUP BY threshold),
+      pr AS (SELECT threshold, tp, fp, fn,
+               CASE WHEN tp + fp = 0 THEN 0.0
+                    ELSE round(CAST(tp AS DOUBLE) / (tp + fp), 4)
+                 END AS precision,
+               CASE WHEN tp + fn = 0 THEN 0.0
+                    ELSE round(CAST(tp AS DOUBLE) / (tp + fn), 4)
+                 END AS recall
+             FROM ag)
+      SELECT threshold, tp, fp, fn, precision, recall,
+             CASE WHEN precision + recall = 0.0 THEN 0.0
+                  ELSE round(2.0 * precision * recall
+                    / (precision + recall), 4) END AS f1
+      FROM pr ORDER BY threshold""")
+  )
+
   def defs: Seq[QueryDef] = Seq(langId, quality, tokenCount, topTokens,
     fingerprint, curate, bigrams, sample, pack, tfidf, stratified, piiRedact,
     repetition, contamination, mix, e2e, bm25, entropy, kanon, wsample,
@@ -2859,5 +2935,5 @@ object TextQueries {
     split3, domainCap, shuffleShards, phraseSearch, dsir, hashEmbed,
     expectations, driftPsi, kfold, lmScoreKn, moreLikeThis, datasetCard,
     collocationsPmi, qualityClassifier, activeLearning, zipfFit, labelNoise,
-    heapsGrowth, calibration, aucMetric, sourceJsd)
+    heapsGrowth, calibration, aucMetric, sourceJsd, prCurve)
 }

@@ -1141,6 +1141,21 @@ class VectorTextSpec extends GraftSuite {
       s"geometric corpus must fit steeply: ${p.toSeq}")
   }
 
+  test("pr curve holds the class totals and trades recall monotonically") {
+    val rows = operators.TextQueries.prCurve.run(spark, sf).collect()
+      .map(r => (r.getDouble(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    assert(rows.length == 9)
+    val pTotal = rows.head._2 + rows.head._4
+    assert(rows.forall { case (_, tp, _, fn, _, _) => tp + fn == pTotal },
+      "every threshold sees the same positive class")
+    val recalls = rows.map(_._6)
+    assert(recalls.zip(recalls.tail).forall { case (a, b) => a >= b },
+      s"recall must fall as the threshold rises: ${recalls.toSeq}")
+    assert(rows.exists(r => r._5 == 1.0 && r._6 > 0.5),
+      "some threshold reaches full precision with useful recall")
+  }
+
   test("source jsd flags the alien-vocabulary source") {
     // sources s1/s2 share a vocabulary; source "weird" writes entirely
     // different tokens — its divergence from the corpus must dominate
