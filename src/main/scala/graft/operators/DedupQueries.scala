@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.sources.Checkpoints.BarrierOps
 import graft.{QueryDef, Tables}
 import graft.functions.HashFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -43,7 +44,7 @@ object DedupQueries {
     // reference re-runs the 32-hash signature map over the tokenized
     // corpus — the dominant per-row compute of the whole family.
     // Checkpointed state is (id, band_id, 4 longs) only, never text.
-    .localCheckpoint()
+    .barrier()
 
   /** Exact dedup via content digest: first occurrence wins, copies counted
     * (hash-groupBy — the scalable exact-dedup plan). */
@@ -686,11 +687,11 @@ ${LshOracleSql.cosineExpr} AS c
         least(col("a"), col("b")).as("b"))
       .filter(col("a") =!= col("b"))
       .distinct()
-      .localCheckpoint(true)
+      .barrier()
     var rounds = 0
     var converged = false
     while (!converged && rounds < maxRounds) {
-      val next = smallStar(largeStar(edges)).localCheckpoint(true)
+      val next = smallStar(largeStar(edges)).barrier()
       // both sides are distinct sets: equal counts + empty one-sided
       // difference ⇒ equal sets ⇒ fixed point reached
       converged = next.count() == edges.count() &&
@@ -1191,7 +1192,7 @@ ${LshOracleSql.cosineExpr} AS c
         // dominant per-row compute). Checkpointed state is (id, hash
         // array, n) longs — spill-friendly; see GraphQueries for the
         // reliable-checkpoint note at cluster scale.
-        .localCheckpoint()
+        .barrier()
       val tok = d.select(col("doc_id"), col("n"), explode(col("sh")).as("t"))
       val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
       val pref = tok.join(freq, Seq("t"))
@@ -1360,7 +1361,7 @@ ${LshOracleSql.cosineExpr} AS c
           expr("transform(shs, x -> xxhash64(x))").as("sh"))
         .withColumn("n", size(col("sh")).cast("long"))
         .filter(col("n") > 0)
-        .localCheckpoint()
+        .barrier()
       val tok = d.select(col("doc_id"), col("n"), explode(col("sh")).as("t"))
       val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
       // A-side prefix: rarest n - ceil(4n/5) + 1 shingles

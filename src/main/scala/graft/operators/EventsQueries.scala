@@ -1177,13 +1177,18 @@ object EventsQueries {
               .unionByName(bAgg)
               .groupBy(col("user_id"))
               .agg(max(col("st")).as("st"), sum(col("n")).as("n"))
-          // write-then-swap: the state read above is eager within this
-          // batch's plan only after the write starts, so stage to a new
-          // dir and atomically replace (the table-format commit analog)
+          // write-then-swap (the table-format commit analog): stage to a
+          // new dir, retire the old state by RENAME — never a
+          // delete-then-move window with no state on disk — then move the
+          // staged dir into place. A crash mid-swap leaves either the old
+          // or the new state dir intact and recoverable.
           val next = s"$tmp/state_next_$bid"
           merged.write.mode("overwrite").parquet(next)
-          graft.sources.FsUtil.deleteRecursively(fs, swallowErrors = true)
+          val retired = java.nio.file.Paths.get(s"$tmp/state_old_$bid")
+          if (stateExists) java.nio.file.Files.move(fs, retired)
           java.nio.file.Files.move(java.nio.file.Paths.get(next), fs)
+          graft.sources.FsUtil.deleteRecursively(retired,
+            swallowErrors = true)
           ()
         }
         .option("checkpointLocation", s"$tmp/cp")
@@ -1523,19 +1528,19 @@ object EventsQueries {
     * curve optimistic; KM keeps them in the risk set until their
     * observation window ends (censor time = corpus end − first view).
     * S(t) = Π_{u ≤ t} (1 − d_u/n_u) over event hours; the running
-    * product runs as exp(running-sum of ln), which both engines
-    * evaluate in the same t order — the one fp-noise-safe way to chain
-    * a product through a window.
+    * product runs as exp(running-sum of ln), with each ln term rounded
+    * to 12 decimals and summed through exact DECIMAL so the accumulation
+    * order cannot perturb the curve — which lets the running sums be
+    * true parallel prefix-scans.
     *
     * Scale shape: one per-user collapse (two timestamps), a |distinct
-    * hours|-row table, and ordered windows over it — event volume never
-    * reaches the windows. The corpus-end timestamp is one broadcast
-    * scalar. */
+    * hours|-row table, and range-partitioned prefix-scans over it
+    * ([[graft.functions.Prefix]] — no single-partition window); event
+    * volume never reaches the scans. The corpus-end timestamp is one
+    * broadcast scalar. */
   val survivalKm: QueryDef = QueryDef(
     "x_events_survival_km",
     (s, dir) => {
-      val w = Window.orderBy(col("t"))
-      val wBefore = w.rowsBetween(Window.unboundedPreceding, -1)
       val fx = ev(s, dir).groupBy(col("user_id"))
         .agg(min(when(col("event_type") === "view", col("ts"))).as("fv"),
           min(when(col("event_type") === "purchase", col("ts"))).as("fp"))
@@ -1553,21 +1558,31 @@ object EventsQueries {
       val nTotal = coh.agg(count(lit(1)).as("n_total"))
       val at = coh.groupBy(col("t"))
         .agg(count(lit(1)).as("c_all"), sum(col("ev")).as("d"))
-      at.crossJoin(broadcast(nTotal))
-        .withColumn("before",
-          coalesce(sum(col("c_all")).over(wBefore), lit(0L)))
-        .withColumn("n_risk", col("n_total") - col("before"))
-        .filter(col("d") >= 1)
+      val P = graft.functions.Prefix
+      val risk = P.over(at.crossJoin(broadcast(nTotal)), Seq(col("t")),
+          Seq(P.sumOf(col("c_all"), "before0", inclusive = false)))
+        .withColumn("n_risk",
+          col("n_total") - coalesce(col("before0"), lit(0L)))
         // a time where EVERYONE at risk converts makes the ratio 0 —
         // ln(0) diverges between engines (Spark null, DuckDB error), so
-        // the zero factor is carried as a running flag instead
-        .withColumn("term", when(col("d") < col("n_risk"),
-          log(lit(1.0) - col("d").cast("double") / col("n_risk")))
-          .otherwise(lit(0.0)))
-        .withColumn("zeroed",
-          max(when(col("d") >= col("n_risk"), 1).otherwise(0)).over(w))
+        // the zero factor is carried as a running flag instead; each ln
+        // term rounds to 12 decimals and runs through exact DECIMAL so
+        // the prefix-scan's merge order cannot perturb the product (the
+        // same order-immune discipline as the GD gradients). d = 0 rows
+        // contribute an exact 0 term and a 0 flag, so both running
+        // aggregates can include them and the d ≥ 1 filter moves last.
+        .withColumn("term",
+          round(when(col("d") < col("n_risk"),
+            log(lit(1.0) - col("d").cast("double") / col("n_risk")))
+            .otherwise(lit(0.0)), 12).cast("decimal(28,12)"))
+        .withColumn("flag",
+          when(col("d") >= col("n_risk"), 1).otherwise(0))
+      P.over(risk, Seq(col("t")),
+          Seq(P.maxOf(col("flag"), "zeroed"),
+            P.sumOf(col("term"), "termsum")))
+        .filter(col("d") >= 1)
         .withColumn("surv", round(when(col("zeroed") === 1, lit(0.0))
-          .otherwise(exp(sum(col("term")).over(w))), 6))
+          .otherwise(exp(col("termsum").cast("double"))), 6))
         .select(col("t").as("t_hours"), col("n_risk"),
           col("d").as("d_events"), col("surv"))
         .orderBy(col("t_hours"))
@@ -1599,9 +1614,10 @@ object EventsQueries {
       ev2 AS (SELECT rk.t, nn.n_total - rk.before AS n_risk, rk.d
               FROM rk CROSS JOIN nn WHERE rk.d >= 1),
       km AS (SELECT t, n_risk, d,
-               exp(sum(CASE WHEN d < n_risk
+               exp(CAST(sum(CAST(round(CASE WHEN d < n_risk
                             THEN ln(1.0 - CAST(d AS DOUBLE) / n_risk)
-                            ELSE 0.0 END) OVER (ORDER BY t)) AS sv,
+                            ELSE 0.0 END, 12) AS DECIMAL(28,12)))
+                 OVER (ORDER BY t) AS DOUBLE)) AS sv,
                max(CASE WHEN d >= n_risk THEN 1 ELSE 0 END)
                  OVER (ORDER BY t) AS zeroed
              FROM ev2)

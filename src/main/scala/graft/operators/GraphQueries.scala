@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.sources.Checkpoints.BarrierOps
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -107,9 +108,9 @@ object GraphQueries {
       // corpus. Checkpointed state is (src, dst, od) longs only; on a
       // real cluster swap localCheckpoint for a reliable checkpoint dir
       // so executor loss doesn't force a re-derivation.
-      val edges = starEdges(chunkDigests(d)).localCheckpoint()
+      val edges = starEdges(chunkDigests(d)).barrier()
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("od"))
-        .localCheckpoint()
+        .barrier()
       // per-edge contribution denominator rides with the edge, so each
       // round's join touches ranks only
       val edgesDeg = edges.join(deg, Seq("src"))
@@ -118,7 +119,7 @@ object GraphQueries {
         .select(expr(s"${Scale}L div n").as("base"))
       // id + constant per node, referenced by all 5 rounds — checkpoint
       // cuts the repeated doc scan (cheap but not free × rounds)
-      val nodesBase = nodes.crossJoin(broadcast(base)).localCheckpoint()
+      val nodesBase = nodes.crossJoin(broadcast(base)).barrier()
       var ranks = nodesBase.select(col("doc_id"), col("base").as("r"))
       for (_ <- 1 to 5) {
         val contrib = edgesDeg
@@ -177,7 +178,7 @@ object GraphQueries {
     (s, dir) => {
       // one materialization of the derived graph (see pagerank note):
       // oriented is read three times below (both wedge sides + closing)
-      val edges = starEdges(chunkDigests(docs(s, dir))).localCheckpoint()
+      val edges = starEdges(chunkDigests(docs(s, dir))).barrier()
       val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("dg"))
       // orient: src < dst by (degree, id) — each undirected edge once
       val oriented = edges
@@ -188,7 +189,7 @@ object GraphQueries {
         .filter(col("du") < col("dv") ||
           (col("du") === col("dv") && col("src") < col("dst")))
         .select(col("src").as("a"), col("dst").as("b"))
-        .localCheckpoint()
+        .barrier()
       val wedges = oriented.as("e1")
         .join(oriented.as("e2"),
           col("e1.a") === col("e2.a") && col("e1.b") < col("e2.b"))
@@ -250,9 +251,9 @@ object GraphQueries {
     // the neighbor votes
     val edges = starEdges(chunkDigests(d))
       .union(d.select(col("doc_id").as("src"), col("doc_id").as("dst")))
-      .localCheckpoint()
+      .barrier()
     var labels = d.select(col("doc_id"), col("doc_id").as("lab"))
-      .localCheckpoint()
+      .barrier()
     for (_ <- 1 to 4) {
       val cnt = edges
         .join(labels.select(col("doc_id").as("src"), col("lab")),
@@ -267,7 +268,7 @@ object GraphQueries {
           Seq("doc_id"), "left_outer")
         .select(col("doc_id"),
           coalesce(col("blab"), col("lab")).as("lab"))
-        .localCheckpoint()
+        .barrier()
     }
     labels
   }
@@ -325,7 +326,7 @@ object GraphQueries {
   val modularity: QueryDef = QueryDef(
     "x_graph_modularity",
     (s, dir) => {
-      val edges = starEdges(chunkDigests(docs(s, dir))).localCheckpoint()
+      val edges = starEdges(chunkDigests(docs(s, dir))).barrier()
       val labels = lpaLabels(s, dir)
       val tot = edges.agg(count(lit(1)).cast("double").as("m"))
       val el = edges
@@ -340,8 +341,7 @@ object GraphQueries {
         .agg(count(lit(1)).as("degree_sum"))
       val members = labels.groupBy(col("lab").as("community"))
         .agg(count(lit(1)).as("n_members"))
-      val wAll = org.apache.spark.sql.expressions.Window.partitionBy(lit(1))
-      members
+      val per = members
         .join(intra, Seq("community"), "left")
         .join(degc, Seq("community"), "left")
         .select(col("community"), col("n_members"),
@@ -351,8 +351,16 @@ object GraphQueries {
         .withColumn("qc", col("intra_edges").cast("double") / col("m")
           - (col("degree_sum").cast("double") / col("m"))
             * (col("degree_sum").cast("double") / col("m")))
+      // Q total is a plain two-phase aggregate broadcast back onto every
+      // community row — no global window; per-community terms round to 12
+      // decimals and sum through exact DECIMAL so the partial-agg order
+      // cannot perturb the statistic
+      val qtot = per.agg(
+        round(sum(round(col("qc"), 12).cast("decimal(28,12)"))
+          .cast("double"), 6).as("q_total"))
+      per
         .withColumn("q_contrib", round(col("qc"), 6))
-        .withColumn("q_total", round(sum(col("qc")).over(wAll), 6))
+        .crossJoin(broadcast(qtot))
         .select(col("community"), col("n_members"), col("intra_edges"),
           col("degree_sum"), col("q_contrib"), col("q_total"))
         .orderBy(col("community"))
@@ -384,11 +392,12 @@ object GraphQueries {
                CAST(intra_edges AS DOUBLE) / mm.m
                  - (CAST(degree_sum AS DOUBLE) / mm.m)
                    * (CAST(degree_sum AS DOUBLE) / mm.m) AS qc
-             FROM jj CROSS JOIN mm)
+             FROM jj CROSS JOIN mm),
+      qt AS (SELECT round(CAST(sum(CAST(round(qc, 12) AS DECIMAL(28,12)))
+                    AS DOUBLE), 6) AS q_total FROM tt)
       SELECT community, n_members, intra_edges, degree_sum,
-             round(qc, 6) AS q_contrib,
-             round(sum(qc) OVER (), 6) AS q_total
-      FROM tt ORDER BY community""")
+             round(qc, 6) AS q_contrib, qt.q_total
+      FROM tt CROSS JOIN qt ORDER BY community""")
   )
 
   /** Exactly-2-hop reachability counts — distinct nodes reachable in two
@@ -405,7 +414,7 @@ object GraphQueries {
   val khop: QueryDef = QueryDef(
     "x_graph_khop",
     (s, dir) => {
-      val edges = starEdges(chunkDigests(docs(s, dir))).localCheckpoint()
+      val edges = starEdges(chunkDigests(docs(s, dir))).barrier()
       val two = edges.as("e1")
         .join(edges.as("e2"), col("e1.dst") === col("e2.src"))
         .filter(col("e1.src") =!= col("e2.dst"))

@@ -516,12 +516,12 @@ object JoinQueries {
     * dominator). O(n log n) by sort instead of O(n²) by join.
     *
     * Scale shape: the grouped min collapses the sweep input to one row
-    * per DISTINCT price before the ordered window touches it — the
-    * single-partition window runs on the price domain, not the row count
-    * (same domain-window discipline as x_events_resample). At 100 TB with
-    * an unbounded price domain the sweep range-partitions by price and
-    * broadcasts the per-partition prefix minima — the merge is
-    * associative; noted here, domain-sized at every test SF. */
+    * per DISTINCT price, and the running minimum over that domain is a
+    * range-partitioned prefix-scan ([[graft.functions.Prefix]]): each
+    * price range computes its local running min in parallel and the
+    * per-range minima merge through a broadcast — associative, so no
+    * single-partition window exists even with an unbounded price
+    * domain. */
   val skyline: QueryDef = QueryDef(
     "j_skyline_dominance",
     (s, dir) => {
@@ -529,9 +529,13 @@ object JoinQueries {
         .select(col("p_partkey"), col("p_retailprice"), col("p_size"))
       val g = p.groupBy(col("p_retailprice"))
         .agg(min(col("p_size")).as("gmin"))
-      val w = Window.orderBy(col("p_retailprice"))
-        .rowsBetween(Window.unboundedPreceding, -1)
-      val g2 = g.withColumn("prevmin", min(col("gmin")).over(w))
+      // range-partitioned prefix minimum over the price domain: the
+      // sweep's running min is associative, so Prefix.over merges
+      // per-range minima with a broadcast of |partitions| partials —
+      // no single-partition window even when the price domain is large
+      val g2 = graft.functions.Prefix.over(g, Seq(col("p_retailprice")),
+        Seq(graft.functions.Prefix.minOf(col("gmin"), "prevmin",
+          inclusive = false)))
       p.join(g2, Seq("p_retailprice"))
         .filter(!(coalesce(col("prevmin") <= col("p_size"), lit(false)) ||
           col("gmin") < col("p_size")))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.sources.Checkpoints.BarrierOps
 import graft.{QueryDef, Tables}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
@@ -104,9 +105,27 @@ object SubqueryQueries {
     QueryDef("sub_having_subquery", sql(q), oracle = Some(q))
   }
 
-  /** CTE / WITH (parity-plus — MySQL 5.x surface has none). */
+  /** CTE / WITH (parity-plus — MySQL 5.x surface has none). The rank in
+    * the second CTE is computed as 1 + count of strictly-greater balances
+    * via a broadcast theta self-join over the 25-nation domain rather
+    * than `rank() OVER (ORDER BY ...)` — identical semantics (ties share
+    * a rank), but no unpartitioned window; the DuckDB oracle keeps the
+    * window form as the independent derivation. */
   val cte: QueryDef = {
     val q = """
+      WITH nation_bal AS (
+        SELECT n_nationkey, n_name, sum(c_acctbal) AS bal
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        GROUP BY n_nationkey, n_name
+      ), ranked AS (
+        SELECT a.n_nationkey, a.n_name, a.bal,
+               1 + count(b.n_nationkey) AS rk
+        FROM nation_bal a LEFT JOIN nation_bal b ON b.bal > a.bal
+        GROUP BY a.n_nationkey, a.n_name, a.bal
+      )
+      SELECT n_nationkey, n_name, bal, rk FROM ranked WHERE rk <= 10
+      ORDER BY rk, n_nationkey"""
+    val o = """
       WITH nation_bal AS (
         SELECT n_nationkey, n_name, sum(c_acctbal) AS bal
         FROM nation JOIN customer ON c_nationkey = n_nationkey
@@ -116,7 +135,7 @@ object SubqueryQueries {
       )
       SELECT n_nationkey, n_name, bal, rk FROM ranked WHERE rk <= 10
       ORDER BY rk, n_nationkey"""
-    QueryDef("sub_cte", sql(q), oracle = Some(q))
+    QueryDef("sub_cte", sql(q), oracle = Some(o))
   }
 
   /** Recursive-CTE surface (parity-plus — the reference's MySQL 5.x front
@@ -153,7 +172,7 @@ object SubqueryQueries {
           // materialize each round (same pattern as x_dedup_cc): the lazy
           // tower doubles its own subtree per round — 2^k base scans by
           // round k — while the checkpointed state is 4 longs per node
-          .localCheckpoint()
+          .barrier()
       }
       ptr.select(col("node").as("s_suppkey"), col("anc").as("root_key"),
           col("d").as("depth"))

@@ -1,5 +1,6 @@
 package graft.operators
 
+import graft.sources.Checkpoints.BarrierOps
 import graft.{QueryDef, Tables}
 import graft.functions.HashFunctions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -970,9 +971,11 @@ object TextQueries {
           round(-log((pmod(fingerprint64(col("doc_id").cast("string")),
             lit(m)) + 1).cast("double") / lit(m.toDouble)) /
             col("n_chars"), 6).as("skey"))
-      val w = Window.orderBy(col("skey").asc, col("doc_id"))
-      keyed.orderBy(col("skey").asc, col("doc_id")).limit(k)
-        .withColumn("rk", row_number().over(w))
+      val sel = keyed.orderBy(col("skey").asc, col("doc_id")).limit(k)
+      graft.functions.Prefix.over(sel,
+          Seq(col("skey").asc, col("doc_id")),
+          Seq(graft.functions.Prefix.rowNumber("rk64")), numParts = 4)
+        .withColumn("rk", col("rk64").cast("int"))
         .select(col("rk"), col("doc_id"), col("n_chars"), col("skey"))
         .orderBy(col("rk"))
     },
@@ -1477,17 +1480,19 @@ object TextQueries {
         .groupBy(col("source")).agg(sum(col("n")).as("n_tokens"))
         .withColumn("w",
           floor(sqrt(col("n_tokens").cast("double"))).cast("long"))
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy()
-      val ranked = counts
-        .withColumn("s_total", sum(col("w")).over(wAll))
+      // corpus totals come from plain two-phase aggs broadcast back in
+      // (not an unpartitioned window), and the remainder rank is a
+      // range-partitioned prefix-scan over the source domain
+      val totals = counts.agg(sum(col("w")).as("s_total"))
+      val based = counts.crossJoin(broadcast(totals))
         .withColumn("base", expr("(100000 * w) div s_total"))
         .withColumn("rem", expr("(100000 * w) % s_total"))
-        .withColumn("leftover",
-          lit(100000L) - sum(col("base")).over(wAll))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("rem").desc, col("source"))))
+      val spent = based.agg(sum(col("base")).as("base_total"))
+      val ranked = graft.functions.Prefix.over(
+          based.crossJoin(broadcast(spent))
+            .withColumn("leftover", lit(100000L) - col("base_total")),
+          Seq(col("rem").desc, col("source")),
+          Seq(graft.functions.Prefix.rowNumber("rk")), numParts = 4)
       ranked
         .withColumn("quota",
           col("base") + when(col("rk") <= col("leftover"), 1L).otherwise(0L))
@@ -1725,11 +1730,16 @@ object TextQueries {
       val sc = lr.groupBy(col("doc_id"))
         .agg(count(lit(1)).as("n_toks"), round(avg(col("lr")), 4).as("score"))
       val n = sc.agg(count(lit(1)).as("n"))
-      val ranked = sc
-        .join(docs(s, dir).select(col("doc_id"), col("source")), Seq("doc_id"))
-        .withColumn("sel_rank",
-          row_number().over(org.apache.spark.sql.expressions.Window
-            .orderBy(col("score").desc, col("doc_id"))).cast("int"))
+      // global importance rank without a single-partition window: the
+      // per-doc score table range-partitions on (score desc, doc_id) and
+      // row numbers merge through broadcast per-range counts
+      val ranked = graft.functions.Prefix.over(
+          sc.join(docs(s, dir).select(col("doc_id"), col("source")),
+            Seq("doc_id")),
+          Seq(col("score").desc, col("doc_id")),
+          Seq(graft.functions.Prefix.rowNumber("sel_rank64")))
+        .withColumn("sel_rank", col("sel_rank64").cast("int"))
+        .drop("sel_rank64")
       ranked.crossJoin(broadcast(n))
         .filter(col("sel_rank") <= ceil(col("n") / 4.0))
         .select(col("doc_id"), col("source"), col("n_toks"), col("score"),
@@ -1977,19 +1987,19 @@ object TextQueries {
     *
     * Scale shape: the assignment is a per-row map over the scan (no
     * shuffle); the report aggregates k=5 rows, and the complement
-    * n_train = total − n_val comes from an unpartitioned window over
-    * those 5 rows, not a second corpus pass. */
+    * n_train = total − n_val folds the broadcast grand total over those
+    * 5 rows, not a second corpus pass. */
   val kfold: QueryDef = QueryDef(
     "x_pipeline_kfold",
     (s, dir) => {
-      val wAll = org.apache.spark.sql.expressions.Window
-        .partitionBy(lit(1))
-      docs(s, dir)
+      val folds = docs(s, dir)
         .withColumn("fold", pmod(fingerprint64(
           concat(lit("fold:"), col("doc_id").cast("string"))), lit(5L)))
         .groupBy(col("fold"))
         .agg(count(lit(1)).as("n_val"), sum(col("n_chars")).as("val_chars"))
-        .withColumn("n_train", sum(col("n_val")).over(wAll) - col("n_val"))
+      val total = folds.agg(sum(col("n_val")).as("n_total"))
+      folds.crossJoin(broadcast(total))
+        .withColumn("n_train", col("n_total") - col("n_val"))
         .select(col("fold"), col("n_val"), col("val_chars"), col("n_train"))
         .orderBy(col("fold"))
     },
@@ -2310,7 +2320,7 @@ object TextQueries {
     * decimals, then sum through exact DECIMAL(28,12) — partial-agg order
     * cannot perturb the weights; z = w·x evaluates in one fixed operand
     * order; PREDICTION thresholds on the linear score (z ≥ 0), which
-    * needs no sigmoid at all. The oracle replays all 5 steps as unrolled
+    * needs no sigmoid at all. The oracle replays all 8 steps as unrolled
     * single-row weight CTEs.
     *
     * Scale shape: features are a per-row map; each GD step shuffles one
@@ -2329,7 +2339,7 @@ object TextQueries {
           .cast("double")./(size(col("toks")))./(lit(10)).as("x2"),
         expr("size(filter(toks, t -> length(t) > 6))").cast("double")
           ./(size(col("toks"))).as("x3"))
-      .localCheckpoint()
+      .barrier()
 
   /** 8 full-batch GD steps (η = 2), decimal-exact gradient sums; returns
     * the 4 learned weights. */
@@ -2515,10 +2525,11 @@ object TextQueries {
         .groupBy(col("w")).agg(count(lit(1)).as("f"))
         .orderBy(col("f").desc, col("w"))
         .limit(100)
-        .withColumn("rank", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .orderBy(col("f").desc, col("w"))))
-      val pts = freq.select(
+      val freqRanked = graft.functions.Prefix.over(freq,
+          Seq(col("f").desc, col("w")),
+          Seq(graft.functions.Prefix.rowNumber("rank64")), numParts = 4)
+        .withColumn("rank", col("rank64").cast("int"))
+      val pts = freqRanked.select(
         log(col("rank").cast("double")).as("x"),
         log(col("f").cast("double")).as("y"))
       pts.agg(count(lit(1)).as("n"),
@@ -2713,9 +2724,12 @@ object TextQueries {
     * (u2 carries 2× the U statistic so tie half-ranks stay integral),
     * so the metric is exact — no trapezoid sums, no fp accumulation.
     *
-    * Scale note: ranking by score is one global sort of (y, z) pairs —
-    * the one metric in the suite that inherently needs a total order;
-    * everything else about the model pipeline stays two-phase. */
+    * Scale shape: scores round to 6 decimals, so the corpus first
+    * collapses to the DISTINCT-score domain (z, count, positives) with
+    * one two-phase aggregation; the tie-corrected ranks come from a
+    * range-partitioned prefix-scan over that bounded domain
+    * ([[graft.functions.Prefix]]) — no single-partition window, and the
+    * per-row table never moves after the collapse. */
   val aucMetric: QueryDef = QueryDef(
     "x_pipeline_auc",
     (s, dir) => {
@@ -2723,17 +2737,24 @@ object TextQueries {
       val w = lrTrain(feats)
       val z = lit(w(0)) + lit(w(1)) * col("x1") + lit(w(2)) * col("x2") +
         lit(w(3)) * col("x3")
-      val wOrd = org.apache.spark.sql.expressions.Window.orderBy(col("z"))
-      val wTie = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("z"))
-      val scored = feats.select(col("y"), round(z, 6).as("z"))
-        .withColumn("minrk", rank().over(wOrd).cast("long"))
-        .withColumn("tiecnt", count(lit(1)).over(wTie))
+      // collapse to the DISTINCT rounded-score domain before ranking:
+      // scores round to 6 decimals, so (z, row count, positive count) is
+      // a bounded domain table; the tie-corrected rank then needs only a
+      // global cumulative row count over that domain, which Prefix.over
+      // computes with range-partitioned windows — no row of the scored
+      // corpus ever passes through a single-partition WindowExec
+      val dom = feats.select(col("y"), round(z, 6).as("z"))
+        .groupBy(col("z"))
+        .agg(count(lit(1)).as("tiecnt"),
+          sum(col("y").cast("long")).as("pos"))
+      val ranked = graft.functions.Prefix.over(dom, Seq(col("z")),
+          Seq(graft.functions.Prefix.sumOf(col("tiecnt"), "cum")))
+        .withColumn("minrk", col("cum") - col("tiecnt") + 1L)
         .withColumn("avg2", lit(2L) * col("minrk") + col("tiecnt") - 1L)
-      scored.agg(
-          sum(col("y").cast("long")).as("n_pos"),
-          sum(lit(1L) - col("y")).as("n_neg"),
-          sum(when(col("y") === 1, col("avg2")).otherwise(0L)).as("sum2"))
+      ranked.agg(
+          sum(col("pos")).as("n_pos"),
+          sum(col("tiecnt") - col("pos")).as("n_neg"),
+          sum(col("pos") * col("avg2")).as("sum2"))
         .withColumn("u2",
           col("sum2") - col("n_pos") * (col("n_pos") + 1))
         .withColumn("auc", round(col("u2").cast("double") /

@@ -920,14 +920,21 @@ ${LshOracleSql.cosineExpr} AS cos
       val nn = coarseReassign(batch, cents).groupBy(col("cid"))
         .agg(count(lit(1)).as("nn"))
       val spine = s.range(16).select(col("id").as("cid"))
-      val wAll = Window.partitionBy(lit(1))
-      spine.join(nb, Seq("cid"), "left").join(nn, Seq("cid"), "left")
+      // occupancy totals are plain aggs broadcast back over the 16-row
+      // spine — no constant-partition window (Catalyst folds those to an
+      // empty partition spec, i.e. a single-partition WindowExec)
+      val occ = spine.join(nb, Seq("cid"), "left")
+        .join(nn, Seq("cid"), "left")
         .select(col("cid"), coalesce(col("nb"), lit(0L)).as("n_base"),
           coalesce(col("nn"), lit(0L)).as("n_new"))
+      val tots = occ.agg(sum(col("n_base")).as("tb"),
+        sum(col("n_new")).as("tn"))
+      occ.crossJoin(broadcast(tots))
         .withColumn("share_base", (col("n_base") + 1).cast("double") /
-          (sum(col("n_base")).over(wAll) + 16).cast("double"))
+          (col("tb") + 16).cast("double"))
         .withColumn("share_new", (col("n_new") + 1).cast("double") /
-          (sum(col("n_new")).over(wAll) + 16).cast("double"))
+          (col("tn") + 16).cast("double"))
+        .drop("tb", "tn")
         .withColumn("psi_term", round((col("share_new") - col("share_base"))
           * log(col("share_new") / col("share_base")), 8))
         .orderBy(col("cid"))

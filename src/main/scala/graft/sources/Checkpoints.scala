@@ -1,0 +1,49 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage barrier for iterative operators (connected components,
+  * pagerank, label propagation, the banded dedup family): materialize an
+  * intermediate result and truncate its query lineage so per-round plans
+  * stay O(1).
+  *
+  * Two modes:
+  *
+  *  - default: `localCheckpoint()` — executor-local blocks, no external
+  *    storage, fastest. The blocks die with an executor, so on a real
+  *    cluster a lost node forces whole-job recomputation.
+  *  - reliable: set `spark.graft.checkpoint.dir` (SparkConf) or the
+  *    `SPARK_GRAFT_CHECKPOINT_DIR` env var to a fault-tolerant path
+  *    (HDFS/S3/...) and every barrier becomes a reliable `checkpoint()`
+  *    persisted there — iterative state survives executor loss, the way
+  *    the reference survives a PM crash through its persistent extent
+  *    state (reference: versioning/BRM/extentmap.h:116).
+  *
+  * At 100 TB the reliable mode is the production setting: a 10-round
+  * star-contraction over a trillion edges cannot afford to restart
+  * because one of 1000 executors was preempted.
+  */
+object Checkpoints {
+
+  /** Resolved checkpoint dir, if reliable mode is enabled. */
+  def reliableDir(df: DataFrame): Option[String] =
+    df.sparkSession.conf.getOption("spark.graft.checkpoint.dir")
+      .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
+      .filter(_.nonEmpty)
+
+  /** Eagerly materialize `df` with truncated lineage — reliable
+    * `checkpoint()` when a checkpoint dir is configured, else
+    * `localCheckpoint()`. */
+  def barrier(df: DataFrame): DataFrame = reliableDir(df) match {
+    case Some(dir) =>
+      val sc = df.sparkSession.sparkContext
+      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      df.checkpoint()
+    case None => df.localCheckpoint()
+  }
+
+  /** `df.barrier()` sugar so call sites chain like `localCheckpoint`. */
+  implicit class BarrierOps(private val df: DataFrame) extends AnyVal {
+    def barrier(): DataFrame = Checkpoints.barrier(df)
+  }
+}

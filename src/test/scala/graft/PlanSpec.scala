@@ -155,21 +155,40 @@ class PlanSpec extends GraftSuite {
     assert(plan.contains("(o_year"), plan)
   }
 
-  test("no query plans an unbroadcast cartesian product") {
-    // CartesianProductExec materializes |A|×|B| across the cluster — the
-    // one plan shape that can never survive a 100× scale-up. Cross joins
-    // are allowed only against broadcast singletons/dims
-    // (BroadcastNestedLoopJoin), which these plans use instead.
+  test("no query plans a cartesian product or an unpartitioned window") {
+    // The two plan shapes that can never survive a 100× scale-up:
+    // CartesianProductExec materializes |A|×|B| across the cluster (cross
+    // joins are allowed only against broadcast singletons/dims, i.e.
+    // BroadcastNestedLoopJoin), and WindowExec with an empty partition
+    // spec funnels its whole input through ONE task (Spark's "No
+    // Partition Defined for Window operation" warning). Every ordered
+    // running aggregate in the repo goes through the range-partitioned
+    // prefix-scan in graft.functions.Prefix instead, so the window sweep
+    // holds with NO whitelist: not even domain-sized inputs get a
+    // single-partition window.
     // x_stream_* excluded: their returned DataFrame is only the read-back
     // of an already-terminated stream, so the assertion would inspect a
     // trivial scan while paying for two full streaming executions
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+    import org.apache.spark.sql.execution.window.WindowExec
     val excluded = Set("x_stream_tumbling", "x_stream_dedup",
       "x_stream_session", "x_stream_sliding", "x_stream_enrich",
       "x_stream_join", "x_stream_transitions")
+    def allNodes(p: SparkPlan): Seq[SparkPlan] = p match {
+      case a: AdaptiveSparkPlanExec => p +: allNodes(a.executedPlan)
+      case q: QueryStageExec => p +: allNodes(q.plan)
+      case _ => p +: p.children.flatMap(allNodes)
+    }
     QueryDef.all.filterNot(q => excluded(q.name)).foreach { q =>
-      val plan = q.run(spark, sf).queryExecution.executedPlan.toString
-      assert(!plan.contains("CartesianProduct"),
-        s"${q.name} plans a cartesian product:\n${plan.take(2000)}")
+      val plan = q.run(spark, sf).queryExecution.executedPlan
+      assert(!plan.toString.contains("CartesianProduct"),
+        s"${q.name} plans a cartesian product:\n${plan.toString.take(2000)}")
+      val badWin = allNodes(plan)
+        .collect { case w: WindowExec if w.partitionSpec.isEmpty => w }
+      assert(badWin.isEmpty,
+        s"${q.name} plans an unpartitioned window:\n" +
+          badWin.map(_.toString.linesIterator.next()).mkString("\n"))
     }
   }
 
@@ -445,6 +464,35 @@ class PlanSpec extends GraftSuite {
     val pre = df.queryExecution.optimizedPlan.toString
     assert(!pre.contains("Relation") || !pre.contains("parquet"),
       s"pagerank must not re-scan parquet inside the loop:\n${pre.take(800)}")
+  }
+
+  test("iterative ops survive on reliable checkpoints when a dir is set") {
+    // executor-loss story: with spark.graft.checkpoint.dir configured,
+    // every Checkpoints.barrier becomes a reliable checkpoint() persisted
+    // to that dir (instead of executor-local blocks that die with the
+    // executor) — and the iterative op's result is unchanged. Asserts
+    // (a) the dir actually receives RDD checkpoint data, (b) the
+    // star-contraction CC result is byte-identical to local mode.
+    val baseline = operators.DedupQueries.cc.run(spark, sf)
+      .collect().map(_.toString).sorted
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt")
+    try {
+      spark.conf.set("spark.graft.checkpoint.dir", dir.toString)
+      val reliable = operators.DedupQueries.cc.run(spark, sf)
+        .collect().map(_.toString).sorted
+      assert(reliable.sameElements(baseline))
+      def anyFile(p: java.nio.file.Path): Boolean = {
+        val s = java.nio.file.Files.walk(p)
+        try s.anyMatch(f => java.nio.file.Files.isRegularFile(f))
+        finally s.close()
+      }
+      assert(anyFile(dir),
+        s"no checkpoint data was written under $dir — reliable mode " +
+          "never engaged")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.dir")
+      sources.FsUtil.deleteRecursively(dir, swallowErrors = true)
+    }
   }
 
   test("retrieval, card, and hamming-join shuffles never carry payloads") {
