@@ -92,6 +92,7 @@ object Bench {
     "x_pipeline_dataset_card",
     "x_events_abtest",
     "x_ann_pq_residual_topk",
+    "x_ann_pq_residual_indexed",
     "x_graph_modularity",
     "x_events_outlier_mad",
     "x_ann_mrl_rerank",

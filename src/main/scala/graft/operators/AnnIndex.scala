@@ -64,6 +64,9 @@ object AnnIndex {
   def assignPath(dir: String): String = s"${indexDir(dir)}/coarse_assign"
   def codebookPath(dir: String): String = s"${indexDir(dir)}/pq_codebook"
   def codesPath(dir: String): String = s"${indexDir(dir)}/pq_codes"
+  def resCodebookPath(dir: String): String =
+    s"${indexDir(dir)}/respq_codebook"
+  def resCodesPath(dir: String): String = s"${indexDir(dir)}/respq_codes"
   private def marker(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(indexDir(dir), "_GRAFT_INDEX_OK")
 
@@ -273,18 +276,57 @@ object AnnIndex {
 
   // ---- persisted index lifecycle ---------------------------------------
 
+  /** L2-normalized coarse centroids (cid, ncen) — the residual encoding's
+    * subtraction table (16 rows, always broadcast). */
+  private[operators] def normCentroids(cents: DataFrame): DataFrame =
+    cents.select(col("cid"),
+      expr("transform(centroid, x -> double(x) / " +
+        "sqrt(aggregate(centroid, cast(0 as double), " +
+        "(acc, v) -> acc + double(v) * double(v))))").as("ncen"))
+
+  /** Residual subvectors (vec_id, ss, svec) for r = nemb − ncen(assigned
+    * cluster) — the FAISS-default IVFPQ encoding input. Per-row map
+    * against the broadcast normalized-centroid table; vectors never
+    * shuffle. */
+  private[operators] def residualSubs(base: DataFrame, assign: DataFrame,
+      cents: DataFrame, m: Int, sub: Int): DataFrame = {
+    val ncen = normCentroids(cents)
+    val normed = base
+      .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
+        "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
+    normed.join(assign, Seq("vec_id"))
+      .join(broadcast(ncen), Seq("cid"))
+      .select(col("vec_id"),
+        expr("zip_with(nemb, ncen, (x, y) -> x - y)").as("rvec"))
+      .select(col("vec_id"),
+        posexplode(array((0 until m).map(j =>
+          expr(s"slice(rvec, ${j * sub + 1}, $sub)")): _*)))
+      .withColumnRenamed("pos", "ss")
+      .withColumnRenamed("col", "svec")
+  }
+
   /** Offline index build: train both quantizers over the corpus at `dir`
-    * and persist the four artifacts. Forced — always retrains. */
+    * and persist the artifacts — direct-encoding PQ (codebook + codes)
+    * AND residual-encoding PQ (respq_codebook + respq_codes) share the
+    * one coarse training. Forced — always retrains. */
   def build(s: SparkSession, dir: String): Unit = {
     java.nio.file.Files.deleteIfExists(marker(dir))
     val base = Tables.table(s, dir, "embeddings")
     val assign = coarseTrainTo(base, K, ITERS, assignPath(dir))
-    materialize(coarseCentroids(base, assign), centroidsPath(dir))
+    val cents = materialize(coarseCentroids(base, assign),
+      centroidsPath(dir))
     val subs = pqSubs(base, M, SUB)
     val codes = pqTrainCodesTo(subs, SUB, KPQ, ITERS, codesPath(dir))
     materialize(
       pqCodebookOf(codes.join(subs, Seq("vec_id", "ss")), SUB),
       codebookPath(dir))
+    val rsubs = residualSubs(base, assign, cents, M, SUB)
+    val rcodes = pqTrainCodesTo(rsubs, SUB, KPQ, ITERS, resCodesPath(dir))
+    materialize(
+      pqCodebookOf(rcodes.join(rsubs, Seq("vec_id", "ss")), SUB),
+      resCodebookPath(dir))
     java.nio.file.Files.writeString(marker(dir), "ok\n")
   }
 
@@ -313,6 +355,48 @@ object AnnIndex {
     val pairs = cands
       .join(codes, Seq("vec_id"))
       .join(broadcast(dtab), Seq("q_id", "ss", "cid"))
+    adcTopK(pairs, base, M, topk, nq)
+  }
+
+  /** The read-side RESIDUAL IVF+PQ query over prebuilt artifacts
+    * (respq_codebook/respq_codes + the shared coarse artifacts): per-probe
+    * residual ADC tables × candidate codes, no training subtree — the
+    * indexed twin of the composed x_ann_pq_residual_topk. */
+  def ivfPqResidualQuery(s: SparkSession, dir: String,
+      nprobe: Int = NPROBE, topk: Int = 3, nq: Int = 10): DataFrame = {
+    val base = Tables.table(s, dir, "embeddings")
+    val cents = s.read.parquet(centroidsPath(dir))
+    val assign = s.read.parquet(assignPath(dir))
+    val book = s.read.parquet(resCodebookPath(dir))
+    val codes = s.read.parquet(resCodesPath(dir))
+    val ncen = normCentroids(cents)
+    val queries = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = coarseProbes(queries, cents, nprobe)
+    // per-probe residual query subvectors → ADC distance table:
+    // nprobe × m × k doubles per query, all broadcast
+    val rdtab = base.filter(col("vec_id") < nq)
+      .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
+        "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
+      .select(col("vec_id").as("q_id"),
+        expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
+      .join(broadcast(probes), Seq("q_id"))
+      .join(broadcast(ncen), Seq("cid"))
+      .select(col("q_id"), col("cid").as("pcid"),
+        expr("zip_with(nemb, ncen, (x, y) -> x - y)").as("rq"))
+      .select(col("q_id"), col("pcid"),
+        posexplode(array((0 until M).map(j =>
+          expr(s"slice(rq, ${j * SUB + 1}, $SUB)")): _*)))
+      .withColumnRenamed("pos", "ss")
+      .withColumnRenamed("col", "qsvec")
+      .join(broadcast(book), Seq("ss"))
+      .select(col("q_id"), col("pcid"), col("ss"), col("cid"),
+        l2sqExpr("qsvec", "cen").as("dd"))
+    val cands = assign.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"), col("cid").as("pcid"))
+    val pairs = cands.join(codes, Seq("vec_id"))
+      .join(broadcast(rdtab), Seq("q_id", "pcid", "ss", "cid"))
     adcTopK(pairs, base, M, topk, nq)
   }
 

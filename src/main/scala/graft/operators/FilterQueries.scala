@@ -307,6 +307,105 @@ object FilterQueries {
       FROM g ORDER BY seg_rep""")
   )
 
+  /** Non-ASCII latin1_swedish_ci tailoring — the reference's DEFAULT
+    * collation orders å/ä/ö as distinct letters AFTER z (the Swedish
+    * alphabet tail), case-insensitively (reference:
+    * primitives/linux-port/dictionary.cpp:193 idb_strcoll over the
+    * latin1_swedish_ci weight table). Engine side uses Spark 4's native
+    * ICU collation `sv_CI` (CLDR standard Swedish = the same å ä ö
+    * tail): a collated filter, a collated GROUP BY folding case
+    * variants, and the alphabet RANK materialized as a value via the
+    * range-partitioned prefix-scan ORDERED BY THE COLLATED KEY — so the
+    * Swedish order is checked by the oracle's values, not just row
+    * order.
+    *
+    * The DuckDB oracle deliberately does NOT use DuckDB's `sv` ICU
+    * collation (its bundled CLDR predates the 2022 change that made
+    * standard Swedish the default tailoring, so it still orders ä
+    * BEFORE å — the deprecated "reformed" ordering); instead it encodes
+    * the latin1_swedish_ci order independently:
+    * translate(lower(w), 'åäö', ...) maps the three letters to the three
+    * ASCII codepoints just after 'z'. Scale shape: per-row map + |words|
+    * domain aggregation; the prefix-scan runs on the 8-word domain. */
+  val collationLatin1: QueryDef = QueryDef(
+    "f_collation_latin1",
+    (s, dir) => {
+      val words = Seq("zebra", "åsna", "Ärlig", "ässja", "örn", "Öland",
+        "apple", "Zebra", "ÅSNA", "banan")
+      val base = t(s, dir, "nation").select(
+        element_at(array(words.map(lit): _*),
+          (pmod(col("n_nationkey"), lit(10)) + 1).cast("int")).as("w"))
+      val cw = collate(col("w"), "sv_CI")
+      val g = base
+        .filter(cw =!= lit("banan")) // collated ci filter
+        .groupBy(cw.as("k"))
+        .agg(min(col("w")).as("word_rep"), count(lit(1)).as("n"),
+          countDistinct(col("w")).as("n_case_variants"))
+      graft.functions.Prefix.over(g, Seq(col("k")),
+          Seq(graft.functions.Prefix.rowNumber("sw_rank")), numParts = 4)
+        .select(col("word_rep"), col("n"), col("n_case_variants"),
+          col("sw_rank"))
+        .orderBy(col("sw_rank"))
+    },
+    oracle = Some("""
+      WITH base AS (
+        SELECT ['zebra','åsna','Ärlig','ässja','örn','Öland',
+                'apple','Zebra','ÅSNA','banan'][(n_nationkey % 10) + 1]
+          AS w
+        FROM nation),
+      g AS (SELECT translate(lower(w), 'åäö', '{|}') AS k,
+              min(w) AS word_rep, count(*) AS n,
+              count(DISTINCT w) AS n_case_variants
+            FROM base
+            WHERE translate(lower(w), 'åäö', '{|}') <> 'banan'
+            GROUP BY 1)
+      SELECT word_rep, n, n_case_variants,
+             CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS sw_rank
+      FROM g ORDER BY sw_rank""")
+  )
+
+  /** VARBINARY as a queryable table column (reference:
+    * dbcon/execplan/calpontsystemcatalog.h:139 VARBINARY type; the
+    * reference stores, compares, and filters binary columns). A staged
+    * parquet table carries two BinaryType columns (a 16-byte digest and
+    * its 1-byte prefix); the query then exercises the full surface on
+    * the read-back table: byte-length predicate, binary RANGE comparison
+    * against a literal blob (lexicographic unsigned — Spark BinaryType
+    * and DuckDB BLOB agree), GROUP BY a binary key, and min/max over the
+    * hex round-trip. Output is hex-encoded so the driver hash compares
+    * strings, not engine-specific bytes reprs.
+    *
+    * Scale shape: per-row digest map at write, pushed length/range
+    * filter at scan, |prefix| (≤ 64-row) aggregation domain. */
+  val varbinary: QueryDef = QueryDef(
+    "f_varbinary",
+    (s, dir) => {
+      val tmp = DdlDmlQueries.scratch("varbinary")
+      t(s, dir, "part").select(col("p_partkey"),
+          unhex(md5(col("p_name"))).as("bin"),
+          unhex(substring(md5(col("p_name")), 1, 2)).as("pfx"))
+        .write.mode("overwrite").parquet(s"$tmp/bt")
+      val bt = s.read.parquet(s"$tmp/bt")
+      bt.filter(length(col("bin")) === 16 && col("pfx") < unhex(lit("40")))
+        .groupBy(col("pfx"))
+        .agg(count(lit(1)).as("n"),
+          min(hex(col("bin"))).as("min_hex"),
+          max(hex(col("bin"))).as("max_hex"))
+        .select(hex(col("pfx")).as("pfx_hex"), col("n"),
+          col("min_hex"), col("max_hex"))
+        .orderBy(col("pfx_hex"))
+    },
+    oracle = Some("""
+      WITH bt AS (SELECT p_partkey, unhex(md5(p_name)) AS bin,
+                         unhex(substr(md5(p_name), 1, 2)) AS pfx
+                  FROM part)
+      SELECT hex(pfx) AS pfx_hex, count(*) AS n,
+             min(hex(bin)) AS min_hex, max(hex(bin)) AS max_hex
+      FROM bt
+      WHERE octet_length(bin) = 16 AND pfx < unhex('40')
+      GROUP BY pfx ORDER BY pfx_hex""")
+  )
+
   /** LIKE … ESCAPE — literal `%` / `_` matching through a user escape
     * char (MySQL surface; the dictionary scan treats the escaped char as
     * a literal byte). Wildcard-bearing strings are planted per partkey
@@ -333,5 +432,6 @@ object FilterQueries {
 
   def defs: Seq[QueryDef] = Seq(predicateMatrix, likePatterns,
     constantFilterOrChain, nullSemantics, whereFalse, constantProjection,
-    casts, pruneProject, unsignedBigint, collationCi, likeEscape)
+    casts, pruneProject, unsignedBigint, collationCi, collationLatin1,
+    varbinary, likeEscape)
 }

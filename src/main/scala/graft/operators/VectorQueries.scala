@@ -1054,6 +1054,24 @@ ${LshOracleSql.cosineExpr} AS cos
       sub = 4, kpq = 16, iters = 2, topk = 3, nq = 10))
   )
 
+  /** Residual IVF+PQ search over the PREBUILT index — the indexed twin
+    * of x_ann_pq_residual_topk, closing the round-6 symmetry gap: the
+    * residual codebook and codes are persisted artifacts of
+    * AnnIndex.build (sharing the one coarse training with the direct
+    * encoding), so the query plan is pure probe-pruning × per-probe
+    * residual ADC with NO k-means subtree (pinned in VectorTextSpec).
+    * Same deterministic training → same results → same bit-exact oracle
+    * as the composed query. */
+  val pqResidualIndexed: QueryDef = QueryDef(
+    "x_ann_pq_residual_indexed",
+    (s, dir) => {
+      AnnIndex.ensureBuilt(s, dir)
+      AnnIndex.ivfPqResidualQuery(s, dir)
+    },
+    oracle = Some(ResidualPqOracleSql.sql(k = 16, nprobe = 4, m = 16,
+      sub = 4, kpq = 16, iters = 2, topk = 3, nq = 10))
+  )
+
   /** MRL two-stage retrieve-then-rerank — the production use of the
     * truncation sweep: score the corpus with only the FIRST 8 dims
     * (1/8 of the vector bytes — at 100 TB this stage reads a prefix
@@ -1179,5 +1197,5 @@ ${LshOracleSql.cosineExpr} AS cos
     pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
     recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank, filteredSearch,
     rangeSearch, triplets, mrlTruncate, centroidDrift, pqResidualTopK,
-    mrlRerank, oodDetection)
+    pqResidualIndexed, mrlRerank, oodDetection)
 }

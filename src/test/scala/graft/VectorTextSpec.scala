@@ -139,6 +139,29 @@ class VectorTextSpec extends GraftSuite {
       s"expected artifact scans in:\n${scans.mkString("\n")}")
   }
 
+  test("indexed residual-pq matches the composed query, training-free") {
+    val composed = operators.VectorQueries.pqResidualTopK.run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    val indexed = operators.VectorQueries.pqResidualIndexed.run(spark, sf)
+    // identical results: the respq artifacts persist the same
+    // deterministic residual training the composed query runs in-line
+    assert(indexed.collect().map(_.toSeq).toSeq == composed)
+    val analyzed = indexed.queryExecution.analyzed.toString
+    assert(!analyzed.contains("carr") && !analyzed.contains("cbook"),
+      s"training subtree leaked into the residual indexed plan:\n$analyzed")
+    val scans = indexed.queryExecution.optimizedPlan.collect {
+      case r: org.apache.spark.sql.execution.datasources.LogicalRelation =>
+        r.relation match {
+          case f: org.apache.spark.sql.execution.datasources
+              .HadoopFsRelation => f.location.rootPaths.mkString(",")
+          case other => other.toString
+        }
+    }
+    assert(scans.exists(_.contains("respq_codebook")) &&
+      scans.exists(_.contains("respq_codes")),
+      s"expected respq artifact scans in:\n${scans.mkString("\n")}")
+  }
+
   test("ANN queries leave the block-manager cache empty") {
     // two trainings back-to-back in one session: a library caller must
     // not accumulate cached assignment blocks (materialization goes
