@@ -128,10 +128,21 @@ object Bench {
     // execution-only timing (construction/analysis excluded) — the
     // round-over-round-comparable number the headline set has always
     // reported
-    def run(name: String): Double = {
-      // leftover persist()s from a previous query (the ANN trainings
-      // cache their assignments) must not accumulate across the loop
+    // between-queries hygiene: clearCache drops SQL-cache entries, and
+    // the explicit unpersist drops DEAD localCheckpoint blocks — every
+    // barrier()ing query registers its checkpoint RDDs in the block
+    // manager, and without this they accumulate across the ~80-query
+    // bench until storage pressure squeezes execution memory (round-6's
+    // x_dedup_cc read 6.8 s in the extended section vs 2.3 s in a clean
+    // JVM purely from that buildup). Runs BEFORE construction, never
+    // mid-query, so a query's own fresh checkpoints are untouched.
+    def resetState(): Unit = {
       spark.catalog.clearCache()
+      spark.sparkContext.getPersistentRDDs.values
+        .foreach(_.unpersist(blocking = false))
+    }
+    def run(name: String): Double = {
+      resetState()
       val df = SparkEntry.queries(name)(spark, sfDir)
       val t0 = System.nanoTime()
       df.write.mode("overwrite").format("noop").save()
@@ -143,7 +154,7 @@ object Bench {
     // eager actions while the DataFrame is being BUILT, which the
     // save-only timer above would miss entirely
     def runE2eIn(name: String, dir: String): Double = {
-      spark.catalog.clearCache()
+      resetState()
       val t0 = System.nanoTime()
       SparkEntry.queries(name)(spark, dir)
         .write.mode("overwrite").format("noop").save()
@@ -243,7 +254,7 @@ object Bench {
         // list: the d_* queries mutate fixed scratch paths / metastore
         // tables and would race across user threads
         val concNames = headline
-        spark.catalog.clearCache()
+        resetState()
         val shared = concNames.flatMap { n =>
           try Some(n -> SparkEntry.queries(n)(spark, sfDir))
           catch { case e: Throwable =>

@@ -68,8 +68,17 @@ object Prefix {
   def over(df: DataFrame, order: Seq[Column], aggs: Seq[Agg],
       numParts: Int = 16): DataFrame = {
     val pid = "__prefix_pid"
-    val parts = df.repartitionByRange(numParts, order: _*)
-      .withColumn(pid, spark_partition_id())
+    // MATERIALIZED once (Checkpoints.barrier): the running-value branch
+    // and the per-partition-totals branch below both consume this table,
+    // and without the barrier each branch could re-execute the range
+    // exchange independently — range boundary SAMPLING is row-order-
+    // sensitive, so two evaluations can disagree on partition ids and
+    // corrupt the merged prefix values (observed at sf0.1: duplicate +
+    // missing ranks). Freezing the partitioned table pins one consistent
+    // pid assignment for both branches.
+    val parts = graft.sources.Checkpoints.barrier(
+      df.repartitionByRange(numParts, order: _*)
+        .withColumn(pid, spark_partition_id()))
     val base = Window.partitionBy(col(pid)).orderBy(order: _*)
     val wInc = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wExc = base.rowsBetween(Window.unboundedPreceding, -1)

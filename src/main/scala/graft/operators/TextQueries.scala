@@ -1727,8 +1727,15 @@ object TextQueries {
               (col("tt") + 256)) -
             log((coalesce(col("cr"), lit(0L)) + 1).cast("double") /
               (col("tr") + 256))).as("lr"))
+      // per-token terms round to 9 decimals and sum through exact
+      // DECIMAL before the mean — a raw avg() over doubles is partial-
+      // agg-order-dependent, and a score landing on the 4-decimal
+      // rounding boundary would flip ranks between engines (seen once
+      // at sf0.1)
       val sc = lr.groupBy(col("doc_id"))
-        .agg(count(lit(1)).as("n_toks"), round(avg(col("lr")), 4).as("score"))
+        .agg(count(lit(1)).as("n_toks"),
+          round(sum(round(col("lr"), 9).cast("decimal(28,12)"))
+            .cast("double") / count(lit(1)), 4).as("score"))
       val n = sc.agg(count(lit(1)).as("n"))
       // global importance rank without a single-partition window: the
       // per-doc score table range-partitions on (score desc, doc_id) and
@@ -1766,7 +1773,9 @@ object TextQueries {
                  AS lr
              FROM bk x LEFT JOIN ct USING (b) LEFT JOIN cr USING (b)
              CROSS JOIN tot),
-      sc AS (SELECT doc_id, count(*) AS n_toks, round(avg(lr), 4) AS score
+      sc AS (SELECT doc_id, count(*) AS n_toks,
+               round(CAST(sum(CAST(round(lr, 9) AS DECIMAL(28,12)))
+                 AS DOUBLE) / count(*), 4) AS score
              FROM lr GROUP BY doc_id),
       rk AS (SELECT s.doc_id, d.source, s.n_toks, s.score,
                CAST(row_number() OVER (ORDER BY s.score DESC, s.doc_id)

@@ -286,4 +286,32 @@ class FunctionsSpec extends GraftSuite {
     assert(rows.map(r => (r.getString(0), r.getString(1))).toSeq ==
       Seq(("g", "hi,near,mid"), ("h", "only")))
   }
+
+  test("Prefix.over row numbers are exactly the sequential-scan ranks") {
+    // the distributed prefix-scan must produce a PERMUTATION of 1..n that
+    // agrees with a driver-side sequential sort — duplicates or gaps mean
+    // the two branches (running values / per-partition totals) saw
+    // different range-partition boundaries, the bug the barrier in
+    // Prefix.over exists to prevent
+    val n = 10000
+    val df = spark.range(n).select(
+      (col("id") * 2654435761L % 997).as("k"), col("id").as("tie"),
+      lit(1L).as("one"))
+      .repartition(13) // scrambled, many-partition input
+    val out = Prefix.over(df, Seq(col("k"), col("tie")),
+      Seq(Prefix.rowNumber("rn"),
+        Prefix.sumOf(col("one"), "cum"),
+        Prefix.sumOf(col("one"), "before", inclusive = false)),
+      numParts = 7)
+      .select(col("k"), col("tie"), col("rn"), col("cum"), col("before"))
+      .collect()
+    assert(out.length == n)
+    val byKey = out.sortBy(r => (r.getLong(0), r.getLong(1)))
+    byKey.zipWithIndex.foreach { case (r, i) =>
+      assert(r.getLong(2) == i + 1, s"rn at sorted pos $i: $r")
+      assert(r.getLong(3) == i + 1, s"inclusive cum at pos $i: $r")
+      if (i == 0) assert(r.isNullAt(4), s"first exclusive must be null: $r")
+      else assert(r.getLong(4) == i, s"exclusive cum at pos $i: $r")
+    }
+  }
 }
