@@ -211,11 +211,16 @@ object Bench {
     // timed END-TO-END in the headline so the metric keeps measuring the
     // same work it measured when their plans were fully lazy — otherwise
     // the checkpoint would silently move the signature map out of the
-    // timed window and fake a speedup
+    // timed window and fake a speedup. A BENCH_ALL sweep times EVERY
+    // query end-to-end for the same reason: the Prefix-scan and
+    // LR-training families also do real work at construction, and an
+    // outlier hunt that excludes it would miss the outliers.
     val eagerHeadline = Set("x_dedup_minhash_lsh")
+    val benchAll = sys.env.get("SPARK_GRAFT_BENCH_ALL").contains("1")
     val results: Seq[(String, Option[Double])] = names.map { name =>
       def once(): Double =
-        if (eagerHeadline(name)) runE2eIn(name, sfDir) else run(name)
+        if (benchAll || eagerHeadline(name)) runE2eIn(name, sfDir)
+        else run(name)
       val sec =
         try Some((1 to runs).map(_ => once()).min)
         catch { case e: Throwable =>
@@ -447,10 +452,13 @@ object Bench {
     // concurrent sections entirely): extended-section total, worst
     // measured scaling ratio, worst concurrent p50/serial ratio
     val extTotal = r3(extResults.flatMap(_._2).sum)
+    // ext_fail guards ext_total's blind spot: a crashing extended query
+    // drops OUT of the sum, which would otherwise read as a speedup
+    val extFail = extResults.count(_._2.isEmpty)
     val scalWorst = jnum(scalRatios.maxOption.map(r3))
     val concW = jnum(concWorst.map(r3))
-    val signals =
-      s""","ext_total":$extTotal,"scal_worst":$scalWorst,"conc_worst":$concW"""
+    val signals = s""","ext_total":$extTotal,"ext_fail":$extFail""" +
+      s""","scal_worst":$scalWorst,"conc_worst":$concW"""
     val head = s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","queries":$qs3"""
     val tailF = s"""$signals,"sf":"$sfDir"}"""
     val withExt = s"""$head,"extended":$ext3$tailF"""

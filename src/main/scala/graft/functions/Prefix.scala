@@ -64,9 +64,18 @@ object Prefix {
   /** Returns `df` plus one column per requested aggregate, each holding
     * the running value over the GLOBAL `order`, computed with only
     * partitioned windows and a |partitions|-row broadcast join.
+    *
+    * `numParts` is the scan fan-out: ≤ 0 (the default) follows
+    * `spark.sql.shuffle.partitions`, so the same code spreads over 32
+    * local threads or a 1000-executor cluster; pass a small explicit
+    * value for bounded domains. The offset merge is O(fan-out²) rows in
+    * one broadcast join — trivial at any realistic setting.
     */
   def over(df: DataFrame, order: Seq[Column], aggs: Seq[Agg],
-      numParts: Int = 16): DataFrame = {
+      numParts: Int = 0): DataFrame = {
+    val nP =
+      if (numParts > 0) numParts
+      else df.sparkSession.sessionState.conf.numShufflePartitions
     val pid = "__prefix_pid"
     // MATERIALIZED once (Checkpoints.barrier): the running-value branch
     // and the per-partition-totals branch below both consume this table,
@@ -77,7 +86,7 @@ object Prefix {
     // missing ranks). Freezing the partitioned table pins one consistent
     // pid assignment for both branches.
     val parts = graft.sources.Checkpoints.barrier(
-      df.repartitionByRange(numParts, order: _*)
+      df.repartitionByRange(nP, order: _*)
         .withColumn(pid, spark_partition_id()))
     val base = Window.partitionBy(col(pid)).orderBy(order: _*)
     val wInc = base.rowsBetween(Window.unboundedPreceding, Window.currentRow)

@@ -1167,28 +1167,49 @@ object EventsQueries {
         .option("maxFilesPerTrigger", 1).parquet(staged)
         .writeStream
         .foreachBatch { (batch: DataFrame, bid: Long) =>
-          val bAgg = batch.groupBy(col("user_id"))
-            .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
-              col("value"))).as("st"),
-              count(lit(1)).as("n"))
-          val merged =
-            if (!stateExists) bAgg
-            else batch.sparkSession.read.parquet(stateDir)
-              .unionByName(bAgg)
-              .groupBy(col("user_id"))
-              .agg(max(col("st")).as("st"), sum(col("n")).as("n"))
-          // write-then-swap (the table-format commit analog): stage to a
-          // new dir, retire the old state by RENAME — never a
-          // delete-then-move window with no state on disk — then move the
-          // staged dir into place. A crash mid-swap leaves either the old
-          // or the new state dir intact and recoverable.
-          val next = s"$tmp/state_next_$bid"
-          merged.write.mode("overwrite").parquet(next)
-          val retired = java.nio.file.Paths.get(s"$tmp/state_old_$bid")
-          if (stateExists) java.nio.file.Files.move(fs, retired)
-          java.nio.file.Files.move(java.nio.file.Paths.get(next), fs)
-          graft.sources.FsUtil.deleteRecursively(retired,
-            swallowErrors = true)
+          import java.nio.file.{Files, Paths}
+          val retired = Paths.get(s"$tmp/state_old")
+          // crash RECOVERY: a crash between the swap's two renames leaves
+          // no state dir but a retired copy — restore it before reading
+          if (!stateExists && Files.exists(retired)) Files.move(retired, fs)
+          // IDEMPOTENT replay: the marker travels inside the state dir
+          // (underscore files are invisible to the parquet reader), so a
+          // batch the persisted state already absorbed — a crash after
+          // the swap but before the stream checkpoint committed — merges
+          // exactly once instead of double-counting its running sums
+          val markOf = (d: String) => Paths.get(s"$d/_applied_bid")
+          val applied =
+            if (stateExists && Files.exists(markOf(stateDir)))
+              Files.readString(markOf(stateDir)).trim.toLong
+            else -1L
+          if (applied < bid) {
+            val bAgg = batch.groupBy(col("user_id"))
+              .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+                col("value"))).as("st"),
+                count(lit(1)).as("n"))
+            val merged =
+              if (!stateExists) bAgg
+              else batch.sparkSession.read.parquet(stateDir)
+                .unionByName(bAgg)
+                .groupBy(col("user_id"))
+                .agg(max(col("st")).as("st"), sum(col("n")).as("n"))
+            // write-then-swap (the table-format commit analog): stage to
+            // a new dir carrying its own marker, retire the old state by
+            // RENAME, move the staged dir into place, then drop the
+            // retired copy — at every instant either the old or the new
+            // state is recoverable, and replays are no-ops via the marker
+            val next = s"$tmp/state_next_$bid"
+            merged.write.mode("overwrite").parquet(next)
+            Files.writeString(markOf(next), s"$bid\n")
+            if (stateExists) {
+              graft.sources.FsUtil.deleteRecursively(retired,
+                swallowErrors = true)
+              Files.move(fs, retired)
+            }
+            Files.move(Paths.get(next), fs)
+            graft.sources.FsUtil.deleteRecursively(retired,
+              swallowErrors = true)
+          }
           ()
         }
         .option("checkpointLocation", s"$tmp/cp")

@@ -1005,32 +1005,21 @@ ${LshOracleSql.cosineExpr} AS cos
       val coarse = coarseTrainTo(base, k, iters,
         inlineScratch(dir, "respq_assign"))
       val coarseCents = coarseCentroids(base, coarse)
-      val ncen = coarseCents.select(col("cid"),
-        expr("transform(centroid, x -> double(x) / " +
-          "sqrt(aggregate(centroid, cast(0 as double), " +
-          "(acc, v) -> acc + double(v) * double(v))))").as("ncen"))
-      val normed = base
-        .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
-          "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
-      val resSubs = normed.join(coarse, Seq("vec_id"))
-        .join(broadcast(ncen), Seq("cid"))
-        .select(col("vec_id"),
-          expr("zip_with(nemb, ncen, (x, y) -> x - y)").as("rvec"))
-        .select(col("vec_id"),
-          posexplode(array((0 until m).map(j =>
-            expr(s"slice(rvec, ${j * sub + 1}, $sub)")): _*)))
-        .withColumnRenamed("pos", "ss")
-        .withColumnRenamed("col", "svec")
+      // shared with the persisted-index path (AnnIndex.build /
+      // ivfPqResidualQuery) — one derivation, bit-identical both ways
+      val ncen = AnnIndex.normCentroids(coarseCents)
+      val resSubs = AnnIndex.residualSubs(base, coarse, coarseCents, m, sub)
       val codes = pqTrainCodesTo(resSubs, sub, kpq, iters,
         inlineScratch(dir, "respq_codes"))
       val book = pqCodebookOf(codes.join(resSubs, Seq("vec_id", "ss")), sub)
       val queries = base.filter(col("vec_id") < nq)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val probes = coarseProbes(queries, coarseCents, nprobe)
-      val rdtab = normed.filter(col("vec_id") < nq)
-        .select(col("vec_id").as("q_id"), col("nemb"))
+      val rdtab = base.filter(col("vec_id") < nq)
+        .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
+          "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
+        .select(col("vec_id").as("q_id"),
+          expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
         .join(broadcast(probes), Seq("q_id"))
         .join(broadcast(ncen), Seq("cid"))
         .select(col("q_id"), col("cid").as("pcid"),

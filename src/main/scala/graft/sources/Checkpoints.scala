@@ -31,13 +31,23 @@ object Checkpoints {
       .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
       .filter(_.nonEmpty)
 
+  /** The raw dir most recently passed to setCheckpointDir — needed
+    * because SparkContext.getCheckpointDir returns the fs-qualified
+    * UUID SUBDIRECTORY it created, never the configured path, so
+    * comparing against it would re-call setCheckpointDir on every
+    * barrier and scatter checkpoints across fresh UUID dirs. */
+  private val configuredDir =
+    new java.util.concurrent.atomic.AtomicReference[String](null)
+
   /** Eagerly materialize `df` with truncated lineage — reliable
     * `checkpoint()` when a checkpoint dir is configured, else
-    * `localCheckpoint()`. */
+    * `localCheckpoint()`. Reliable-mode data accrues under ONE
+    * UUID subdir per configured path; retention is the operator's
+    * call (or spark.cleaner.referenceTracking.cleanCheckpoints). */
   def barrier(df: DataFrame): DataFrame = reliableDir(df) match {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
-      if (!sc.getCheckpointDir.contains(dir)) sc.setCheckpointDir(dir)
+      if (configuredDir.getAndSet(dir) != dir) sc.setCheckpointDir(dir)
       df.checkpoint()
     case None => df.localCheckpoint()
   }
