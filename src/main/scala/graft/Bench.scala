@@ -405,9 +405,12 @@ object Bench {
           // read-side query, not construction
           operators.AnnIndex.ensureBuilt(spark, sfDir)
           operators.AnnIndex.ensureBuilt(spark, tmp.toString)
+          // auc + dsir cover the round-7 Prefix-scan rewrites: the
+          // window-free rank path must stay sublinear as the corpus grows
           val scaleQs = Seq("x_dedup_minhash_lsh", "x_dedup_chunks",
             "x_dedup_cc", "x_search_bm25", "x_ann_ivfpq_indexed",
-            "x_dedup_setjoin", "x_graph_pagerank")
+            "x_dedup_setjoin", "x_graph_pagerank", "x_pipeline_auc",
+            "x_pipeline_dsir")
           val entries = scaleQs.map { name =>
             try {
               val x1 = (1 to 2).map(_ => runE2eIn(name, sfDir)).min

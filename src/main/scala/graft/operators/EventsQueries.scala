@@ -1154,6 +1154,60 @@ object EventsQueries {
     * size + state size, never history; at 100 TB this is the foreachBatch
     * MERGE a lakehouse CDC sink runs, with the parquet-swap standing in
     * for the table format's atomic commit. */
+  /** One CDC micro-batch MERGE into the persisted per-user state table
+    * at `$tmp/state` — crash-safe and idempotent:
+    *
+    *  - crash RECOVERY: a crash between the swap's two renames leaves no
+    *    state dir but a retired copy — restored before reading;
+    *  - IDEMPOTENT replay: an `_applied_bid` marker travels inside the
+    *    state dir (underscore files are invisible to the parquet
+    *    reader), so a batch the persisted state already absorbed — a
+    *    crash after the swap but before the stream checkpoint
+    *    committed — merges exactly once instead of double-counting its
+    *    running sums;
+    *  - write-then-swap (the table-format commit analog): stage to a new
+    *    dir carrying its own marker, retire the old state by RENAME,
+    *    move the staged dir into place, drop the retired copy — at
+    *    every instant either the old or the new state is recoverable.
+    *
+    * Exposed for the crash/replay simulation in StreamingSpec. */
+  private[graft] def applyCdcBatch(tmp: String, batch: DataFrame,
+      bid: Long): Unit = {
+    import java.nio.file.{Files, Paths}
+    val stateDir = s"$tmp/state"
+    val fs = Paths.get(stateDir)
+    def stateExists = Files.exists(fs)
+    val retired = Paths.get(s"$tmp/state_old")
+    if (!stateExists && Files.exists(retired)) Files.move(retired, fs)
+    val markOf = (d: String) => Paths.get(s"$d/_applied_bid")
+    val applied =
+      if (stateExists && Files.exists(markOf(stateDir)))
+        Files.readString(markOf(stateDir)).trim.toLong
+      else -1L
+    if (applied < bid) {
+      val bAgg = batch.groupBy(col("user_id"))
+        .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
+          col("value"))).as("st"),
+          count(lit(1)).as("n"))
+      val merged =
+        if (!stateExists) bAgg
+        else batch.sparkSession.read.parquet(stateDir)
+          .unionByName(bAgg)
+          .groupBy(col("user_id"))
+          .agg(max(col("st")).as("st"), sum(col("n")).as("n"))
+      val next = s"$tmp/state_next_$bid"
+      merged.write.mode("overwrite").parquet(next)
+      Files.writeString(markOf(next), s"$bid\n")
+      if (stateExists) {
+        graft.sources.FsUtil.deleteRecursively(retired,
+          swallowErrors = true)
+        Files.move(fs, retired)
+      }
+      Files.move(Paths.get(next), fs)
+      graft.sources.FsUtil.deleteRecursively(retired, swallowErrors = true)
+    }
+  }
+
   val streamCdcUpsert: QueryDef = QueryDef(
     "x_stream_cdc_upsert",
     (s, dir) => {
@@ -1161,56 +1215,11 @@ object EventsQueries {
       val staged = s"$tmp/events_src"
       ev(s, dir).repartition(4).write.mode("overwrite").parquet(staged)
       val stateDir = s"$tmp/state"
-      val fs = java.nio.file.Paths.get(stateDir)
-      def stateExists = java.nio.file.Files.exists(fs)
       val q = s.readStream.schema(ev(s, dir).schema)
         .option("maxFilesPerTrigger", 1).parquet(staged)
         .writeStream
         .foreachBatch { (batch: DataFrame, bid: Long) =>
-          import java.nio.file.{Files, Paths}
-          val retired = Paths.get(s"$tmp/state_old")
-          // crash RECOVERY: a crash between the swap's two renames leaves
-          // no state dir but a retired copy — restore it before reading
-          if (!stateExists && Files.exists(retired)) Files.move(retired, fs)
-          // IDEMPOTENT replay: the marker travels inside the state dir
-          // (underscore files are invisible to the parquet reader), so a
-          // batch the persisted state already absorbed — a crash after
-          // the swap but before the stream checkpoint committed — merges
-          // exactly once instead of double-counting its running sums
-          val markOf = (d: String) => Paths.get(s"$d/_applied_bid")
-          val applied =
-            if (stateExists && Files.exists(markOf(stateDir)))
-              Files.readString(markOf(stateDir)).trim.toLong
-            else -1L
-          if (applied < bid) {
-            val bAgg = batch.groupBy(col("user_id"))
-              .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
-                col("value"))).as("st"),
-                count(lit(1)).as("n"))
-            val merged =
-              if (!stateExists) bAgg
-              else batch.sparkSession.read.parquet(stateDir)
-                .unionByName(bAgg)
-                .groupBy(col("user_id"))
-                .agg(max(col("st")).as("st"), sum(col("n")).as("n"))
-            // write-then-swap (the table-format commit analog): stage to
-            // a new dir carrying its own marker, retire the old state by
-            // RENAME, move the staged dir into place, then drop the
-            // retired copy — at every instant either the old or the new
-            // state is recoverable, and replays are no-ops via the marker
-            val next = s"$tmp/state_next_$bid"
-            merged.write.mode("overwrite").parquet(next)
-            Files.writeString(markOf(next), s"$bid\n")
-            if (stateExists) {
-              graft.sources.FsUtil.deleteRecursively(retired,
-                swallowErrors = true)
-              Files.move(fs, retired)
-            }
-            Files.move(Paths.get(next), fs)
-            graft.sources.FsUtil.deleteRecursively(retired,
-              swallowErrors = true)
-          }
-          ()
+          applyCdcBatch(tmp, batch, bid)
         }
         .option("checkpointLocation", s"$tmp/cp")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

@@ -209,4 +209,33 @@ class StreamingSpec extends GraftSuite {
     val diff = state.exceptAll(batch).count() + batch.exceptAll(state).count()
     assert(diff == 0, "4-micro-batch merged state must equal batch LWW")
   }
+
+  test("cdc batch apply is idempotent on replay and recovers a torn swap") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_cdc_sim").toString
+    def stateCount: Map[Long, Long] =
+      spark.read.parquet(s"$tmp/state").collect()
+        .map(r => r.getAs[Long]("user_id") -> r.getAs[Long]("n")).toMap
+    val ev = Tables.table(spark, sf, "events")
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    val b1 = ev.filter(col("event_id") % 2 === 1)
+    try {
+      operators.EventsQueries.applyCdcBatch(tmp, b0, 0L)
+      val after0 = stateCount
+      // REPLAY batch 0 (crash after swap, before stream-checkpoint
+      // commit): the _applied_bid marker must make it a no-op — without
+      // it the n running sums double
+      operators.EventsQueries.applyCdcBatch(tmp, b0, 0L)
+      assert(stateCount == after0, "replayed batch must not double-count")
+      // TORN SWAP before batch 1: simulate a crash between the two
+      // renames (state moved aside, replacement never landed)
+      Files.move(Paths.get(s"$tmp/state"), Paths.get(s"$tmp/state_old"))
+      operators.EventsQueries.applyCdcBatch(tmp, b1, 1L)
+      val total = stateCount.values.sum
+      assert(total == ev.count(),
+        s"recovered state must absorb both batches exactly once: $total")
+    } finally {
+      sources.FsUtil.deleteRecursively(Paths.get(tmp), swallowErrors = true)
+    }
+  }
 }
