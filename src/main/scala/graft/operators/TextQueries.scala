@@ -956,23 +956,29 @@ object TextQueries {
     * Scale shape: key assignment is a pure per-row map (the hash is a
     * codegen'd expression) and selection is a global top-k — a bounded
     * heap per partition plus a k-row driver merge, never a full sort.
-    * The final rank window runs on k = 50 rows only. */
+    * The final rank prefix-scan runs on k = 50 rows only. */
+  /** The selection stage alone (keyed scoring + bounded-heap top-k) —
+    * exposed so PlanSpec can pin TakeOrderedAndProject on the subplan
+    * that Prefix.over's barrier otherwise hides from the final plan. */
+  private[graft] def wsampleSelect(s: SparkSession,
+      dir: String): DataFrame = {
+    val k = 50
+    val m = 9007199254740992L // 2^53
+    // zero-weight docs can never be sampled under Efraimidis-Spirakis;
+    // filtering them also avoids the engines' divide-by-zero divergence
+    // (Spark non-ANSI → NULL, DuckDB IEEE → +inf)
+    val keyed = docs(s, dir).filter(col("n_chars") > 0)
+      .select(col("doc_id"), col("n_chars"),
+        round(-log((pmod(fingerprint64(col("doc_id").cast("string")),
+          lit(m)) + 1).cast("double") / lit(m.toDouble)) /
+          col("n_chars"), 6).as("skey"))
+    keyed.orderBy(col("skey").asc, col("doc_id")).limit(k)
+  }
+
   val wsample: QueryDef = QueryDef(
     "x_pipeline_wsample",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
-      val k = 50
-      val m = 9007199254740992L // 2^53
-      // zero-weight docs can never be sampled under Efraimidis-Spirakis;
-      // filtering them also avoids the engines' divide-by-zero divergence
-      // (Spark non-ANSI → NULL, DuckDB IEEE → +inf)
-      val keyed = docs(s, dir).filter(col("n_chars") > 0)
-        .select(col("doc_id"), col("n_chars"),
-          round(-log((pmod(fingerprint64(col("doc_id").cast("string")),
-            lit(m)) + 1).cast("double") / lit(m.toDouble)) /
-            col("n_chars"), 6).as("skey"))
-      val sel = keyed.orderBy(col("skey").asc, col("doc_id")).limit(k)
-      graft.functions.Prefix.over(sel,
+      graft.functions.Prefix.over(wsampleSelect(s, dir),
           Seq(col("skey").asc, col("doc_id")),
           Seq(graft.functions.Prefix.rowNumber("rk64")), numParts = 4)
         .withColumn("rk", col("rk64").cast("int"))

@@ -373,7 +373,10 @@ class PlanSpec extends GraftSuite {
   }
 
   test("weighted sampling selects via bounded-heap top-k, not a full sort") {
-    val df = operators.TextQueries.wsample.run(spark, sf)
+    // the selection subplan is inspected directly: the full query runs it
+    // through Prefix.over, whose barrier materializes the 50-row result
+    // and hides the selection stage from the final executed plan
+    val df = operators.TextQueries.wsampleSelect(spark, sf)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
     assert(plan.contains("TakeOrderedAndProject"), plan.take(2000))
