@@ -721,6 +721,61 @@ object DdlDmlQueries {
       FROM orders GROUP BY 1 ORDER BY gen""")
   )
 
+  /** Type WIDENING across parquet generations — the other half of
+    * no-rewrite schema evolution (d_schema_merge covers added columns):
+    * a column originally written INT32 is widened to BIGINT in the table
+    * schema, and Spark 4's parquet reader up-casts the old generation's
+    * INT32 pages into the LongType field at scan time — history is never
+    * rewritten (the reference's ALTER path similarly changes column
+    * metadata without rewriting existing extents,
+    * dbcon/ddlpackageproc/altertableprocessor.cpp). `mergeSchema` alone
+    * cannot express this (schema merge rejects INT vs BIGINT), so the
+    * table's EVOLVED schema is the read contract — schema-on-read. At
+    * 100 TB this is the difference between a metadata ALTER and a
+    * full-history rewrite. */
+  val typeWidening: QueryDef = QueryDef(
+    "d_type_widening",
+    (s, dir) => {
+      import org.apache.spark.sql.types._
+      val tmp = scratch("type_widening")
+      val o = t(s, dir, "orders")
+      val cents = round(col("o_totalprice") * 100, 0)
+      // generation 1: amounts stored as INT32 cents
+      o.filter(col("o_orderkey") % 2 === 0)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents.cast("int").as("amount_cents"))
+        .write.mode("overwrite").parquet(s"$tmp/t/gen=1")
+      // generation 2: after the widening ALTER — BIGINT cents
+      o.filter(col("o_orderkey") % 2 === 1)
+        .select(col("o_orderkey"), col("o_orderstatus"),
+          cents.cast("bigint").as("amount_cents"))
+        .write.mode("overwrite").parquet(s"$tmp/t/gen=2")
+      val evolved = StructType(Seq(
+        StructField("o_orderkey", LongType),
+        StructField("o_orderstatus", StringType),
+        StructField("amount_cents", LongType),
+        StructField("gen", IntegerType)))
+      s.read.schema(evolved).parquet(s"$tmp/t")
+        .groupBy(col("o_orderstatus"), col("gen"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("amount_cents")).as("sum_cents"),
+          min(col("amount_cents")).as("min_cents"),
+          max(col("amount_cents")).as("max_cents"))
+        .orderBy(col("o_orderstatus"), col("gen"))
+    },
+    oracle = Some("""
+      WITH u AS (SELECT o_orderstatus,
+                   CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 2 END AS gen,
+                   CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                     AS amount_cents
+                 FROM orders)
+      SELECT o_orderstatus, gen, count(*) AS n,
+             CAST(sum(amount_cents) AS BIGINT) AS sum_cents,
+             min(amount_cents) AS min_cents, max(amount_cents) AS max_cents
+      FROM u GROUP BY o_orderstatus, gen
+      ORDER BY o_orderstatus, gen""")
+  )
+
   /** Persisted-view roundtrip (reference: dbcon/mysql/ha_view.cpp — MySQL
     * views resolved through the vtable rewrite survive the connection):
     * CREATE VIEW over a join is stored in the catalog dir, then a FRESH
@@ -1097,6 +1152,7 @@ object DdlDmlQueries {
     partitionedWrite, showPartitions, dropPartition, tableStats,
     viewRoundtrip, mergeUpsert, timeTravel, zorderLayout,
     matviewIncremental, compaction, txnRollback, orcRoundtrip,
-    analyzeHistogram, schemaMerge, dmlJoin, dynamicPartitionOverwrite,
+    analyzeHistogram, schemaMerge, typeWidening, dmlJoin,
+    dynamicPartitionOverwrite,
     wapPublish, maskedView, checkConstraints)
 }
