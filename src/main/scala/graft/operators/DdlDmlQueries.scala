@@ -41,6 +41,11 @@ object DdlDmlQueries {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     graft.sources.FsUtil.deleteRecursively(p)
 
+  /** The path `scratch(sub)` resolves to, WITHOUT wiping it — for tests
+    * inspecting artifacts a query just wrote. */
+  private[graft] def lastScratch(sub: String): String =
+    scratchRoot.resolve(sub).toString
+
   /** CTAS → read back (reference: CREATE TABLE ddl.y:233 + INSERT_SELECT
     * path exemgr/main.cpp:582). */
   val ctasRoundtrip: QueryDef = QueryDef(
@@ -776,6 +781,59 @@ object DdlDmlQueries {
       ORDER BY o_orderstatus, gen""")
   )
 
+  /** Column compression round-trip (reference: utils/compress/
+    * idbcompress.h — column extents compress with snappy chunk headers,
+    * decomsvr/ serves decompression): in graft the codec is a pure
+    * storage option on the parquet writer. The same lineitem slice
+    * writes under snappy, zstd, gzip, and uncompressed; every variant
+    * must read back content-identical — count, exact decimal sum, and
+    * order-independent md5 min/max checksums over the key+comment
+    * columns all match one oracle-computed row. CatalogSpec additionally
+    * asserts the compressed variants are genuinely smaller on disk.
+    *
+    * Scale shape: at 100 TB codec choice is the storage/scan-cost knob
+    * (the reference made it a per-column config); the query itself is
+    * one slice write per codec + a 4-row summary union. */
+  val compressionCodecs: QueryDef = QueryDef(
+    "d_compression_codecs",
+    (s, dir) => {
+      val tmp = scratch("codecs")
+      val li = t(s, dir, "lineitem").filter(col("l_orderkey") % 4 === 0)
+        .select(col("l_orderkey"), col("l_partkey"), col("l_quantity"),
+          col("l_returnflag"))
+      val codecs = Seq("gzip", "none", "snappy", "zstd")
+      codecs.foreach { c =>
+        li.write.mode("overwrite").option("compression", c)
+          .parquet(s"$tmp/$c")
+      }
+      codecs.map { c =>
+        s.read.parquet(s"$tmp/$c").agg(
+          lit(c).as("codec"),
+          count(lit(1)).as("n"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double")
+            .as("sum_qty"),
+          min(md5(concat_ws("|", col("l_orderkey"), col("l_partkey"),
+            col("l_returnflag")))).as("chk_min"),
+          max(md5(concat_ws("|", col("l_orderkey"), col("l_partkey"),
+            col("l_returnflag")))).as("chk_max"))
+      }.reduce(_ unionAll _).orderBy(col("codec"))
+    },
+    oracle = Some("""
+      WITH base AS (SELECT l_orderkey, l_partkey, l_quantity, l_returnflag
+                    FROM lineitem WHERE l_orderkey % 4 = 0),
+      agg AS (SELECT count(*) AS n,
+                CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+                  AS sum_qty,
+                min(md5(concat_ws('|', l_orderkey, l_partkey, l_returnflag)))
+                  AS chk_min,
+                max(md5(concat_ws('|', l_orderkey, l_partkey, l_returnflag)))
+                  AS chk_max
+              FROM base)
+      SELECT c.codec, agg.n, agg.sum_qty, agg.chk_min, agg.chk_max
+      FROM (VALUES ('gzip'), ('none'), ('snappy'), ('zstd')) c(codec)
+      CROSS JOIN agg ORDER BY c.codec""")
+  )
+
   /** Persisted-view roundtrip (reference: dbcon/mysql/ha_view.cpp — MySQL
     * views resolved through the vtable rewrite survive the connection):
     * CREATE VIEW over a join is stored in the catalog dir, then a FRESH
@@ -1154,5 +1212,5 @@ object DdlDmlQueries {
     matviewIncremental, compaction, txnRollback, orcRoundtrip,
     analyzeHistogram, schemaMerge, typeWidening, dmlJoin,
     dynamicPartitionOverwrite,
-    wapPublish, maskedView, checkConstraints)
+    wapPublish, maskedView, checkConstraints, compressionCodecs)
 }

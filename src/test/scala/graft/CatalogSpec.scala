@@ -280,4 +280,27 @@ class CatalogSpec extends GraftSuite {
       s"dirty batch must be rejected whole: ${rows(2)}")
     assert(n2 > n1 / 2, "planted batch sizes sane")
   }
+
+  test("compression codecs shrink the parquet footprint; content identical") {
+    val rows = operators.DdlDmlQueries.compressionCodecs.run(spark, sf)
+      .collect()
+    assert(rows.length == 4)
+    // all four codec variants must agree on every content column
+    assert(rows.map(_.toSeq.drop(1)).distinct.length == 1,
+      rows.mkString("\n"))
+    // and the compressed variants must genuinely beat uncompressed
+    def dirSize(p: java.nio.file.Path): Long = {
+      val s = java.nio.file.Files.walk(p)
+      try s.filter(f => java.nio.file.Files.isRegularFile(f))
+        .mapToLong(f => java.nio.file.Files.size(f)).sum()
+      finally s.close()
+    }
+    val root = java.nio.file.Paths.get(
+      operators.DdlDmlQueries.lastScratch("codecs"))
+    val sizes = Seq("none", "snappy", "zstd", "gzip")
+      .map(c => c -> dirSize(root.resolve(c))).toMap
+    for (c <- Seq("snappy", "zstd", "gzip"))
+      assert(sizes(c) < sizes("none"),
+        s"$c must compress below uncompressed: $sizes")
+  }
 }
