@@ -301,17 +301,27 @@ class FunctionsSpec extends GraftSuite {
     val out = Prefix.over(df, Seq(col("k"), col("tie")),
       Seq(Prefix.rowNumber("rn"),
         Prefix.sumOf(col("one"), "cum"),
-        Prefix.sumOf(col("one"), "before", inclusive = false)),
+        Prefix.sumOf(col("one"), "before", inclusive = false),
+        Prefix.minOf(col("tie"), "runmin"),
+        Prefix.maxOf(col("tie"), "runmax", inclusive = false)),
       numParts = 7)
-      .select(col("k"), col("tie"), col("rn"), col("cum"), col("before"))
+      .select(col("k"), col("tie"), col("rn"), col("cum"), col("before"),
+        col("runmin"), col("runmax"))
       .collect()
     assert(out.length == n)
     val byKey = out.sortBy(r => (r.getLong(0), r.getLong(1)))
+    var minSoFar = Long.MaxValue
+    var maxBefore = Long.MinValue
     byKey.zipWithIndex.foreach { case (r, i) =>
       assert(r.getLong(2) == i + 1, s"rn at sorted pos $i: $r")
       assert(r.getLong(3) == i + 1, s"inclusive cum at pos $i: $r")
       if (i == 0) assert(r.isNullAt(4), s"first exclusive must be null: $r")
       else assert(r.getLong(4) == i, s"exclusive cum at pos $i: $r")
+      minSoFar = math.min(minSoFar, r.getLong(1))
+      assert(r.getLong(5) == minSoFar, s"running min at pos $i: $r")
+      if (i == 0) assert(r.isNullAt(6), s"first excl max must be null: $r")
+      else assert(r.getLong(6) == maxBefore, s"excl running max at $i: $r")
+      maxBefore = math.max(maxBefore, r.getLong(1))
     }
   }
 }
