@@ -1139,21 +1139,6 @@ object EventsQueries {
       ORDER BY lift DESC, pr.item_a, pr.item_b LIMIT 20""")
   )
 
-  /** Streaming CDC APPLY — the "stream into a serving table" pattern: the
-    * event stream is a change feed keyed by user_id, and each micro-batch
-    * MERGEs into a persisted per-user state table (last-writer-wins by
-    * (ts, event_id), plus a running change count). maxFilesPerTrigger=1
-    * forces 4 real micro-batches, so the upsert genuinely runs 4 times
-    * and the final table is provably batch-boundary-independent: LWW
-    * under a total order and count-sum are both associative, so the state
-    * equals the batch answer byte-for-byte — which is exactly what the
-    * DuckDB oracle checks.
-    *
-    * Scale shape: state is ONE row per key (bounded by |users|, not event
-    * volume); each merge shuffles (key, 24-byte struct) pairs — batch
-    * size + state size, never history; at 100 TB this is the foreachBatch
-    * MERGE a lakehouse CDC sink runs, with the parquet-swap standing in
-    * for the table format's atomic commit. */
   /** One CDC micro-batch MERGE into the persisted per-user state table
     * at `$tmp/state` — crash-safe and idempotent:
     *
@@ -1208,6 +1193,21 @@ object EventsQueries {
     }
   }
 
+  /** Streaming CDC APPLY — the "stream into a serving table" pattern: the
+    * event stream is a change feed keyed by user_id, and each micro-batch
+    * MERGEs into a persisted per-user state table (last-writer-wins by
+    * (ts, event_id), plus a running change count). maxFilesPerTrigger=1
+    * forces 4 real micro-batches, so the upsert genuinely runs 4 times
+    * and the final table is provably batch-boundary-independent: LWW
+    * under a total order and count-sum are both associative, so the state
+    * equals the batch answer byte-for-byte — which is exactly what the
+    * DuckDB oracle checks.
+    *
+    * Scale shape: state is ONE row per key (bounded by |users|, not event
+    * volume); each merge shuffles (key, 24-byte struct) pairs — batch
+    * size + state size, never history; at 100 TB this is the foreachBatch
+    * MERGE a lakehouse CDC sink runs, with the parquet-swap standing in
+    * for the table format's atomic commit. */
   val streamCdcUpsert: QueryDef = QueryDef(
     "x_stream_cdc_upsert",
     (s, dir) => {
