@@ -113,7 +113,24 @@ object Prefix {
       val off = col(s"__off_${a.out}")
       val loc = col(s"__loc_${a.out}")
       val merged = a.kind match {
-        case "sum" | "rownum" => off + loc
+        case "sum" | "rownum" =>
+          local.schema(s"__loc_${a.out}").dataType match {
+            // max-precision decimals would lose their last scale digit on
+            // addition (decimal(38,s) + decimal(38,s) adjusts to scale
+            // s-1 under Spark's precision-loss rule — breaking the exact-
+            // DECIMAL accumulation contract callers rely on); stepping
+            // the operands down one integer digit keeps the add inside
+            // 38 digits at FULL scale. Running sums here would need
+            // 10^(37-s) integer digits to overflow the narrowed cast —
+            // unreachable for the rounded statistics this repo
+            // accumulates.
+            case d: org.apache.spark.sql.types.DecimalType
+                if d.precision == 38 =>
+              val narrowed =
+                org.apache.spark.sql.types.DecimalType(37, d.scale)
+              (off.cast(narrowed) + loc.cast(narrowed)).cast(d)
+            case _ => off + loc
+          }
         case "min" => least(off, loc)
         case "max" => greatest(off, loc)
       }

@@ -169,17 +169,24 @@ object AnnIndex {
       "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), " +
       "cast(0 as double), (acc, v) -> acc + v)")
 
+  /** L2-normalized embeddings (vec_id, nemb) — the one normalization
+    * every PQ / residual path composes (a future tweak, e.g. a zero-norm
+    * epsilon, lands in exactly one place, preserving the bit-identical
+    * composed-vs-indexed invariant the tests pin). */
+  private[operators] def normalizedEmb(base: DataFrame): DataFrame =
+    base
+      .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
+        "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
+      .select(col("vec_id"),
+        expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
+
   /** L2-normalized subvectors (vec_id, ss, svec): on unit vectors
     * squared-L2 = 2 − 2·cos, so PQ's ADC ranking is rank-equivalent to
     * the cosine brute baseline (raw L2 would rank by norm as much as by
     * direction). */
   private[operators] def pqSubs(base: DataFrame, m: Int,
       sub: Int): DataFrame =
-    base
-      .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
-        "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
+    normalizedEmb(base)
       .select(col("vec_id"),
         posexplode(array((0 until m).map(j =>
           expr(s"slice(nemb, ${j * sub + 1}, $sub)")): _*)))
@@ -291,12 +298,7 @@ object AnnIndex {
   private[operators] def residualSubs(base: DataFrame, assign: DataFrame,
       cents: DataFrame, m: Int, sub: Int): DataFrame = {
     val ncen = normCentroids(cents)
-    val normed = base
-      .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
-        "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
-    normed.join(assign, Seq("vec_id"))
+    normalizedEmb(base).join(assign, Seq("vec_id"))
       .join(broadcast(ncen), Seq("cid"))
       .select(col("vec_id"),
         expr("zip_with(nemb, ncen, (x, y) -> x - y)").as("rvec"))
@@ -358,6 +360,27 @@ object AnnIndex {
     adcTopK(pairs, base, M, topk, nq)
   }
 
+  /** Per-probe residual ADC distance table (q_id, pcid, ss, cid, dd) —
+    * nprobe × m × k doubles per query, all broadcast-sized. Shared by
+    * the composed x_ann_pq_residual_topk and the indexed query. */
+  private[operators] def residualDtab(base: DataFrame, probes: DataFrame,
+      ncen: DataFrame, book: DataFrame, m: Int, sub: Int,
+      nq: Int): DataFrame =
+    normalizedEmb(base.filter(col("vec_id") < nq))
+      .select(col("vec_id").as("q_id"), col("nemb"))
+      .join(broadcast(probes), Seq("q_id"))
+      .join(broadcast(ncen), Seq("cid"))
+      .select(col("q_id"), col("cid").as("pcid"),
+        expr("zip_with(nemb, ncen, (x, y) -> x - y)").as("rq"))
+      .select(col("q_id"), col("pcid"),
+        posexplode(array((0 until m).map(j =>
+          expr(s"slice(rq, ${j * sub + 1}, $sub)")): _*)))
+      .withColumnRenamed("pos", "ss")
+      .withColumnRenamed("col", "qsvec")
+      .join(broadcast(book), Seq("ss"))
+      .select(col("q_id"), col("pcid"), col("ss"), col("cid"),
+        l2sqExpr("qsvec", "cen").as("dd"))
+
   /** The read-side RESIDUAL IVF+PQ query over prebuilt artifacts
     * (respq_codebook/respq_codes + the shared coarse artifacts): per-probe
     * residual ADC tables × candidate codes, no training subtree — the
@@ -369,29 +392,11 @@ object AnnIndex {
     val assign = s.read.parquet(assignPath(dir))
     val book = s.read.parquet(resCodebookPath(dir))
     val codes = s.read.parquet(resCodesPath(dir))
-    val ncen = normCentroids(cents)
     val queries = base.filter(col("vec_id") < nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probes = coarseProbes(queries, cents, nprobe)
-    // per-probe residual query subvectors → ADC distance table:
-    // nprobe × m × k doubles per query, all broadcast
-    val rdtab = base.filter(col("vec_id") < nq)
-      .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
-        "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
-      .select(col("vec_id").as("q_id"),
-        expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
-      .join(broadcast(probes), Seq("q_id"))
-      .join(broadcast(ncen), Seq("cid"))
-      .select(col("q_id"), col("cid").as("pcid"),
-        expr("zip_with(nemb, ncen, (x, y) -> x - y)").as("rq"))
-      .select(col("q_id"), col("pcid"),
-        posexplode(array((0 until M).map(j =>
-          expr(s"slice(rq, ${j * SUB + 1}, $SUB)")): _*)))
-      .withColumnRenamed("pos", "ss")
-      .withColumnRenamed("col", "qsvec")
-      .join(broadcast(book), Seq("ss"))
-      .select(col("q_id"), col("pcid"), col("ss"), col("cid"),
-        l2sqExpr("qsvec", "cen").as("dd"))
+    val rdtab = residualDtab(base, probes, normCentroids(cents), book,
+      M, SUB, nq)
     val cands = assign.join(broadcast(probes), Seq("cid"))
       .filter(col("vec_id") =!= col("q_id"))
       .select(col("q_id"), col("vec_id"), col("cid").as("pcid"))

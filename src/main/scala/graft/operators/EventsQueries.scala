@@ -1589,8 +1589,12 @@ object EventsQueries {
       val at = coh.groupBy(col("t"))
         .agg(count(lit(1)).as("c_all"), sum(col("ev")).as("d"))
       val P = graft.functions.Prefix
+      // the scans run over the bounded distinct-hours domain — a small
+      // explicit fan-out avoids sharding a tiny table across a cluster's
+      // default shuffle partitioning
       val risk = P.over(at.crossJoin(broadcast(nTotal)), Seq(col("t")),
-          Seq(P.sumOf(col("c_all"), "before0", inclusive = false)))
+          Seq(P.sumOf(col("c_all"), "before0", inclusive = false)),
+          numParts = 8)
         .withColumn("n_risk",
           col("n_total") - coalesce(col("before0"), lit(0L)))
         // a time where EVERYONE at risk converts makes the ratio 0 —
@@ -1609,7 +1613,7 @@ object EventsQueries {
           when(col("d") >= col("n_risk"), 1).otherwise(0))
       P.over(risk, Seq(col("t")),
           Seq(P.maxOf(col("flag"), "zeroed"),
-            P.sumOf(col("term"), "termsum")))
+            P.sumOf(col("term"), "termsum")), numParts = 8)
         .filter(col("d") >= 1)
         .withColumn("surv", round(when(col("zeroed") === 1, lit(0.0))
           .otherwise(exp(col("termsum").cast("double"))), 6))

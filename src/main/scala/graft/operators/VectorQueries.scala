@@ -1015,23 +1015,8 @@ ${LshOracleSql.cosineExpr} AS cos
       val queries = base.filter(col("vec_id") < nq)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       val probes = coarseProbes(queries, coarseCents, nprobe)
-      val rdtab = base.filter(col("vec_id") < nq)
-        .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
-          "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
-        .select(col("vec_id").as("q_id"),
-          expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
-        .join(broadcast(probes), Seq("q_id"))
-        .join(broadcast(ncen), Seq("cid"))
-        .select(col("q_id"), col("cid").as("pcid"),
-          expr("zip_with(nemb, ncen, (x, y) -> x - y)").as("rq"))
-        .select(col("q_id"), col("pcid"),
-          posexplode(array((0 until m).map(j =>
-            expr(s"slice(rq, ${j * sub + 1}, $sub)")): _*)))
-        .withColumnRenamed("pos", "ss")
-        .withColumnRenamed("col", "qsvec")
-        .join(broadcast(book), Seq("ss"))
-        .select(col("q_id"), col("pcid"), col("ss"), col("cid"),
-          l2sqExpr("qsvec", "cen").as("dd"))
+      val rdtab = AnnIndex.residualDtab(base, probes, ncen, book,
+        m, sub, nq)
       val cands = coarse.join(broadcast(probes), Seq("cid"))
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"), col("cid").as("pcid"))

@@ -31,23 +31,26 @@ object Checkpoints {
       .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
       .filter(_.nonEmpty)
 
-  /** The raw dir most recently passed to setCheckpointDir — needed
-    * because SparkContext.getCheckpointDir returns the fs-qualified
-    * UUID SUBDIRECTORY it created, never the configured path, so
-    * comparing against it would re-call setCheckpointDir on every
-    * barrier and scatter checkpoints across fresh UUID dirs. */
-  private val configuredDir =
-    new java.util.concurrent.atomic.AtomicReference[String](null)
-
   /** Eagerly materialize `df` with truncated lineage — reliable
     * `checkpoint()` when a checkpoint dir is configured, else
-    * `localCheckpoint()`. Reliable-mode data accrues under ONE
-    * UUID subdir per configured path; retention is the operator's
-    * call (or spark.cleaner.referenceTracking.cleanCheckpoints). */
+    * `localCheckpoint()`.
+    *
+    * The guard keys on the CONTEXT's own state, not process-global
+    * memory: `getCheckpointDir` returns the fs-qualified UUID subdir
+    * `setCheckpointDir` created (never the raw configured path), so
+    * "already set" is simply non-emptiness — one UUID subdir per
+    * SparkContext, a fresh context after a restart gets configured
+    * again, and a failed setCheckpointDir leaves nothing cached and is
+    * retried. A dir already set on the context (by us or the caller) is
+    * respected; changing the configured path mid-context is not
+    * supported. Reliable-mode data retention is the operator's call
+    * (or spark.cleaner.referenceTracking.cleanCheckpoints). */
   def barrier(df: DataFrame): DataFrame = reliableDir(df) match {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
-      if (configuredDir.getAndSet(dir) != dir) sc.setCheckpointDir(dir)
+      sc.synchronized {
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+      }
       df.checkpoint()
     case None => df.localCheckpoint()
   }

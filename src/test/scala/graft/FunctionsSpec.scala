@@ -324,4 +324,27 @@ class FunctionsSpec extends GraftSuite {
       maxBefore = math.max(maxBefore, r.getLong(1))
     }
   }
+
+  test("Prefix.over decimal running sums keep full scale across the merge") {
+    // decimal(38,s) + decimal(38,s) adjusts to scale s-1 under Spark's
+    // precision-loss rule — without the narrowed-operand merge this test
+    // fails in the 12th decimal for every row whose offset is non-null
+    val n = 5000
+    val df = spark.range(n).select(
+      (col("id") * 2654435761L % 997).as("k"), col("id").as("tie"),
+      expr("cast(id * cast(0.000000000001 as decimal(14,13)) " +
+        "as decimal(28,12))").as("v"))
+      .repartition(11)
+    val out = Prefix.over(df, Seq(col("k"), col("tie")),
+      Seq(Prefix.sumOf(col("v"), "cum")), numParts = 7)
+      .select(col("k"), col("tie"), col("v"), col("cum")).collect()
+    assert(out.length == n)
+    val byKey = out.sortBy(r => (r.getLong(0), r.getLong(1)))
+    var acc = java.math.BigDecimal.ZERO
+    byKey.zipWithIndex.foreach { case (r, i) =>
+      acc = acc.add(r.getDecimal(2))
+      assert(r.getDecimal(3).compareTo(acc) == 0,
+        s"decimal cum at pos $i: got ${r.getDecimal(3)} want $acc")
+    }
+  }
 }
