@@ -120,15 +120,21 @@ object Prefix {
             // s-1 under Spark's precision-loss rule — breaking the exact-
             // DECIMAL accumulation contract callers rely on); stepping
             // the operands down one integer digit keeps the add inside
-            // 38 digits at FULL scale. Running sums here would need
-            // 10^(37-s) integer digits to overflow the narrowed cast —
-            // unreachable for the rounded statistics this repo
-            // accumulates.
+            // 38 digits at FULL scale. try_cast + coalesce keeps the
+            // helper total even for callers with ≥ 10^(37-s) running
+            // sums: the narrowed cast nulls out instead of failing and
+            // the plain (scale-losing, magnitude-correct) add takes
+            // over. scale 38 has no narrowing headroom — plain add.
             case d: org.apache.spark.sql.types.DecimalType
-                if d.precision == 38 =>
+                if d.precision == 38 && d.scale <= 37 =>
               val narrowed =
                 org.apache.spark.sql.types.DecimalType(37, d.scale)
-              (off.cast(narrowed) + loc.cast(narrowed)).cast(d)
+              // the fallback must ALSO be cast to d: coalesce coerces its
+              // branches to a common type, and decimal(38,s-1) from the
+              // plain add would drag the exact branch back down to s-1
+              coalesce(
+                (off.try_cast(narrowed) + loc.try_cast(narrowed)).cast(d),
+                (off + loc).cast(d))
             case _ => off + loc
           }
         case "min" => least(off, loc)

@@ -49,7 +49,21 @@ object Checkpoints {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
       sc.synchronized {
-        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        sc.getCheckpointDir match {
+          case None => sc.setCheckpointDir(dir)
+          case Some(existing) if !existing.contains(dir) =>
+            // the context's dir is a fs-qualified UUID SUBDIR of whatever
+            // was configured first, so containment of the raw path is the
+            // "same place" test; a mismatch means a caller changed the
+            // configured dir mid-context (unsupported) or something else
+            // set the context's dir first — warn rather than silently
+            // checkpoint somewhere the caller didn't ask for
+            org.slf4j.LoggerFactory.getLogger(getClass).warn(
+              s"reliable barrier: SparkContext checkpoint dir is already " +
+                s"'$existing'; configured '$dir' is NOT applied (changing " +
+                "the checkpoint dir mid-context is unsupported)")
+          case _ => ()
+        }
       }
       df.checkpoint()
     case None => df.localCheckpoint()
