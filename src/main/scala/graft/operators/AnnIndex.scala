@@ -70,6 +70,14 @@ object AnnIndex {
   private def marker(dir: String): java.nio.file.Path =
     java.nio.file.Paths.get(indexDir(dir), "_GRAFT_INDEX_OK")
 
+  /** Artifact-layout version stamped INTO the marker. Bumped whenever
+    * build() gains a new artifact (v2 = the r7 respq codebook/codes), so
+    * an index dir built by an older layout reads as absent and rebuilds
+    * instead of passing ensureBuilt with artifacts missing — the exact
+    * failure an unversioned "ok" marker allowed (pre-existing dirs from
+    * earlier bench rounds lacked respq_* yet carried the marker). */
+  private val IndexVersion = "v2"
+
   /** Materialize a deterministic intermediate: write parquet, read back.
     * Truncates lineage and shares the computation across consumers via
     * files — never the block-manager cache. */
@@ -329,12 +337,21 @@ object AnnIndex {
     materialize(
       pqCodebookOf(rcodes.join(rsubs, Seq("vec_id", "ss")), SUB),
       resCodebookPath(dir))
-    java.nio.file.Files.writeString(marker(dir), "ok\n")
+    java.nio.file.Files.writeString(marker(dir), s"$IndexVersion\n")
   }
 
-  /** Build only if this process hasn't built an index for `dir` yet. */
-  def ensureBuilt(s: SparkSession, dir: String): Unit =
-    if (!java.nio.file.Files.exists(marker(dir))) build(s, dir)
+  /** Build only if a CURRENT-layout index for `dir` doesn't exist yet:
+    * the marker must carry IndexVersion and every versioned artifact
+    * path must be present. */
+  def ensureBuilt(s: SparkSession, dir: String): Unit = {
+    val fresh =
+      java.nio.file.Files.exists(marker(dir)) &&
+        java.nio.file.Files.readString(marker(dir)).trim == IndexVersion &&
+        Seq(centroidsPath(dir), assignPath(dir), codebookPath(dir),
+          codesPath(dir), resCodebookPath(dir), resCodesPath(dir))
+          .forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+    if (!fresh) build(s, dir)
+  }
 
   /** The read-side IVF+PQ query over prebuilt artifacts: probe pruning ×
     * ADC codes, no training subtree anywhere in the plan. */

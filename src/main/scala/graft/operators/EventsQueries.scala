@@ -1139,6 +1139,26 @@ object EventsQueries {
       ORDER BY lift DESC, pr.item_a, pr.item_b LIMIT 20""")
   )
 
+  /** Stream LINEAGE id, tied to the checkpoint location's lifetime: read
+    * from `_graft_stream_id` inside the checkpoint dir, or minted and
+    * persisted there when the checkpoint is fresh. Restarting the same
+    * checkpoint keeps the id (normal recovery, batch-id replay allowed);
+    * deleting/re-pointing the checkpoint mints a new one (detected as a
+    * reset by applyCdcBatch). Spark's own query `runId` won't do here —
+    * it changes on EVERY restart, including legitimate same-checkpoint
+    * recovery. */
+  private[graft] def streamLineageId(cp: String): String = {
+    import java.nio.file.{Files, Paths}
+    val f = Paths.get(cp, "_graft_stream_id")
+    if (Files.exists(f)) Files.readString(f).trim
+    else {
+      Files.createDirectories(f.getParent)
+      val id = java.util.UUID.randomUUID().toString
+      Files.writeString(f, id + "\n")
+      id
+    }
+  }
+
   /** One CDC micro-batch MERGE into the persisted per-user state table
     * at `$tmp/state` — crash-safe and idempotent:
     *
@@ -1155,9 +1175,20 @@ object EventsQueries {
     *    move the staged dir into place, drop the retired copy — at
     *    every instant either the old or the new state is recoverable.
     *
+    *  - checkpoint-RESET detection: the marker also carries the stream
+    *    LINEAGE id (a `_graft_stream_id` written into the checkpoint
+    *    location when it is first created, surviving restarts of the
+    *    same checkpoint but regenerated when the checkpoint dir is
+    *    fresh). A state table stamped by a DIFFERENT lineage means the
+    *    stream restarted with a new/deleted checkpoint against persisted
+    *    state: batch ids restart at 0, so the bid guard alone would
+    *    silently drop every batch forever. That mismatch now fails
+    *    loudly instead of no-opping — the operator must either keep the
+    *    checkpoint or reset the state table with it.
+    *
     * Exposed for the crash/replay simulation in StreamingSpec. */
   private[graft] def applyCdcBatch(tmp: String, batch: DataFrame,
-      bid: Long): Unit = {
+      bid: Long, runId: String = ""): Unit = {
     import java.nio.file.{Files, Paths}
     val stateDir = s"$tmp/state"
     val fs = Paths.get(stateDir)
@@ -1165,10 +1196,19 @@ object EventsQueries {
     val retired = Paths.get(s"$tmp/state_old")
     if (!stateExists && Files.exists(retired)) Files.move(retired, fs)
     val markOf = (d: String) => Paths.get(s"$d/_applied_bid")
-    val applied =
-      if (stateExists && Files.exists(markOf(stateDir)))
-        Files.readString(markOf(stateDir)).trim.toLong
-      else -1L
+    val (applied, appliedRun) =
+      if (stateExists && Files.exists(markOf(stateDir))) {
+        val parts = Files.readString(markOf(stateDir)).trim.split("\\s+")
+        (parts(0).toLong, if (parts.length > 1) Some(parts(1)) else None)
+      } else (-1L, None)
+    if (runId.nonEmpty && appliedRun.exists(_ != runId))
+      throw new IllegalStateException(
+        s"CDC state at $stateDir was written by stream lineage " +
+          s"${appliedRun.get} (through batch $applied) but this stream is " +
+          s"lineage $runId (batch $bid): the checkpoint was reset while " +
+          "the state table persists — refusing to merge (double-count) or " +
+          "skip (data loss); reset the state table together with the " +
+          "checkpoint, or restore the original checkpoint")
     if (applied < bid) {
       val bAgg = batch.groupBy(col("user_id"))
         .agg(max(struct(col("ts"), col("event_id"), col("event_type"),
@@ -1182,7 +1222,8 @@ object EventsQueries {
           .agg(max(col("st")).as("st"), sum(col("n")).as("n"))
       val next = s"$tmp/state_next_$bid"
       merged.write.mode("overwrite").parquet(next)
-      Files.writeString(markOf(next), s"$bid\n")
+      Files.writeString(markOf(next),
+        s"$bid${if (runId.nonEmpty) " " + runId else ""}\n")
       if (stateExists) {
         graft.sources.FsUtil.deleteRecursively(retired,
           swallowErrors = true)
@@ -1215,11 +1256,12 @@ object EventsQueries {
       val staged = s"$tmp/events_src"
       ev(s, dir).repartition(4).write.mode("overwrite").parquet(staged)
       val stateDir = s"$tmp/state"
+      val lineage = streamLineageId(s"$tmp/cp")
       val q = s.readStream.schema(ev(s, dir).schema)
         .option("maxFilesPerTrigger", 1).parquet(staged)
         .writeStream
         .foreachBatch { (batch: DataFrame, bid: Long) =>
-          applyCdcBatch(tmp, batch, bid)
+          applyCdcBatch(tmp, batch, bid, lineage)
         }
         .option("checkpointLocation", s"$tmp/cp")
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())

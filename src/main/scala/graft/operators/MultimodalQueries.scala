@@ -18,9 +18,12 @@ import org.apache.spark.sql.functions._
   * against javax.sound AudioSystem). The VIDEO path is real at the
   * container level: `x_media_video_frames` writes and parses genuine
   * YUV4MPEG2 streams (uncompressed standard interchange format) with true
-  * frame extraction. Only COMPRESSED-codec decode (JPEG/H.264/MP3-class)
-  * stays behind the honest stub in MediaKernels.decodeStub — those codecs
-  * don't ship in the JVM. Everything around the kernels — binary columns,
+  * frame extraction. The lossy IMAGE codec is real as well:
+  * `x_media_jpeg_decode` encodes and decodes genuine baseline JPEGs
+  * through the JDK's built-in ImageIO plugin (JpegCodec). Only
+  * compressed VIDEO/AUDIO decode (H.264/MP3-class) stays behind the
+  * honest stub in MediaKernels.decodeStub — those codecs genuinely don't
+  * ship in the JVM. Everything around the kernels — binary columns,
   * schema, batched mapPartitions shape — is the real pipeline. At 100 TB
   * the media bytes never leave their partition: the kernel is a map, and
   * only small extracted features flow onward.
@@ -53,11 +56,13 @@ object MultimodalQueries {
         Some((beInt(b, 16), beInt(b, 20)))
       else None
 
-    /** STUB for the pixel/sample decode (would be libjpeg/ffmpeg/soundfile
-      * via a native batch API). Header parsing above is real; the pixel
-      * features below are a deterministic fake so results stay
-      * oracle-checkable — replace with the real decode when the libraries
-      * exist. */
+    /** STUB for H.264/MP3-class COMPRESSED video/audio decode (would be
+      * ffmpeg/soundfile via a native batch API — not in the JVM). Header
+      * parsing above is real, and every codec the JVM does ship has a
+      * real path elsewhere: PNG (PngCodec), baseline JPEG (JpegCodec via
+      * ImageIO), PCM WAV (WavCodec), Y4M (Y4mCodec). The features below
+      * are a deterministic fake so results stay oracle-checkable —
+      * replace with the real decode when the native libraries exist. */
     def decodeStub(r: MediaRow): MediaFeatures = {
       val dims = parsePngDims(r.media)
       val first = if (r.media.nonEmpty) r.media(0) & 0xff else -1
@@ -281,6 +286,75 @@ object MultimodalQueries {
              CAST(max(p) AS INTEGER) AS thumb_max,
              CAST(min(CASE WHEN tx = 0 AND ty = 0 THEN p END) AS INTEGER)
                AS corner_pixel
+      FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")
+  )
+
+  /** REAL lossy-codec decode end-to-end: each row encodes a genuine
+    * baseline JPEG (the JDK's built-in ImageIO plugin — no external
+    * dependency) from a smooth deterministic gradient, then JpegCodec
+    * decodes it back. JPEG is LOSSY, so the oracle contract splits:
+    * dimensions, pixel count, and the SOURCE image's pixel sum are exact
+    * values the DuckDB oracle replays from the formula; reconstruction
+    * fidelity is carried as asserted booleans (header magic valid,
+    * max per-pixel error within the bound MultimodalSpec pins) — a
+    * decoder that mangles the scan or drops a block flips the boolean
+    * and hash-mismatches. The gradient is smooth by construction
+    * (monotone in x and y, no wraparound edges) because DCT error on
+    * noise would be unbounded; this is the image class a quality bound
+    * can honestly cover. */
+  case class JpegFeatures(doc_id: Long, width: Int, height: Int,
+      n_pixels: Long, orig_sum: Long, header_ok: Boolean,
+      roundtrip_ok: Boolean)
+
+  val jpegDecode: QueryDef = QueryDef(
+    "x_media_jpeg_decode",
+    (s, dir) => {
+      import s.implicits._
+      val rows = Tables.table(s, dir, "documents")
+        .filter(col("doc_id") < 200)
+        .select(col("doc_id"),
+          (col("doc_id") % 48 + 16).cast("int").as("w"),
+          (col("n_chars") % 48 + 16).cast("int").as("h"))
+        .as[(Long, Int, Int)]
+      rows.mapPartitions(_.map { case (id, w, h) =>
+        val base = (id % 32).toInt
+        def f(x: Int, y: Int): Int =
+          (x * 160) / (w + h) + (y * 160) / (w + h) + base
+        val jpeg = graft.functions.JpegCodec.encodeGray(w, h, f)
+        val (dw, dh, px) = graft.functions.JpegCodec.decodeGray(jpeg)
+        var origSum = 0L
+        var maxErr = 0
+        var y = 0
+        while (y < dh) {
+          var x = 0
+          while (x < dw) {
+            val o = f(x, y)
+            origSum += o
+            val e = math.abs((px(y * dw + x) & 0xff) - o)
+            if (e > maxErr) maxErr = e
+            x += 1
+          }
+          y += 1
+        }
+        JpegFeatures(id, dw, dh, px.length.toLong, origSum,
+          graft.functions.JpegCodec.isJpeg(jpeg), maxErr <= 12)
+      }).toDF()
+        .orderBy(col("doc_id"))
+    },
+    oracle = Some("""
+      WITH d AS (SELECT doc_id, CAST(doc_id % 48 + 16 AS INTEGER) AS w,
+                        CAST(n_chars % 48 + 16 AS INTEGER) AS h
+                 FROM documents WHERE doc_id < 200),
+      gx AS (SELECT doc_id, w, h, unnest(range(0, w)) AS x FROM d),
+      gxy AS (SELECT doc_id, w, h, x, unnest(range(0, h)) AS y FROM gx),
+      px AS (SELECT doc_id, w, h,
+                    (x * 160) // (w + h) + (y * 160) // (w + h)
+                      + doc_id % 32 AS p
+             FROM gxy)
+      SELECT doc_id, w AS width, h AS height,
+             count(*) AS n_pixels,
+             CAST(sum(p) AS BIGINT) AS orig_sum,
+             true AS header_ok, true AS roundtrip_ok
       FROM px GROUP BY doc_id, w, h ORDER BY doc_id""")
   )
 
@@ -756,6 +830,6 @@ object MultimodalQueries {
   )
 
   def defs: Seq[QueryDef] = Seq(decodePipeline, frameSample, pixelDecode,
-    resize, audioDecode, audioVad, videoDecode, phashDedup, sceneCuts,
-    phashHammingJoin)
+    jpegDecode, resize, audioDecode, audioVad, videoDecode, phashDedup,
+    sceneCuts, phashHammingJoin)
 }

@@ -151,8 +151,58 @@ class Catalog(spark: SparkSession, root: String) {
   def table(name: String): DataFrame = {
     val schema = tables.getOrElse(name,
       throw new IllegalArgumentException(s"no such table: $name"))
-    recover(name)
+    ensureLive(name)
     spark.read.schema(schema).parquet(tablePath(name))
+  }
+
+  /** Reader-side commit-window handling: a missing live dir means either
+    * a writer is inside rewrite()'s two-rename commit window (wait it
+    * out — the analog of the reference's brief reader block on the
+    * version-buffer lock at commit) or a writer crashed mid-swap (run
+    * recovery, under the table lock so recovery can never race an
+    * in-flight writer's swap). */
+  private def ensureLive(name: String): Unit = {
+    val live = Paths.get(tablePath(name))
+    if (Files.exists(live)) return
+    val deadline = System.nanoTime() + 30L * 1000000000L
+    while (!Files.exists(live) &&
+        TableLocks.heldByOtherLiveOwner(root, name) &&
+        System.nanoTime() < deadline)
+      Thread.sleep(5)
+    if (!Files.exists(live))
+      TableLocks.withLock(root, name)(recover(name))
+  }
+
+  /** Run a read action with snapshot-consistency retry. A concurrent
+    * rewrite swaps the WHOLE directory, so any successful scan sees
+    * either the complete pre-image or the complete post-image — never a
+    * mix; the only mid-commit artifact a reader can hit is a vanished
+    * path (listing raced the rename, or listed files moved to _versions
+    * before the scan ran). Those surface as file-not-found–class errors
+    * and are retried against the new snapshot. This is the MVCC read
+    * guarantee the dwweek concurrent load+query scenario exercises in
+    * the reference (utils/scenarios/dwweek/test/dwControlNightly.sh:
+    * daytime query groups against tables receiving bulk loads). */
+  def readCommitted[T](name: String, retries: Int = 40)(
+      action: DataFrame => T): T = {
+    def transient(e: Throwable): Boolean = {
+      val chain = Iterator.iterate(e)(_.getCause).takeWhile(_ != null)
+        .take(8).toSeq
+      chain.exists {
+        case _: java.io.FileNotFoundException => true
+        case t => val m = Option(t.getMessage).getOrElse("")
+          m.contains("does not exist") || m.contains("PATH_NOT_FOUND")
+      }
+    }
+    var attempt = 0
+    while (true) {
+      try return action(table(name))
+      catch {
+        case e: Exception if attempt < retries && transient(e) =>
+          attempt += 1; Thread.sleep(25)
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Crash recovery: a failure between the two moves in rewrite() can leave
@@ -174,10 +224,14 @@ class Catalog(spark: SparkSession, root: String) {
     }
   }
 
-  /** INSERT INTO name SELECT … (append). */
+  /** INSERT INTO name SELECT … (append). Serialized by the table lock
+    * like every DML statement (the reference's DMLProc takes the table
+    * lock for inserts too — dbcon/dmlpackageproc). */
   def insertIntoSelect(name: String, df: DataFrame): Unit = {
     require(tables.contains(name), s"no such table: $name")
-    df.write.mode(SaveMode.Append).parquet(tablePath(name))
+    TableLocks.withLock(root, name) {
+      df.write.mode(SaveMode.Append).parquet(tablePath(name))
+    }
   }
 
   /** UPDATE name SET (via transform) WHERE (via predicate): read-modify-
@@ -189,7 +243,16 @@ class Catalog(spark: SparkSession, root: String) {
   def delete(name: String, keep: DataFrame => DataFrame): Unit =
     rewrite(name, keep)
 
-  private def rewrite(name: String, f: DataFrame => DataFrame): Unit = {
+  /** The one read-modify-write path, serialized end-to-end by the
+    * per-table advisory lock (reference: DMLProc acquires the table lock
+    * before any update/delete and holds it through commit —
+    * dbcon/dmlpackageproc/commandpackageprocessor.cpp:34,
+    * versioning/BRM tablelockdata.h). The SNAPSHOT READ happens inside
+    * the lock (the staged write executes `f(table)` here), so two
+    * concurrent upserts compose instead of the second erasing the
+    * first's rows with a swap computed from a stale pre-image. */
+  private def rewrite(name: String, f: DataFrame => DataFrame): Unit =
+      TableLocks.withLock(root, name) {
     require(tables.contains(name), s"no such table: $name")
     recover(name)
     val staged = tablePath(name) + ".staging"
@@ -276,9 +339,11 @@ class Catalog(spark: SparkSession, root: String) {
   def truncate(name: String): Unit = {
     val schema = tables.getOrElse(name,
       throw new IllegalArgumentException(s"no such table: $name"))
-    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        schema)
-      .write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+    TableLocks.withLock(root, name) {
+      spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        .write.mode(SaveMode.Overwrite).parquet(tablePath(name))
+    }
   }
 
   /** DROP TABLE. */

@@ -31,38 +31,52 @@ object Checkpoints {
       .orElse(sys.env.get("SPARK_GRAFT_CHECKPOINT_DIR"))
       .filter(_.nonEmpty)
 
+  /** True when the context's fs-qualified checkpoint dir (always a UUID
+    * SUBDIR `setCheckpointDir` created under the configured path) lives
+    * under `dir`. Compares at path-component boundaries — a plain
+    * substring test would false-positive when `dir` is a string prefix
+    * of a sibling path (configured `/tmp/ckpt` vs an existing dir under
+    * `/tmp/ckpt-2/`). */
+  private[graft] def underDir(existing: String, dir: String): Boolean = {
+    // fs-qualification adds a scheme (`file:` locally); strip a local
+    // scheme so `/tmp/x` matches `file:/tmp/x/uuid`, and normalize the
+    // trailing slash so the boundary test is exact
+    def norm(p: String) =
+      p.stripPrefix("file:").stripSuffix("/")
+    val e = norm(existing)
+    val d = norm(dir)
+    e == d || e.startsWith(d + "/")
+  }
+
+  /** Last raw configured dir this process applied to a context — lets a
+    * changed `spark.graft.checkpoint.dir` rotate storage at the next
+    * barrier instead of being first-wins for the context's lifetime
+    * (a long-lived serving session must be able to move checkpoint
+    * traffic off a draining filesystem). Weak keys: a stopped context
+    * drops its entry. */
+  private val applied =
+    new java.util.WeakHashMap[org.apache.spark.SparkContext, String]()
+
   /** Eagerly materialize `df` with truncated lineage — reliable
     * `checkpoint()` when a checkpoint dir is configured, else
     * `localCheckpoint()`.
     *
-    * The guard keys on the CONTEXT's own state, not process-global
-    * memory: `getCheckpointDir` returns the fs-qualified UUID subdir
-    * `setCheckpointDir` created (never the raw configured path), so
-    * "already set" is simply non-emptiness — one UUID subdir per
-    * SparkContext, a fresh context after a restart gets configured
-    * again, and a failed setCheckpointDir leaves nothing cached and is
-    * retried. A dir already set on the context (by us or the caller) is
-    * respected; changing the configured path mid-context is not
-    * supported. Reliable-mode data retention is the operator's call
-    * (or spark.cleaner.referenceTracking.cleanCheckpoints). */
+    * The configured dir is resolved PER BARRIER: when it differs from
+    * what this process last applied (or from a dir the caller set on
+    * the context directly), `setCheckpointDir` runs again, so future
+    * barriers land under the new path while already-written checkpoints
+    * stay readable where they are. Reliable-mode data retention is the
+    * operator's call (or
+    * spark.cleaner.referenceTracking.cleanCheckpoints). */
   def barrier(df: DataFrame): DataFrame = reliableDir(df) match {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
       sc.synchronized {
-        sc.getCheckpointDir match {
-          case None => sc.setCheckpointDir(dir)
-          case Some(existing) if !existing.contains(dir) =>
-            // the context's dir is a fs-qualified UUID SUBDIR of whatever
-            // was configured first, so containment of the raw path is the
-            // "same place" test; a mismatch means a caller changed the
-            // configured dir mid-context (unsupported) or something else
-            // set the context's dir first — warn rather than silently
-            // checkpoint somewhere the caller didn't ask for
-            org.slf4j.LoggerFactory.getLogger(getClass).warn(
-              s"reliable barrier: SparkContext checkpoint dir is already " +
-                s"'$existing'; configured '$dir' is NOT applied (changing " +
-                "the checkpoint dir mid-context is unsupported)")
-          case _ => ()
+        val current = sc.getCheckpointDir.exists(underDir(_, dir)) &&
+          Option(applied.get(sc)).forall(_ == dir)
+        if (!current) {
+          sc.setCheckpointDir(dir)
+          applied.put(sc, dir)
         }
       }
       df.checkpoint()

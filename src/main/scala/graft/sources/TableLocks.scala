@@ -1,0 +1,124 @@
+package graft.sources
+
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import scala.collection.concurrent.TrieMap
+
+/** Advisory per-table WRITER lock — the DML table-lock analog.
+  *
+  * The reference serializes all DML through table locks: DMLProc acquires
+  * a table lock before any insert/update/delete and releases it at
+  * commit/rollback (reference:
+  * dbcon/dmlpackageproc/commandpackageprocessor.cpp:34 CLEANUP/table-lock
+  * release path; versioning/BRM tablelockdata.h — lock state keyed by
+  * table OID with owner/session/txn). Without it, two concurrent writers
+  * interleaving Catalog's rename-aside swap can silently lose one
+  * writer's batch (writer A swaps in a rewrite computed from a pre-B
+  * snapshot, erasing B's committed rows).
+  *
+  * Two layers, both advisory (readers never block — MVCC semantics):
+  *
+  *  - in-process: one reentrant lock per (catalog root, table), so
+  *    concurrent sessions/threads in one JVM serialize cheaply;
+  *  - cross-process: a lock FILE at `<root>/_locks/<table>.lock`, claimed
+  *    by ATOMIC_MOVE of a pid-stamped temp file (the move fails if the
+  *    target exists, so exactly one process wins). A claim whose owner
+  *    pid is no longer alive is stale and is stolen — the analog of the
+  *    reference's cleartablelock recovery after a DMLProc crash.
+  *
+  * At 100 TB the same protocol works unchanged when `<root>` is a shared
+  * filesystem (HDFS/NFS): the lock file is O(bytes) regardless of table
+  * size, and the hold time is the rewrite's commit window, not its scan.
+  * (On S3-class stores without atomic rename one would swap this object
+  * for a DynamoDB/ZK lock — the Catalog call sites stay identical.)
+  */
+object TableLocks {
+  private val jvmLocks =
+    TrieMap.empty[String, java.util.concurrent.locks.ReentrantLock]
+
+  private def jvmLock(key: String) =
+    jvmLocks.getOrElseUpdate(key,
+      new java.util.concurrent.locks.ReentrantLock())
+
+  private def lockFile(root: String, table: String): Path =
+    Paths.get(root, "_locks", s"$table.lock")
+
+  private def selfPid: Long = ProcessHandle.current().pid()
+
+  /** Owner pid recorded in a claim file, if readable. */
+  private def ownerPid(lock: Path): Option[Long] =
+    try Some(Files.readString(lock).trim.split(" ")(0).toLong)
+    catch { case _: Exception => None }
+
+  /** True while a DIFFERENT live process (or a not-yet-readable claim)
+    * holds the table's lock file. Used by the read path to distinguish
+    * "a writer is mid-swap, wait for the live dir" from "a writer
+    * crashed, run recovery". */
+  def heldByOtherLiveOwner(root: String, table: String): Boolean = {
+    val lf = lockFile(root, table)
+    Files.exists(lf) && (ownerPid(lf) match {
+      case Some(pid) =>
+        pid != selfPid && ProcessHandle.of(pid).isPresent
+      case None => Files.exists(lf) // claim mid-write: assume live
+    })
+  }
+
+  /** Acquire the table's writer lock, run `f`, release. Reentrant within
+    * a thread (upsert → rewrite style nesting takes it once). Throws
+    * after `timeoutMs` if a live owner never releases. */
+  def withLock[T](root: String, table: String,
+      timeoutMs: Long = 60000)(f: => T): T = {
+    val key = s"$root#$table"
+    val jl = jvmLock(key)
+    jl.lock()
+    try {
+      // already claimed the file at an outer nesting level in this thread
+      if (jl.getHoldCount > 1) f
+      else {
+        val lf = lockFile(root, table)
+        Files.createDirectories(lf.getParent)
+        val deadline = System.nanoTime() + timeoutMs * 1000000L
+        var claimed = false
+        while (!claimed) {
+          val tmp = lf.resolveSibling(
+            s".claim_${table}_${selfPid}_${Thread.currentThread().getId}")
+          Files.writeString(tmp, s"$selfPid ${System.currentTimeMillis()}\n")
+          try {
+            Files.move(tmp, lf, StandardCopyOption.ATOMIC_MOVE)
+            claimed = true
+          } catch {
+            case _: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.FileSystemException =>
+              Files.deleteIfExists(tmp)
+              val observed =
+                try Some(Files.readString(lf)) catch { case _: Exception => None }
+              val stale = observed.exists { s =>
+                try {
+                  val pid = s.trim.split(" ")(0).toLong
+                  !ProcessHandle.of(pid).isPresent
+                } catch { case _: Exception => false }
+              }
+              if (stale) {
+                // stale claim from a dead writer — steal (the
+                // cleartablelock analog). Guard against deleting a FRESH
+                // claim that replaced the stale one since we read it:
+                // re-read and delete only on byte-identical content (the
+                // pid+millis stamp makes a colliding fresh claim
+                // practically impossible); a lost race just retries.
+                val now = try Some(Files.readString(lf))
+                          catch { case _: Exception => None }
+                if (now == observed) Files.deleteIfExists(lf)
+              } else {
+                if (System.nanoTime() > deadline)
+                  throw new IllegalStateException(
+                    s"timed out acquiring table lock for $table " +
+                      s"(held by pid ${ownerPid(lf).getOrElse("?")})")
+                Thread.sleep(20)
+              }
+          }
+        }
+        try f
+        finally Files.deleteIfExists(lf)
+      }
+    } finally jl.unlock()
+  }
+}

@@ -303,4 +303,76 @@ class CatalogSpec extends GraftSuite {
       assert(sizes(c) < sizes("none"),
         s"$c must compress below uncompressed: $sizes")
   }
+
+  // ---- DML table-lock analog (reference: DMLProc table locks,
+  // dbcon/dmlpackageproc/commandpackageprocessor.cpp:34) ---------------
+
+  test("two concurrent writers interleaving upserts lose no update") {
+    import scala.jdk.CollectionConverters._
+    val cat = freshCatalog()
+    cat.createTableAs("t", Seq((0L, 0, 0)).toDF("id", "writer", "gen"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // each writer upserts 4 distinct-key batches; without the table lock
+    // a writer's swap computed from a stale pre-image erases the other
+    // writer's committed rows
+    val threads = (1 to 2).map { w =>
+      new Thread(() => {
+        try for (g <- 1 to 4)
+          cat.upsert("t",
+            Seq((w * 100L + g, w, g)).toDF("id", "writer", "gen"),
+            Seq("id"))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.asScala.map(_.toString).mkString("; "))
+    val ids = cat.table("t").select("id").as[Long].collect().toSet
+    val want = Set(0L) ++
+      (for (w <- 1 to 2; g <- 1 to 4) yield w * 100L + g).toSet
+    assert(ids == want, s"every committed batch must survive, got $ids")
+  }
+
+  test("a reader sees the pre- or post-image of a rewrite, never a mix") {
+    import scala.jdk.CollectionConverters._
+    val cat = freshCatalog()
+    cat.createTableAs("r",
+      spark.range(0, 2000).toDF("id").withColumn("gen", lit(0)))
+    @volatile var stop = false
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val nreads = new java.util.concurrent.atomic.AtomicLong
+    val reader = new Thread(() => {
+      try while (!stop) {
+        // a consistent snapshot has exactly one generation over all rows
+        val gens = cat.readCommitted("r")(
+          _.groupBy("gen").count().collect())
+        nreads.incrementAndGet()
+        if (gens.length != 1 || gens(0).getLong(1) != 2000L)
+          bad.add(gens.mkString(","))
+      } catch { case e: Throwable => bad.add(e.toString) }
+    })
+    reader.start()
+    for (g <- 1 to 5) cat.update("r", _.withColumn("gen", lit(g)))
+    stop = true; reader.join()
+    assert(bad.isEmpty, bad.asScala.mkString("; "))
+    assert(nreads.get() > 0, "the reader must actually observe snapshots")
+    assert(cat.table("r").select("gen").distinct().collect()
+      .map(_.getInt(0)).toSeq == Seq(5))
+  }
+
+  test("a dead writer's stale table lock is stolen, not waited out") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val lf = java.nio.file.Paths.get(root, "_locks", "t.lock")
+    java.nio.file.Files.createDirectories(lf.getParent)
+    // claim by a pid that cannot be alive (pid_max on linux < 2^22 × 100)
+    java.nio.file.Files.writeString(lf, "999999999 0\n")
+    val t0 = System.nanoTime()
+    var ran = false
+    graft.sources.TableLocks.withLock(root, "t", timeoutMs = 5000) {
+      ran = true
+    }
+    assert(ran, "lock body must run after stealing the stale claim")
+    assert((System.nanoTime() - t0) / 1e9 < 4.0,
+      "steal must be immediate, not a timeout")
+    assert(!java.nio.file.Files.exists(lf), "lock released after the body")
+  }
 }

@@ -158,6 +158,36 @@ class MultimodalSpec extends GraftSuite {
     intercept[IllegalArgumentException](WavCodec.decodePcm16(negWav))
   }
 
+  test("jpeg codec: dims exact, gradient error bounded, header real") {
+    import graft.functions.JpegCodec
+    // the query's smooth-gradient class: error must stay within the
+    // bound x_media_jpeg_decode bakes into roundtrip_ok (12), with
+    // margin — pin it at half that so codec drift surfaces here first
+    var worst = 0
+    for (id <- Seq(0L, 7L, 31L); (w, h) <- Seq((16, 16), (63, 17), (48, 63))) {
+      val base = (id % 32).toInt
+      def f(x: Int, y: Int): Int =
+        (x * 160) / (w + h) + (y * 160) / (w + h) + base
+      val jpeg = JpegCodec.encodeGray(w, h, f)
+      assert(JpegCodec.isJpeg(jpeg), "encoder must emit a real JPEG stream")
+      assert(!JpegCodec.isJpeg(PngCodec.encodeGray(4, 4, (_, _) => 0)))
+      val (dw, dh, px) = JpegCodec.decodeGray(jpeg)
+      assert((dw, dh) == (w, h), "lossy or not, dimensions are exact")
+      for (y <- 0 until h; x <- 0 until w)
+        worst = math.max(worst,
+          math.abs((px(y * w + x) & 0xff) - f(x, y)))
+    }
+    assert(worst <= 6, s"smooth-gradient max error crept up to $worst " +
+      "(query bound is 12) — JPEG plugin behavior changed")
+    // compression must actually engage on a large smooth image
+    val big = JpegCodec.encodeGray(256, 256,
+      (x, y) => (x * 160) / 512 + (y * 160) / 512)
+    assert(big.length < 256 * 256 / 4,
+      s"a smooth 64k-pixel gradient must compress well, got ${big.length}")
+    // corrupt input fails loudly, like the other codecs
+    intercept[Exception](JpegCodec.decodeGray("not a jpeg".getBytes))
+  }
+
   test("audio vad segments match the analytic gate pattern") {
     // the synth gates frame f quiet iff (f + id) % 4 == 0, so the active
     // pattern — and therefore the island structure — is known in closed

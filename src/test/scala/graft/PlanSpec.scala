@@ -498,6 +498,48 @@ class PlanSpec extends GraftSuite {
     }
   }
 
+  test("a changed checkpoint dir rotates storage at the next barrier") {
+    // long-lived serving session story: reconfiguring
+    // spark.graft.checkpoint.dir between barriers must move NEW
+    // checkpoint traffic to the new path (per-barrier resolve, not
+    // first-wins-per-context)
+    import graft.sources.Checkpoints
+    def anyFile(p: java.nio.file.Path): Boolean = {
+      val s = java.nio.file.Files.walk(p)
+      try s.anyMatch(f => java.nio.file.Files.isRegularFile(f))
+      finally s.close()
+    }
+    val dirA = java.nio.file.Files.createTempDirectory("graft_ckpt_a")
+    val dirB = java.nio.file.Files.createTempDirectory("graft_ckpt_b")
+    try {
+      spark.conf.set("spark.graft.checkpoint.dir", dirA.toString)
+      Checkpoints.barrier(spark.range(0, 100).toDF("v")).count()
+      assert(anyFile(dirA), "first barrier must land under the first dir")
+      spark.conf.set("spark.graft.checkpoint.dir", dirB.toString)
+      Checkpoints.barrier(spark.range(0, 100).toDF("v")).count()
+      assert(anyFile(dirB),
+        "after reconfiguration the next barrier must land under the new dir")
+      assert(
+        spark.sparkContext.getCheckpointDir.exists(
+          Checkpoints.underDir(_, dirB.toString)),
+        "context dir must point under the rotated path")
+    } finally {
+      spark.conf.unset("spark.graft.checkpoint.dir")
+      sources.FsUtil.deleteRecursively(dirA, swallowErrors = true)
+      sources.FsUtil.deleteRecursively(dirB, swallowErrors = true)
+    }
+  }
+
+  test("underDir matches at path boundaries, not substrings") {
+    import graft.sources.Checkpoints.underDir
+    assert(underDir("file:/tmp/ckpt/uuid-123", "/tmp/ckpt"))
+    assert(underDir("/tmp/ckpt", "/tmp/ckpt"))
+    assert(underDir("hdfs://nn/ckpt/uuid", "hdfs://nn/ckpt/"))
+    assert(!underDir("file:/tmp/ckpt-2/uuid", "/tmp/ckpt"),
+      "a sibling dir sharing a string prefix is NOT the configured dir")
+    assert(!underDir("/tmp/other/ckpt", "/tmp/ckpt"))
+  }
+
   test("retrieval, card, and hamming-join shuffles never carry payloads") {
     // the 100 TB contract of the round-6 additions: more-like-this and
     // the KN LM join model tables BY KEY (term/bigram longs and small

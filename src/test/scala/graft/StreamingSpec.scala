@@ -238,4 +238,33 @@ class StreamingSpec extends GraftSuite {
       sources.FsUtil.deleteRecursively(Paths.get(tmp), swallowErrors = true)
     }
   }
+
+  test("cdc apply detects a checkpoint reset against persisted state") {
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_cdc_reset").toString
+    val ev = Tables.table(spark, sf, "events")
+    val b0 = ev.filter(col("event_id") % 2 === 0)
+    try {
+      // lineage A applies batches 0 and 1 and stamps the state
+      operators.EventsQueries.applyCdcBatch(tmp, b0, 0L, "lineageA")
+      operators.EventsQueries.applyCdcBatch(tmp, b0, 1L, "lineageA")
+      // same-lineage replay of an absorbed batch stays a silent no-op
+      val before = spark.read.parquet(s"$tmp/state").count()
+      operators.EventsQueries.applyCdcBatch(tmp, b0, 1L, "lineageA")
+      assert(spark.read.parquet(s"$tmp/state").count() == before)
+      // a NEW lineage (checkpoint deleted/re-pointed; bids restart at 0)
+      // must fail loudly — the old guard silently dropped every batch
+      val e = intercept[IllegalStateException](
+        operators.EventsQueries.applyCdcBatch(tmp, b0, 0L, "lineageB"))
+      assert(e.getMessage.contains("checkpoint was reset"))
+      // the lineage id file itself: stable across same-checkpoint reads,
+      // fresh for a fresh checkpoint dir
+      val cp = s"$tmp/cp"
+      val id1 = operators.EventsQueries.streamLineageId(cp)
+      assert(operators.EventsQueries.streamLineageId(cp) == id1)
+      assert(operators.EventsQueries.streamLineageId(s"$tmp/cp2") != id1)
+    } finally {
+      sources.FsUtil.deleteRecursively(Paths.get(tmp), swallowErrors = true)
+    }
+  }
 }
