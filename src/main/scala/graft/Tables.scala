@@ -45,10 +45,47 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
+  /** Inferred schema per table path, cached for the process lifetime —
+    * the CalpontSystemCatalog caching analog (the reference resolves
+    * schema.table.column through an in-memory catalog per statement,
+    * calpontsystemcatalog.h:107; it does not re-read storage metadata).
+    * Without this, EVERY DataFrame construction runs a footer-reading
+    * schema-inference job per table (50–150 ms each, k tables per
+    * query) — round 8's switch to end-to-end timing surfaced that as a
+    * uniform ~2× construction tax on the TPC-H headline. The testdata
+    * dirs are immutable, so path-keyed caching is sound; a changed
+    * corpus uses a new dir (as the bench scaling section does). */
+  private val schemaCache =
+    scala.collection.concurrent.TrieMap
+      .empty[String, org.apache.spark.sql.types.StructType]
+
+  /** Resolved base relation per (session, path) — constructing a scan is
+    * pure (immutable DataFrame), so the resolved relation is shared and
+    * repeated `table()` calls skip file-listing/relation setup too. Weak
+    * session keys: a stopped session's entries are collectable. */
+  private val relationCache =
+    new java.util.WeakHashMap[SparkSession,
+      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+
   /** Read one table. Filters/pruning push down to the parquet scan. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
-    val df = spark.read.parquet(path(dir, name))
+    val p = path(dir, name)
+    val perSession = relationCache.synchronized {
+      val m = relationCache.get(spark)
+      if (m != null) m
+      else {
+        val fresh =
+          scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        relationCache.put(spark, fresh)
+        fresh
+      }
+    }
+    val df = perSession.getOrElseUpdate(p, {
+      val schema =
+        schemaCache.getOrElseUpdate(p, spark.read.parquet(p).schema)
+      spark.read.schema(schema).parquet(p)
+    })
     // Normalize the event timestamp to TIMESTAMP (ltz) whatever the file
     // carries. Generations of the testdata have shipped TIMESTAMP(NANOS)
     // (arrives as long under nanosAsLong; `div 1000` floors to µs exactly —
