@@ -1,6 +1,6 @@
 package graft.sources
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.nio.file.{Files, Path, Paths}
 import scala.collection.concurrent.TrieMap
 
 /** Advisory per-table WRITER lock — the DML table-lock analog.
@@ -20,9 +20,10 @@ import scala.collection.concurrent.TrieMap
   *  - in-process: one reentrant lock per (catalog root, table), so
   *    concurrent sessions/threads in one JVM serialize cheaply;
   *  - cross-process: a lock FILE at `<root>/_locks/<table>.lock`, claimed
-  *    by ATOMIC_MOVE of a pid-stamped temp file (the move fails if the
-  *    target exists, so exactly one process wins). A claim whose owner
-  *    pid is no longer alive is stale and is stolen — the analog of the
+  *    by hard-LINKING a pid-stamped temp file into place (link(2) fails
+  *    atomically when the target exists, so exactly one process wins
+  *    with its content already published). A claim whose owner pid is no
+  *    longer alive is stale and is stolen — the analog of the
   *    reference's cleartablelock recovery after a DMLProc crash.
   *
   * At 100 TB the same protocol works unchanged when `<root>` is a shared
@@ -82,9 +83,17 @@ object TableLocks {
           val tmp = lf.resolveSibling(
             s".claim_${table}_${selfPid}_${Thread.currentThread().getId}")
           Files.writeString(tmp, s"$selfPid ${System.currentTimeMillis()}\n")
+          // publish the claim via hard LINK: link(2) fails with EEXIST
+          // when the target exists, so exactly one process wins AND the
+          // winner's content (pid + stamp) is in place atomically. A
+          // rename would NOT work here — POSIX rename(2), which
+          // ATOMIC_MOVE maps to, silently REPLACES an existing target,
+          // letting every claimer "succeed" (caught by the cross-JVM
+          // test in CatalogSpec).
           try {
-            Files.move(tmp, lf, StandardCopyOption.ATOMIC_MOVE)
+            Files.createLink(lf, tmp)
             claimed = true
+            Files.deleteIfExists(tmp)
           } catch {
             case _: java.nio.file.FileAlreadyExistsException |
                  _: java.nio.file.FileSystemException =>
@@ -120,5 +129,24 @@ object TableLocks {
         finally Files.deleteIfExists(lf)
       }
     } finally jl.unlock()
+  }
+}
+
+/** Tiny main for the cross-process lock test: holds `table`'s lock under
+  * `root` for `holdMillis`, touching `<root>/_locks/.holding_<table>`
+  * while inside so the parent test can observe the hold window. No Spark
+  * dependency — the lock layer is pure java.nio, which is the point: a
+  * second JVM (a concurrent loader, a second session) contends through
+  * the filesystem alone. */
+object TableLockHolder {
+  def main(args: Array[String]): Unit = {
+    val Array(root, table, holdMillis) = args
+    val flag = Paths.get(root, "_locks", s".holding_$table")
+    TableLocks.withLock(root, table) {
+      Files.createDirectories(flag.getParent)
+      Files.writeString(flag, s"${ProcessHandle.current().pid()}\n")
+      Thread.sleep(holdMillis.toLong)
+      Files.deleteIfExists(flag)
+    }
   }
 }

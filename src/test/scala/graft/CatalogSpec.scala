@@ -359,6 +359,55 @@ class CatalogSpec extends GraftSuite {
       .map(_.getInt(0)).toSeq == Seq(5))
   }
 
+  test("the table lock excludes a writer in a DIFFERENT JVM") {
+    // true cross-process evidence: spawn a second JVM (no Spark — the
+    // lock layer is pure java.nio) that holds the lock ~2 s; this JVM's
+    // acquisition must block until that process releases
+    import java.nio.file.{Files, Paths}
+    import scala.jdk.CollectionConverters._
+    val root = Files.createTempDirectory("graft_xjvm").toString
+    def cpOf(c: Class[_]) = Paths.get(
+      c.getProtectionDomain.getCodeSource.getLocation.toURI).toString
+    val cp = Seq(cpOf(graft.sources.TableLocks.getClass),
+      cpOf(classOf[scala.Option[_]])).mkString(
+      java.io.File.pathSeparator)
+    val javaBin = Paths.get(System.getProperty("java.home"), "bin", "java")
+      .toString
+    val holdMs = 2000
+    val proc = new ProcessBuilder(javaBin, "-cp", cp,
+        "graft.sources.TableLockHolder", root, "t", holdMs.toString)
+      .redirectErrorStream(true).start()
+    try {
+      // wait until the holder is provably inside the lock
+      val flag = Paths.get(root, "_locks", ".holding_t")
+      val deadline = System.nanoTime() + 30L * 1000000000L
+      while (!Files.exists(flag) && proc.isAlive &&
+          System.nanoTime() < deadline)
+        Thread.sleep(10)
+      // NOTE: never touch proc.getInputStream in an assert clue — the
+      // clue is evaluated eagerly even on success, and a stream read
+      // blocks until the child exits, silently re-sequencing the test
+      if (!Files.exists(flag))
+        fail(s"holder JVM never acquired the lock: ${new String(
+          proc.getInputStream.readNBytes(4096))}")
+      assert(graft.sources.TableLocks.heldByOtherLiveOwner(root, "t"),
+        "a live foreign-process claim must read as held")
+      val t0 = System.nanoTime()
+      graft.sources.TableLocks.withLock(root, "t", timeoutMs = 30000) {
+        assert(!Files.exists(flag),
+          "entered the lock while the other JVM still held it")
+      }
+      val waited = (System.nanoTime() - t0) / 1e6
+      assert(waited > 200,
+        s"acquisition returned in ${waited}ms — it cannot have waited " +
+          "for the foreign holder")
+    } finally {
+      proc.destroyForcibly()
+      sources.FsUtil.deleteRecursively(Paths.get(root),
+        swallowErrors = true)
+    }
+  }
+
   test("a dead writer's stale table lock is stolen, not waited out") {
     val root = java.nio.file.Files.createTempDirectory("graft_lock").toString
     val lf = java.nio.file.Paths.get(root, "_locks", "t.lock")
