@@ -364,6 +364,74 @@ object FilterQueries {
       FROM g ORDER BY sw_rank""")
   )
 
+  /** latin1_swedish_ci ACCENT folds — the last documented collation
+    * residual (MIGRATION.md listed "é=e/ü=y accent folds" as not yet
+    * modeled). The reference's default collation weights Latin-1
+    * accented letters onto their base letters (reference:
+    * primitives/linux-port/dictionary.cpp:193 idb_strcoll over the
+    * latin1_swedish_ci weight table; the table itself is MySQL's
+    * strings/ctype-latin1.c sort order, public knowledge): à á â ã→a,
+    * ç→c, è é ê ë→e, ì í î ï→i, ñ→n, ò ó ô õ→o, ù ú û→u — while the
+    * Swedish letters keep their post-z tail (å ä ö distinct), æ weighs
+    * as ä, ø as ö, and the famous quirks é=e and ü=y hold ("müller"
+    * groups with "myller", NOT with "muller"). The fold is one
+    * codegen'd translate chain (`latin1SwedishCiKey`), usable as a
+    * filter/group/sort key anywhere; this query exercises equality
+    * folding, case+accent variant grouping, and the alphabet rank via
+    * the partitioned prefix-scan. The oracle encodes the same weight
+    * table explicitly (as with f_collation_latin1, DuckDB's bundled ICU
+    * cannot express latin1_swedish_ci).
+    *
+    * Scale shape: per-row map + |distinct words| aggregation domain;
+    * the rank prefix-scan runs on the folded-key domain. */
+  def latin1SwedishCiKey(c: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    translate(translate(lower(c),
+      "àáâãçèéêëìíîïñòóôõùúû", "aaaaceeeeiiiinoooouuu"),
+      "üýÿåäöæø", "yyy{|}|}")
+
+  val collationAccentFolds: QueryDef = QueryDef(
+    "f_collation_accent_folds",
+    (s, dir) => {
+      val words = Seq("resume", "résumé", "RÉSUMÉ", "naïve", "naive",
+        "müller", "MYLLER", "muller", "ærlig", "Ärlig", "smörgås",
+        "ØRN", "örn")
+      val base = t(s, dir, "customer").select(
+        element_at(array(words.map(lit): _*),
+          (pmod(col("c_custkey"), lit(words.size)) + 1).cast("int"))
+          .as("w"))
+      val k = latin1SwedishCiKey(col("w"))
+      // ci+accent-fold equality filter: drops 'resume' AND its accent
+      // variants, exactly as a latin1_swedish_ci WHERE w <> 'resume'
+      val g = base.filter(k =!= lit("resume"))
+        .groupBy(k.as("k"))
+        .agg(min(col("w")).as("word_rep"), count(lit(1)).as("n"),
+          countDistinct(col("w")).as("n_variants"))
+      graft.functions.Prefix.over(g, Seq(col("k")),
+          Seq(graft.functions.Prefix.rowNumber("sw_rank")), numParts = 4)
+        .select(col("word_rep"), col("n"), col("n_variants"),
+          col("sw_rank"))
+        .orderBy(col("sw_rank"))
+    },
+    oracle = Some("""
+      WITH base AS (
+        SELECT ['resume','résumé','RÉSUMÉ','naïve','naive',
+                'müller','MYLLER','muller','ærlig','Ärlig','smörgås',
+                'ØRN','örn'][(c_custkey % 13) + 1] AS w
+        FROM customer),
+      f AS (SELECT w,
+              translate(translate(lower(w),
+                'àáâãçèéêëìíîïñòóôõùúû', 'aaaaceeeeiiiinoooouuu'),
+                'üýÿåäöæø', 'yyy{|}|}') AS k
+            FROM base),
+      g AS (SELECT k, min(w) AS word_rep, count(*) AS n,
+                   count(DISTINCT w) AS n_variants
+            FROM f WHERE k <> 'resume' GROUP BY k)
+      SELECT word_rep, n, n_variants,
+             CAST(row_number() OVER (ORDER BY k) AS BIGINT) AS sw_rank
+      FROM g ORDER BY sw_rank""")
+  )
+
   /** VARBINARY as a queryable table column (reference:
     * dbcon/execplan/calpontsystemcatalog.h:139 VARBINARY type; the
     * reference stores, compares, and filters binary columns). A staged
@@ -433,5 +501,5 @@ object FilterQueries {
   def defs: Seq[QueryDef] = Seq(predicateMatrix, likePatterns,
     constantFilterOrChain, nullSemantics, whereFalse, constantProjection,
     casts, pruneProject, unsignedBigint, collationCi, collationLatin1,
-    varbinary, likeEscape)
+    collationAccentFolds, varbinary, likeEscape)
 }
