@@ -1204,6 +1204,143 @@ object DdlDmlQueries {
       FROM f""")
   )
 
+  /** AUTO_INCREMENT column — the BRM-owned id sequence (reference:
+    * writeengine/shared/we_brm.h:62 startAutoIncrementSequence / :75
+    * getAutoIncrementRange; dbcon/ddlpackage/ddlpkg.h:195 the
+    * "auto_increment" column attribute). Every insert reserves a
+    * contiguous range under the table lock and assigns ids densely in
+    * batch order via the partitioned prefix-scan; deletes never recycle
+    * ids, and ALTER…AUTO_INCREMENT=n only moves the sequence FORWARD
+    * (MySQL semantics — a backward set is a no-op).
+    *
+    * Scenario: two ordered inserts, a delete (ids %3=0 vanish, no
+    * reuse), a backward set (no-op), a forward jump to 1000 (clamped by
+    * greatest with the current next, so the query is scale-robust), a
+    * third insert from the jumped sequence. Per-source id-range summary
+    * plus the persisted next value; the oracle re-derives every range
+    * with row_number arithmetic. */
+  val autoIncrement: QueryDef = QueryDef(
+    "d_autoincrement",
+    (s, dir) => {
+      val cat = new Catalog(s, scratch("autoinc"))
+      val cust = t(s, dir, "customer")
+        .select(col("c_custkey"), col("c_acctbal"))
+      def slice(k: Int, tag: String) =
+        cust.filter(pmod(col("c_custkey"), lit(4)) === k)
+          .withColumn("src", lit(tag))
+      cat.createTableAs("reg",
+        slice(1, "b1").limit(0).withColumn("id", lit(0L))
+          .select("id", "src", "c_custkey", "c_acctbal"))
+      cat.insertAutoInc("reg", "id", slice(1, "b1"), Seq(col("c_custkey")))
+      cat.insertAutoInc("reg", "id", slice(2, "b2"), Seq(col("c_custkey")))
+      // deletes do NOT recycle ids
+      cat.delete("reg", _.filter(pmod(col("id"), lit(3)) =!= 0))
+      cat.setAutoIncStart("reg", "id", 10)   // backward → no-op
+      cat.setAutoIncStart("reg", "id", 1000) // forward jump (or clamp)
+      cat.insertAutoInc("reg", "id", slice(3, "b3"), Seq(col("c_custkey")))
+      val seqNext = cat.autoIncNext("reg", "id")
+      cat.table("reg")
+        .groupBy(col("src"))
+        .agg(count(lit(1)).as("n"), min(col("id")).as("min_id"),
+          max(col("id")).as("max_id"), sum(col("id")).as("sum_id"),
+          countDistinct(col("id")).as("n_ids"))
+        .withColumn("seq_next", lit(seqNext))
+        .orderBy(col("src"))
+    },
+    oracle = Some("""
+      WITH b1 AS (SELECT c_custkey FROM customer WHERE c_custkey % 4 = 1),
+      b2 AS (SELECT c_custkey FROM customer WHERE c_custkey % 4 = 2),
+      b3 AS (SELECT c_custkey FROM customer WHERE c_custkey % 4 = 3),
+      ids12 AS (
+        SELECT 'b1' AS src,
+               row_number() OVER (ORDER BY c_custkey) AS id FROM b1
+        UNION ALL
+        SELECT 'b2' AS src,
+               (SELECT count(*) FROM b1)
+                 + row_number() OVER (ORDER BY c_custkey) AS id FROM b2),
+      start3 AS (SELECT greatest(1000,
+                   (SELECT count(*) FROM b1) + (SELECT count(*) FROM b2)
+                     + 1) AS v),
+      final AS (
+        SELECT src, id FROM ids12 WHERE id % 3 <> 0
+        UNION ALL
+        SELECT 'b3' AS src,
+               (SELECT v FROM start3) - 1
+                 + row_number() OVER (ORDER BY c_custkey) AS id FROM b3)
+      SELECT src, count(*) AS n, min(id) AS min_id, max(id) AS max_id,
+             CAST(sum(id) AS BIGINT) AS sum_id,
+             count(DISTINCT id) AS n_ids,
+             (SELECT v FROM start3) + (SELECT count(*) FROM b3) AS seq_next
+      FROM final GROUP BY src ORDER BY src""")
+  )
+
+  /** Per-step query trace — the calsettrace/calgettrace analog
+    * (reference: dbcon/mysql/ha_calpont_impl.cpp:2197 calgettrace;
+    * dbcon/joblist/tuple-bps.cpp:2318 per-step Rows-/BlocksTouched
+    * lines). Runs a representative scan→filter→aggregate→sort job with
+    * the static planner (the reference's exemgr never replans) and
+    * returns the executed step list with each step's delivered-row
+    * metric where that count is a semantic property of the query —
+    * which makes the plan SHAPE itself oracle-checked: a planner
+    * regression that adds, drops, or reorders a step breaks this row in
+    * the correctness gate, not just a bench number. */
+  val queryTrace: QueryDef = QueryDef(
+    "d_query_trace",
+    (s, dir) => {
+      val aggJob = graft.plans.QueryTrace.trace(s,
+          t(s, dir, "lineitem")
+            .filter(col("l_shipdate") >= lit("1995-01-01") &&
+              col("l_shipdate") < lit("1997-01-01"))
+            .groupBy(col("l_returnflag"), col("l_linestatus"))
+            .agg(count(lit(1)).as("n"), sum(col("l_quantity")).as("qty")))
+        .withColumn("job", lit("agg"))
+      val joinJob = graft.plans.QueryTrace.trace(s, {
+          val o = t(s, dir, "orders")
+            .filter(col("o_orderdate") >= lit("1997-01-01"))
+            .select(col("o_orderkey"), col("o_orderpriority"))
+          t(s, dir, "lineitem")
+            .select(col("l_orderkey"), col("l_extendedprice"))
+            .join(broadcast(o), col("l_orderkey") === col("o_orderkey"))
+            .orderBy(col("l_extendedprice").desc, col("l_orderkey"))
+            .limit(5)
+        })
+        .withColumn("job", lit("join_topk"))
+      aggJob.unionByName(joinJob)
+        .select(col("job"), col("step_no"), col("step"),
+          col("rows_oracle").as("rows_out"))
+        .orderBy(col("job"), col("step_no"))
+    },
+    oracle = Some("""
+      WITH fa AS (SELECT count(*) AS n FROM lineitem
+                  WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+      ga AS (SELECT count(*) AS n FROM
+               (SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
+                WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+                  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00')),
+      fb AS (SELECT count(*) AS n FROM orders
+             WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'),
+      lb AS (SELECT count(*) AS n FROM lineitem
+             WHERE l_orderkey IS NOT NULL),
+      jb AS (SELECT count(*) AS n FROM lineitem l JOIN orders o
+               ON l.l_orderkey = o.o_orderkey
+             WHERE o.o_orderdate >= TIMESTAMP '1997-01-01 00:00:00')
+      SELECT * FROM (VALUES
+        ('agg',       1, 'scan',        CAST(NULL AS BIGINT)),
+        ('agg',       2, 'filter',      (SELECT n FROM fa)),
+        ('agg',       3, 'agg_partial', CAST(NULL AS BIGINT)),
+        ('agg',       4, 'exchange',    CAST(NULL AS BIGINT)),
+        ('agg',       5, 'agg_final',   (SELECT n FROM ga)),
+        ('join_topk', 1, 'scan',        CAST(NULL AS BIGINT)),
+        ('join_topk', 2, 'filter',      (SELECT n FROM fb)),
+        ('join_topk', 3, 'broadcast',   (SELECT n FROM fb)),
+        ('join_topk', 4, 'scan',        CAST(NULL AS BIGINT)),
+        ('join_topk', 5, 'filter',      (SELECT n FROM lb)),
+        ('join_topk', 6, 'join',        (SELECT n FROM jb)),
+        ('join_topk', 7, 'topk',        CAST(NULL AS BIGINT))
+      ) AS t(job, step_no, step, rows_out) ORDER BY job, step_no""")
+  )
+
   def defs: Seq[QueryDef] = Seq(ctasRoundtrip, insertIntoSelect, updateDelete,
     alterTable, csvRoundtrip, jsonlRoundtrip, loaderRejects, crossEngine,
     bucketedJoin,
@@ -1212,5 +1349,6 @@ object DdlDmlQueries {
     matviewIncremental, compaction, txnRollback, orcRoundtrip,
     analyzeHistogram, schemaMerge, typeWidening, dmlJoin,
     dynamicPartitionOverwrite,
-    wapPublish, maskedView, checkConstraints, compressionCodecs)
+    wapPublish, maskedView, checkConstraints, compressionCodecs,
+    autoIncrement, queryTrace)
 }

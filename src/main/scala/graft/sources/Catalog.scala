@@ -1,6 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types.StructType
 import java.nio.file.{Files, Path, Paths}
 import scala.collection.concurrent.TrieMap
@@ -334,6 +335,68 @@ class Catalog(spark: SparkSession, root: String) {
       existing.join(batch.select(keys.head, keys.tail: _*), keys, "left_anti")
         .unionByName(batch.select(cols.head, cols.tail: _*))
     })
+
+  // ---- AUTO_INCREMENT sequence (reference: writeengine/shared/
+  // we_brm.h:62 startAutoIncrementSequence / :75 getAutoIncrementRange —
+  // BRM owns one persistent monotone counter per AI column; every bulk
+  // load / insert reserves a contiguous [first, first+count) range under
+  // the same serialization as DML, so concurrent writers can never mint
+  // the same id, and deletes never recycle ids) ------------------------
+
+  private def autoIncFile(name: String, colName: String): Path =
+    Paths.get(root, "_autoinc", s"$name.$colName")
+
+  /** Next value the sequence would hand out (1 if never started) — the
+    * information_schema AUTO_INCREMENT surface. */
+  def autoIncNext(name: String, colName: String): Long = {
+    val f = autoIncFile(name, colName)
+    if (Files.exists(f)) Files.readString(f).trim.toLong else 1L
+  }
+
+  /** ALTER TABLE … AUTO_INCREMENT = n analog (reference:
+    * startAutoIncrementSequence). MySQL semantics: the sequence only
+    * moves FORWARD — a start below the current next value is a no-op. */
+  def setAutoIncStart(name: String, colName: String, next: Long): Unit =
+    TableLocks.withLock(root, name) {
+      val f = autoIncFile(name, colName)
+      Files.createDirectories(f.getParent)
+      Files.writeString(f, math.max(next, autoIncNext(name, colName)).toString)
+    }
+
+  /** INSERT with AUTO_INCREMENT id assignment: reserves a contiguous id
+    * range sized to the batch (the getAutoIncrementRange analog), assigns
+    * ids densely in `orderBy` order via the partitioned prefix-scan (no
+    * single-task window — the range reservation is driver-side O(1), the
+    * assignment is distributed), appends, and advances the persisted
+    * sequence. Returns the first id of the reserved range (MySQL's
+    * LAST_INSERT_ID() reports the first id of a multi-row insert).
+    *
+    * The whole reserve→assign→append→advance sequence runs under the
+    * table lock, so two concurrent inserters get disjoint ranges — the
+    * exact guarantee BRM's mutex around the AI counter provides. At
+    * 100 TB the lock holds for the batch write, identical to the
+    * reference's bulk-load table lock; ids within the batch cost one
+    * count + one prefix-scan over the batch only, never the table. */
+  def insertAutoInc(name: String, colName: String, batch: DataFrame,
+      orderBy: Seq[org.apache.spark.sql.Column]): Long = {
+    require(tables.contains(name), s"no such table: $name")
+    TableLocks.withLock(root, name) {
+      val first = autoIncNext(name, colName)
+      val n = batch.count()
+      val rn = "__ai_rn"
+      val assigned = graft.functions.Prefix.over(batch, orderBy,
+          Seq(graft.functions.Prefix.rowNumber(rn)))
+        .withColumn(colName, col(rn) + lit(first - 1L))
+        .drop(rn)
+      val cols = tables(name).fieldNames.toSeq
+      assigned.select(cols.head, cols.tail: _*)
+        .write.mode(SaveMode.Append).parquet(tablePath(name))
+      val f = autoIncFile(name, colName)
+      Files.createDirectories(f.getParent)
+      Files.writeString(f, (first + n).toString)
+      first
+    }
+  }
 
   /** TRUNCATE TABLE. */
   def truncate(name: String): Unit = {

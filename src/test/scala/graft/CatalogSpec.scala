@@ -424,4 +424,57 @@ class CatalogSpec extends GraftSuite {
       "steal must be immediate, not a timeout")
     assert(!java.nio.file.Files.exists(lf), "lock released after the body")
   }
+
+  // ---- AUTO_INCREMENT sequence (reference: writeengine/shared/
+  // we_brm.h:62,75 — BRM-owned per-column id counter) ------------------
+
+  test("auto-increment assigns dense ids, survives deletes, moves forward only") {
+    val cat = freshCatalog()
+    cat.createTableAs("t",
+      Seq.empty[(Long, Long)].toDF("id", "k"))
+    val first1 = cat.insertAutoInc("t", "id",
+      spark.range(0, 7).toDF("k"), Seq(col("k")))
+    assert(first1 == 1L, "sequence starts at 1 (LAST_INSERT_ID of batch 1)")
+    assert(cat.autoIncNext("t", "id") == 8L)
+    // ids dense 1..7 in k order
+    val got = cat.table("t").orderBy("k").select("id").as[Long].collect()
+    assert(got.toSeq == (1L to 7L), s"dense in-order ids, got ${got.toSeq}")
+    // deletes never recycle
+    cat.delete("t", _.filter(col("id") > 3))
+    assert(cat.autoIncNext("t", "id") == 8L)
+    // backward set is a no-op; forward set jumps
+    cat.setAutoIncStart("t", "id", 2)
+    assert(cat.autoIncNext("t", "id") == 8L, "backward AUTO_INCREMENT no-op")
+    cat.setAutoIncStart("t", "id", 100)
+    val first2 = cat.insertAutoInc("t", "id",
+      spark.range(0, 3).toDF("k"), Seq(col("k")))
+    assert(first2 == 100L)
+    assert(cat.autoIncNext("t", "id") == 103L)
+    val ids = cat.table("t").select("id").as[Long].collect().toSet
+    assert(ids == Set(4L, 5L, 6L, 7L, 100L, 101L, 102L))
+  }
+
+  test("concurrent auto-increment inserters reserve disjoint ranges") {
+    import scala.jdk.CollectionConverters._
+    val cat = freshCatalog()
+    cat.createTableAs("t", Seq.empty[(Long, Long)].toDF("id", "k"))
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    // 2 writers × 3 batches × 50 rows: without the locked reserve→advance
+    // both writers read the same `next` and mint colliding ids
+    val threads = (1 to 2).map { w =>
+      new Thread(() => {
+        try for (_ <- 1 to 3)
+          cat.insertAutoInc("t", "id",
+            spark.range(0, 50).toDF("k"), Seq(col("k")))
+        catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.asScala.map(_.toString).mkString("; "))
+    val ids = cat.table("t").select("id").as[Long].collect()
+    assert(ids.length == 300 && ids.toSet == (1L to 300L).toSet,
+      s"300 unique dense ids expected, got ${ids.length} rows, " +
+        s"${ids.toSet.size} distinct")
+    assert(cat.autoIncNext("t", "id") == 301L)
+  }
 }

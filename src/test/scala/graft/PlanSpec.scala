@@ -581,4 +581,27 @@ class PlanSpec extends GraftSuite {
       plan.contains("partitionBy") || plan.contains("shard"),
       s"shuffle rank must partition by shard:\n$plan")
   }
+
+  test("query trace reports exact semantic step counts on a planted job") {
+    import org.apache.spark.sql.functions._
+    val dir = java.nio.file.Files.createTempDirectory("graft_trace").toString
+    spark.range(0, 1000).toDF("id")
+      .withColumn("g", pmod(col("id"), lit(7)))
+      .write.mode("overwrite").parquet(s"$dir/t")
+    val trace = graft.plans.QueryTrace.trace(spark,
+      spark.read.parquet(s"$dir/t")
+        .filter(col("id") < 300)
+        .groupBy(col("g")).agg(count(lit(1)).as("n")))
+      .collect().map(r => (r.getInt(0), r.getString(1),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(trace.map(_._2).toSeq ==
+      Seq("scan", "filter", "agg_partial", "exchange", "agg_final"),
+      s"static agg job shape, got ${trace.toSeq}")
+    // filter and final-agg counts are semantic: 300 surviving rows,
+    // 7 groups; partition-dependent steps report no oracle count
+    assert(trace.find(_._2 == "filter").get._3.contains(300L))
+    assert(trace.find(_._2 == "agg_final").get._3.contains(7L))
+    assert(trace.find(_._2 == "agg_partial").get._3.isEmpty)
+    graft.sources.FsUtil.deleteRecursively(java.nio.file.Paths.get(dir))
+  }
 }
