@@ -115,8 +115,15 @@ object TpchQueries {
         .filter(col("o_orderdate") < lit("1998-03-15"))
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1997-03-15"))
-      cust
-        .join(ord, col("c_custkey") === col("o_custkey"))
+      // the segment filter keeps ~1/5 of a dimension-sized table:
+      // broadcast it statically so orders never shuffles by custkey and
+      // the only exchange left is the orderkey join with lineitem.
+      // (Pre-aggregating lineitem by orderkey before that join measured
+      // SLOWER — the key is near-unique, so partial combine removes
+      // nothing and the hash table is pure overhead.)
+      ord
+        .join(broadcast(cust.select(col("c_custkey"))),
+          col("c_custkey") === col("o_custkey"))
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
@@ -173,8 +180,18 @@ object TpchQueries {
     "q05_local_supplier_volume",
     (s, dir) => {
       val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
-      val nation = t(s, dir, "nation")
+      // restrict BOTH relation legs to the region's 5 nations BEFORE the
+      // big fact joins (the reference's optimizer applies the same
+      // region→nation transitive restriction up front): customer drops to
+      // ~1/5 before the orders shuffle, so every downstream join moves
+      // 5× fewer probe rows. Catalyst can't derive this reorder without
+      // CBO stats; declaring it keeps the plan optimal at any scale.
+      val asiaNations = t(s, dir, "nation")
+        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
+        .select(col("n_nationkey"), col("n_name"))
       val cust = t(s, dir, "customer")
+        .join(broadcast(asiaNations),
+          col("c_nationkey") === col("n_nationkey"))
       val sup = t(s, dir, "supplier")
       val ord = t(s, dir, "orders")
         .filter(col("o_orderdate") >= lit("1996-01-01") &&
@@ -185,8 +202,6 @@ object TpchQueries {
         .join(li, col("o_orderkey") === col("l_orderkey"))
         .join(sup, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
-        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
-        .join(broadcast(region), col("n_regionkey") === col("r_regionkey"))
         .groupBy(col("n_name"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,4)")).cast("double")
@@ -625,17 +640,21 @@ object TpchQueries {
       val cust = t(s, dir, "customer")
       val ord = t(s, dir, "orders")
       val li = t(s, dir, "lineitem")
+      // the HAVING subquery's aggregate IS the output aggregate (both
+      // sum l_quantity per order), so the plan reuses it instead of
+      // semi-joining and then re-scanning + re-aggregating lineitem: one
+      // lineitem shuffle total, and after the >150 filter the survivors
+      // are a sliver of orders, which AQE broadcasts through the orders
+      // and customer joins at runtime (no static hint — the sliver's
+      // size is data-dependent, exactly what adaptive replan is for).
       val bigOrders = li.groupBy(col("l_orderkey").as("big_orderkey"))
-        .agg(sum(col("l_quantity")).as("tot_qty"))
-        .filter(col("tot_qty") > 150)
-        .select(col("big_orderkey"))
-      ord
-        .join(bigOrders, col("o_orderkey") === col("big_orderkey"), "left_semi")
-        .join(cust, col("o_custkey") === col("c_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
-        .groupBy(col("c_name"), col("c_custkey"), col("o_orderkey"),
-          col("o_orderdate"), col("o_totalprice"))
         .agg(sum(col("l_quantity")).as("sum_qty"))
+        .filter(col("sum_qty") > 150)
+      ord
+        .join(bigOrders, col("o_orderkey") === col("big_orderkey"))
+        .join(cust, col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          col("o_orderdate"), col("o_totalprice"), col("sum_qty"))
         .orderBy(col("o_totalprice").desc, col("o_orderdate"),
           col("o_orderkey"))
         .limit(100)
@@ -752,8 +771,15 @@ object TpchQueries {
         .select(col("l_orderkey").as("l3_orderkey"),
           col("l_suppkey").as("l3_suppkey"))
       l1
-        .join(sup, col("l_suppkey") === col("s_suppkey"))
-        .join(broadcast(nation), col("s_nationkey") === col("n_nationkey"))
+        // supplier⋈nation is small after the nation filter — broadcast
+        // it FIRST so l1 shrinks to the target nations' lines before the
+        // orderkey shuffle chain (ord join, semi, anti) moves anything;
+        // the three orderkey-keyed joins then reuse one partitioning.
+        .join(broadcast(sup
+            .join(broadcast(nation),
+              col("s_nationkey") === col("n_nationkey"))
+            .select(col("s_suppkey"), col("s_name"))),
+          col("l_suppkey") === col("s_suppkey"))
         .join(ord, col("l_orderkey") === col("o_orderkey"))
         // exists another supplier's line on the same order
         .join(l2, col("l_orderkey") === col("l2_orderkey") &&
