@@ -150,8 +150,14 @@ object AnnIndex {
       pmod(graft.functions.HashFunctions.fingerprint64(
         col("vec_id").cast("string")), lit(k.toLong))
         .cast("int").as("cid"))
+    // barrier each Lloyd round's (vec_id, cid) — ids only, never
+    // vectors: without it iteration i's centroid aggregation re-executes
+    // iteration i-1's whole reassign lineage (the recursion multiplies
+    // the corpus scans per extra iteration; measured ~25% of the sf0.1
+    // index build)
     for (_ <- 1 to iters)
-      assign = coarseReassign(base, coarseCentroids(base, assign))
+      assign = graft.sources.Checkpoints.barrier(
+        coarseReassign(base, coarseCentroids(base, assign)))
     materialize(assign, dest)
   }
 
@@ -242,12 +248,24 @@ object AnnIndex {
     * CODES — the 8-byte-per-vector artifact, no subvector floats —
     * materialize to `dest` (they feed both the final codebook and the
     * ADC join). */
-  private[operators] def pqTrainCodesTo(subs: DataFrame, sub: Int, k: Int,
+  private[operators] def pqTrainCodesTo(subs0: DataFrame, sub: Int, k: Int,
       iters: Int, dest: String): DataFrame = {
+    // the subvector lineage (normalize + slice, or the residual
+    // centroid-subtract join) feeds the init pass and every Lloyd
+    // round's encode — run it once
+    val subs = graft.sources.Checkpoints.barrier(subs0)
     var assign = subs.withColumn("cid",
       pmod(graft.functions.HashFunctions.fingerprint64(
         col("vec_id").cast("string")), lit(k.toLong)).cast("int"))
-    for (_ <- 1 to iters) assign = pqEncode(subs, pqCodebookOf(assign, sub))
+    // same per-round barrier as coarseTrainTo, but here the iteration
+    // state keeps the sub-bytes-wide svec alongside (re-deriving it
+    // would cost a (vec_id, ss)-keyed shuffle of the same payload) —
+    // checkpointed state is (ids, `sub` floats, cid) per row, a
+    // build-job materialization the reference's writeengine does on
+    // disk for every load anyway
+    for (_ <- 1 to iters)
+      assign = graft.sources.Checkpoints.barrier(
+        pqEncode(subs, pqCodebookOf(assign, sub)))
     materialize(assign.select(col("vec_id"), col("ss"), col("cid")), dest)
   }
 
@@ -327,17 +345,34 @@ object AnnIndex {
     val assign = coarseTrainTo(base, K, ITERS, assignPath(dir))
     val cents = materialize(coarseCentroids(base, assign),
       centroidsPath(dir))
-    val subs = pqSubs(base, M, SUB)
-    val codes = pqTrainCodesTo(subs, SUB, KPQ, ITERS, codesPath(dir))
-    materialize(
-      pqCodebookOf(codes.join(subs, Seq("vec_id", "ss")), SUB),
-      codebookPath(dir))
-    val rsubs = residualSubs(base, assign, cents, M, SUB)
-    val rcodes = pqTrainCodesTo(rsubs, SUB, KPQ, ITERS, resCodesPath(dir))
-    materialize(
-      pqCodebookOf(rcodes.join(rsubs, Seq("vec_id", "ss")), SUB),
-      resCodebookPath(dir))
+    // the subvector tables feed every training pass (init, each Lloyd
+    // round's encode, the final codebook): barrier them once instead of
+    // re-running the normalize+slice (and, for residuals, the
+    // centroid-subtract join) lineage per pass. Build-job-only
+    // materialization; the serving read paths never see these.
+    val subs = graft.sources.Checkpoints.barrier(pqSubs(base, M, SUB))
+    trainPq(subs, codesPath(dir), codebookPath(dir))
+    val rsubs = graft.sources.Checkpoints.barrier(
+      residualSubs(base, assign, cents, M, SUB))
+    trainPq(rsubs, resCodesPath(dir), resCodebookPath(dir))
     java.nio.file.Files.writeString(marker(dir), s"$IndexVersion\n")
+  }
+
+  /** One PQ training for the offline build: iterate on `subs`, persist
+    * codes (ids only) and the codebook. The codebook aggregates the
+    * final iteration's in-flight (svec, cid) state directly — the same
+    * rows a codes⋈subs re-join would produce, minus the join. */
+  private def trainPq(subs: DataFrame, codesDest: String,
+      bookDest: String): Unit = {
+    var assign = subs.withColumn("cid",
+      pmod(graft.functions.HashFunctions.fingerprint64(
+        col("vec_id").cast("string")), lit(KPQ.toLong)).cast("int"))
+    for (_ <- 1 to ITERS)
+      assign = graft.sources.Checkpoints.barrier(
+        pqEncode(subs, pqCodebookOf(assign, SUB)))
+    materialize(assign.select(col("vec_id"), col("ss"), col("cid")),
+      codesDest)
+    materialize(pqCodebookOf(assign, SUB), bookDest)
   }
 
   /** Build only if a CURRENT-layout index for `dir` doesn't exist yet:
