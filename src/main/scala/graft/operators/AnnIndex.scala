@@ -71,12 +71,15 @@ object AnnIndex {
     java.nio.file.Paths.get(indexDir(dir), "_GRAFT_INDEX_OK")
 
   /** Artifact-layout version stamped INTO the marker. Bumped whenever
-    * build() gains a new artifact (v2 = the r7 respq codebook/codes), so
-    * an index dir built by an older layout reads as absent and rebuilds
-    * instead of passing ensureBuilt with artifacts missing — the exact
-    * failure an unversioned "ok" marker allowed (pre-existing dirs from
-    * earlier bench rounds lacked respq_* yet carried the marker). */
-  private val IndexVersion = "v2"
+    * build() gains a new artifact (v2 = the r7 respq codebook/codes) OR
+    * changes how an artifact's bytes are produced (v3 = the r8 training
+    * restructure: per-round barriers + codebook aggregated from the
+    * final round's state instead of a codes⋈subs re-join — float-rounded
+    * identically, but a layout epoch costs nothing and removes the
+    * doubt), so an index dir built by an older layout reads as absent
+    * and rebuilds instead of passing ensureBuilt with artifacts missing
+    * — the exact failure an unversioned "ok" marker allowed. */
+  private val IndexVersion = "v3"
 
   /** Materialize a deterministic intermediate: write parquet, read back.
     * Truncates lineage and shares the computation across consumers via
