@@ -61,23 +61,31 @@ object Tables {
 
   /** Resolved base relation per (session, path) — constructing a scan is
     * pure (immutable DataFrame), so the resolved relation is shared and
-    * repeated `table()` calls skip file-listing/relation setup too. Weak
-    * session keys: a stopped session's entries are collectable. */
+    * repeated `table()` calls skip file-listing/relation setup too.
+    * Weak session keys alone would never be collected here: every cached
+    * Dataset strongly references its SparkSession, and a WeakHashMap
+    * holds VALUES strongly, so the key would stay reachable through its
+    * own value forever (a permanent leak in a serving process that mints
+    * sessions per client). The per-session map is therefore held through
+    * a SoftReference — the only strong path to a dead session then runs
+    * through softly-reachable state, which the collector clears under
+    * memory pressure, upon which the weak key entry follows. */
   private val relationCache =
-    new java.util.WeakHashMap[SparkSession,
-      scala.collection.concurrent.TrieMap[String, DataFrame]]()
+    new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[
+      scala.collection.concurrent.TrieMap[String, DataFrame]]]()
 
   /** Read one table. Filters/pruning push down to the parquet scan. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
     val p = path(dir, name)
     val perSession = relationCache.synchronized {
-      val m = relationCache.get(spark)
-      if (m != null) m
+      val ref = relationCache.get(spark)
+      val existing = if (ref != null) ref.get else null
+      if (existing != null) existing
       else {
         val fresh =
           scala.collection.concurrent.TrieMap.empty[String, DataFrame]
-        relationCache.put(spark, fresh)
+        relationCache.put(spark, new java.lang.ref.SoftReference(fresh))
         fresh
       }
     }

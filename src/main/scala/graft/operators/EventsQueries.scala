@@ -1209,6 +1209,21 @@ object EventsQueries {
           "the state table persists — refusing to merge (double-count) or " +
           "skip (data loss); reset the state table together with the " +
           "checkpoint, or restore the original checkpoint")
+    // upgrade guard: a PRE-LINEAGE marker (bid only) can't distinguish a
+    // same-checkpoint replay from a checkpoint reset. Replays always
+    // carry bid == applied+0 or an in-order bid; a bid at or below the
+    // marker with no lineage stamp is therefore treated as the reset
+    // case and fails loudly — the skip branch below must never eat
+    // batches on the strength of a marker that lacks provenance.
+    if (runId.nonEmpty && appliedRun.isEmpty && applied >= 0 &&
+        applied >= bid)
+      throw new IllegalStateException(
+        s"CDC state at $stateDir carries a pre-lineage marker (through " +
+          s"batch $applied, no stream id) and this stream (lineage " +
+          s"$runId) presented batch $bid <= $applied: cannot tell an " +
+          "idempotent replay from a checkpoint reset — refusing to " +
+          "skip; restore the original checkpoint or reset the state " +
+          "table with it")
     if (applied < bid) {
       val bAgg = batch.groupBy(col("user_id"))
         .agg(max(struct(col("ts"), col("event_id"), col("event_type"),

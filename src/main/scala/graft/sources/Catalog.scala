@@ -231,6 +231,11 @@ class Catalog(spark: SparkSession, root: String) {
   def insertIntoSelect(name: String, df: DataFrame): Unit = {
     require(tables.contains(name), s"no such table: $name")
     TableLocks.withLock(root, name) {
+      // recover BEFORE appending: after a crash inside rewrite()'s
+      // commit window the live dir is missing and the pre-image is
+      // parked in .old — a bare Append would mint a fresh live dir with
+      // only the new batch and silently orphan every pre-crash row
+      recover(name)
       df.write.mode(SaveMode.Append).parquet(tablePath(name))
     }
   }
@@ -381,10 +386,16 @@ class Catalog(spark: SparkSession, root: String) {
       orderBy: Seq[org.apache.spark.sql.Column]): Long = {
     require(tables.contains(name), s"no such table: $name")
     TableLocks.withLock(root, name) {
+      recover(name) // same crashed-rewrite guard as every append path
       val first = autoIncNext(name, colName)
-      val n = batch.count()
+      // materialize the batch ONCE: count() and the assignment write are
+      // two jobs, and a non-deterministic batch source re-evaluated
+      // between them could write more rows than the reserved range —
+      // handing the overflow ids out again on the next insert
+      val b = Checkpoints.barrier(batch)
+      val n = b.count()
       val rn = "__ai_rn"
-      val assigned = graft.functions.Prefix.over(batch, orderBy,
+      val assigned = graft.functions.Prefix.over(b, orderBy,
           Seq(graft.functions.Prefix.rowNumber(rn)))
         .withColumn(colName, col(rn) + lit(first - 1L))
         .drop(rn)
@@ -403,6 +414,7 @@ class Catalog(spark: SparkSession, root: String) {
     val schema = tables.getOrElse(name,
       throw new IllegalArgumentException(s"no such table: $name"))
     TableLocks.withLock(root, name) {
+      recover(name) // clear any crashed-rewrite leftovers (.old/.staging)
       spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
         .write.mode(SaveMode.Overwrite).parquet(tablePath(name))

@@ -72,7 +72,19 @@ object Checkpoints {
     case Some(dir) =>
       val sc = df.sparkSession.sparkContext
       sc.synchronized {
-        val current = sc.getCheckpointDir.exists(underDir(_, dir)) &&
+        // compare against the FS-QUALIFIED form of the configured dir —
+        // getCheckpointDir is always qualified (scheme + authority, and
+        // relative paths resolved), so matching the raw string would
+        // fail for a relative dir or a non-local default FS (hdfs://…)
+        // and re-run setCheckpointDir on EVERY barrier, minting a fresh
+        // UUID subdir each time
+        val qualified =
+          try {
+            val p = new org.apache.hadoop.fs.Path(dir)
+            p.getFileSystem(sc.hadoopConfiguration).makeQualified(p).toString
+          } catch { case _: Exception => dir }
+        val current = sc.getCheckpointDir
+          .exists(e => underDir(e, qualified) || underDir(e, dir)) &&
           Option(applied.get(sc)).forall(_ == dir)
         if (!current) {
           sc.setCheckpointDir(dir)

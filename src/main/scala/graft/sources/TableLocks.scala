@@ -95,9 +95,22 @@ object TableLocks {
             claimed = true
             Files.deleteIfExists(tmp)
           } catch {
-            case _: java.nio.file.FileAlreadyExistsException |
-                 _: java.nio.file.FileSystemException =>
+            case e @ (_: java.nio.file.FileAlreadyExistsException |
+                 _: java.nio.file.FileSystemException) =>
               Files.deleteIfExists(tmp)
+              // only CONTENTION retries: a FileSystemException when the
+              // lock file does NOT exist is the filesystem refusing
+              // link(2) itself (hard links denied on some NFS/fuse/
+              // container mounts) — retrying would spin for the whole
+              // timeout and report a phantom "held by pid ?" instead of
+              // the real capability error
+              if (!e.isInstanceOf[java.nio.file.FileAlreadyExistsException]
+                  && !Files.exists(lf))
+                throw new IllegalStateException(
+                  s"cannot claim table lock for $table: hard links appear " +
+                    s"unsupported on ${lf.getParent} (${e.getMessage}); " +
+                    "host the catalog on a filesystem with link(2) or " +
+                    "swap TableLocks for an external lock service", e)
               val observed =
                 try Some(Files.readString(lf)) catch { case _: Exception => None }
               val stale = observed.exists { s =>

@@ -122,6 +122,30 @@ class CatalogSpec extends GraftSuite {
     assert(!Files.exists(Paths.get(s"$root/t.staging")))
   }
 
+  test("append paths recover a crashed rewrite instead of orphaning the pre-image") {
+    import java.nio.file.{Files, Paths}
+    val root = java.nio.file.Files.createTempDirectory("graft_cat").toString
+    val cat = new Catalog(spark, root)
+    cat.createTableAs("t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    // crash between rewrite()'s two renames: live dir gone, pre-image in
+    // .old. A bare Append would mint a fresh live dir holding ONLY the
+    // new batch and strand the pre-crash rows forever.
+    Files.move(Paths.get(s"$root/t"), Paths.get(s"$root/t.old"))
+    cat.insertIntoSelect("t", Seq((3L, "c")).toDF("id", "name"))
+    assert(cat.table("t").select("id").as[Long].collect().toSet ==
+      Set(1L, 2L, 3L), "append after crash must keep the pre-image")
+    // same for the auto-increment insert path
+    Files.move(Paths.get(s"$root/t"), Paths.get(s"$root/t.old"))
+    cat.createTableAs("ai", Seq.empty[(Long, Long)].toDF("id", "k"))
+    Files.move(Paths.get(s"$root/t.old"), Paths.get(s"$root/t")) // restore t
+    cat.dropTable("ai")
+    cat.createTableAs("ai", Seq((0L, 99L)).toDF("id", "k"))
+    Files.move(Paths.get(s"$root/ai"), Paths.get(s"$root/ai.old"))
+    cat.insertAutoInc("ai", "id", Seq(1L).toDF("k"), Seq(col("k")))
+    assert(cat.table("ai").select("k").as[Long].collect().toSet ==
+      Set(99L, 1L), "auto-inc append after crash must keep the pre-image")
+  }
+
   test("loader honors custom delimiter and quote") {
     val tmp = java.nio.file.Files.createTempDirectory("graft_csv")
     java.nio.file.Files.writeString(tmp.resolve("in.csv"),

@@ -263,6 +263,17 @@ class StreamingSpec extends GraftSuite {
       val id1 = operators.EventsQueries.streamLineageId(cp)
       assert(operators.EventsQueries.streamLineageId(cp) == id1)
       assert(operators.EventsQueries.streamLineageId(s"$tmp/cp2") != id1)
+      // upgrade guard: a PRE-LINEAGE marker (bid only, written by code
+      // predating the stream id) + a bid at/below it cannot distinguish
+      // replay from reset — must fail loudly, never silently skip
+      Files.writeString(Paths.get(s"$tmp/state/_applied_bid"), "1\n")
+      val e2 = intercept[IllegalStateException](
+        operators.EventsQueries.applyCdcBatch(tmp, b0, 0L, "lineageB"))
+      assert(e2.getMessage.contains("pre-lineage"))
+      // while an in-order NEXT batch upgrades the marker in place
+      operators.EventsQueries.applyCdcBatch(tmp, b0, 2L, "lineageB")
+      assert(Files.readString(Paths.get(s"$tmp/state/_applied_bid"))
+        .contains("lineageB"))
     } finally {
       sources.FsUtil.deleteRecursively(Paths.get(tmp), swallowErrors = true)
     }
