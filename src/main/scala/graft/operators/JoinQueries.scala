@@ -607,8 +607,34 @@ object JoinQueries {
       oracle = Some(q))
   }
 
+  /** Large-side OVERRIDE hint — the INFINIDB_ORDERED analog (reference:
+    * dbcon/joblist/jlf_tuplejoblist.cpp:1893 — the hint pins the FIRST
+    * FROM table as the large side by setting its size estimate to max,
+    * overriding cardinality-based side selection). Spark's equivalents
+    * are the SHUFFLE_HASH hint (the hinted relation becomes the BUILD
+    * side — so hinting the dimension keeps the fact side streaming, the
+    * exact large-side pin ORDERED provides) and SHUFFLE_MERGE (forces a
+    * sort-merge even where the planner would hash). One SQL text on both
+    * engines; DuckDB reads the hints as block comments. Both overrides
+    * taking effect is pinned in PlanSpec: same results, different plan —
+    * the hint contract. */
+  val hintOrdered: QueryDef = {
+    val q = """
+      SELECT /*+ SHUFFLE_HASH(supplier), SHUFFLE_MERGE(orders) */
+             s_nationkey,
+             count(*) AS n_lines,
+             count(DISTINCT o_orderpriority) AS n_prios
+      FROM lineitem
+      JOIN supplier ON l_suppkey = s_suppkey
+      JOIN orders ON l_orderkey = o_orderkey
+      GROUP BY s_nationkey ORDER BY s_nationkey"""
+    QueryDef("j_hint_ordered",
+      (s, dir) => { Tables.registerAll(s, dir); s.sql(q) },
+      oracle = Some(q))
+  }
+
   def defs: Seq[QueryDef] = Seq(innerShuffle, broadcastDim, leftOuter,
     rightOuter, fullOuter, semi, anti, antiNullAware, scalarSubquery, cross,
     nonEquiSelf, functionJoin, skewSalted, bloomPrefilter, fuzzyEditJoin,
-    skyline, lateralTopN, hintBroadcast)
+    skyline, lateralTopN, hintBroadcast, hintOrdered)
 }

@@ -573,6 +573,18 @@ class PlanSpec extends GraftSuite {
       s"hint must force a broadcast join:\n${plan.take(1500)}")
   }
 
+  test("ordered-large hints pin build side and join strategy") {
+    val df = operators.JoinQueries.hintOrdered.run(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    // SHUFFLE_HASH(supplier): supplier is the BUILD side, lineitem
+    // streams — the INFINIDB_ORDERED large-side pin
+    assert(plan.contains("ShuffledHashJoin"),
+      s"supplier hint must force a shuffled hash join:\n${plan.take(1500)}")
+    // SHUFFLE_MERGE(orders): the second join must sort-merge
+    assert(plan.contains("SortMergeJoin"),
+      s"orders hint must force a sort-merge join:\n${plan.take(1500)}")
+  }
+
   test("deterministic shuffle plans partitioned windows only") {
     val plan = formatted(operators.TextQueries.shuffleShards.run(spark, sf))
     // the per-shard rank must be a partitioned window (256 shards), never
