@@ -21,15 +21,18 @@ private[operators] object IvfPqOracleSql {
     * (vec_id % 8 = 0) against the frozen final centroids/codebook with
     * the same argmax-larger-cid / argmin-smaller-cid tie rules the Spark
     * encode uses. */
-  def ingestSql(k: Int, m: Int, sub: Int, kpq: Int, iters: Int): String = {
+  /** Batch-encode CTEs shared by the ingest and merge oracles: the
+    * held-out rows (vec_id % 8 = 0) encoded against the FROZEN
+    * base-trained centroids (bas — argmax cosine, ties to larger cid)
+    * and codebook (bcode — argmin L2, ties to smaller cid), mirroring
+    * coarseReassign / pqEncode exactly. Assumes the coarse chain
+    * (kc{iters+1}v) and PQ chain (c{iters+1}v) are in scope. */
+  private def batchEncodeCtes(m: Int, sub: Int, iters: Int): String = {
     val cos = AnnOracleCommon.cos _
     val l2 = s"""list_reduce(list_transform(range(1, ${sub + 1}),
             i -> (sv.svec[i] - c.cen[i]) * (sv.svec[i] - c.cen[i])),
           (x, y) -> x + y)"""
-    s"""
-      WITH ${IvfOracleSql.coreCtes(k, 4, iters, 10, "vec_id % 8 <> 0")},
-      ${PqOracleSql.coreCtes(m, sub, kpq, iters, 10, "vec_id % 8 <> 0")},
-      batch AS (SELECT vec_id, emb FROM eraw WHERE vec_id % 8 = 0),
+    s"""batch AS (SELECT vec_id, emb FROM eraw WHERE vec_id % 8 = 0),
       bas AS (SELECT vec_id, cid FROM (
           SELECT b.vec_id, c.cid,
                  row_number() OVER (PARTITION BY b.vec_id
@@ -46,7 +49,47 @@ private[operators] object IvfPqOracleSql {
           SELECT sv.vec_id, sv.ss, c.cid,
                  row_number() OVER (PARTITION BY sv.vec_id, sv.ss
                    ORDER BY $l2 ASC, c.cid ASC) AS rk
-          FROM bsub sv JOIN c${iters + 1}v c USING (ss)) WHERE rk = 1),
+          FROM bsub sv JOIN c${iters + 1}v c USING (ss)) WHERE rk = 1)"""
+  }
+
+  /** Oracle for `x_ann_index_merge`: the base-trained index absorbs the
+    * frozen-encoded batch WITHOUT retraining — merged assignment and
+    * code lists are the unions of the base chains' finals with the
+    * batch encodes, probes stay on the base centroids, and the ADC tail
+    * scores candidates drawn from the MERGED posting lists against the
+    * base codebook. This is the read-side contract of an index
+    * compaction: queries see ingested vectors with no quantizer
+    * change.
+    *
+    * With `tombWhere` set (the `x_ann_index_delete` oracle), the merged
+    * posting/code lists additionally drop every tombstoned vec_id — the
+    * FAISS remove_ids contract: a delete edits the inverted lists only,
+    * never the quantizers, so surviving candidates keep their exact
+    * codes/scores and deleted ids can never reach the ADC tail. */
+  def mergedSql(k: Int, nprobe: Int, m: Int, sub: Int, kpq: Int,
+      iters: Int, topk: Int, nq: Int, tombWhere: String = ""): String = {
+    val live = if (tombWhere.isEmpty) "" else s" WHERE NOT ($tombWhere)"
+    s"""
+      WITH ${IvfOracleSql.coreCtes(k, nprobe, iters, nq, "vec_id % 8 <> 0")},
+      ${PqOracleSql.coreCtes(m, sub, kpq, iters, nq, "vec_id % 8 <> 0")},
+      ${batchEncodeCtes(m, sub, iters)},
+      masg AS (SELECT vec_id, cid FROM (
+               SELECT vec_id, cid FROM ka$iters
+               UNION ALL SELECT vec_id, cid FROM bas)$live),
+      mcode AS (SELECT vec_id, ss, cid FROM (
+                SELECT vec_id, ss, cid FROM a$iters
+                UNION ALL SELECT vec_id, ss, cid FROM bcode)$live),
+      mcand AS (SELECT DISTINCT p.q_id, a.vec_id
+                FROM masg a JOIN kprb p USING (cid)
+                WHERE a.vec_id <> p.q_id),
+      ${PqOracleSql.adcTail(m, iters, topk, "mcand", "mcode")}"""
+  }
+
+  def ingestSql(k: Int, m: Int, sub: Int, kpq: Int, iters: Int): String = {
+    s"""
+      WITH ${IvfOracleSql.coreCtes(k, 4, iters, 10, "vec_id % 8 <> 0")},
+      ${PqOracleSql.coreCtes(m, sub, kpq, iters, 10, "vec_id % 8 <> 0")},
+      ${batchEncodeCtes(m, sub, iters)},
       bl AS (SELECT vec_id,
                string_agg(CAST(cid AS VARCHAR), ',' ORDER BY ss) AS codes_csv
              FROM bcode GROUP BY vec_id)

@@ -98,13 +98,15 @@ ${l2sq("q.svec", "c.cen", sub)} AS dd
   /** The ADC tail over a candidate relation `candCte(q_id, vec_id)`:
     * per-(q, vec) fixed-order distance sum, rank ascending, top-k with
     * the exact cosine emitted alongside. */
-  def adcTail(m: Int, iters: Int, topk: Int, candCte: String): String = {
+  def adcTail(m: Int, iters: Int, topk: Int, candCte: String,
+      codesCte: String = ""): String = {
+    val codes = if (codesCte.isEmpty) s"a$iters" else codesCte
     val dSum = (0 until m).map(j => s"d$j").mkString(" + ")
     val dCases = (0 until m).map(j =>
       s"sum(CASE WHEN t.ss = $j THEN t.dd ELSE 0 END) AS d$j").mkString(", ")
     s"""joined AS (SELECT t.q_id, a.vec_id, t.ss, t.dd
                  FROM $candCte cn
-                 JOIN a$iters a ON a.vec_id = cn.vec_id
+                 JOIN $codes a ON a.vec_id = cn.vec_id
                  JOIN dtab t ON t.q_id = cn.q_id AND t.ss = a.ss
                             AND t.cid = a.cid),
       approx0 AS (SELECT t.q_id, t.vec_id, $dCases

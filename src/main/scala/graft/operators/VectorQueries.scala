@@ -413,6 +413,97 @@ ${LshOracleSql.cosineExpr} AS cos
       kpq = 16, iters = 2))
   )
 
+  /** Index MERGE — the fourth lifecycle leg (build → ingest → merge →
+    * query): the frozen-encoded batch is absorbed into the index's
+    * posting lists WITHOUT retraining — merged assignment and code
+    * tables are plain unions (the FAISS `add`/IndexShards contract: new
+    * vectors join the inverted lists their frozen encodes land in), the
+    * probe side still reads the base centroids, and the query plan over
+    * the merged index is the same probe-pruning × ADC shape as
+    * x_ann_ivfpq_indexed. At 100 TB this is the nightly compaction that
+    * folds a day of streaming ingest into the served index: cost is
+    * O(batch) encode + an append, never a retrain; queries see the new
+    * vectors in their top-k the moment the merged lists land (vec 8 and
+    * its neighbors turn up in the results below). DuckDB replays
+    * base-restricted training, the batch encode, the unions, and the
+    * ADC tail over the merged lists bit-exactly. */
+  /** Shared read path for the merge/delete lifecycle legs: trains on the
+    * base corpus (vec_id % 8 ≠ 0), frozen-encodes the held-out batch,
+    * unions the posting/code lists (the merge), optionally drops a
+    * tombstone set from BOTH lists (the delete — applied at the
+    * posting-list scan via a broadcast anti-join on the ids-only
+    * assignment table, never as a post-filter on scored results), then
+    * runs the standard probe-pruning × ADC top-k over what remains. */
+  private def mergedIndexTopK(s: SparkSession, dir: String, tag: String,
+      tomb: Option[org.apache.spark.sql.Column]): DataFrame = {
+    val all = emb(s, dir)
+    val base = all.filter(pmod(col("vec_id"), lit(8)) =!= 0)
+    val batch = all.filter(pmod(col("vec_id"), lit(8)) === 0)
+    val assignB = AnnIndex.coarseTrainTo(base, 16, 2,
+      inlineScratch(dir, s"${tag}_assign"))
+    val centsB = coarseCentroids(base, assignB)
+    val subsB = pqSubs(base, 16, 4)
+    val codesB = pqTrainCodesTo(subsB, 4, 16, 2,
+      inlineScratch(dir, s"${tag}_codes"))
+    val bookB = pqCodebookOf(codesB.join(subsB, Seq("vec_id", "ss")), 4)
+    // frozen encodes of the batch (no retraining), then the merge:
+    // plain unions of the posting/code lists
+    val masg0 = assignB.select(col("vec_id"), col("cid"))
+      .unionByName(coarseReassign(batch, centsB))
+    val mcode0 = codesB.select(col("vec_id"), col("ss"), col("cid"))
+      .unionByName(pqEncode(pqSubs(batch, 16, 4), bookB)
+        .select(col("vec_id"), col("ss"), col("cid")))
+    val (masg, mcode) = tomb match {
+      case Some(pred) =>
+        val ids = all.filter(pred).select(col("vec_id"))
+        (masg0.join(broadcast(ids), Seq("vec_id"), "left_anti"),
+          mcode0.join(broadcast(ids), Seq("vec_id"), "left_anti"))
+      case None => (masg0, mcode0)
+    }
+    val nq = 10
+    val queries = all.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = coarseProbes(queries, centsB, 4)
+    val cands = masg.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val dtab = pqDtab(pqSubs(all.filter(col("vec_id") < nq), 16, 4),
+      bookB)
+    val pairs = cands
+      .join(mcode, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("q_id", "ss", "cid"))
+    adcTopK(pairs, all, 16, 3, nq)
+  }
+
+  val indexMerge: QueryDef = QueryDef(
+    "x_ann_index_merge",
+    (s, dir) => mergedIndexTopK(s, dir, "merge", None),
+    oracle = Some(IvfPqOracleSql.mergedSql(k = 16, nprobe = 4, m = 16,
+      sub = 4, kpq = 16, iters = 2, topk = 3, nq = 10))
+  )
+
+  /** Index DELETE — the fifth lifecycle leg (build → ingest → merge →
+    * DELETE → query): a tombstone set (vec_id % 5 = 3, cutting across
+    * both base and ingested rows) is removed from the merged index by
+    * editing the posting/code lists only — the FAISS remove_ids
+    * contract: quantizers never retrain, surviving vectors keep their
+    * exact codes and ADC scores, and deleted ids are pruned at the
+    * posting-list scan (broadcast anti-join on the ids-only assignment
+    * table) so they can never reach the scoring join, not filtered from
+    * its output. At 100 TB this is GDPR/right-to-be-forgotten on a
+    * served ANN index: O(tombstones) metadata edit, zero re-encoding,
+    * queries reflect the deletion at the next list swap. DuckDB replays
+    * the merged chains minus the tombstones bit-exactly. */
+  val indexDelete: QueryDef = QueryDef(
+    "x_ann_index_delete",
+    (s, dir) => mergedIndexTopK(s, dir, "del",
+      Some(pmod(col("vec_id"), lit(5)) === 3)),
+    oracle = Some(IvfPqOracleSql.mergedSql(k = 16, nprobe = 4, m = 16,
+      sub = 4, kpq = 16, iters = 2, topk = 3, nq = 10,
+      tombWhere = "vec_id % 5 = 3"))
+  )
+
   /** Measured ANN quality gate: recall@3 of the prebuilt IVF index
     * (probe-pruned exact-cosine search over the persisted artifacts)
     * against the exact brute-force top-3 — the number a production ANN
@@ -1169,6 +1260,7 @@ ${LshOracleSql.cosineExpr} AS cos
 
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
     pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
+    indexMerge, indexDelete,
     recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank, filteredSearch,
     rangeSearch, triplets, mrlTruncate, centroidDrift, pqResidualTopK,
     pqResidualIndexed, mrlRerank, oodDetection)
