@@ -162,6 +162,47 @@ class VectorTextSpec extends GraftSuite {
       s"expected respq artifact scans in:\n${scans.mkString("\n")}")
   }
 
+  test("index merge serves ingested vectors; delete prunes tombstones " +
+      "at the list scan and preserves survivor scores") {
+    val merge = operators.VectorQueries.indexMerge.run(spark, sf).collect()
+    val del = operators.VectorQueries.indexDelete.run(spark, sf)
+    val delRows = del.collect()
+    assert(merge.length == 30 && delRows.length == 30)
+    // the merged index must actually serve ingested (batch) vectors —
+    // the FAISS add contract: new ids appear in top-k with no retrain
+    assert(merge.exists(_.getAs[Number]("vec_id").longValue % 8 == 0),
+      "no ingested vector reached the merged index's top-k")
+    // remove_ids contract 1: a deleted id can never be returned
+    assert(delRows.forall(_.getAs[Number]("vec_id").longValue % 5 != 3),
+      "tombstoned id returned by the deleted index")
+    // remove_ids contract 2: survivors keep their exact codes, so their
+    // approx/exact scores are bit-identical and their rank only improves
+    val delByPair = delRows.map { r =>
+      (r.getAs[Number]("q_id").longValue,
+        r.getAs[Number]("vec_id").longValue) ->
+        (r.getAs[Number]("rk").longValue, r.getAs[Double]("approx_dist"),
+          r.getAs[Double]("cos"))
+    }.toMap
+    merge.filter(_.getAs[Number]("vec_id").longValue % 5 != 3).foreach {
+      r =>
+        val key = (r.getAs[Number]("q_id").longValue,
+          r.getAs[Number]("vec_id").longValue)
+        val (rk, ad, cs) = delByPair.getOrElse(key,
+          fail(s"surviving merge-top-3 pair $key missing after delete"))
+        assert(rk <= r.getAs[Number]("rk").longValue,
+          s"survivor $key rank worsened after delete")
+        assert(ad == r.getAs[Double]("approx_dist") &&
+          cs == r.getAs[Double]("cos"),
+          s"survivor $key score changed after delete")
+    }
+    // and the pruning happens at the posting-list scan (broadcast
+    // anti-joins on BOTH the assignment and code lists), never as a
+    // filter on scored results
+    val plan = del.queryExecution.executedPlan.toString
+    assert("LeftAnti".r.findAllIn(plan).size >= 2,
+      s"expected two anti-join prunes in the delete plan:\n$plan")
+  }
+
   test("ANN queries leave the block-manager cache empty") {
     // two trainings back-to-back in one session: a library caller must
     // not accumulate cached assignment blocks (materialization goes
