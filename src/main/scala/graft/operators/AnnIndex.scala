@@ -550,6 +550,150 @@ object AnnIndex {
       .orderBy(col("vec_id"))
   }
 
+  // ---- segmented index maintenance (append / delete, no retraining) ----
+  //
+  // The production twin of the composed x_ann_index_merge /
+  // x_ann_index_delete chains: posting/code lists live in IMMUTABLE
+  // segments (seg0 = the trained base, seg1 = a frozen-encoded delta),
+  // deletes are an ids-only tombstone artifact, and the read side unions
+  // live segments minus tombstones — the Lucene/FAISS-IndexShards layout
+  // every serving ANN system converges on, because at 100 TB appends
+  // must be O(batch) file writes and deletes O(tombstones) metadata,
+  // never a list rewrite. `compact` folds delta+tombstones into a new
+  // base — the nightly job — and must not change any query result.
+
+  private def maintRoot(dir: String): String = s"${indexDir(dir)}/maint"
+  private def maintPath(dir: String, part: String): String =
+    s"${maintRoot(dir)}/$part"
+
+  /** Train the BASE segment on the non-held-out corpus (vec_id % 8 ≠ 0 —
+    * the same split as the composed merge/delete chains so the DuckDB
+    * oracle replays it) and persist centroids/codebook plus seg0's
+    * assignment and codes. Always retrains; overwrite-idempotent. */
+  def buildBaseSegment(s: SparkSession, dir: String): Unit = {
+    val base = Tables.table(s, dir, "embeddings")
+      .filter(pmod(col("vec_id"), lit(8)) =!= 0)
+    val assign = coarseTrainTo(base, K, ITERS,
+      maintPath(dir, "seg0/assign"))
+    materialize(coarseCentroids(base, assign), maintPath(dir, "cents"))
+    val subs = graft.sources.Checkpoints.barrier(pqSubs(base, M, SUB))
+    var pq = subs.withColumn("cid",
+      pmod(graft.functions.HashFunctions.fingerprint64(
+        col("vec_id").cast("string")), lit(KPQ.toLong)).cast("int"))
+    for (_ <- 1 to ITERS)
+      pq = graft.sources.Checkpoints.barrier(
+        pqEncode(subs, pqCodebookOf(pq, SUB)))
+    materialize(pq.select(col("vec_id"), col("ss"), col("cid")),
+      maintPath(dir, "seg0/codes"))
+    materialize(pqCodebookOf(pq, SUB), maintPath(dir, "book"))
+    // a fresh base supersedes any previous delta/tombstone state
+    for (p <- Seq("seg1", "tombstones"))
+      deleteRecursively(java.nio.file.Paths.get(maintPath(dir, p)))
+  }
+
+  /** APPEND: frozen-encode `batch` against the persisted base
+    * centroids/codebook and write it as the delta segment — a pure
+    * per-row map over broadcast artifacts plus an O(batch) file write.
+    * Overwrite-idempotent (re-running replaces the delta, never
+    * double-appends). */
+  def appendSegment(s: SparkSession, dir: String, batch: DataFrame): Unit = {
+    val cents = s.read.parquet(maintPath(dir, "cents"))
+    val book = s.read.parquet(maintPath(dir, "book"))
+    coarseReassign(batch, cents)
+      .write.mode("overwrite").parquet(maintPath(dir, "seg1/assign"))
+    pqEncode(pqSubs(batch, M, SUB), book)
+      .select(col("vec_id"), col("ss"), col("cid"))
+      .write.mode("overwrite").parquet(maintPath(dir, "seg1/codes"))
+  }
+
+  /** DELETE: persist the tombstone id set (overwrite — the current
+    * tombstone state, not an append log). O(tombstones) metadata; no
+    * list is touched until `compact`. */
+  def writeTombstones(s: SparkSession, dir: String, ids: DataFrame): Unit =
+    ids.select(col("vec_id"))
+      .write.mode("overwrite").parquet(maintPath(dir, "tombstones"))
+
+  private def exists(p: String): Boolean =
+    java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
+        .foreach(java.nio.file.Files.delete)
+    }
+
+  /** Live posting/code lists: the union of existing segments minus
+    * tombstones. The tombstone prune anti-joins the ids-only ASSIGNMENT
+    * union (broadcast — tombstone sets are tiny next to the corpus), so
+    * a deleted id never becomes a candidate; its dead code rows cost
+    * nothing until compaction drops them, exactly like any
+    * tombstone-based store. */
+  private def liveLists(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    var assign = s.read.parquet(maintPath(dir, "seg0/assign"))
+    var codes = s.read.parquet(maintPath(dir, "seg0/codes"))
+    if (exists(maintPath(dir, "seg1/assign"))) {
+      assign = assign.unionByName(
+        s.read.parquet(maintPath(dir, "seg1/assign")))
+      codes = codes.unionByName(
+        s.read.parquet(maintPath(dir, "seg1/codes")))
+    }
+    if (exists(maintPath(dir, "tombstones"))) {
+      val tomb = s.read.parquet(maintPath(dir, "tombstones"))
+      assign = assign.join(broadcast(tomb), Seq("vec_id"), "left_anti")
+    }
+    (assign, codes)
+  }
+
+  /** The read-side query over the maintained index: probe pruning × ADC
+    * over the live lists — artifact reads only, no training subtree, the
+    * same plan shape as ivfPqQuery plus the tombstone anti-join. */
+  def maintQuery(s: SparkSession, dir: String, nprobe: Int = NPROBE,
+      topk: Int = 3, nq: Int = 10): DataFrame = {
+    val base = Tables.table(s, dir, "embeddings")
+    val cents = s.read.parquet(maintPath(dir, "cents"))
+    val book = s.read.parquet(maintPath(dir, "book"))
+    val (assign, codes) = liveLists(s, dir)
+    val queries = base.filter(col("vec_id") < nq)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val probes = coarseProbes(queries, cents, nprobe)
+    val cands = assign.join(broadcast(probes), Seq("cid"))
+      .filter(col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id"))
+      .distinct()
+    val dtab = pqDtab(pqSubs(base.filter(col("vec_id") < nq), M, SUB),
+      book)
+    val pairs = cands
+      .join(codes, Seq("vec_id"))
+      .join(broadcast(dtab), Seq("q_id", "ss", "cid"))
+    adcTopK(pairs, base, M, topk, nq)
+  }
+
+  /** COMPACT: fold the delta segment and tombstones into a new base
+    * segment (write-ahead to a temp dir, then swap), dropping dead code
+    * rows. Queries before and after must return identical rows — the
+    * invariant the VectorTextSpec maintenance test pins. */
+  def compact(s: SparkSession, dir: String): Unit = {
+    val (assign, codes) = liveLists(s, dir)
+    // prune dead code rows against the broadcast TOMBSTONE set (the
+    // small side — anti-joining against the full assignment would
+    // broadcast the corpus id set)
+    val liveCodes =
+      if (exists(maintPath(dir, "tombstones")))
+        codes.join(broadcast(s.read.parquet(maintPath(dir, "tombstones"))),
+          Seq("vec_id"), "left_anti")
+      else codes
+    assign.write.mode("overwrite")
+      .parquet(maintPath(dir, "seg0_next/assign"))
+    liveCodes.write.mode("overwrite")
+      .parquet(maintPath(dir, "seg0_next/codes"))
+    val root = java.nio.file.Paths.get(maintRoot(dir))
+    for (p <- Seq("seg0", "seg1", "tombstones"))
+      deleteRecursively(root.resolve(p))
+    java.nio.file.Files.move(root.resolve("seg0_next"),
+      root.resolve("seg0"))
+  }
+
   /** Artifact summary for the build gate: per coarse cluster and per PQ
     * codebook entry, member counts and centroid norms (rounded 4) — the
     * content the DuckDB oracle replays from its own training chain. */

@@ -504,6 +504,35 @@ ${LshOracleSql.cosineExpr} AS cos
       tombWhere = "vec_id % 5 = 3"))
   )
 
+  /** Index MAINTENANCE over PERSISTED artifacts — the production twin of
+    * the composed merge/delete chains, in the segmented layout a serving
+    * ANN system actually uses: `buildBaseSegment` persists the trained
+    * base (seg0 + centroids/codebook), `appendSegment` frozen-encodes
+    * the arriving batch into an immutable delta segment (O(batch) file
+    * write, no retraining), `writeTombstones` lands the delete set as an
+    * ids-only artifact (O(tombstones), no list rewrite), and the read
+    * side (`maintQuery`) unions live segments minus tombstones into the
+    * same probe-pruning × ADC plan — artifact reads only, no training
+    * subtree (plan-pinned in VectorTextSpec, along with compaction
+    * returning byte-identical results). Same bit-exact DuckDB oracle as
+    * x_ann_index_delete: the segmented read must equal the composed
+    * merged-minus-tombstones chain exactly. */
+  val indexMaintenance: QueryDef = QueryDef(
+    "x_ann_index_maintenance",
+    (s, dir) => {
+      val all = emb(s, dir)
+      AnnIndex.buildBaseSegment(s, dir)
+      AnnIndex.appendSegment(s, dir,
+        all.filter(pmod(col("vec_id"), lit(8)) === 0))
+      AnnIndex.writeTombstones(s, dir,
+        all.filter(pmod(col("vec_id"), lit(5)) === 3))
+      AnnIndex.maintQuery(s, dir)
+    },
+    oracle = Some(IvfPqOracleSql.mergedSql(k = 16, nprobe = 4, m = 16,
+      sub = 4, kpq = 16, iters = 2, topk = 3, nq = 10,
+      tombWhere = "vec_id % 5 = 3"))
+  )
+
   /** Measured ANN quality gate: recall@3 of the prebuilt IVF index
     * (probe-pruned exact-cosine search over the persisted artifacts)
     * against the exact brute-force top-3 — the number a production ANN
@@ -1260,7 +1289,7 @@ ${LshOracleSql.cosineExpr} AS cos
 
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
     pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
-    indexMerge, indexDelete,
+    indexMerge, indexDelete, indexMaintenance,
     recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank, filteredSearch,
     rangeSearch, triplets, mrlTruncate, centroidDrift, pqResidualTopK,
     pqResidualIndexed, mrlRerank, oodDetection)

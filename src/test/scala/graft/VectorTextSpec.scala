@@ -203,6 +203,39 @@ class VectorTextSpec extends GraftSuite {
       s"expected two anti-join prunes in the delete plan:\n$plan")
   }
 
+  test("segmented maintenance equals the composed delete; compaction " +
+      "preserves results; read plan is training-free") {
+    // the registered query runs the full lifecycle: base build → delta
+    // append → tombstones → segmented read
+    val maint = operators.VectorQueries.indexMaintenance.run(spark, sf)
+    val rows = maint.collect().map(_.toSeq).toSeq
+    // the segmented artifact read must equal the composed
+    // merged-minus-tombstones chain bit-for-bit
+    val composed = operators.VectorQueries.indexDelete.run(spark, sf)
+      .collect().map(_.toSeq).toSeq
+    assert(rows == composed,
+      "segmented maintenance read diverged from the composed delete")
+    // the read side is artifact scans only — no k-means subtree (the
+    // training fold markers carr/cbook only appear in reassign/encode)
+    val readBack = operators.AnnIndex.maintQuery(spark, sf)
+    val analyzed = readBack.queryExecution.analyzed.toString
+    assert(!analyzed.contains("carr") && !analyzed.contains("cbook"),
+      s"training subtree leaked into the maintenance read plan:\n$analyzed")
+    assert(readBack.collect().map(_.toSeq).toSeq == rows)
+    // compaction folds delta + tombstones into a new base and must not
+    // change a single byte of any query result
+    operators.AnnIndex.compact(spark, sf)
+    assert(operators.AnnIndex.maintQuery(spark, sf)
+      .collect().map(_.toSeq).toSeq == rows,
+      "compaction changed query results")
+    // after compaction the dead rows are physically gone: re-running the
+    // read must no longer depend on delta/tombstone artifacts
+    val postPlan = operators.AnnIndex.maintQuery(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(!postPlan.contains("LeftAnti"),
+      s"compacted read still anti-joins tombstones:\n$postPlan")
+  }
+
   test("ANN queries leave the block-manager cache empty") {
     // two trainings back-to-back in one session: a library caller must
     // not accumulate cached assignment blocks (materialization goes
