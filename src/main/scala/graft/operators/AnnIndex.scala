@@ -587,23 +587,26 @@ object AnnIndex {
       maintPath(dir, "seg0/codes"))
     materialize(pqCodebookOf(pq, SUB), maintPath(dir, "book"))
     // a fresh base supersedes any previous delta/tombstone state
-    for (p <- Seq("seg1", "tombstones"))
+    for (p <- segments(dir).filter(_ != "seg0") :+ "tombstones")
       deleteRecursively(java.nio.file.Paths.get(maintPath(dir, p)))
   }
 
   /** APPEND: frozen-encode `batch` against the persisted base
-    * centroids/codebook and write it as the delta segment — a pure
-    * per-row map over broadcast artifacts plus an O(batch) file write.
-    * Overwrite-idempotent (re-running replaces the delta, never
-    * double-appends). */
-  def appendSegment(s: SparkSession, dir: String, batch: DataFrame): Unit = {
+    * centroids/codebook and write it as the named delta segment — a
+    * pure per-row map over broadcast artifacts plus an O(batch) file
+    * write. Overwrite-idempotent per segment name (re-running replaces
+    * that delta, never double-appends); several ingest batches coexist
+    * as seg1/seg2/… until `compact` folds them. */
+  def appendSegment(s: SparkSession, dir: String, batch: DataFrame,
+      seg: String = "seg1"): Unit = {
+    require(seg.matches("seg[1-9][0-9]*"), s"bad segment name: $seg")
     val cents = s.read.parquet(maintPath(dir, "cents"))
     val book = s.read.parquet(maintPath(dir, "book"))
     coarseReassign(batch, cents)
-      .write.mode("overwrite").parquet(maintPath(dir, "seg1/assign"))
+      .write.mode("overwrite").parquet(maintPath(dir, s"$seg/assign"))
     pqEncode(pqSubs(batch, M, SUB), book)
       .select(col("vec_id"), col("ss"), col("cid"))
-      .write.mode("overwrite").parquet(maintPath(dir, "seg1/codes"))
+      .write.mode("overwrite").parquet(maintPath(dir, s"$seg/codes"))
   }
 
   /** DELETE: persist the tombstone id set (overwrite — the current
@@ -629,15 +632,27 @@ object AnnIndex {
     * a deleted id never becomes a candidate; its dead code rows cost
     * nothing until compaction drops them, exactly like any
     * tombstone-based store. */
-  private def liveLists(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    var assign = s.read.parquet(maintPath(dir, "seg0/assign"))
-    var codes = s.read.parquet(maintPath(dir, "seg0/codes"))
-    if (exists(maintPath(dir, "seg1/assign"))) {
-      assign = assign.unionByName(
-        s.read.parquet(maintPath(dir, "seg1/assign")))
-      codes = codes.unionByName(
-        s.read.parquet(maintPath(dir, "seg1/codes")))
+  /** All live segment names, base first then deltas in numeric order —
+    * discovery is a directory listing, the same way an LSM store finds
+    * its runs. */
+  private def segments(dir: String): Seq[String] = {
+    val root = java.nio.file.Paths.get(maintRoot(dir))
+    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(root).iterator().asScala
+        .map(_.getFileName.toString)
+        .filter(_.matches("seg[0-9]+"))
+        .toSeq.sortBy(_.drop(3).toInt)
     }
+  }
+
+  private def liveLists(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val segs = segments(dir)
+    var assign = segs.map(g => s.read.parquet(maintPath(dir, s"$g/assign")))
+      .reduce(_ unionByName _)
+    val codes = segs.map(g => s.read.parquet(maintPath(dir, s"$g/codes")))
+      .reduce(_ unionByName _)
     if (exists(maintPath(dir, "tombstones"))) {
       val tomb = s.read.parquet(maintPath(dir, "tombstones"))
       assign = assign.join(broadcast(tomb), Seq("vec_id"), "left_anti")
@@ -688,7 +703,7 @@ object AnnIndex {
     liveCodes.write.mode("overwrite")
       .parquet(maintPath(dir, "seg0_next/codes"))
     val root = java.nio.file.Paths.get(maintRoot(dir))
-    for (p <- Seq("seg0", "seg1", "tombstones"))
+    for (p <- segments(dir) :+ "tombstones")
       deleteRecursively(root.resolve(p))
     java.nio.file.Files.move(root.resolve("seg0_next"),
       root.resolve("seg0"))

@@ -222,8 +222,21 @@ class VectorTextSpec extends GraftSuite {
     assert(!analyzed.contains("carr") && !analyzed.contains("cbook"),
       s"training subtree leaked into the maintenance read plan:\n$analyzed")
     assert(readBack.collect().map(_.toSeq).toSeq == rows)
-    // compaction folds delta + tombstones into a new base and must not
-    // change a single byte of any query result
+    // several delta segments coexist until compaction: re-splitting the
+    // one ingest batch into two named segments must read identically to
+    // the single-delta layout (an LSM store's runs are union-equivalent)
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val all = graft.Tables.table(spark, sf, "embeddings")
+    val batch = all.filter(pmod(col("vec_id"), lit(8)) === 0)
+    operators.AnnIndex.appendSegment(spark, sf,
+      batch.filter(pmod(col("vec_id"), lit(16)) === 0), "seg1")
+    operators.AnnIndex.appendSegment(spark, sf,
+      batch.filter(pmod(col("vec_id"), lit(16)) =!= 0), "seg2")
+    assert(operators.AnnIndex.maintQuery(spark, sf)
+      .collect().map(_.toSeq).toSeq == rows,
+      "two-delta segment layout diverged from the single-delta read")
+    // compaction folds all deltas + tombstones into a new base and must
+    // not change a single byte of any query result
     operators.AnnIndex.compact(spark, sf)
     assert(operators.AnnIndex.maintQuery(spark, sf)
       .collect().map(_.toSeq).toSeq == rows,
