@@ -554,70 +554,149 @@ object AnnIndex {
   //
   // The production twin of the composed x_ann_index_merge /
   // x_ann_index_delete chains: posting/code lists live in IMMUTABLE
-  // segments (seg0 = the trained base, seg1 = a frozen-encoded delta),
-  // deletes are an ids-only tombstone artifact, and the read side unions
-  // live segments minus tombstones — the Lucene/FAISS-IndexShards layout
-  // every serving ANN system converges on, because at 100 TB appends
-  // must be O(batch) file writes and deletes O(tombstones) metadata,
-  // never a list rewrite. `compact` folds delta+tombstones into a new
-  // base — the nightly job — and must not change any query result.
+  // segments (a trained base plus frozen-encoded deltas), deletes are an
+  // ids-only tombstone artifact, and the read side unions live segments
+  // minus tombstones — the Lucene/FAISS-IndexShards layout every serving
+  // ANN system converges on, because at 100 TB appends must be O(batch)
+  // file writes and deletes O(tombstones) metadata, never a list
+  // rewrite. Three disciplines make it safe under concurrency, the same
+  // ones Catalog DML uses:
+  //
+  //  * MANIFEST commit point — which segment/tombstone dirs are live is
+  //    published by atomically renaming a manifest file; readers resolve
+  //    the manifest once per query, so they can never see a
+  //    half-published append or a mid-compaction state.
+  //  * writer lock — every mutator runs under the same TableLocks
+  //    claim-by-hard-link lock DML uses, so two appenders' manifest
+  //    read-modify-writes serialize across JVMs.
+  //  * one-generation retention — compaction writes the new base under a
+  //    fresh generation name, publishes, and only deletes dirs that a
+  //    PREVIOUS compaction superseded; a reader that resolved the old
+  //    manifest keeps valid files until the next compaction cycle
+  //    (production sets the retention window by time instead).
+  //
+  // Re-publishing the SAME logical segment within one generation
+  // overwrites its physical dir in place (that is what makes the
+  // registered query re-runnable); production appends always use fresh
+  // logical names, so live readers never race an in-place overwrite.
 
   private def maintRoot(dir: String): String = s"${indexDir(dir)}/maint"
   private def maintPath(dir: String, part: String): String =
     s"${maintRoot(dir)}/$part"
+  private def withMaintLock[T](dir: String)(f: => T): T =
+    graft.sources.TableLocks.withLock(maintRoot(dir), "ann_maint")(f)
+
+  /** The manifest: generation counter, live (logical → physical) segment
+    * dirs, the live tombstone dir, and superseded dirs retained until
+    * the next compaction. */
+  private case class MaintManifest(gen: Int, segs: Seq[(String, String)],
+      tomb: Option[String], prev: Seq[String])
+
+  private def manifestFile(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(maintPath(dir, "MANIFEST"))
+
+  private def readManifest(dir: String): MaintManifest = {
+    val lines = java.nio.file.Files
+      .readAllLines(manifestFile(dir)).toArray(Array.empty[String])
+    MaintManifest(
+      gen = lines.collectFirst { case l if l.startsWith("gen:") =>
+        l.drop(4).toInt }.getOrElse(0),
+      segs = lines.toSeq.filter(_.startsWith("seg:")).map { l =>
+        val Array(logical, physical) = l.drop(4).split(":", 2)
+        (logical, physical)
+      },
+      tomb = lines.collectFirst { case l if l.startsWith("tomb:") =>
+        l.drop(5) },
+      prev = lines.toSeq.filter(_.startsWith("prev:")).map(_.drop(5)))
+  }
+
+  /** Atomic publication: write aside, ATOMIC_MOVE over MANIFEST. Single
+    * writer (the maint lock is held), so rename-replace is safe — this
+    * is publication, not a claim. */
+  private def publishManifest(dir: String, m: MaintManifest): Unit = {
+    val body = (s"gen:${m.gen}" +:
+      (m.segs.map { case (l, p) => s"seg:$l:$p" } ++
+        m.tomb.map(t => s"tomb:$t").toSeq ++
+        m.prev.map(p => s"prev:$p"))).mkString("", "\n", "\n")
+    val tmp = java.nio.file.Paths.get(
+      maintPath(dir, s"MANIFEST.tmp.${ProcessHandle.current().pid()}"))
+    java.nio.file.Files.createDirectories(tmp.getParent)
+    java.nio.file.Files.writeString(tmp, body)
+    java.nio.file.Files.move(tmp, manifestFile(dir),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
 
   /** Train the BASE segment on the non-held-out corpus (vec_id % 8 ≠ 0 —
     * the same split as the composed merge/delete chains so the DuckDB
-    * oracle replays it) and persist centroids/codebook plus seg0's
-    * assignment and codes. Always retrains; overwrite-idempotent. */
-  def buildBaseSegment(s: SparkSession, dir: String): Unit = {
-    val base = Tables.table(s, dir, "embeddings")
-      .filter(pmod(col("vec_id"), lit(8)) =!= 0)
-    val assign = coarseTrainTo(base, K, ITERS,
-      maintPath(dir, "seg0/assign"))
-    materialize(coarseCentroids(base, assign), maintPath(dir, "cents"))
-    val subs = graft.sources.Checkpoints.barrier(pqSubs(base, M, SUB))
-    var pq = subs.withColumn("cid",
-      pmod(graft.functions.HashFunctions.fingerprint64(
-        col("vec_id").cast("string")), lit(KPQ.toLong)).cast("int"))
-    for (_ <- 1 to ITERS)
-      pq = graft.sources.Checkpoints.barrier(
-        pqEncode(subs, pqCodebookOf(pq, SUB)))
-    materialize(pq.select(col("vec_id"), col("ss"), col("cid")),
-      maintPath(dir, "seg0/codes"))
-    materialize(pqCodebookOf(pq, SUB), maintPath(dir, "book"))
-    // a fresh base supersedes any previous delta/tombstone state
-    for (p <- segments(dir).filter(_ != "seg0") :+ "tombstones")
-      deleteRecursively(java.nio.file.Paths.get(maintPath(dir, p)))
-  }
+    * oracle replays it), persist centroids/codebook plus the base
+    * assignment/codes, and publish a fresh generation-0 manifest. A
+    * rebuild is destructive (DROP + CREATE of the whole index): it wipes
+    * every prior segment, delta, and tombstone. */
+  def buildBaseSegment(s: SparkSession, dir: String): Unit =
+    withMaintLock(dir) {
+      val basePhys = "base_g0"
+      val base = Tables.table(s, dir, "embeddings")
+        .filter(pmod(col("vec_id"), lit(8)) =!= 0)
+      val assign = coarseTrainTo(base, K, ITERS,
+        maintPath(dir, s"$basePhys/assign"))
+      materialize(coarseCentroids(base, assign), maintPath(dir, "cents"))
+      val subs = graft.sources.Checkpoints.barrier(pqSubs(base, M, SUB))
+      var pq = subs.withColumn("cid",
+        pmod(graft.functions.HashFunctions.fingerprint64(
+          col("vec_id").cast("string")), lit(KPQ.toLong)).cast("int"))
+      for (_ <- 1 to ITERS)
+        pq = graft.sources.Checkpoints.barrier(
+          pqEncode(subs, pqCodebookOf(pq, SUB)))
+      materialize(pq.select(col("vec_id"), col("ss"), col("cid")),
+        maintPath(dir, s"$basePhys/codes"))
+      materialize(pqCodebookOf(pq, SUB), maintPath(dir, "book"))
+      publishManifest(dir,
+        MaintManifest(0, Seq(("seg0", basePhys)), None, Seq.empty))
+      // drop everything the fresh manifest doesn't reference
+      val keep = Set(basePhys, "cents", "book", "MANIFEST", "_locks")
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.list(java.nio.file.Paths.get(maintRoot(dir)))
+        .iterator().asScala.toSeq
+        .filterNot(p => keep(p.getFileName.toString))
+        .foreach(deleteRecursively)
+    }
 
   /** APPEND: frozen-encode `batch` against the persisted base
-    * centroids/codebook and write it as the named delta segment — a
-    * pure per-row map over broadcast artifacts plus an O(batch) file
-    * write. Overwrite-idempotent per segment name (re-running replaces
-    * that delta, never double-appends); several ingest batches coexist
-    * as seg1/seg2/… until `compact` folds them. */
+    * centroids/codebook, write it as the named delta segment, and
+    * publish — a pure per-row map over broadcast artifacts plus an
+    * O(batch) file write and a manifest rename. Re-running with the same
+    * name republishes that delta (never double-appends); several ingest
+    * batches coexist as seg1/seg2/… until `compact` folds them. */
   def appendSegment(s: SparkSession, dir: String, batch: DataFrame,
-      seg: String = "seg1"): Unit = {
+      seg: String = "seg1"): Unit = withMaintLock(dir) {
     require(seg.matches("seg[1-9][0-9]*"), s"bad segment name: $seg")
+    val m = readManifest(dir)
+    val phys = s"${seg}_g${m.gen}"
     val cents = s.read.parquet(maintPath(dir, "cents"))
     val book = s.read.parquet(maintPath(dir, "book"))
     coarseReassign(batch, cents)
-      .write.mode("overwrite").parquet(maintPath(dir, s"$seg/assign"))
+      .write.mode("overwrite").parquet(maintPath(dir, s"$phys/assign"))
     pqEncode(pqSubs(batch, M, SUB), book)
       .select(col("vec_id"), col("ss"), col("cid"))
-      .write.mode("overwrite").parquet(maintPath(dir, s"$seg/codes"))
+      .write.mode("overwrite").parquet(maintPath(dir, s"$phys/codes"))
+    publishManifest(dir, m.copy(
+      segs = m.segs.filterNot(_._1 == seg) :+ (seg, phys)))
   }
 
-  /** DELETE: persist the tombstone id set (overwrite — the current
-    * tombstone state, not an append log). O(tombstones) metadata; no
-    * list is touched until `compact`. */
+  /** DELETE: persist the tombstone id set under a generation-stamped dir
+    * and publish it as THE live tombstone state (not an append log —
+    * the newest set wins, mirroring the composed x_ann_index_delete).
+    * O(tombstones) metadata; no list is touched until `compact`. */
   def writeTombstones(s: SparkSession, dir: String, ids: DataFrame): Unit =
-    ids.select(col("vec_id"))
-      .write.mode("overwrite").parquet(maintPath(dir, "tombstones"))
-
-  private def exists(p: String): Boolean =
-    java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    withMaintLock(dir) {
+      val m = readManifest(dir)
+      val phys = s"tomb_g${m.gen}"
+      ids.select(col("vec_id"))
+        .write.mode("overwrite").parquet(maintPath(dir, phys))
+      publishManifest(dir, m.copy(tomb = Some(phys),
+        prev = m.prev ++ m.tomb.filterNot(_ == phys)))
+    }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
@@ -626,49 +705,37 @@ object AnnIndex {
         .foreach(java.nio.file.Files.delete)
     }
 
-  /** Live posting/code lists: the union of existing segments minus
-    * tombstones. The tombstone prune anti-joins the ids-only ASSIGNMENT
-    * union (broadcast — tombstone sets are tiny next to the corpus), so
-    * a deleted id never becomes a candidate; its dead code rows cost
-    * nothing until compaction drops them, exactly like any
-    * tombstone-based store. */
-  /** All live segment names, base first then deltas in numeric order —
-    * discovery is a directory listing, the same way an LSM store finds
-    * its runs. */
-  private def segments(dir: String): Seq[String] = {
-    val root = java.nio.file.Paths.get(maintRoot(dir))
-    if (!java.nio.file.Files.isDirectory(root)) Seq.empty
-    else {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(root).iterator().asScala
-        .map(_.getFileName.toString)
-        .filter(_.matches("seg[0-9]+"))
-        .toSeq.sortBy(_.drop(3).toInt)
-    }
-  }
-
-  private def liveLists(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val segs = segments(dir)
-    var assign = segs.map(g => s.read.parquet(maintPath(dir, s"$g/assign")))
+  /** Live posting/code lists as of one manifest resolution: the union of
+    * live segments minus tombstones. The tombstone prune anti-joins the
+    * ids-only ASSIGNMENT union (broadcast — tombstone sets are tiny next
+    * to the corpus), so a deleted id never becomes a candidate; its dead
+    * code rows cost nothing until compaction drops them, exactly like
+    * any tombstone-based store. */
+  private def liveLists(s: SparkSession, dir: String,
+      m: MaintManifest): (DataFrame, DataFrame) = {
+    var assign = m.segs
+      .map { case (_, p) => s.read.parquet(maintPath(dir, s"$p/assign")) }
       .reduce(_ unionByName _)
-    val codes = segs.map(g => s.read.parquet(maintPath(dir, s"$g/codes")))
+    val codes = m.segs
+      .map { case (_, p) => s.read.parquet(maintPath(dir, s"$p/codes")) }
       .reduce(_ unionByName _)
-    if (exists(maintPath(dir, "tombstones"))) {
-      val tomb = s.read.parquet(maintPath(dir, "tombstones"))
+    for (t <- m.tomb) {
+      val tomb = s.read.parquet(maintPath(dir, t))
       assign = assign.join(broadcast(tomb), Seq("vec_id"), "left_anti")
     }
     (assign, codes)
   }
 
-  /** The read-side query over the maintained index: probe pruning × ADC
-    * over the live lists — artifact reads only, no training subtree, the
-    * same plan shape as ivfPqQuery plus the tombstone anti-join. */
+  /** The read-side query over the maintained index: resolve the manifest
+    * once, then probe pruning × ADC over the live lists — artifact reads
+    * only, no training subtree, the same plan shape as ivfPqQuery plus
+    * the tombstone anti-join. */
   def maintQuery(s: SparkSession, dir: String, nprobe: Int = NPROBE,
       topk: Int = 3, nq: Int = 10): DataFrame = {
     val base = Tables.table(s, dir, "embeddings")
     val cents = s.read.parquet(maintPath(dir, "cents"))
     val book = s.read.parquet(maintPath(dir, "book"))
-    val (assign, codes) = liveLists(s, dir)
+    val (assign, codes) = liveLists(s, dir, readManifest(dir))
     val queries = base.filter(col("vec_id") < nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probes = coarseProbes(queries, cents, nprobe)
@@ -684,29 +751,37 @@ object AnnIndex {
     adcTopK(pairs, base, M, topk, nq)
   }
 
-  /** COMPACT: fold the delta segment and tombstones into a new base
-    * segment (write-ahead to a temp dir, then swap), dropping dead code
-    * rows. Queries before and after must return identical rows — the
+  /** COMPACT: fold all delta segments and tombstones into a new base
+    * under the NEXT generation name, publish, and delete only what a
+    * previous compaction superseded (one-generation retention — readers
+    * holding the pre-compact manifest keep valid files until the next
+    * cycle). Queries before and after must return identical rows — the
     * invariant the VectorTextSpec maintenance test pins. */
-  def compact(s: SparkSession, dir: String): Unit = {
-    val (assign, codes) = liveLists(s, dir)
+  def compact(s: SparkSession, dir: String): Unit = withMaintLock(dir) {
+    val m = readManifest(dir)
+    val (assign, codes) = liveLists(s, dir, m)
     // prune dead code rows against the broadcast TOMBSTONE set (the
     // small side — anti-joining against the full assignment would
     // broadcast the corpus id set)
-    val liveCodes =
-      if (exists(maintPath(dir, "tombstones")))
-        codes.join(broadcast(s.read.parquet(maintPath(dir, "tombstones"))),
-          Seq("vec_id"), "left_anti")
-      else codes
+    val liveCodes = m.tomb match {
+      case Some(t) => codes.join(
+        broadcast(s.read.parquet(maintPath(dir, t))),
+        Seq("vec_id"), "left_anti")
+      case None => codes
+    }
+    val newGen = m.gen + 1
+    val newBase = s"base_g$newGen"
     assign.write.mode("overwrite")
-      .parquet(maintPath(dir, "seg0_next/assign"))
+      .parquet(maintPath(dir, s"$newBase/assign"))
     liveCodes.write.mode("overwrite")
-      .parquet(maintPath(dir, "seg0_next/codes"))
+      .parquet(maintPath(dir, s"$newBase/codes"))
+    publishManifest(dir, MaintManifest(newGen,
+      Seq(("seg0", newBase)), None,
+      prev = m.segs.map(_._2) ++ m.tomb.toSeq))
+    // the one-generation grace window: only dirs superseded BEFORE this
+    // compaction go away now
     val root = java.nio.file.Paths.get(maintRoot(dir))
-    for (p <- segments(dir) :+ "tombstones")
-      deleteRecursively(root.resolve(p))
-    java.nio.file.Files.move(root.resolve("seg0_next"),
-      root.resolve("seg0"))
+    m.prev.foreach(p => deleteRecursively(root.resolve(p)))
   }
 
   /** Artifact summary for the build gate: per coarse cluster and per PQ

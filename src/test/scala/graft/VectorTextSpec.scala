@@ -247,6 +247,22 @@ class VectorTextSpec extends GraftSuite {
       .queryExecution.executedPlan.toString
     assert(!postPlan.contains("LeftAnti"),
       s"compacted read still anti-joins tombstones:\n$postPlan")
+    // one-generation retention: the dirs the pre-compact manifest
+    // referenced survive THIS compaction (a reader that resolved the old
+    // manifest keeps valid files), and only the NEXT compaction drops
+    // them
+    import java.nio.file.{Files, Paths}
+    val mroot = Paths.get(operators.AnnIndex.indexDir(sf), "maint")
+    assert(Files.exists(mroot.resolve("base_g0")) &&
+      Files.exists(mroot.resolve("tomb_g0")),
+      "retention window violated: superseded dirs deleted immediately")
+    operators.AnnIndex.compact(spark, sf)
+    assert(!Files.exists(mroot.resolve("base_g0")) &&
+      !Files.exists(mroot.resolve("tomb_g0")),
+      "superseded dirs leaked past one generation")
+    assert(operators.AnnIndex.maintQuery(spark, sf)
+      .collect().map(_.toSeq).toSeq == rows,
+      "second compaction changed query results")
   }
 
   test("ANN queries leave the block-manager cache empty") {
