@@ -575,10 +575,12 @@ object AnnIndex {
   //    manifest keeps valid files until the next compaction cycle
   //    (production sets the retention window by time instead).
   //
-  // Re-publishing the SAME logical segment within one generation
-  // overwrites its physical dir in place (that is what makes the
-  // registered query re-runnable); production appends always use fresh
-  // logical names, so live readers never race an in-place overwrite.
+  // Re-publishing the SAME logical segment (or a new tombstone set)
+  // within one generation writes a FRESH physical dir with a bumped
+  // suffix and moves the old one to the retention list — live dirs are
+  // never overwritten in place, so a racing reader can never see
+  // partial parquet. Repeated deletes between compactions are the
+  // normal case, not an edge case.
 
   private def maintRoot(dir: String): String = s"${indexDir(dir)}/maint"
   private def maintPath(dir: String, part: String): String =
@@ -668,11 +670,20 @@ object AnnIndex {
     * O(batch) file write and a manifest rename. Re-running with the same
     * name republishes that delta (never double-appends); several ingest
     * batches coexist as seg1/seg2/… until `compact` folds them. */
+  /** Bump-suffixed physical name: `<stem>_0` for the first publication,
+    * `_<k+1>` when replacing `cur` — never the same dir twice. */
+  private def freshPhys(stem: String, cur: Option[String]): String = {
+    val k = cur.map(p => p.substring(p.lastIndexOf('_') + 1).toInt + 1)
+      .getOrElse(0)
+    s"${stem}_$k"
+  }
+
   def appendSegment(s: SparkSession, dir: String, batch: DataFrame,
       seg: String = "seg1"): Unit = withMaintLock(dir) {
     require(seg.matches("seg[1-9][0-9]*"), s"bad segment name: $seg")
     val m = readManifest(dir)
-    val phys = s"${seg}_g${m.gen}"
+    val old = m.segs.find(_._1 == seg).map(_._2)
+    val phys = freshPhys(s"${seg}_g${m.gen}", old)
     val cents = s.read.parquet(maintPath(dir, "cents"))
     val book = s.read.parquet(maintPath(dir, "book"))
     coarseReassign(batch, cents)
@@ -681,7 +692,8 @@ object AnnIndex {
       .select(col("vec_id"), col("ss"), col("cid"))
       .write.mode("overwrite").parquet(maintPath(dir, s"$phys/codes"))
     publishManifest(dir, m.copy(
-      segs = m.segs.filterNot(_._1 == seg) :+ (seg, phys)))
+      segs = m.segs.filterNot(_._1 == seg) :+ (seg, phys),
+      prev = m.prev ++ old.toSeq))
   }
 
   /** DELETE: persist the tombstone id set under a generation-stamped dir
@@ -691,11 +703,11 @@ object AnnIndex {
   def writeTombstones(s: SparkSession, dir: String, ids: DataFrame): Unit =
     withMaintLock(dir) {
       val m = readManifest(dir)
-      val phys = s"tomb_g${m.gen}"
+      val phys = freshPhys(s"tomb_g${m.gen}", m.tomb)
       ids.select(col("vec_id"))
         .write.mode("overwrite").parquet(maintPath(dir, phys))
       publishManifest(dir, m.copy(tomb = Some(phys),
-        prev = m.prev ++ m.tomb.filterNot(_ == phys)))
+        prev = m.prev ++ m.tomb.toSeq))
     }
 
   private def deleteRecursively(p: java.nio.file.Path): Unit =
@@ -752,11 +764,14 @@ object AnnIndex {
   }
 
   /** COMPACT: fold all delta segments and tombstones into a new base
-    * under the NEXT generation name, publish, and delete only what a
-    * previous compaction superseded (one-generation retention — readers
-    * holding the pre-compact manifest keep valid files until the next
-    * cycle). Queries before and after must return identical rows — the
-    * invariant the VectorTextSpec maintenance test pins. */
+    * under the NEXT generation name, publish, and delete only retained
+    * dirs from OLDER generations — everything written during the
+    * current generation (including dirs a republish superseded moments
+    * ago) survives one more full cycle, so a reader that resolved ANY
+    * manifest state of this generation keeps valid files throughout the
+    * compaction that ends it. Queries before and after must return
+    * identical rows — the invariant the VectorTextSpec maintenance test
+    * pins. */
   def compact(s: SparkSession, dir: String): Unit = withMaintLock(dir) {
     val m = readManifest(dir)
     val (assign, codes) = liveLists(s, dir, m)
@@ -775,13 +790,14 @@ object AnnIndex {
       .parquet(maintPath(dir, s"$newBase/assign"))
     liveCodes.write.mode("overwrite")
       .parquet(maintPath(dir, s"$newBase/codes"))
+    val genOf = (p: String) =>
+      p.split("_g")(1).split("_")(0).toInt
+    val (dropNow, carry) = m.prev.partition(p => genOf(p) < m.gen)
     publishManifest(dir, MaintManifest(newGen,
       Seq(("seg0", newBase)), None,
-      prev = m.segs.map(_._2) ++ m.tomb.toSeq))
-    // the one-generation grace window: only dirs superseded BEFORE this
-    // compaction go away now
+      prev = carry ++ m.segs.map(_._2) ++ m.tomb.toSeq))
     val root = java.nio.file.Paths.get(maintRoot(dir))
-    m.prev.foreach(p => deleteRecursively(root.resolve(p)))
+    dropNow.foreach(p => deleteRecursively(root.resolve(p)))
   }
 
   /** Artifact summary for the build gate: per coarse cluster and per PQ

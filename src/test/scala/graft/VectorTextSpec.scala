@@ -254,15 +254,61 @@ class VectorTextSpec extends GraftSuite {
     import java.nio.file.{Files, Paths}
     val mroot = Paths.get(operators.AnnIndex.indexDir(sf), "maint")
     assert(Files.exists(mroot.resolve("base_g0")) &&
-      Files.exists(mroot.resolve("tomb_g0")),
+      Files.exists(mroot.resolve("tomb_g0_0")),
       "retention window violated: superseded dirs deleted immediately")
     operators.AnnIndex.compact(spark, sf)
     assert(!Files.exists(mroot.resolve("base_g0")) &&
-      !Files.exists(mroot.resolve("tomb_g0")),
+      !Files.exists(mroot.resolve("tomb_g0_0")),
       "superseded dirs leaked past one generation")
     assert(operators.AnnIndex.maintQuery(spark, sf)
       .collect().map(_.toSeq).toSeq == rows,
       "second compaction changed query results")
+  }
+
+  test("maintenance reads racing delete+compaction observe only " +
+      "published states") {
+    import org.apache.spark.sql.functions.{col, lit, pmod}
+    val all = graft.Tables.table(spark, sf, "embeddings")
+    val batch = all.filter(pmod(col("vec_id"), lit(8)) === 0)
+    val tombA = all.filter(pmod(col("vec_id"), lit(5)) === 3)
+    val tombB = all.filter(pmod(col("vec_id"), lit(3)) === 0)
+    def state(): Seq[Seq[Any]] =
+      operators.AnnIndex.maintQuery(spark, sf).collect().map(_.toSeq).toSeq
+    // capture the two deterministic published states serially
+    operators.AnnIndex.buildBaseSegment(spark, sf)
+    operators.AnnIndex.appendSegment(spark, sf, batch, "seg1")
+    operators.AnnIndex.writeTombstones(spark, sf, tombA)
+    val rA = state()
+    operators.AnnIndex.writeTombstones(spark, sf, tombB)
+    val rB = state()
+    assert(rA != rB, "fixture: tombstone sets must yield distinct states")
+    // reset to state A, then race a reader loop against a tombstone
+    // republish and the compaction that ends the generation. Atomic
+    // manifest + current-generation retention guarantee every read
+    // resolves one published state with all its files intact — never a
+    // mix, never a vanished dir (compaction preserves results, so B is
+    // also the only legal post-compaction observation).
+    operators.AnnIndex.writeTombstones(spark, sf, tombA)
+    assert(state() == rA)
+    val seen = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val failure = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val reader = new Thread(() => {
+      try for (_ <- 1 to 10) {
+        val r = state()
+        seen.add(if (r == rA) "A" else if (r == rB) "B" else "MIXED")
+      } catch { case t: Throwable => failure.set(t) }
+    })
+    reader.start()
+    operators.AnnIndex.writeTombstones(spark, sf, tombB)
+    operators.AnnIndex.compact(spark, sf)
+    reader.join(300000)
+    assert(!reader.isAlive, "racing reader hung")
+    assert(failure.get() == null,
+      s"racing reader failed mid-collect: ${failure.get()}")
+    import scala.jdk.CollectionConverters._
+    val states = seen.asScala.toSeq
+    assert(states.nonEmpty && states.forall(s => s == "A" || s == "B"),
+      s"reader observed an unpublished or mixed state: $states")
   }
 
   test("ANN queries leave the block-manager cache empty") {
