@@ -104,7 +104,13 @@ object Bench {
     "x_pipeline_auc",
     "x_pipeline_active_learning",
     "x_events_active_users",
-    "x_text_zipf_fit")
+    "x_text_zipf_fit",
+    // round-8 additions: the ANN lifecycle maintenance legs (composed
+    // merge/delete are training-inclusive oracle gates; maintenance is
+    // the persisted segmented path incl. base train + append + tomb)
+    "x_ann_index_merge",
+    "x_ann_index_delete",
+    "x_ann_index_maintenance")
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")

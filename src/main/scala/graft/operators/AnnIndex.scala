@@ -391,15 +391,15 @@ object AnnIndex {
     if (!fresh) build(s, dir)
   }
 
-  /** The read-side IVF+PQ query over prebuilt artifacts: probe pruning ×
-    * ADC codes, no training subtree anywhere in the plan. */
-  def ivfPqQuery(s: SparkSession, dir: String, nprobe: Int = NPROBE,
-      topk: Int = 3, nq: Int = 10): DataFrame = {
-    val base = Tables.table(s, dir, "embeddings")
-    val cents = s.read.parquet(centroidsPath(dir))
-    val assign = s.read.parquet(assignPath(dir))
-    val codebook = s.read.parquet(codebookPath(dir))
-    val codes = s.read.parquet(codesPath(dir))
+  /** THE probe-pruning × ADC read plan, shared by every IVF+PQ read
+    * path (prebuilt index, merged/deleted composed chains, segmented
+    * maintenance): probe the broadcast centroids, draw candidates from
+    * the assignment lists, score against the broadcast per-query
+    * distance table, heap the top-k. One copy — a scoring or plan fix
+    * lands everywhere the plan-pinning tests guard. */
+  private[operators] def ivfPqPlan(base: DataFrame, cents: DataFrame,
+      assign: DataFrame, book: DataFrame, codes: DataFrame,
+      nprobe: Int, topk: Int, nq: Int): DataFrame = {
     val queries = base.filter(col("vec_id") < nq)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
     val probes = coarseProbes(queries, cents, nprobe)
@@ -408,12 +408,22 @@ object AnnIndex {
       .select(col("q_id"), col("vec_id"))
       .distinct()
     val dtab = pqDtab(pqSubs(base.filter(col("vec_id") < nq), M, SUB),
-      codebook)
+      book)
     val pairs = cands
       .join(codes, Seq("vec_id"))
       .join(broadcast(dtab), Seq("q_id", "ss", "cid"))
     adcTopK(pairs, base, M, topk, nq)
   }
+
+  /** The read-side IVF+PQ query over prebuilt artifacts: probe pruning ×
+    * ADC codes, no training subtree anywhere in the plan. */
+  def ivfPqQuery(s: SparkSession, dir: String, nprobe: Int = NPROBE,
+      topk: Int = 3, nq: Int = 10): DataFrame =
+    ivfPqPlan(Tables.table(s, dir, "embeddings"),
+      s.read.parquet(centroidsPath(dir)),
+      s.read.parquet(assignPath(dir)),
+      s.read.parquet(codebookPath(dir)),
+      s.read.parquet(codesPath(dir)), nprobe, topk, nq)
 
   /** Per-probe residual ADC distance table (q_id, pcid, ss, cid, dd) —
     * nprobe × m × k doubles per query, all broadcast-sized. Shared by
@@ -588,10 +598,12 @@ object AnnIndex {
   private def withMaintLock[T](dir: String)(f: => T): T =
     graft.sources.TableLocks.withLock(maintRoot(dir), "ann_maint")(f)
 
-  /** The manifest: generation counter, live (logical → physical) segment
-    * dirs, the live tombstone dir, and superseded dirs retained until
-    * the next compaction. */
-  private case class MaintManifest(gen: Int, segs: Seq[(String, String)],
+  /** The manifest: epoch (bumped per destructive rebuild) + generation
+    * counter (bumped per compaction), the live centroid/codebook dirs,
+    * live (logical → physical) segment dirs, the live tombstone dir,
+    * and superseded dirs retained until the next compaction. */
+  private case class MaintManifest(gen: Int, epoch: Int,
+      cents: String, book: String, segs: Seq[(String, String)],
       tomb: Option[String], prev: Seq[String])
 
   private def manifestFile(dir: String): java.nio.file.Path =
@@ -600,9 +612,14 @@ object AnnIndex {
   private def readManifest(dir: String): MaintManifest = {
     val lines = java.nio.file.Files
       .readAllLines(manifestFile(dir)).toArray(Array.empty[String])
+    def one(tag: String, dflt: String): String =
+      lines.collectFirst { case l if l.startsWith(s"$tag:") =>
+        l.drop(tag.length + 1) }.getOrElse(dflt)
     MaintManifest(
-      gen = lines.collectFirst { case l if l.startsWith("gen:") =>
-        l.drop(4).toInt }.getOrElse(0),
+      gen = one("gen", "0").toInt,
+      epoch = one("epoch", "0").toInt,
+      cents = one("cents", "cents"),
+      book = one("book", "book"),
       segs = lines.toSeq.filter(_.startsWith("seg:")).map { l =>
         val Array(logical, physical) = l.drop(4).split(":", 2)
         (logical, physical)
@@ -616,10 +633,11 @@ object AnnIndex {
     * writer (the maint lock is held), so rename-replace is safe — this
     * is publication, not a claim. */
   private def publishManifest(dir: String, m: MaintManifest): Unit = {
-    val body = (s"gen:${m.gen}" +:
-      (m.segs.map { case (l, p) => s"seg:$l:$p" } ++
-        m.tomb.map(t => s"tomb:$t").toSeq ++
-        m.prev.map(p => s"prev:$p"))).mkString("", "\n", "\n")
+    val body = (Seq(s"gen:${m.gen}", s"epoch:${m.epoch}",
+      s"cents:${m.cents}", s"book:${m.book}") ++
+      m.segs.map { case (l, p) => s"seg:$l:$p" } ++
+      m.tomb.map(t => s"tomb:$t").toSeq ++
+      m.prev.map(p => s"prev:$p")).mkString("", "\n", "\n")
     val tmp = java.nio.file.Paths.get(
       maintPath(dir, s"MANIFEST.tmp.${ProcessHandle.current().pid()}"))
     java.nio.file.Files.createDirectories(tmp.getParent)
@@ -632,36 +650,40 @@ object AnnIndex {
   /** Train the BASE segment on the non-held-out corpus (vec_id % 8 ≠ 0 —
     * the same split as the composed merge/delete chains so the DuckDB
     * oracle replays it), persist centroids/codebook plus the base
-    * assignment/codes, and publish a fresh generation-0 manifest. A
-    * rebuild is destructive (DROP + CREATE of the whole index): it wipes
-    * every prior segment, delta, and tombstone. */
+    * assignment/codes under a FRESH epoch prefix, publish, then wipe
+    * the previous epoch. Write-aside-then-publish like every other
+    * mutator: a crash mid-rebuild leaves the old manifest pointing at
+    * intact old-epoch dirs. The post-publish wipe is what makes a
+    * rebuild destructive (DROP + CREATE): racing readers of the OLD
+    * index lose their files — by contract, not by accident. */
   def buildBaseSegment(s: SparkSession, dir: String): Unit =
     withMaintLock(dir) {
-      val basePhys = "base_g0"
+      val epoch =
+        if (java.nio.file.Files.exists(manifestFile(dir)))
+          readManifest(dir).epoch + 1
+        else 0
+      val basePhys = s"e${epoch}_base_g0"
+      val centsPhys = s"e${epoch}_cents"
+      val bookPhys = s"e${epoch}_book"
       val base = Tables.table(s, dir, "embeddings")
         .filter(pmod(col("vec_id"), lit(8)) =!= 0)
       val assign = coarseTrainTo(base, K, ITERS,
         maintPath(dir, s"$basePhys/assign"))
-      materialize(coarseCentroids(base, assign), maintPath(dir, "cents"))
+      materialize(coarseCentroids(base, assign), maintPath(dir, centsPhys))
       val subs = graft.sources.Checkpoints.barrier(pqSubs(base, M, SUB))
-      var pq = subs.withColumn("cid",
-        pmod(graft.functions.HashFunctions.fingerprint64(
-          col("vec_id").cast("string")), lit(KPQ.toLong)).cast("int"))
-      for (_ <- 1 to ITERS)
-        pq = graft.sources.Checkpoints.barrier(
-          pqEncode(subs, pqCodebookOf(pq, SUB)))
-      materialize(pq.select(col("vec_id"), col("ss"), col("cid")),
-        maintPath(dir, s"$basePhys/codes"))
-      materialize(pqCodebookOf(pq, SUB), maintPath(dir, "book"))
-      publishManifest(dir,
-        MaintManifest(0, Seq(("seg0", basePhys)), None, Seq.empty))
+      trainPq(subs, maintPath(dir, s"$basePhys/codes"),
+        maintPath(dir, bookPhys))
+      publishManifest(dir, MaintManifest(0, epoch, centsPhys, bookPhys,
+        Seq(("seg0", basePhys)), None, Seq.empty))
       // drop everything the fresh manifest doesn't reference
-      val keep = Set(basePhys, "cents", "book", "MANIFEST", "_locks")
+      val keep = Set(basePhys, centsPhys, bookPhys, "MANIFEST", "_locks")
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.list(java.nio.file.Paths.get(maintRoot(dir)))
-        .iterator().asScala.toSeq
-        .filterNot(p => keep(p.getFileName.toString))
-        .foreach(deleteRecursively)
+      scala.util.Using.resource(java.nio.file.Files.list(
+        java.nio.file.Paths.get(maintRoot(dir)))) { st =>
+        st.iterator().asScala.toSeq
+          .filterNot(p => keep(p.getFileName.toString))
+      }.foreach(p =>
+        graft.sources.FsUtil.deleteRecursively(p, swallowErrors = true))
     }
 
   /** APPEND: frozen-encode `batch` against the persisted base
@@ -684,8 +706,8 @@ object AnnIndex {
     val m = readManifest(dir)
     val old = m.segs.find(_._1 == seg).map(_._2)
     val phys = freshPhys(s"${seg}_g${m.gen}", old)
-    val cents = s.read.parquet(maintPath(dir, "cents"))
-    val book = s.read.parquet(maintPath(dir, "book"))
+    val cents = s.read.parquet(maintPath(dir, m.cents))
+    val book = s.read.parquet(maintPath(dir, m.book))
     coarseReassign(batch, cents)
       .write.mode("overwrite").parquet(maintPath(dir, s"$phys/assign"))
     pqEncode(pqSubs(batch, M, SUB), book)
@@ -710,13 +732,6 @@ object AnnIndex {
         prev = m.prev ++ m.tomb.toSeq))
     }
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
-    if (java.nio.file.Files.exists(p)) {
-      import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse
-        .foreach(java.nio.file.Files.delete)
-    }
-
   /** Live posting/code lists as of one manifest resolution: the union of
     * live segments minus tombstones. The tombstone prune anti-joins the
     * ids-only ASSIGNMENT union (broadcast — tombstone sets are tiny next
@@ -739,28 +754,18 @@ object AnnIndex {
   }
 
   /** The read-side query over the maintained index: resolve the manifest
-    * once, then probe pruning × ADC over the live lists — artifact reads
-    * only, no training subtree, the same plan shape as ivfPqQuery plus
-    * the tombstone anti-join. */
+    * once, then the shared probe-pruning × ADC plan over the live lists
+    * — artifact reads only, no training subtree, ivfPqQuery's shape
+    * plus the tombstone anti-join. */
   def maintQuery(s: SparkSession, dir: String, nprobe: Int = NPROBE,
       topk: Int = 3, nq: Int = 10): DataFrame = {
-    val base = Tables.table(s, dir, "embeddings")
-    val cents = s.read.parquet(maintPath(dir, "cents"))
-    val book = s.read.parquet(maintPath(dir, "book"))
-    val (assign, codes) = liveLists(s, dir, readManifest(dir))
-    val queries = base.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probes = coarseProbes(queries, cents, nprobe)
-    val cands = assign.join(broadcast(probes), Seq("cid"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"))
-      .distinct()
-    val dtab = pqDtab(pqSubs(base.filter(col("vec_id") < nq), M, SUB),
-      book)
-    val pairs = cands
-      .join(codes, Seq("vec_id"))
-      .join(broadcast(dtab), Seq("q_id", "ss", "cid"))
-    adcTopK(pairs, base, M, topk, nq)
+    val m = readManifest(dir)
+    val (assign, codes) = liveLists(s, dir, m)
+    ivfPqPlan(Tables.table(s, dir, "embeddings"),
+      s.read.parquet(maintPath(dir, m.cents)),
+      assign,
+      s.read.parquet(maintPath(dir, m.book)),
+      codes, nprobe, topk, nq)
   }
 
   /** COMPACT: fold all delta segments and tombstones into a new base
@@ -785,7 +790,7 @@ object AnnIndex {
       case None => codes
     }
     val newGen = m.gen + 1
-    val newBase = s"base_g$newGen"
+    val newBase = s"e${m.epoch}_base_g$newGen"
     assign.write.mode("overwrite")
       .parquet(maintPath(dir, s"$newBase/assign"))
     liveCodes.write.mode("overwrite")
@@ -793,11 +798,12 @@ object AnnIndex {
     val genOf = (p: String) =>
       p.split("_g")(1).split("_")(0).toInt
     val (dropNow, carry) = m.prev.partition(p => genOf(p) < m.gen)
-    publishManifest(dir, MaintManifest(newGen,
-      Seq(("seg0", newBase)), None,
+    publishManifest(dir, m.copy(gen = newGen,
+      segs = Seq(("seg0", newBase)), tomb = None,
       prev = carry ++ m.segs.map(_._2) ++ m.tomb.toSeq))
     val root = java.nio.file.Paths.get(maintRoot(dir))
-    dropNow.foreach(p => deleteRecursively(root.resolve(p)))
+    dropNow.foreach(p => graft.sources.FsUtil.deleteRecursively(
+      root.resolve(p), swallowErrors = true))
   }
 
   /** Artifact summary for the build gate: per coarse cluster and per PQ

@@ -460,20 +460,8 @@ ${LshOracleSql.cosineExpr} AS cos
           mcode0.join(broadcast(ids), Seq("vec_id"), "left_anti"))
       case None => (masg0, mcode0)
     }
-    val nq = 10
-    val queries = all.filter(col("vec_id") < nq)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-    val probes = coarseProbes(queries, centsB, 4)
-    val cands = masg.join(broadcast(probes), Seq("cid"))
-      .filter(col("vec_id") =!= col("q_id"))
-      .select(col("q_id"), col("vec_id"))
-      .distinct()
-    val dtab = pqDtab(pqSubs(all.filter(col("vec_id") < nq), 16, 4),
-      bookB)
-    val pairs = cands
-      .join(mcode, Seq("vec_id"))
-      .join(broadcast(dtab), Seq("q_id", "ss", "cid"))
-    adcTopK(pairs, all, 16, 3, nq)
+    AnnIndex.ivfPqPlan(all, centsB, masg, bookB, mcode,
+      nprobe = 4, topk = 3, nq = 10)
   }
 
   val indexMerge: QueryDef = QueryDef(

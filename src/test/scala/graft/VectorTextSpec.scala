@@ -253,12 +253,17 @@ class VectorTextSpec extends GraftSuite {
     // them
     import java.nio.file.{Files, Paths}
     val mroot = Paths.get(operators.AnnIndex.indexDir(sf), "maint")
-    assert(Files.exists(mroot.resolve("base_g0")) &&
-      Files.exists(mroot.resolve("tomb_g0_0")),
+    // physical names carry a rebuild-epoch prefix; find by suffix
+    def dirWith(suffix: String): Boolean =
+      scala.util.Using.resource(Files.list(mroot)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .exists(_.getFileName.toString.endsWith(suffix))
+      }
+    assert(dirWith("base_g0") && dirWith("tomb_g0_0"),
       "retention window violated: superseded dirs deleted immediately")
     operators.AnnIndex.compact(spark, sf)
-    assert(!Files.exists(mroot.resolve("base_g0")) &&
-      !Files.exists(mroot.resolve("tomb_g0_0")),
+    assert(!dirWith("base_g0") && !dirWith("tomb_g0_0"),
       "superseded dirs leaked past one generation")
     assert(operators.AnnIndex.maintQuery(spark, sf)
       .collect().map(_.toSeq).toSeq == rows,
