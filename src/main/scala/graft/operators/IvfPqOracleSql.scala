@@ -85,6 +85,39 @@ private[operators] object IvfPqOracleSql {
       ${PqOracleSql.adcTail(m, iters, topk, "mcand", "mcode")}"""
   }
 
+  /** Oracle for `x_ann_recall_maintained`: recall@topk of the
+    * merged-minus-tombstones ADC read (the maintained index) against the
+    * exact brute-force cosine top-k over the LIVE vector set — the
+    * quality number a deployment watches after a delete wave, because a
+    * tombstoned true-neighbor silently shifts the ground truth. Both
+    * sides and the intersection are deterministic, so the whole
+    * comparison replays bit-exactly. `tombWhere` must reference the bare
+    * `vec_id` column. */
+  def maintainedRecallSql(k: Int, nprobe: Int, m: Int, sub: Int, kpq: Int,
+      iters: Int, topk: Int, nq: Int, tombWhere: String): String = s"""
+      WITH approx AS (SELECT q_id, vec_id FROM (
+        ${mergedSql(k, nprobe, m, sub, kpq, iters, topk, nq, tombWhere)})),
+      ${AnnOracleCommon.erawCte},
+      bscored AS (SELECT q.vec_id AS q_id, e.vec_id,
+        ${AnnOracleCommon.cos("q.emb", "e.emb")} AS cos
+        FROM eraw q
+        JOIN (SELECT * FROM eraw WHERE NOT ($tombWhere)) e
+          ON e.vec_id <> q.vec_id
+        WHERE q.vec_id < $nq),
+      branked AS (SELECT q_id, vec_id,
+                    row_number() OVER (PARTITION BY q_id
+                                       ORDER BY cos DESC, vec_id) AS rk
+                  FROM bscored),
+      brute3 AS (SELECT q_id, vec_id FROM branked WHERE rk <= $topk)
+      SELECT b.q_id, CAST(count(*) AS BIGINT) AS n_true,
+             CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS BIGINT) AS hits,
+             CAST(sum(CASE WHEN a.vec_id IS NOT NULL THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*) AS recall_at_3
+      FROM brute3 b LEFT JOIN approx a
+        ON a.q_id = b.q_id AND a.vec_id = b.vec_id
+      GROUP BY b.q_id ORDER BY b.q_id"""
+
   def ingestSql(k: Int, m: Int, sub: Int, kpq: Int, iters: Int): String = {
     s"""
       WITH ${IvfOracleSql.coreCtes(k, 4, iters, 10, "vec_id % 8 <> 0")},

@@ -521,6 +521,53 @@ ${LshOracleSql.cosineExpr} AS cos
       tombWhere = "vec_id % 5 = 3"))
   )
 
+  /** Recall gate for the MAINTAINED index — the quality number a
+    * deployment re-checks after a delete wave: tombstoning a vector
+    * silently shifts the ground truth (its former neighbors gain new
+    * true top-k entries), so recall must be measured against brute
+    * force over the LIVE set, not the original corpus. Runs the full
+    * lifecycle (base build → delta append → tombstones), then compares
+    * maintQuery's ADC top-3 with exact cosine top-3 over live vectors.
+    * DuckDB replays index chains, brute force, and the intersection
+    * bit-exactly. */
+  val recallMaintained: QueryDef = QueryDef(
+    "x_ann_recall_maintained",
+    (s, dir) => {
+      val all = emb(s, dir)
+      AnnIndex.buildBaseSegment(s, dir)
+      AnnIndex.appendSegment(s, dir,
+        all.filter(pmod(col("vec_id"), lit(8)) === 0))
+      AnnIndex.writeTombstones(s, dir,
+        all.filter(pmod(col("vec_id"), lit(5)) === 3))
+      val nq = 10; val topk = 3
+      val queries = all.filter(col("vec_id") < nq)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      val live = all.filter(pmod(col("vec_id"), lit(5)) =!= 3)
+      val wB = Window.partitionBy(col("q_id"))
+        .orderBy(col("cos").desc, col("vec_id"))
+      val brute = live.crossJoin(broadcast(queries))
+        .filter(col("vec_id") =!= col("q_id"))
+        .select(col("q_id"), col("vec_id"),
+          cosineSim(col("q_emb"), col("embedding")).as("cos"))
+        .withColumn("rk", row_number().over(wB))
+        .filter(col("rk") <= topk)
+        .select(col("q_id"), col("vec_id"))
+      val approx = AnnIndex.maintQuery(s, dir, topk = topk, nq = nq)
+        .select(col("q_id"), col("vec_id"))
+        .withColumn("hit", lit(1L))
+      brute.join(approx, Seq("q_id", "vec_id"), "left")
+        .groupBy(col("q_id"))
+        .agg(count(lit(1)).as("n_true"),
+          sum(coalesce(col("hit"), lit(0L))).as("hits"))
+        .withColumn("recall_at_3",
+          col("hits").cast("double") / col("n_true").cast("double"))
+        .orderBy(col("q_id"))
+    },
+    oracle = Some(IvfPqOracleSql.maintainedRecallSql(k = 16, nprobe = 4,
+      m = 16, sub = 4, kpq = 16, iters = 2, topk = 3, nq = 10,
+      tombWhere = "vec_id % 5 = 3"))
+  )
+
   /** Measured ANN quality gate: recall@3 of the prebuilt IVF index
     * (probe-pruned exact-cosine search over the persisted artifacts)
     * against the exact brute-force top-3 — the number a production ANN
@@ -1277,7 +1324,7 @@ ${LshOracleSql.cosineExpr} AS cos
 
   def defs: Seq[QueryDef] = Seq(bruteTopK, distanceBattery, lshTopK, ivfTopK,
     pqTopK, ivfpqTopK, indexBuild, ivfpqIndexed, indexIngest, streamIngest,
-    indexMerge, indexDelete, indexMaintenance,
+    indexMerge, indexDelete, indexMaintenance, recallMaintained,
     recallIvf, nprobeSweep, centroids, sq8TopK, ivfpqRerank, filteredSearch,
     rangeSearch, triplets, mrlTruncate, centroidDrift, pqResidualTopK,
     pqResidualIndexed, mrlRerank, oodDetection)
