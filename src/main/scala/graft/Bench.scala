@@ -112,9 +112,46 @@ object Bench {
     "x_ann_index_delete",
     "x_ann_index_maintenance")
 
+  // ---- machine-state guard (round-9, after the r8 driver artifact was
+  // taken on a co-loaded VM and read 9.9 s/10.5× against 6.3 s/2.2× for
+  // identical code, with nothing in the JSON to tell): sample load
+  // average and CPU steal around the run, re-run any timing whose reps
+  // disagree wildly, and stamp the artifact `contended` when the
+  // evidence says the numbers are polluted — a contaminated artifact of
+  // record must self-identify instead of requiring a judge re-run. ----
+
+  /** 1-minute load average, -1 when unreadable (non-Linux). */
+  private def loadAvg(): Double =
+    try java.nio.file.Files.readString(
+        java.nio.file.Paths.get("/proc/loadavg")).trim.split("\\s+")(0)
+      .toDouble
+    catch { case _: Exception => -1.0 }
+
+  /** Cumulative (steal, total) jiffies from /proc/stat's cpu line —
+    * deltas give the fraction of time the hypervisor ran OTHER tenants
+    * on our cpus, the direct co-load signal a loadavg (which includes
+    * our own threads) cannot isolate. */
+  private def cpuJiffies(): (Long, Long) =
+    try {
+      val f = java.nio.file.Files.readAllLines(
+          java.nio.file.Paths.get("/proc/stat")).get(0)
+        .trim.split("\\s+").drop(1).map(_.toLong)
+      (if (f.length > 7) f(7) else 0L, f.sum)
+    } catch { case _: Exception => (0L, 0L) }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // entry load is sampled BEFORE any Spark work, so it measures what
+    // else the machine is doing, not our own bench
+    val loadEntry = loadAvg()
+    val jiffies0 = cpuJiffies()
+    val loadTrace =
+      scala.collection.mutable.ArrayBuffer[(String, Double)]()
+    def traceLoad(section: String): Unit =
+      loadTrace += section -> loadAvg()
+    var benchReruns = 0
+    val unstable = scala.collection.mutable.ArrayBuffer.empty[String]
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -161,6 +198,24 @@ object Bench {
     }
     def runE2e(name: String): Double = runE2eIn(name, sfDir)
     def run(name: String): Double = runE2e(name)
+
+    // best-of with a CO-LOAD guard: accept once the two fastest reps
+    // agree within 25% (steady-state timings of a compiled plan do on an
+    // idle machine); otherwise re-run up to 2 extra reps — contention
+    // turns best-of-N into a lottery, and the artifact must either
+    // converge or carry the query's name in `unstable` so a polluted
+    // number self-identifies
+    def runStable(name: String, dir: String, reps: Int): Double = {
+      val ts = scala.collection.mutable.ArrayBuffer(
+        (1 to reps).map(_ => runE2eIn(name, dir)): _*)
+      def stable = { val s = ts.sorted; (s(1) - s(0)) / s(0) <= 0.25 }
+      var extra = 0
+      while (reps > 1 && !stable && extra < 2) {
+        ts += runE2eIn(name, dir); extra += 1; benchReruns += 1
+      }
+      if (reps > 1 && !stable) unstable += name
+      ts.min
+    }
 
     // warmup: absorb session startup, file-listing, and first-codegen
     // cost outside the timings. count() alone is NOT enough — an
@@ -223,13 +278,14 @@ object Bench {
 
     val results: Seq[(String, Option[Double])] = names.map { name =>
       val sec =
-        try Some((1 to runs).map(_ => runE2eIn(name, sfDir)).min)
+        try Some(runStable(name, sfDir, runs))
         catch { case e: Throwable =>
           System.err.println(s"[bench] $name failed: ${e.getMessage}")
           None
         }
       name -> sec
     }
+    traceLoad("headline")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
@@ -318,6 +374,7 @@ object Bench {
         if (ratios.nonEmpty) concWorst = Some(ratios.max)
         entries.mkString("{", ",", "}")
       }
+    traceLoad("concurrent")
 
     // dwweek soak analog (reference: utils/scenarios/dwweek/ — the
     // week-long scenario runs DAYTIME QUERY GROUPS CONCURRENTLY with
@@ -332,6 +389,9 @@ object Bench {
     // the table lock serializes the merges).
     val soakCycles = sys.env.getOrElse("SPARK_GRAFT_SOAK_CYCLES", "2").toInt
     var soakFail = 0
+    // the crash-recovery drill's result (dwweek-with-failures analog) —
+    // populated by the crash cycle inside the soak section below
+    var soakCrashJson = """{"ran":false}"""
     // a soak failure must never destroy the already-measured headline and
     // concurrency results, so the whole section is fallible
     val soakJson: String =
@@ -416,6 +476,96 @@ object Bench {
               s""""overlap":${overlapReads > 0},"reads":$reads,""" +
               s""""consistent":$consistent}"""
           }
+
+          // ---- WRITER-CRASH cycle (reference: dwweek is a week of
+          // loads WITH failures; recovery = DMLProc crash →
+          // cleartablelock, dbcon/dmlpackageproc/
+          // commandpackageprocessor.cpp:34). A REAL second JVM runs a
+          // locked upsert, parks inside the commit window (live dir
+          // renamed aside, post-image staged, lock held — the worst
+          // instant), and is kill -9'd there. The next reader and
+          // writer must proceed through the stale-lock steal +
+          // recover() path and observe only complete images. ----------
+          soakCrashJson = try {
+            def srcOf(c: Class[_]) = java.nio.file.Paths.get(
+              c.getProtectionDomain.getCodeSource.getLocation.toURI)
+              .toString
+            val sparkSrc = srcOf(classOf[org.apache.spark.sql.SparkSession])
+            val cp = Seq(
+              srcOf(SparkEntry.getClass),
+              if (sparkSrc.endsWith(".jar"))
+                java.nio.file.Paths.get(sparkSrc).getParent.toString + "/*"
+              else sparkSrc,
+              srcOf(classOf[scala.Option[_]]))
+              .mkString(java.io.File.pathSeparator)
+            val javaBin = java.nio.file.Paths.get(
+              System.getProperty("java.home"), "bin", "java").toString
+            val addOpens = Seq("java.lang", "java.lang.invoke",
+              "java.lang.reflect", "java.io", "java.net", "java.nio",
+              "java.util", "java.util.concurrent",
+              "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+              "sun.security.action", "sun.util.calendar")
+              .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+            // the crash batch REPLACES batch 0's rows under new batch_id
+            // 999 (same keys), so pre- and post-image are distinguishable
+            // and both enumerable exactly
+            batchDf(0).withColumn("batch_id", lit(999))
+              .write.mode("overwrite").parquet(s"$tmp/crash_batch")
+            val pb = new ProcessBuilder((Seq(javaBin) ++ addOpens ++ Seq(
+              "-Xmx3g", "-cp", cp, "graft.sources.SoakCrashWriter",
+              s"$tmp/cat", "soak_orders", s"$tmp/crash_batch",
+              "o_orderkey")): _*).redirectErrorStream(true)
+            pb.environment().put("GRAFT_SWAP_PAUSE_MS", "120000")
+            val proc = pb.start()
+            val drain = new Thread(() =>
+              try proc.getInputStream.transferTo(
+                java.io.OutputStream.nullOutputStream())
+              catch { case _: Throwable => })
+            drain.setDaemon(true)
+            drain.start()
+            val flag = java.nio.file.Paths.get(
+              s"$tmp/cat", "_locks", ".midswap_soak_orders")
+            val dl = System.nanoTime() + 240L * 1000000000L
+            while (!java.nio.file.Files.exists(flag) && proc.isAlive &&
+                System.nanoTime() < dl)
+              Thread.sleep(20)
+            val flagged = java.nio.file.Files.exists(flag)
+            proc.destroyForcibly()
+            proc.waitFor()
+            val liveGone = !java.nio.file.Files.exists(
+              java.nio.file.Paths.get(s"$tmp/cat/soak_orders"))
+            val lockLeft = java.nio.file.Files.exists(
+              java.nio.file.Paths.get(s"$tmp/cat/_locks/soak_orders.lock"))
+            // next READER: must recover (steal the dead writer's lock,
+            // restore an image) and see a COMPLETE snapshot — the full
+            // pre-image (batch 0 live) or the full post-image (999
+            // replacing 0), never a mix or a missing table
+            val seen = cat.readCommitted("soak_orders")(
+              _.groupBy("batch_id").count().collect())
+              .map(r => r.getInt(0) -> r.getLong(1)).toMap
+            val preImage = (0 until nb).map(k => k -> expected(k)).toMap
+            val postImage = preImage - 0 + (999 -> expected(0))
+            val image =
+              if (seen == postImage) "post"
+              else if (seen == preImage) "pre" else "INCONSISTENT"
+            // next WRITER proceeds under a fresh claim: restore batch 0
+            cat.upsert("soak_orders", batchDf(0), Seq("o_orderkey"))
+            val finalOk = cat.readCommitted("soak_orders")(
+              _.groupBy("batch_id").count().collect())
+              .map(r => r.getInt(0) -> r.getLong(1)).toMap == preImage
+            val recovered = flagged && image != "INCONSISTENT" && finalOk
+            if (!recovered) soakFail += 1
+            s"""{"ran":true,"killed_mid_swap":$flagged,""" +
+              s""""live_gone_at_kill":$liveGone,""" +
+              s""""stale_lock_left":$lockLeft,"reader_image":"$image",""" +
+              s""""next_writer_ok":$finalOk,"recovered":$recovered}"""
+          } catch { case e: Throwable =>
+            soakFail += 1
+            val msg = Option(e.getMessage).getOrElse(e.toString)
+              .replaceAll("[\"\\\\\n\r]", " ").take(200)
+            s"""{"ran":true,"recovered":false,"err":"$msg"}"""
+          }
+
           cycles.mkString("[", ",", "]")
         } finally {
           sources.FsUtil.deleteRecursively(tmp, swallowErrors = true)
@@ -425,18 +575,20 @@ object Bench {
         soakFail += 1
         "[]"
       }
+    traceLoad("soak")
 
     // extended section: heavier pipeline/index queries timed separately so
     // headline_total stays comparable round-over-round
     val extResults: Seq[(String, Option[Double])] = extended.map { name =>
       val sec =
-        try Some((1 to extRuns).map(_ => runE2e(name)).min)
+        try Some(runStable(name, sfDir, extRuns))
         catch { case e: Throwable =>
           System.err.println(s"[bench] extended $name failed: ${e.getMessage}")
           None
         }
       name -> sec
     }
+    traceLoad("extended")
     val extJson = extResults.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
 
@@ -450,24 +602,38 @@ object Bench {
     val scaleFactor =
       sys.env.getOrElse("SPARK_GRAFT_SCALING_FACTOR", "8").toInt
     val scalRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    var scaling27Json = "{}"
     val scalingJson: String =
       if (scaleFactor <= 1) "{}"
       else try {
         import org.apache.spark.sql.functions.{col, lit}
         val tmp = java.nio.file.Files.createTempDirectory("graft_scale")
+        // the scaling legs run with RELIABLE checkpoint barriers (r8
+        // post-mortem: the localCheckpoint default stores barrier blocks
+        // in executor memory, and under memory pressure eviction forces
+        // recomputation of the whole iterative lineage — the signature
+        // of the contended run's pagerank 2.2×→10.5× / minhash 4×→32×
+        // tails, which degraded multiplicatively while everything else
+        // slowed 1.5×. Reliable mode persists barriers to disk, so
+        // eviction degrades into a file re-read — the production
+        // setting on a real cluster, and the honest basis for a curve
+        // that claims to predict 100× behavior). Cost at sf0.1: see
+        // SCALE.md's mode comparison (~parity on an idle machine).
+        spark.conf.set("spark.graft.checkpoint.dir", s"$tmp/_ckpt")
         try {
           val off = 100000000L // id offset per copy; copy 0 keeps the
                                // original ids, so the vec_id<10 query
                                // sets stay fixed while the corpus grows
-          def scaleUp(table: String, idCol: String): Unit = {
+          def scaleUp(table: String, idCol: String, factor: Int,
+              dest: java.nio.file.Path): Unit = {
             val base = Tables.table(spark, sfDir, table)
-            (0 until scaleFactor)
+            (0 until factor)
               .map(i => base.withColumn(idCol, col(idCol) + lit(i * off)))
               .reduce(_ unionAll _)
-              .write.mode("overwrite").parquet(s"$tmp/$table.parquet")
+              .write.mode("overwrite").parquet(s"$dest/$table.parquet")
           }
-          scaleUp("documents", "doc_id")
-          scaleUp("embeddings", "vec_id")
+          scaleUp("documents", "doc_id", scaleFactor, tmp)
+          scaleUp("embeddings", "vec_id", scaleFactor, tmp)
           // prebuild both ANN indexes so the ivfpq entry times the
           // read-side query, not construction
           operators.AnnIndex.ensureBuilt(spark, sfDir)
@@ -476,8 +642,8 @@ object Bench {
           // window-free rank path must stay sublinear as the corpus grows
           val scaleQs = Seq("x_dedup_minhash_lsh", "x_dedup_chunks",
             "x_dedup_cc", "x_search_bm25", "x_ann_ivfpq_indexed",
-            "x_dedup_setjoin", "x_graph_pagerank", "x_pipeline_auc",
-            "x_pipeline_dsir")
+            "x_dedup_setjoin", "x_graph_pagerank", "x_graph_labelprop",
+            "x_graph_triangles", "x_pipeline_auc", "x_pipeline_dsir")
           // join-style dedup is OUTPUT-BOUND on the salted-clone corpus:
           // every doc gains N near-identical copies, so TRUE near-dup
           // pairs grow ~quadratically per clone group and wall time
@@ -488,44 +654,110 @@ object Bench {
           // "expected output growth". scal_worst uses the normalized
           // ratio for these queries, the raw ratio otherwise.
           val outputBound = Set("x_dedup_minhash_lsh", "x_dedup_setjoin")
+          // the graph family is normalized the same way, but on its
+          // DERIVED star-edge set (fixture-sensitive: edges grow with
+          // shared-chunk/band density, not just rows) — a raw wall
+          // ratio could hide a derived-edge explosion exactly like the
+          // dedup joins' raw ratios hid output growth before round 8.
+          // One edge count per (family, corpus), shared across the
+          // family's queries.
+          val edgeCounts =
+            scala.collection.mutable.Map.empty[(String, String), Long]
+          def edgesFor(name: String, dir: String): Option[Long] =
+            name match {
+              case "x_graph_pagerank" | "x_graph_labelprop" |
+                   "x_graph_triangles" =>
+                Some(edgeCounts.getOrElseUpdate(("graph", dir), {
+                  resetState()
+                  operators.GraphQueries.derivedEdgeCount(spark, dir)
+                }))
+              case "x_dedup_cc" =>
+                Some(edgeCounts.getOrElseUpdate(("cc", dir), {
+                  resetState()
+                  operators.DedupQueries.ccStarEdgeCount(spark, dir)
+                }))
+              case _ => None
+            }
+          val x1Times = scala.collection.mutable.Map.empty[String, Double]
           val entries = scaleQs.map { name =>
             try {
-              val x1 = (1 to 2).map(_ => runE2eIn(name, sfDir)).min
+              val x1 = runStable(name, sfDir, 2)
+              x1Times(name) = x1
               val xn = runE2eIn(name, tmp.toString)
               val ratio = if (x1 > 0) xn / x1 else -1.0
-              if (outputBound(name)) {
-                resetState()
-                val out1 = SparkEntry.queries(name)(spark, sfDir).count()
-                resetState()
-                val outN = SparkEntry.queries(name)(spark, tmp.toString)
-                  .count()
-                val outGrowth =
-                  if (out1 > 0) outN.toDouble / out1 else -1.0
-                val perRow =
-                  if (ratio > 0 && outGrowth > 0) ratio / outGrowth
-                  else -1.0
-                if (perRow > 0) scalRatios += perRow
-                s""""$name":{"x1":$x1,"x$scaleFactor":$xn,""" +
-                  s""""ratio":$ratio,"out_x1":$out1,"out_xn":$outN,""" +
-                  s""""ratio_per_row":$perRow}"""
-              } else {
-                if (x1 > 0) scalRatios += ratio
-                s""""$name":{"x1":$x1,"x$scaleFactor":$xn,"ratio":$ratio}"""
+              val outs: Option[(Long, Long)] =
+                if (outputBound(name)) {
+                  resetState()
+                  val o1 = SparkEntry.queries(name)(spark, sfDir).count()
+                  resetState()
+                  val oN = SparkEntry.queries(name)(spark, tmp.toString)
+                    .count()
+                  Some((o1, oN))
+                } else for {
+                  o1 <- edgesFor(name, sfDir)
+                  oN <- edgesFor(name, tmp.toString)
+                } yield (o1, oN)
+              outs match {
+                case Some((o1, oN)) =>
+                  val growth = if (o1 > 0) oN.toDouble / o1 else -1.0
+                  val perRow =
+                    if (ratio > 0 && growth > 0) ratio / growth else -1.0
+                  if (perRow > 0) scalRatios += perRow
+                  s""""$name":{"x1":$x1,"x$scaleFactor":$xn,""" +
+                    s""""ratio":$ratio,"out_x1":$o1,"out_xn":$oN,""" +
+                    s""""ratio_per_row":$perRow}"""
+                case None =>
+                  if (x1 > 0) scalRatios += ratio
+                  s""""$name":{"x1":$x1,"x$scaleFactor":$xn,"ratio":$ratio}"""
               }
             } catch { case e: Throwable =>
               System.err.println(s"[bench] scaling $name: ${e.getMessage}")
               s""""$name":null"""
             }
           }
-          s"""{"factor":$scaleFactor,"queries":${
+          // reduced 27× leg (r8 directive: SCALE.md's 27× curves were
+          // measured in round 7 and frozen — a regression at the 27×
+          // knee, e.g. a broadcast crossing its threshold, would not
+          // show in an 8×-only artifact). Three documents-only ops with
+          // the worst 8× raw ratios, single-shot, x1 reused from above:
+          // ~1 min of bench time keeps the knee observable per round.
+          if (!sys.env.get("SPARK_GRAFT_SCALING27").contains("0")) try {
+            val f27 = 27
+            val tmp27 = java.nio.file.Files.createTempDirectory("graft_s27")
+            try {
+              scaleUp("documents", "doc_id", f27, tmp27)
+              val q27 = Seq("x_graph_pagerank", "x_dedup_cc",
+                "x_pipeline_dsir").filter(x1Times.contains)
+              val e27 = q27.map { name =>
+                try {
+                  val xn = runE2eIn(name, tmp27.toString)
+                  val x1 = x1Times(name)
+                  val ratio = if (x1 > 0) xn / x1 else -1.0
+                  s""""$name":{"x1":$x1,"x$f27":$xn,"ratio":$ratio}"""
+                } catch { case e: Throwable =>
+                  System.err.println(s"[bench] scaling27 $name: ${e.getMessage}")
+                  s""""$name":null"""
+                }
+              }
+              scaling27Json = s"""{"factor":$f27,"queries":${
+                e27.mkString("{", ",", "}")}}"""
+            } finally {
+              sources.FsUtil.deleteRecursively(tmp27, swallowErrors = true)
+            }
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] scaling27 failed: ${e.getMessage}")
+          }
+          s"""{"factor":$scaleFactor,"checkpoint":"reliable","queries":${
             entries.mkString("{", ",", "}")}}"""
         } finally {
+          spark.conf.unset("spark.graft.checkpoint.dir")
           sources.FsUtil.deleteRecursively(tmp, swallowErrors = true)
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scaling failed: ${e.getMessage}")
         "{}"
       }
+    traceLoad("scaling")
 
     // full-registry e2e sweep (single-shot per query, construction and
     // training included — the strictest basis): every registered query,
@@ -557,8 +789,27 @@ object Bench {
         }
         entries.mkString("{", ",", "}")
       }
+    traceLoad("all")
 
-    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"extended":$extJson,"scaling":$scalingJson,"concurrent":{"sessions":$users,"queries":$concurrentJson},"soak":$soakJson,"all":$allJson,"sf":"$sfDir"}"""
+    // machine-state verdict for the whole run. Contended when any of:
+    //  - the machine was busy BEFORE we started (entry loadavg above
+    //    half our cpu budget — our own work contributes nothing yet);
+    //  - the hypervisor stole >5% of cpu during the run;
+    //  - any timing failed to converge under the re-run guard.
+    val jiffies1 = cpuJiffies()
+    val stealPct =
+      if (jiffies1._2 > jiffies0._2)
+        100.0 * (jiffies1._1 - jiffies0._1) / (jiffies1._2 - jiffies0._2)
+      else 0.0
+    val contended = (loadEntry > cpus.toDouble * 0.5) ||
+      stealPct > 5.0 || unstable.nonEmpty
+    val loadJson = s"""{"entry":$loadEntry,"steal_pct":${
+        math.rint(stealPct * 100) / 100},"reruns":$benchReruns,""" +
+      s""""unstable":${unstable.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""trace":${loadTrace.map { case (k, v) => "\"" + k + "\":" + v }
+        .mkString("{", ",", "}")}}"""
+
+    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"extended":$extJson,"scaling":$scalingJson,"scaling27":$scaling27Json,"concurrent":{"sessions":$users,"queries":$concurrentJson},"soak":$soakJson,"soak_crash":$soakCrashJson,"all":$allJson,"contended":$contended,"load":$loadJson,"sf":"$sfDir"}"""
     // full-precision, full-section copy: sbt wraps stdout in [info] noise
     // and the driver's stdout tail capture is ~2 KB, so the complete
     // artifact always lands in this file
@@ -593,7 +844,9 @@ object Bench {
     val signals = s""","ext_total":$extTotal,"ext_fail":$extFail""" +
       s""","scal_worst":$scalWorst,"conc_worst":$concW""" +
       s""","all_total":${r3(allTotal)},"all_fail":$allFail""" +
-      s""","slowest":$slowJson,"soak_fail":$soakFail"""
+      s""","slowest":$slowJson,"soak_fail":$soakFail""" +
+      s""","contended":$contended,"load_entry":$loadEntry""" +
+      s""","steal_pct":${math.rint(stealPct * 100) / 100}"""
     val head = s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","queries":$qs3"""
     val tailF = s"""$signals,"sf":"$sfDir"}"""
     val withExt = s"""$head,"extended":$ext3$tailF"""

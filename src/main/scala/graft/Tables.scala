@@ -45,55 +45,105 @@ object Tables {
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
 
-  /** Inferred schema per table path, cached for the process lifetime —
-    * the CalpontSystemCatalog caching analog (the reference resolves
-    * schema.table.column through an in-memory catalog per statement,
-    * calpontsystemcatalog.h:107; it does not re-read storage metadata).
-    * Without this, EVERY DataFrame construction runs a footer-reading
-    * schema-inference job per table (50–150 ms each, k tables per
-    * query) — round 8's switch to end-to-end timing surfaced that as a
-    * uniform ~2× construction tax on the TPC-H headline. The testdata
-    * dirs are immutable, so path-keyed caching is sound; a changed
-    * corpus uses a new dir (as the bench scaling section does). */
+  /** Inferred schema per table path, cached while the directory's
+    * fingerprint holds — the CalpontSystemCatalog caching analog (the
+    * reference resolves schema.table.column through an in-memory catalog
+    * per statement, calpontsystemcatalog.h:107; it does not re-read
+    * storage metadata). Without this, EVERY DataFrame construction runs
+    * a footer-reading schema-inference job per table (50–150 ms each,
+    * k tables per query) — round 8's switch to end-to-end timing
+    * surfaced that as a uniform ~2× construction tax on the TPC-H
+    * headline. Entries carry the fingerprint they were cached under, so
+    * a directory REWRITTEN at the same path (new files, new schema) is
+    * detected and re-read instead of served stale — the immutability
+    * assumption is enforced, not just documented. */
   private val schemaCache =
     scala.collection.concurrent.TrieMap
-      .empty[String, org.apache.spark.sql.types.StructType]
+      .empty[String, (String, org.apache.spark.sql.types.StructType)]
 
-  /** Resolved base relation per (session, path) — constructing a scan is
-    * pure (immutable DataFrame), so the resolved relation is shared and
-    * repeated `table()` calls skip file-listing/relation setup too.
-    * Weak session keys alone would never be collected here: every cached
-    * Dataset strongly references its SparkSession, and a WeakHashMap
-    * holds VALUES strongly, so the key would stay reachable through its
-    * own value forever (a permanent leak in a serving process that mints
-    * sessions per client). The per-session map is therefore held through
-    * a SoftReference — the only strong path to a dead session then runs
+  /** Cheap change detector for a parquet table directory: mtime + entry
+    * count + total length of the top-level listing. Any parquet (re)write
+    * into the dir changes at least one component — an overwrite replaces
+    * part-files (names/lengths change), an append adds files (count
+    * changes), a swap replaces the dir (mtime changes). One stat + one
+    * readdir; microseconds against the 50–150 ms footer job it guards. */
+  private def fingerprint(p: String): String =
+    try {
+      val dir = java.nio.file.Paths.get(p)
+      val mtime = java.nio.file.Files.getLastModifiedTime(dir).toMillis
+      var n = 0L
+      var bytes = 0L
+      scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
+        val it = st.iterator()
+        while (it.hasNext) {
+          val f = it.next()
+          n += 1
+          bytes += (try java.nio.file.Files.size(f)
+                    catch { case _: Exception => 0L })
+        }
+      }
+      s"$mtime#$n#$bytes"
+    } catch { case _: Exception => s"absent#${System.nanoTime()}" }
+
+  /** Resolved base relation per (session, path), fingerprint-stamped —
+    * constructing a scan is pure (immutable DataFrame) AND the cached
+    * DataFrame freezes the parquet file listing at first action, so the
+    * entry is only valid while the directory is byte-identical; the
+    * fingerprint check on every access enforces that. Weak session keys
+    * alone would never be collected here: every cached Dataset strongly
+    * references its SparkSession, and a WeakHashMap holds VALUES
+    * strongly, so the key would stay reachable through its own value
+    * forever (a permanent leak in a serving process that mints sessions
+    * per client). The per-session map is therefore held through a
+    * SoftReference — the only strong path to a dead session then runs
     * through softly-reachable state, which the collector clears under
     * memory pressure, upon which the weak key entry follows. */
   private val relationCache =
     new java.util.WeakHashMap[SparkSession, java.lang.ref.SoftReference[
-      scala.collection.concurrent.TrieMap[String, DataFrame]]]()
+      scala.collection.concurrent.TrieMap[String, (String, DataFrame)]]]()
+
+  /** Drop cached schema/relation state for one table path (all sessions)
+    * — for callers that know they just mutated a directory and don't
+    * want to rely on the fingerprint (e.g. a same-millisecond in-place
+    * rewrite that preserves file count and byte length). */
+  def invalidate(p: String): Unit = {
+    schemaCache.remove(p)
+    relationCache.synchronized {
+      val it = relationCache.values().iterator()
+      while (it.hasNext) {
+        val m = it.next().get()
+        if (m != null) m.remove(p)
+      }
+    }
+  }
 
   /** Read one table. Filters/pruning push down to the parquet scan. */
   def table(spark: SparkSession, dir: String, name: String): DataFrame = {
     tune(spark)
     val p = path(dir, name)
+    val fp = fingerprint(p)
     val perSession = relationCache.synchronized {
       val ref = relationCache.get(spark)
       val existing = if (ref != null) ref.get else null
       if (existing != null) existing
       else {
-        val fresh =
-          scala.collection.concurrent.TrieMap.empty[String, DataFrame]
+        val fresh = scala.collection.concurrent.TrieMap
+          .empty[String, (String, DataFrame)]
         relationCache.put(spark, new java.lang.ref.SoftReference(fresh))
         fresh
       }
     }
-    val df = perSession.getOrElseUpdate(p, {
-      val schema =
-        schemaCache.getOrElseUpdate(p, spark.read.parquet(p).schema)
-      spark.read.schema(schema).parquet(p)
-    })
+    val df = perSession.get(p).filter(_._1 == fp).map(_._2).getOrElse {
+      val schema = schemaCache.get(p).filter(_._1 == fp).map(_._2)
+        .getOrElse {
+          val s = spark.read.parquet(p).schema
+          schemaCache.put(p, (fp, s))
+          s
+        }
+      val d = spark.read.schema(schema).parquet(p)
+      perSession.put(p, (fp, d))
+      d
+    }
     // Normalize the event timestamp to TIMESTAMP (ltz) whatever the file
     // carries. Generations of the testdata have shipped TIMESTAMP(NANOS)
     // (arrives as long under nanosAsLong; `div 1000` floors to µs exactly —

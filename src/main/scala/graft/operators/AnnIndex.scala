@@ -380,16 +380,29 @@ object AnnIndex {
 
   /** Build only if a CURRENT-layout index for `dir` doesn't exist yet:
     * the marker must carry IndexVersion and every versioned artifact
-    * path must be present. */
-  def ensureBuilt(s: SparkSession, dir: String): Unit = {
-    val fresh =
-      java.nio.file.Files.exists(marker(dir)) &&
-        java.nio.file.Files.readString(marker(dir)).trim == IndexVersion &&
-        Seq(centroidsPath(dir), assignPath(dir), codebookPath(dir),
-          codesPath(dir), resCodebookPath(dir), resCodesPath(dir))
-          .forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
-    if (!fresh) build(s, dir)
-  }
+    * path must be present.
+    *
+    * The check-and-build runs under the same claim-by-hard-link writer
+    * lock DML uses (keyed on the index dir), so two sessions racing a
+    * cold index serialize — one builds, the other re-checks and finds
+    * it fresh — instead of both writing the same artifact dirs
+    * concurrently. The marker read is fallible on purpose: a concurrent
+    * rebuild in an UNLOCKED world could delete the marker between the
+    * exists() and readString(); under the lock that can't happen, but
+    * treating any read failure as "not fresh" keeps the check correct
+    * even against out-of-band deletion (an operator rm -rf mid-check). */
+  def ensureBuilt(s: SparkSession, dir: String): Unit =
+    graft.sources.TableLocks.withLock(indexDir(dir), "ann_build",
+        timeoutMs = 30 * 60 * 1000L) {
+      val fresh =
+        (try java.nio.file.Files.exists(marker(dir)) &&
+           java.nio.file.Files.readString(marker(dir)).trim == IndexVersion
+         catch { case _: Exception => false }) &&
+          Seq(centroidsPath(dir), assignPath(dir), codebookPath(dir),
+            codesPath(dir), resCodebookPath(dir), resCodesPath(dir))
+            .forall(p => java.nio.file.Files.exists(java.nio.file.Paths.get(p)))
+      if (!fresh) build(s, dir)
+    }
 
   /** THE probe-pruning × ADC read plan, shared by every IVF+PQ read
     * path (prebuilt index, merged/deleted composed chains, segmented

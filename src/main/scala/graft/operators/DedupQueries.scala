@@ -720,6 +720,25 @@ ${LshOracleSql.cosineExpr} AS c
     * computes the same fixed point independently via a recursive-CTE
     * transitive closure, so the gate checks true convergence, not just
     * one sweep. */
+  /** Size of x_dedup_cc's derived star-edge set (the minhash-band star
+    * the contraction loop iterates over) — the bench artifact's
+    * output-normalization column for the cc scaling leg, same rationale
+    * as GraphQueries.derivedEdgeCount: the edge set grows with band
+    * collisions, so per-edge cost is the scale-honest ratio. */
+  private[graft] def ccStarEdgeCount(s: SparkSession, dir: String): Long = {
+    val base = docs(s, dir)
+      .select(col("doc_id"),
+        array_distinct(split(col("text"), " ")).as("toks"))
+      .withColumn("sig", minhashSig(col("toks"), 32))
+    val bands = minhashBands(base)
+    val bucketMin = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(min(col("doc_id")).as("m"))
+    bands.join(bucketMin, Seq("band_id", "band_key"))
+      .filter(col("doc_id") =!= col("m"))
+      .select(col("doc_id").as("a"), col("m").as("b"))
+      .distinct().count()
+  }
+
   val cc: QueryDef = QueryDef(
     "x_dedup_cc",
     (s, dir) => {

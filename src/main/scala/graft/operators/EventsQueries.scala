@@ -1210,20 +1210,28 @@ object EventsQueries {
           "skip (data loss); reset the state table together with the " +
           "checkpoint, or restore the original checkpoint")
     // upgrade guard: a PRE-LINEAGE marker (bid only) can't distinguish a
-    // same-checkpoint replay from a checkpoint reset. Replays always
-    // carry bid == applied+0 or an in-order bid; a bid at or below the
-    // marker with no lineage stamp is therefore treated as the reset
-    // case and fails loudly — the skip branch below must never eat
-    // batches on the strength of a marker that lacks provenance.
+    // same-checkpoint replay from a checkpoint reset — EXCEPT at the
+    // in-order replay boundary. A same-checkpoint crash recovery
+    // re-presents exactly the last committed batch (bid == applied);
+    // failing that hard would turn every first restart after upgrading
+    // to lineage-stamped code into an operator-intervention outage. So
+    // bid == applied no-ops idempotently AND adopts this stream's
+    // lineage into the marker (first contact claims provenance, making
+    // the next reset detectable); only bid STRICTLY below the marker —
+    // a batch-id restart, the genuine reset signature — fails loudly,
+    // because the skip branch must never eat a window of batches on the
+    // strength of a marker that lacks provenance.
     if (runId.nonEmpty && appliedRun.isEmpty && applied >= 0 &&
-        applied >= bid)
+        applied > bid)
       throw new IllegalStateException(
         s"CDC state at $stateDir carries a pre-lineage marker (through " +
           s"batch $applied, no stream id) and this stream (lineage " +
-          s"$runId) presented batch $bid <= $applied: cannot tell an " +
+          s"$runId) presented batch $bid < $applied: cannot tell an " +
           "idempotent replay from a checkpoint reset — refusing to " +
           "skip; restore the original checkpoint or reset the state " +
           "table with it")
+    if (runId.nonEmpty && appliedRun.isEmpty && applied == bid)
+      Files.writeString(markOf(stateDir), s"$applied $runId\n")
     if (applied < bid) {
       val bAgg = batch.groupBy(col("user_id"))
         .agg(max(struct(col("ts"), col("event_id"), col("event_type"),

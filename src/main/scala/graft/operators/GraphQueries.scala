@@ -65,6 +65,17 @@ object GraphQueries {
       .distinct()
   }
 
+  /** Size of the derived star-edge set the whole graph family runs on —
+    * for the bench artifact's output-normalized scaling column. The
+    * edge set is FIXTURE-SENSITIVE (it grows with shared-chunk density,
+    * not just row count), so a raw wall ratio at 8× corpus can hide a
+    * derived-edge explosion exactly the way the dedup joins' raw ratios
+    * hid output-bound pair growth before round 8; reporting
+    * edges-emitted at both scales makes per-edge cost the comparable
+    * number. */
+  private[graft] def derivedEdgeCount(s: SparkSession, dir: String): Long =
+    starEdges(chunkDigests(docs(s, dir))).count()
+
   /** The shared DuckDB edge-derivation prelude (chunk digests → star →
     * symmetric edges + out-degrees), verbatim-replayed so both graph
     * oracles see the identical graph. */

@@ -269,6 +269,22 @@ class Catalog(spark: SparkSession, root: String) {
     val old = Paths.get(tablePath(name) + ".old")
     deleteRecursively(old)
     Files.move(live, old)
+    // crash-injection window for the dwweek recovery drill (reference:
+    // a DMLProc crash mid-commit is what cleartablelock recovery exists
+    // for, dbcon/dmlpackageproc/commandpackageprocessor.cpp:34): with
+    // GRAFT_SWAP_PAUSE_MS set, park at the WORST instant — no live dir,
+    // pre-image in .old, post-image staged, table lock held — and flag
+    // it, so the soak harness can kill -9 this writer exactly here and
+    // prove the stale-lock steal + recover() path restores a consistent
+    // snapshot for the next reader/writer. A no-op in production (env
+    // unset).
+    sys.env.get("GRAFT_SWAP_PAUSE_MS").foreach { ms =>
+      val flag = Paths.get(root, "_locks", s".midswap_$name")
+      Files.createDirectories(flag.getParent)
+      Files.writeString(flag, s"${ProcessHandle.current().pid()}\n")
+      try Thread.sleep(ms.toLong)
+      finally Files.deleteIfExists(flag)
+    }
     Files.move(Paths.get(staged), live)
     // MVCC snapshot retention (reference: versioning/BRM version buffer,
     // dbrm.h:163-192 — a DML block-rewrite keeps the pre-image until the

@@ -20,17 +20,35 @@ import scala.collection.concurrent.TrieMap
   *  - in-process: one reentrant lock per (catalog root, table), so
   *    concurrent sessions/threads in one JVM serialize cheaply;
   *  - cross-process: a lock FILE at `<root>/_locks/<table>.lock`, claimed
-  *    by hard-LINKING a pid-stamped temp file into place (link(2) fails
+  *    by hard-LINKING a stamped temp file into place (link(2) fails
   *    atomically when the target exists, so exactly one process wins
-  *    with its content already published). A claim whose owner pid is no
-  *    longer alive is stale and is stolen — the analog of the
-  *    reference's cleartablelock recovery after a DMLProc crash.
+  *    with its content already published).
   *
-  * At 100 TB the same protocol works unchanged when `<root>` is a shared
-  * filesystem (HDFS/NFS): the lock file is O(bytes) regardless of table
-  * size, and the hold time is the rewrite's commit window, not its scan.
-  * (On S3-class stores without atomic rename one would swap this object
-  * for a DynamoDB/ZK lock — the Catalog call sites stay identical.)
+  * The claim stamp is `pid pidStartMillis hostId wallMillis` — owner
+  * identity that survives the two failure modes a bare pid cannot:
+  *
+  *  - PID REUSE: a recycled pid on the same host carries a different
+  *    process start time, so a dead owner whose pid was reissued still
+  *    reads as dead (the stamp's startInstant no longer matches the
+  *    live process's);
+  *  - MULTI-HOST sharing (HDFS/NFS roots): a claim stamped by ANOTHER
+  *    host cannot be liveness-probed locally at all — ProcessHandle
+  *    answers for this host's pid namespace only — so foreign claims
+  *    are honored as live until a LEASE window (`graft.lock.
+  *    crossHostLeaseMs`, default 60 s, wall-clock) expires, then
+  *    treated as crashed and stolen. The lease bounds lock loss after
+  *    a remote writer dies at the cost of requiring roughly-synced
+  *    clocks and holds shorter than the lease; deployments with long
+  *    commit windows or unsynced clocks should swap this object for a
+  *    real lock service (DynamoDB/ZK) — the Catalog call sites stay
+  *    identical. hostId is hostname plus the kernel boot id, so two
+  *    containers sharing a hostname string still read as distinct
+  *    owners.
+  *
+  * A claim whose owner is provably dead (same host+boot, pid gone or
+  * start-time mismatch; foreign host, lease expired) is stale and is
+  * stolen — the analog of the reference's cleartablelock recovery after
+  * a DMLProc crash.
   */
 object TableLocks {
   private val jvmLocks =
@@ -45,20 +63,82 @@ object TableLocks {
 
   private def selfPid: Long = ProcessHandle.current().pid()
 
-  /** Owner pid recorded in a claim file, if readable. */
-  private def ownerPid(lock: Path): Option[Long] =
-    try Some(Files.readString(lock).trim.split(" ")(0).toLong)
+  /** Start time of this process, 0 when the platform can't report it
+    * (a 0 in a claim means "unknown — match any start time"). */
+  private def selfStart: Long = startOf(ProcessHandle.current())
+
+  private def startOf(h: ProcessHandle): Long =
+    try h.info().startInstant()
+      .map[java.lang.Long](_.toEpochMilli).orElse(0L).longValue()
+    catch { case _: Exception => 0L }
+
+  /** hostname#bootid-prefix — one whitespace-free token identifying the
+    * (host, boot) this claim was stamped on. The boot id disambiguates
+    * containers that report the same hostname AND invalidates pid
+    * liveness conclusions across reboots. */
+  private[graft] lazy val hostId: String = {
+    val name =
+      try java.net.InetAddress.getLocalHost.getHostName
+      catch { case _: Exception =>
+        sys.env.getOrElse("HOSTNAME", "unknown") }
+    val boot =
+      try Files.readString(
+          Paths.get("/proc/sys/kernel/random/boot_id")).trim.take(8)
+      catch { case _: Exception => "noboot" }
+    s"${name.replaceAll("\\s+", "_")}#$boot"
+  }
+
+  /** Wall-clock lease for claims stamped by a DIFFERENT host (liveness
+    * unprobeable locally). Read per check so tests (and operators, at
+    * runtime) can tune it. */
+  private def crossHostLeaseMs: Long =
+    sys.props.get("graft.lock.crossHostLeaseMs").map(_.toLong)
+      .getOrElse(60000L)
+
+  /** Parsed claim stamp. Old (pre round-9) claims were `pid wallMillis`;
+    * they parse with unknown start and local host, preserving their
+    * original semantics. */
+  private case class Claim(pid: Long, start: Long, host: String,
+      wall: Long)
+
+  private def parseClaim(s: String): Option[Claim] =
+    try {
+      val p = s.trim.split("\\s+")
+      if (p.length >= 4)
+        Some(Claim(p(0).toLong, p(1).toLong, p(2), p(3).toLong))
+      else Some(Claim(p(0).toLong, 0L, hostId, p(1).toLong))
+    } catch { case _: Exception => None }
+
+  private def readClaim(lock: Path): Option[Claim] =
+    try parseClaim(Files.readString(lock))
     catch { case _: Exception => None }
 
-  /** True while a DIFFERENT live process (or a not-yet-readable claim)
+  /** Owner pid recorded in a claim file, if readable (diagnostics). */
+  private def ownerPid(lock: Path): Option[Long] =
+    readClaim(lock).map(_.pid)
+
+  /** Is the claim's owner still alive? Same (host, boot): the pid must
+    * exist AND its start time must match the stamp (pid-reuse-proof;
+    * a 0 start on either side means unknown and matches). Foreign
+    * (host, boot): alive until the lease expires. */
+  private def claimOwnerLive(c: Claim): Boolean =
+    if (c.host == hostId) {
+      val h = ProcessHandle.of(c.pid)
+      h.isPresent && {
+        val actual = startOf(h.get)
+        c.start == 0L || actual == 0L || actual == c.start
+      }
+    } else System.currentTimeMillis() - c.wall < crossHostLeaseMs
+
+  /** True while a DIFFERENT live owner (or a not-yet-readable claim)
     * holds the table's lock file. Used by the read path to distinguish
     * "a writer is mid-swap, wait for the live dir" from "a writer
     * crashed, run recovery". */
   def heldByOtherLiveOwner(root: String, table: String): Boolean = {
     val lf = lockFile(root, table)
-    Files.exists(lf) && (ownerPid(lf) match {
-      case Some(pid) =>
-        pid != selfPid && ProcessHandle.of(pid).isPresent
+    Files.exists(lf) && (readClaim(lf) match {
+      case Some(c) =>
+        !(c.pid == selfPid && c.host == hostId) && claimOwnerLive(c)
       case None => Files.exists(lf) // claim mid-write: assume live
     })
   }
@@ -82,10 +162,11 @@ object TableLocks {
         while (!claimed) {
           val tmp = lf.resolveSibling(
             s".claim_${table}_${selfPid}_${Thread.currentThread().getId}")
-          Files.writeString(tmp, s"$selfPid ${System.currentTimeMillis()}\n")
+          Files.writeString(tmp,
+            s"$selfPid $selfStart $hostId ${System.currentTimeMillis()}\n")
           // publish the claim via hard LINK: link(2) fails with EEXIST
           // when the target exists, so exactly one process wins AND the
-          // winner's content (pid + stamp) is in place atomically. A
+          // winner's content (owner stamp) is in place atomically. A
           // rename would NOT work here — POSIX rename(2), which
           // ATOMIC_MOVE maps to, silently REPLACES an existing target,
           // letting every claimer "succeed" (caught by the cross-JVM
@@ -113,12 +194,8 @@ object TableLocks {
                     "swap TableLocks for an external lock service", e)
               val observed =
                 try Some(Files.readString(lf)) catch { case _: Exception => None }
-              val stale = observed.exists { s =>
-                try {
-                  val pid = s.trim.split(" ")(0).toLong
-                  !ProcessHandle.of(pid).isPresent
-                } catch { case _: Exception => false }
-              }
+              val stale = observed.exists(s =>
+                parseClaim(s).exists(c => !claimOwnerLive(c)))
               if (stale) {
                 // stale claim from a dead writer — steal (the
                 // cleartablelock analog). Guard against deleting a FRESH

@@ -449,6 +449,89 @@ class CatalogSpec extends GraftSuite {
     assert(!java.nio.file.Files.exists(lf), "lock released after the body")
   }
 
+  test("a forged claim with a LIVE-but-reused pid (wrong start time) is stolen") {
+    // pid-reuse scenario: the claim carries OUR OWN (provably live) pid
+    // but a start time no process on this host has — the stamp of a dead
+    // writer whose pid the kernel reissued. A bare pid-liveness check
+    // would wait out the full timeout; the start-time match steals it.
+    val root = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val lf = java.nio.file.Paths.get(root, "_locks", "t.lock")
+    java.nio.file.Files.createDirectories(lf.getParent)
+    val livePid = ProcessHandle.current().pid()
+    java.nio.file.Files.writeString(lf,
+      s"$livePid 12345 ${graft.sources.TableLocks.hostId} " +
+        s"${System.currentTimeMillis()}\n")
+    assert(!graft.sources.TableLocks.heldByOtherLiveOwner(root, "t"),
+      "a reused-pid claim must not read as a live owner")
+    val t0 = System.nanoTime()
+    var ran = false
+    graft.sources.TableLocks.withLock(root, "t", timeoutMs = 5000) {
+      ran = true
+    }
+    assert(ran && (System.nanoTime() - t0) / 1e9 < 4.0,
+      "reused-pid steal must be immediate, not a timeout")
+  }
+
+  test("a foreign-host claim is honored until its lease expires, then stolen") {
+    val root = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val lf = java.nio.file.Paths.get(root, "_locks", "t.lock")
+    java.nio.file.Files.createDirectories(lf.getParent)
+    val prev = sys.props.get("graft.lock.crossHostLeaseMs")
+    sys.props("graft.lock.crossHostLeaseMs") = "60000"
+    try {
+      // fresh claim from another (host, boot): locally unprobeable, so it
+      // must read as LIVE — a liveness check that only asks the local pid
+      // table would steal it and break cross-host mutual exclusion
+      java.nio.file.Files.writeString(lf,
+        s"4242 99999 otherhost#deadbeef ${System.currentTimeMillis()}\n")
+      assert(graft.sources.TableLocks.heldByOtherLiveOwner(root, "t"),
+        "an in-lease foreign claim must read as held")
+      intercept[IllegalStateException] {
+        graft.sources.TableLocks.withLock(root, "t", timeoutMs = 300) {}
+      }
+      // same claim with the lease expired: treated as a crashed remote
+      // writer and stolen
+      sys.props("graft.lock.crossHostLeaseMs") = "1000"
+      java.nio.file.Files.writeString(lf,
+        s"4242 99999 otherhost#deadbeef " +
+          s"${System.currentTimeMillis() - 5000}\n")
+      assert(!graft.sources.TableLocks.heldByOtherLiveOwner(root, "t"))
+      var ran = false
+      graft.sources.TableLocks.withLock(root, "t", timeoutMs = 5000) {
+        ran = true
+      }
+      assert(ran, "expired-lease foreign claim must be stolen")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.lock.crossHostLeaseMs") = v
+        case None => sys.props -= "graft.lock.crossHostLeaseMs"
+      }
+    }
+  }
+
+  test("Tables.table detects a directory rewritten at the same path") {
+    // the relation/schema caches are fingerprint-stamped: a rewrite at
+    // the same path (different schema, different row count) must be
+    // re-read, never served from the stale cached listing
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tabcache")
+      .toString
+    spark.range(5).toDF("a").write.mode("overwrite")
+      .parquet(s"$tmp/t.parquet")
+    assert(Tables.table(spark, tmp, "t").columns.toSeq == Seq("a"))
+    assert(Tables.table(spark, tmp, "t").count() == 5)
+    spark.range(7).toDF("b").write.mode("overwrite")
+      .parquet(s"$tmp/t.parquet")
+    val df2 = Tables.table(spark, tmp, "t")
+    assert(df2.columns.toSeq == Seq("b"),
+      "rewritten schema must be re-inferred, not cache-served")
+    assert(df2.count() == 7)
+    // the explicit hook drops entries too (for same-fingerprint edits)
+    Tables.invalidate(Tables.path(tmp, "t"))
+    assert(Tables.table(spark, tmp, "t").count() == 7)
+    sources.FsUtil.deleteRecursively(java.nio.file.Paths.get(tmp),
+      swallowErrors = true)
+  }
+
   // ---- AUTO_INCREMENT sequence (reference: writeengine/shared/
   // we_brm.h:62,75 — BRM-owned per-column id counter) ------------------
 

@@ -270,7 +270,22 @@ class StreamingSpec extends GraftSuite {
       val e2 = intercept[IllegalStateException](
         operators.EventsQueries.applyCdcBatch(tmp, b0, 0L, "lineageB"))
       assert(e2.getMessage.contains("pre-lineage"))
-      // while an in-order NEXT batch upgrades the marker in place
+      // …but the in-order replay BOUNDARY (bid == applied) is a
+      // legitimate same-checkpoint crash recovery — the exact state a
+      // restart right after upgrading to lineage-stamped code presents.
+      // It must no-op idempotently AND adopt the lineage into the
+      // marker so the NEXT reset is detectable
+      val n1 = spark.read.parquet(s"$tmp/state").count()
+      operators.EventsQueries.applyCdcBatch(tmp, b0, 1L, "lineageB")
+      assert(spark.read.parquet(s"$tmp/state").count() == n1,
+        "bid == applied replay over a pre-lineage marker must no-op")
+      assert(Files.readString(Paths.get(s"$tmp/state/_applied_bid"))
+        .contains("lineageB"), "first contact adopts the lineage")
+      // after adoption a reset is a lineage MISMATCH again — loud
+      val e3 = intercept[IllegalStateException](
+        operators.EventsQueries.applyCdcBatch(tmp, b0, 0L, "lineageC"))
+      assert(e3.getMessage.contains("checkpoint was reset"))
+      // while an in-order NEXT batch merges normally under the marker
       operators.EventsQueries.applyCdcBatch(tmp, b0, 2L, "lineageB")
       assert(Files.readString(Paths.get(s"$tmp/state/_applied_bid"))
         .contains("lineageB"))
