@@ -208,7 +208,10 @@ object Bench {
     def runStable(name: String, dir: String, reps: Int): Double = {
       val ts = scala.collection.mutable.ArrayBuffer(
         (1 to reps).map(_ => runE2eIn(name, dir)): _*)
-      def stable = { val s = ts.sorted; (s(1) - s(0)) / s(0) <= 0.25 }
+      // 50 ms absolute floor: sub-100 ms plans jitter ±30 ms on GC/IO
+      // noise alone — that's not the co-load signal this guard hunts
+      def stable = { val s = ts.sorted
+        s(1) - s(0) <= math.max(0.25 * s(0), 0.05) }
       var extra = 0
       while (reps > 1 && !stable && extra < 2) {
         ts += runE2eIn(name, dir); extra += 1; benchReruns += 1

@@ -44,15 +44,28 @@ object AnnIndex {
   val ITERS = 2     // Lloyd iterations (both quantizers)
 
   // per-process scratch root (pid-suffixed so concurrent JVMs can't wipe
-  // each other's artifacts)
+  // each other's artifacts). -Dgraft.ann.scratch overrides it with a
+  // caller-managed SHARED root — how the two-JVM maintenance contention
+  // test points a child mutator at the parent's index (a production
+  // deployment would root this on the shared filesystem anyway; the
+  // maint-lock protocol is already cross-process).
   private lazy val scratchRoot: java.nio.file.Path = {
-    val p = java.nio.file.Paths.get(
-      System.getProperty("java.io.tmpdir"),
-      s"graft_ann_index_${ProcessHandle.current().pid()}")
+    val p = sys.props.get("graft.ann.scratch") match {
+      case Some(shared) => java.nio.file.Paths.get(shared)
+      case None =>
+        val d = java.nio.file.Paths.get(
+          System.getProperty("java.io.tmpdir"),
+          s"graft_ann_index_${ProcessHandle.current().pid()}")
+        d.toFile.deleteOnExit() // own it: best-effort cleanup on exit
+        d
+    }
     java.nio.file.Files.createDirectories(p)
-    p.toFile.deleteOnExit()
     p
   }
+
+  /** This process's resolved scratch root — what a cooperating child
+    * JVM passes as -Dgraft.ann.scratch to share the same index dirs. */
+  private[graft] def scratchRootPath: String = scratchRoot.toString
 
   /** Per-corpus artifact directory — keyed by the data dir so one JVM can
     * hold indexes for several corpora (Verify sf0.01, Bench sf0.1, the 8×

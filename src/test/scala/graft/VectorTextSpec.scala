@@ -316,6 +316,109 @@ class VectorTextSpec extends GraftSuite {
       s"reader observed an unpublished or mixed state: $states")
   }
 
+  test("TWO-JVM maintenance contention: reads resolve complete manifests " +
+      "while a second process mutates; concurrent == serial replay") {
+    // the in-process racing test above can't catch a broken cross-process
+    // manifest protocol (the maint lock, the atomic rename) — this one
+    // spawns a REAL second JVM that appends/deletes/compacts while this
+    // process queries in a loop, then replays the same deterministic
+    // mutation schedule serially on a second corpus copy and demands the
+    // end states match exactly (a lost manifest read-modify-write, a
+    // torn publication, or a premature retention delete all diverge)
+    import java.nio.file.{Files, Paths}
+    val tmpA = Files.createTempDirectory("graft_annmaint_a").toString
+    val tmpB = Files.createTempDirectory("graft_annmaint_b").toString
+    var proc: Process = null
+    try {
+      val emb = Tables.table(spark, sf, "embeddings")
+      emb.write.parquet(s"$tmpA/embeddings.parquet")
+      emb.write.parquet(s"$tmpB/embeddings.parquet")
+      operators.AnnIndex.buildBaseSegment(spark, tmpA)
+      val baseline = operators.AnnIndex.maintQuery(spark, tmpA)
+        .collect().map(_.toSeq).toSeq
+      assert(baseline.nonEmpty, "fixture: base segment must answer")
+
+      def srcOf(c: Class[_]) = Paths.get(
+        c.getProtectionDomain.getCodeSource.getLocation.toURI).toString
+      val sparkSrc = srcOf(classOf[org.apache.spark.sql.SparkSession])
+      val cp = Seq(
+        srcOf(operators.AnnIndex.getClass),
+        if (sparkSrc.endsWith(".jar"))
+          Paths.get(sparkSrc).getParent.toString + "/*"
+        else sparkSrc,
+        srcOf(classOf[scala.Option[_]]))
+        .mkString(java.io.File.pathSeparator)
+      val javaBin = Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val addOpens = Seq("java.lang", "java.lang.invoke",
+        "java.lang.reflect", "java.io", "java.net", "java.nio",
+        "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      val rounds = 4
+      proc = new ProcessBuilder((Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx3g",
+        s"-Dgraft.ann.scratch=${operators.AnnIndex.scratchRootPath}",
+        "-cp", cp, "graft.operators.AnnMaintMutator",
+        tmpA, rounds.toString)): _*)
+        .redirectErrorStream(true).start()
+      val drain = new Thread(() =>
+        try proc.getInputStream.transferTo(
+          java.io.OutputStream.nullOutputStream())
+        catch { case _: Throwable => })
+      drain.setDaemon(true); drain.start()
+
+      // query loop against the live index: EVERY read must resolve a
+      // complete manifest — full result shape, no vanished files, no
+      // partial publication — no matter where the mutator is
+      var reads = 0
+      var overlap = 0
+      val deadline = System.nanoTime() + 300L * 1000000000L
+      while (proc.isAlive && System.nanoTime() < deadline) {
+        val mutating = Files.exists(Paths.get(tmpA, "_mutating"))
+        val rows = operators.AnnIndex.maintQuery(spark, tmpA).collect()
+        reads += 1
+        if (mutating) overlap += 1
+        assert(rows.length == baseline.length,
+          s"read $reads returned ${rows.length} rows " +
+            s"(expected ${baseline.length}) — partial state observed")
+        assert(rows.map(_.getLong(0)).distinct.length == 10,
+          s"read $reads lost query ids — partial state observed")
+      }
+      assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) &&
+        proc.exitValue() == 0, "mutator JVM failed")
+      assert(Files.exists(Paths.get(tmpA, "_mutator_done")),
+        "mutator never finished its schedule")
+      assert(reads > 0, "the reader loop must actually observe the index")
+      assert(overlap > 0,
+        s"no read overlapped a mutation window across $reads reads — " +
+          "the contention test never contended")
+
+      // serial replay on corpus B: deterministic schedule ⇒ identical
+      // end state (k-means init is fingerprint-hashed, not random)
+      operators.AnnIndex.buildBaseSegment(spark, tmpB)
+      operators.AnnMaintMutator.applyRounds(spark, tmpB, rounds, None)
+      val a = operators.AnnIndex.maintQuery(spark, tmpA)
+        .collect().map(_.toSeq).toSeq
+      val b = operators.AnnIndex.maintQuery(spark, tmpB)
+        .collect().map(_.toSeq).toSeq
+      assert(a == b, "concurrent mutation end state diverged from the " +
+        "serial replay — a manifest update was lost or torn")
+      // and the final state still survives one more compaction intact
+      operators.AnnIndex.compact(spark, tmpA)
+      assert(operators.AnnIndex.maintQuery(spark, tmpA)
+        .collect().map(_.toSeq).toSeq == a,
+        "post-run compaction changed query results")
+    } finally {
+      if (proc != null) proc.destroyForcibly()
+      sources.FsUtil.deleteRecursively(Paths.get(tmpA),
+        swallowErrors = true)
+      sources.FsUtil.deleteRecursively(Paths.get(tmpB),
+        swallowErrors = true)
+    }
+  }
+
   test("ANN queries leave the block-manager cache empty") {
     // two trainings back-to-back in one session: a library caller must
     // not accumulate cached assignment blocks (materialization goes
