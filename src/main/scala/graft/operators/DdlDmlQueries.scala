@@ -1284,6 +1284,68 @@ object DdlDmlQueries {
     * which makes the plan SHAPE itself oracle-checked: a planner
     * regression that adds, drops, or reorders a step breaks this row in
     * the correctness gate, not just a bench number. */
+  /** viewtablelock + cleartablelock analog (reference:
+    * tools/viewtablelock/viewtablelock.cpp — prints table, owner
+    * name/PID, create time, state per BRM table lock;
+    * tools/cleartablelock/cleartablelock.cpp — operator-driven release
+    * of a dead writer's lock). The scenario walks the lock lifecycle in
+    * a scratch catalog and observes it through `TableLocks.list/clear`:
+    * a live DML holder is visible AND protected from a non-forced clear;
+    * a committed DML leaves no lock; a crashed writer's claim (forged
+    * dead pid) reads dead and clears; a remote host's claim is honored
+    * under its liveness lease and refuses a plain clear, yielding only
+    * to the forced override (the tool's confirmed path). Every
+    * observation is a deterministic boolean, so the oracle is exact
+    * constants — the check is that the LOCK PROTOCOL produces these
+    * answers, not that constants equal constants. */
+  val viewTableLocks: QueryDef = QueryDef(
+    "d_view_table_locks",
+    (s, dir) => {
+      import s.implicits._
+      import graft.sources.TableLocks
+      val root = scratch("viewlocks")
+      val tbl = "orders_load"
+      def present() = TableLocks.list(root).exists(_.table == tbl)
+      def live() = TableLocks.list(root)
+        .exists(i => i.table == tbl && i.ownerLive)
+      val rows = scala.collection.mutable.ArrayBuffer
+        .empty[(Int, String, String, Boolean, Boolean, Boolean)]
+      TableLocks.withLock(root, tbl) {
+        rows += ((1, "during_dml", tbl, present(), live(),
+          TableLocks.clear(root, tbl)))
+      }
+      rows += ((2, "after_commit", tbl, present(), live(),
+        TableLocks.clear(root, tbl)))
+      val lf = java.nio.file.Paths.get(root, "_locks", s"$tbl.lock")
+      java.nio.file.Files.createDirectories(lf.getParent)
+      // a crashed writer: impossible pid (> linux pid_max), dead by
+      // construction — viewtablelock shows it, cleartablelock clears it
+      java.nio.file.Files.writeString(lf,
+        s"999999999 1 ${TableLocks.hostId} 1\n")
+      rows += ((3, "crashed_writer", tbl, present(), live(),
+        TableLocks.clear(root, tbl)))
+      // a remote host's fresh claim: locally unprobeable, honored as
+      // live under the lease — plain clear refuses, force overrides
+      java.nio.file.Files.writeString(lf,
+        s"4242 99999 remotehost#deadbeef ${System.currentTimeMillis()}\n")
+      rows += ((4, "remote_leased", tbl, present(), live(),
+        TableLocks.clear(root, tbl)))
+      rows += ((5, "remote_forced", tbl, present(), live(),
+        TableLocks.clear(root, tbl, force = true)))
+      rows.toSeq.toDF("phase", "event", "table_name", "lock_present",
+        "owner_live", "cleared").orderBy(col("phase"))
+    },
+    oracle = Some("""
+      SELECT * FROM (VALUES
+        (1, 'during_dml',     'orders_load', true,  true,  false),
+        (2, 'after_commit',   'orders_load', false, false, false),
+        (3, 'crashed_writer', 'orders_load', true,  false, true),
+        (4, 'remote_leased',  'orders_load', true,  true,  false),
+        (5, 'remote_forced',  'orders_load', true,  true,  true)
+      ) AS t(phase, event, table_name, lock_present, owner_live, cleared)
+      ORDER BY phase""")
+  )
+
   val queryTrace: QueryDef = QueryDef(
     "d_query_trace",
     (s, dir) => {
@@ -1350,5 +1412,5 @@ object DdlDmlQueries {
     analyzeHistogram, schemaMerge, typeWidening, dmlJoin,
     dynamicPartitionOverwrite,
     wapPublish, maskedView, checkConstraints, compressionCodecs,
-    autoIncrement, queryTrace)
+    autoIncrement, queryTrace, viewTableLocks)
 }

@@ -130,6 +130,48 @@ object TableLocks {
       }
     } else System.currentTimeMillis() - c.wall < crossHostLeaseMs
 
+  /** One row of the lock view — the viewtablelock analog (reference:
+    * tools/viewtablelock/viewtablelock.cpp prints table, owner
+    * name/PID/session, create time, and state from
+    * BRM::getAllTableLocks; here the owner identity is the claim stamp
+    * and "state" collapses to owner liveness, since graft's lock covers
+    * the whole DML statement rather than LOADING/CLEANUP phases). */
+  final case class LockInfo(table: String, pid: Long, startMillis: Long,
+      host: String, claimedMillis: Long, ownerLive: Boolean)
+
+  /** All current table-lock claims under `root`, owner-liveness
+    * resolved — `viewtablelock` for this catalog. O(locks), reads only
+    * the `_locks` directory. */
+  def list(root: String): Seq[LockInfo] = {
+    val d = Paths.get(root, "_locks")
+    if (!Files.exists(d)) Seq.empty
+    else scala.util.Using.resource(Files.list(d)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".lock"))
+        .flatMap { p =>
+          val t = p.getFileName.toString.stripSuffix(".lock")
+          readClaim(p).map(c =>
+            LockInfo(t, c.pid, c.start, c.host, c.wall, claimOwnerLive(c)))
+        }.toSeq.sortBy(_.table)
+    }
+  }
+
+  /** cleartablelock analog (reference: tools/cleartablelock/
+    * cleartablelock.cpp — operator-driven release of a lock whose owner
+    * died; the in-band steal in withLock handles this automatically,
+    * but an admin sometimes needs to clear WITHOUT contending for the
+    * lock). Removes the claim and returns true when the owner is dead
+    * (or `force` is set — the tool's confirmed override for a
+    * live-but-wedged owner); refuses with false while the owner is
+    * live, so a typo can't break an in-flight writer's exclusion. */
+  def clear(root: String, table: String, force: Boolean = false): Boolean = {
+    val lf = lockFile(root, table)
+    if (!Files.exists(lf)) false
+    else if (!force && readClaim(lf).exists(claimOwnerLive)) false
+    else Files.deleteIfExists(lf)
+  }
+
   /** True while a DIFFERENT live owner (or a not-yet-readable claim)
     * holds the table's lock file. Used by the read path to distinguish
     * "a writer is mid-swap, wait for the live dir" from "a writer
