@@ -139,6 +139,38 @@ object Bench {
       (if (f.length > 7) f(7) else 0L, f.sum)
     } catch { case _: Exception => (0L, 0L) }
 
+  /** Deterministic CPU calibration: aggregate xorshift64 throughput in
+    * M iterations/sec across `threads` threads. A STEADY co-tenant load
+    * defeats every other guard — containerized loadavg doesn't see the
+    * host, steal only sees the hypervisor, and the spread re-runs
+    * converge (onto uniformly slow values) when the interference is
+    * constant rather than bursty. A fixed arithmetic workload is the
+    * yardstick none of that can fool: round-over-round, probe_1
+    * (single-core speed) and probe_n (whole-machine headroom) make a
+    * "same code, 1.6× slower everywhere" artifact attributable to the
+    * machine in one glance. ~1 s total. */
+  private def cpuProbe(threads: Int): Double = {
+    val iters = 400000000L / math.max(1, threads)
+    val sink = new java.util.concurrent.atomic.AtomicLong()
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { i =>
+      val th = new Thread(() => {
+        var x = 0x9E3779B97F4A7C15L + i
+        var n = 0L
+        while (n < iters) {
+          x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+          n += 1
+        }
+        sink.addAndGet(x) // defeat dead-code elimination
+      })
+      th.start(); th
+    }
+    ts.foreach(_.join())
+    val sec = (System.nanoTime() - t0) / 1e9
+    if (sink.get() == Long.MinValue) println("") // keep sink observable
+    math.rint(threads * iters / sec / 1e6 * 10) / 10
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -146,6 +178,8 @@ object Bench {
     // else the machine is doing, not our own bench
     val loadEntry = loadAvg()
     val jiffies0 = cpuJiffies()
+    val probe1 = cpuProbe(1)
+    val probeN = cpuProbe(cpus.toInt)
     val loadTrace =
       scala.collection.mutable.ArrayBuffer[(String, Double)]()
     def traceLoad(section: String): Unit =
@@ -798,16 +832,31 @@ object Bench {
     //  - the machine was busy BEFORE we started (entry loadavg above
     //    half our cpu budget — our own work contributes nothing yet);
     //  - the hypervisor stole >5% of cpu during the run;
-    //  - any timing failed to converge under the re-run guard.
+    //  - any timing failed to converge under the re-run guard;
+    //  - parallel efficiency (all-threads probe ÷ threads×single-thread
+    //    probe) below 0.35 — fewer than ~a third of the claimed cpus
+    //    actually deliver cycles. This is the one signal a STEADY
+    //    co-tenant can't hide from: SMT alone sits ~0.5 on a dedicated
+    //    box, while a host-level co-load (invisible to containerized
+    //    loadavg AND to steal) caps aggregate throughput directly.
     val jiffies1 = cpuJiffies()
     val stealPct =
       if (jiffies1._2 > jiffies0._2)
         100.0 * (jiffies1._1 - jiffies0._1) / (jiffies1._2 - jiffies0._2)
       else 0.0
+    val parEff =
+      if (probe1 > 0 && cpus.toInt > 1)
+        math.rint(probeN / (probe1 * cpus.toInt) * 100) / 100
+      else 1.0
     val contended = (loadEntry > cpus.toDouble * 0.5) ||
-      stealPct > 5.0 || unstable.nonEmpty
+      stealPct > 5.0 || unstable.nonEmpty ||
+      (cpus.toInt > 1 && parEff < 0.35)
+    // exit probe: a co-load that ARRIVED mid-run shows as probe decay
+    val probe1End = cpuProbe(1)
     val loadJson = s"""{"entry":$loadEntry,"steal_pct":${
         math.rint(stealPct * 100) / 100},"reruns":$benchReruns,""" +
+      s""""cpu_probe_1":$probe1,"cpu_probe_n":$probeN,""" +
+      s""""cpu_probe_1_end":$probe1End,"par_eff":$parEff,""" +
       s""""unstable":${unstable.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""trace":${loadTrace.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")}}"""
@@ -849,7 +898,8 @@ object Bench {
       s""","all_total":${r3(allTotal)},"all_fail":$allFail""" +
       s""","slowest":$slowJson,"soak_fail":$soakFail""" +
       s""","contended":$contended,"load_entry":$loadEntry""" +
-      s""","steal_pct":${math.rint(stealPct * 100) / 100}"""
+      s""","steal_pct":${math.rint(stealPct * 100) / 100}""" +
+      s""","cpu_probe_1":$probe1,"cpu_probe_n":$probeN"""
     val head = s"""{"metric":"headline_total","value":${r3(total)},"unit":"sec","queries":$qs3"""
     val tailF = s"""$signals,"sf":"$sfDir"}"""
     val withExt = s"""$head,"extended":$ext3$tailF"""
