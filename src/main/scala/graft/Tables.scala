@@ -61,29 +61,43 @@ object Tables {
     scala.collection.concurrent.TrieMap
       .empty[String, (String, org.apache.spark.sql.types.StructType)]
 
-  /** Cheap change detector for a parquet table directory: mtime + entry
-    * count + total length of the top-level listing. Any parquet (re)write
-    * into the dir changes at least one component — an overwrite replaces
-    * part-files (names/lengths change), an append adds files (count
-    * changes), a swap replaces the dir (mtime changes). One stat + one
-    * readdir; microseconds against the 50–150 ms footer job it guards. */
+  /** Cheap change detector for a parquet table path — a DIRECTORY of
+    * part-files or (the driver-generated testdata layout) a single
+    * plain parquet FILE. Dir: mtime + entry count + total length of the
+    * top-level listing (an overwrite replaces part-files, an append
+    * adds files, a swap replaces the dir — each changes a component).
+    * File: mtime + size. One or two stats + at most one readdir;
+    * microseconds against the 50–150 ms footer job it guards.
+    *
+    * The fallback for an unreadable path must be a CONSTANT: round 9's
+    * first cut returned a nanoTime-salted value from the catch block —
+    * and since the testdata tables are single FILES, Files.list threw
+    * NotADirectoryException on every call, every fingerprint was
+    * unique, the cache never hit once, and every query construction
+    * silently re-ran schema inference + a fresh file listing (a
+    * uniform ~1.5× tax on the whole headline that looked exactly like
+    * machine co-load; caught by an r8-vs-r9 same-machine bisect). */
   private def fingerprint(p: String): String =
     try {
-      val dir = java.nio.file.Paths.get(p)
-      val mtime = java.nio.file.Files.getLastModifiedTime(dir).toMillis
-      var n = 0L
-      var bytes = 0L
-      scala.util.Using.resource(java.nio.file.Files.list(dir)) { st =>
-        val it = st.iterator()
-        while (it.hasNext) {
-          val f = it.next()
-          n += 1
-          bytes += (try java.nio.file.Files.size(f)
-                    catch { case _: Exception => 0L })
+      val path = java.nio.file.Paths.get(p)
+      val mtime = java.nio.file.Files.getLastModifiedTime(path).toMillis
+      if (!java.nio.file.Files.isDirectory(path))
+        s"$mtime#f#${java.nio.file.Files.size(path)}"
+      else {
+        var n = 0L
+        var bytes = 0L
+        scala.util.Using.resource(java.nio.file.Files.list(path)) { st =>
+          val it = st.iterator()
+          while (it.hasNext) {
+            val f = it.next()
+            n += 1
+            bytes += (try java.nio.file.Files.size(f)
+                      catch { case _: Exception => 0L })
+          }
         }
+        s"$mtime#$n#$bytes"
       }
-      s"$mtime#$n#$bytes"
-    } catch { case _: Exception => s"absent#${System.nanoTime()}" }
+    } catch { case _: Exception => "absent" }
 
   /** Resolved base relation per (session, path), fingerprint-stamped —
     * constructing a scan is pure (immutable DataFrame) AND the cached

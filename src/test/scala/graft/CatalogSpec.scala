@@ -532,6 +532,27 @@ class CatalogSpec extends GraftSuite {
       swallowErrors = true)
   }
 
+  test("Tables.table cache HITS for unchanged paths — dir AND single file") {
+    // round-9 regression guard: the first fingerprint cut assumed every
+    // table path is a directory; the driver testdata are single parquet
+    // FILES, so Files.list threw, the catch returned a nanoTime-salted
+    // value, and the cache never hit once — every query construction
+    // silently re-ran schema inference (a uniform ~1.5x headline tax
+    // that masqueraded as machine co-load). Reference equality proves
+    // the cached relation is served, both layouts.
+    val fileTable = Tables.table(spark, sf, "orders") // sf tables = files
+    assert(Tables.table(spark, sf, "orders") eq fileTable,
+      "single-FILE parquet path must hit the relation cache")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_tabhit")
+      .toString
+    spark.range(3).toDF("a").write.parquet(s"$tmp/d.parquet") // a DIR
+    val dirTable = Tables.table(spark, tmp, "d")
+    assert(Tables.table(spark, tmp, "d") eq dirTable,
+      "directory parquet path must hit the relation cache")
+    sources.FsUtil.deleteRecursively(java.nio.file.Paths.get(tmp),
+      swallowErrors = true)
+  }
+
   // ---- AUTO_INCREMENT sequence (reference: writeengine/shared/
   // we_brm.h:62,75 — BRM-owned per-column id counter) ------------------
 
