@@ -449,6 +449,83 @@ class CatalogSpec extends GraftSuite {
     assert(!java.nio.file.Files.exists(lf), "lock released after the body")
   }
 
+  test("a writer kill -9'd INSIDE the commit window recovers cross-process") {
+    // the dwweek-with-failures scenario as a permanent spec (the bench
+    // soak runs the same drill per round): a REAL second JVM runs a
+    // locked upsert, parks between the swap's two renames (live dir
+    // gone, pre-image in .old, post-image staged, lock held), and is
+    // kill -9'd there. The next reader must recover a COMPLETE image
+    // through the stale-lock steal + recover() path, and the next
+    // writer must proceed under a fresh claim.
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_crash").toString
+    var proc: Process = null
+    try {
+      val cat = new sources.Catalog(spark, root)
+      cat.createTableAs("t",
+        spark.range(0, 100).toDF("id").withColumn("gen", lit(0)))
+      spark.range(0, 100).toDF("id").withColumn("gen", lit(1))
+        .write.parquet(s"$root/_batch")
+      def srcOf(c: Class[_]) = Paths.get(
+        c.getProtectionDomain.getCodeSource.getLocation.toURI).toString
+      val sparkSrc = srcOf(classOf[org.apache.spark.sql.SparkSession])
+      val cp = Seq(
+        srcOf(sources.SoakCrashWriter.getClass),
+        if (sparkSrc.endsWith(".jar"))
+          Paths.get(sparkSrc).getParent.toString + "/*"
+        else sparkSrc,
+        srcOf(classOf[scala.Option[_]]))
+        .mkString(java.io.File.pathSeparator)
+      val javaBin = Paths.get(
+        System.getProperty("java.home"), "bin", "java").toString
+      val addOpens = Seq("java.lang", "java.lang.invoke",
+        "java.lang.reflect", "java.io", "java.net", "java.nio",
+        "java.util", "java.util.concurrent",
+        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+        "sun.security.action", "sun.util.calendar")
+        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
+      val pb = new ProcessBuilder((Seq(javaBin) ++ addOpens ++ Seq(
+        "-Xmx3g", "-cp", cp, "graft.sources.SoakCrashWriter",
+        root, "t", s"$root/_batch", "id")): _*)
+        .redirectErrorStream(true)
+      pb.environment().put("GRAFT_SWAP_PAUSE_MS", "120000")
+      proc = pb.start()
+      val drain = new Thread(() =>
+        try proc.getInputStream.transferTo(
+          java.io.OutputStream.nullOutputStream())
+        catch { case _: Throwable => })
+      drain.setDaemon(true); drain.start()
+      val flag = Paths.get(root, "_locks", ".midswap_t")
+      val dl = System.nanoTime() + 240L * 1000000000L
+      while (!Files.exists(flag) && proc.isAlive &&
+          System.nanoTime() < dl)
+        Thread.sleep(20)
+      assert(Files.exists(flag),
+        "writer JVM never reached the commit window")
+      proc.destroyForcibly(); proc.waitFor()
+      assert(!Files.exists(Paths.get(root, "t")),
+        "kill must land with the live dir renamed aside")
+      assert(Files.exists(Paths.get(root, "_locks", "t.lock")),
+        "the dead writer's claim must still be on disk")
+      // next READER: stale-steal + recover, complete image only
+      val gens = cat.readCommitted("t")(
+        _.groupBy("gen").count().collect())
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(gens.size == 1 && gens.values.head == 100L &&
+        (gens.contains(0) || gens.contains(1)),
+        s"reader must see one complete image, got $gens")
+      // next WRITER proceeds under a fresh claim
+      cat.update("t", _.withColumn("gen", lit(2)))
+      val after = cat.table("t").groupBy("gen").count().collect()
+        .map(r => r.getInt(0) -> r.getLong(1)).toMap
+      assert(after == Map(2 -> 100L), s"next writer blocked or lost rows: $after")
+    } finally {
+      if (proc != null) proc.destroyForcibly()
+      sources.FsUtil.deleteRecursively(java.nio.file.Paths.get(root),
+        swallowErrors = true)
+    }
+  }
+
   test("a forged claim with a LIVE-but-reused pid (wrong start time) is stolen") {
     // pid-reuse scenario: the claim carries OUR OWN (provably live) pid
     // but a start time no process on this host has — the stamp of a dead
