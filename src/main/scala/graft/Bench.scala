@@ -770,7 +770,26 @@ object Bench {
                   val xn = runE2eIn(name, tmp27.toString)
                   val x1 = x1Times(name)
                   val ratio = if (x1 > 0) xn / x1 else -1.0
-                  s""""$name":{"x1":$x1,"x$f27":$xn,"ratio":$ratio}"""
+                  // same edge normalization as the 8× leg: the derived
+                  // star-edge set grows SUPERLINEARLY in the copy count
+                  // (8× data → 51.7× edges on this fixture), so a raw
+                  // 27× wall ratio would look alarming while per-edge
+                  // cost is the honest number
+                  (for {
+                    o1 <- edgesFor(name, sfDir)
+                    oN <- edgesFor(name, tmp27.toString)
+                  } yield (o1, oN)) match {
+                    case Some((o1, oN)) =>
+                      val growth = if (o1 > 0) oN.toDouble / o1 else -1.0
+                      val perRow =
+                        if (ratio > 0 && growth > 0) ratio / growth
+                        else -1.0
+                      s""""$name":{"x1":$x1,"x$f27":$xn,"ratio":$ratio,""" +
+                        s""""out_x1":$o1,"out_xn":$oN,""" +
+                        s""""ratio_per_row":$perRow}"""
+                    case None =>
+                      s""""$name":{"x1":$x1,"x$f27":$xn,"ratio":$ratio}"""
+                  }
                 } catch { case e: Throwable =>
                   System.err.println(s"[bench] scaling27 $name: ${e.getMessage}")
                   s""""$name":null"""
