@@ -148,9 +148,17 @@ object Bench {
     * yardstick none of that can fool: round-over-round, probe_1
     * (single-core speed) and probe_n (whole-machine headroom) make a
     * "same code, 1.6× slower everywhere" artifact attributable to the
-    * machine in one glance. ~1 s total. */
+    * machine in one glance.
+    *
+    * Per-thread work is FIXED, not total÷threads: dividing a fixed
+    * total by the thread count shrinks per-thread wall toward the
+    * thread start/join overhead as core counts grow, deflating the
+    * aggregate rate enough to false-trip the par_eff threshold on a
+    * big IDLE machine. Fixed per-thread work keeps wall ~0.4 s at any
+    * thread count on an idle box; under co-load it stretches — which
+    * is the measurement. */
   private def cpuProbe(threads: Int): Double = {
-    val iters = 400000000L / math.max(1, threads)
+    val iters = 200000000L
     val sink = new java.util.concurrent.atomic.AtomicLong()
     val t0 = System.nanoTime()
     val ts = (1 to threads).map { i =>
@@ -524,42 +532,16 @@ object Bench {
           // writer must proceed through the stale-lock steal +
           // recover() path and observe only complete images. ----------
           soakCrashJson = try {
-            def srcOf(c: Class[_]) = java.nio.file.Paths.get(
-              c.getProtectionDomain.getCodeSource.getLocation.toURI)
-              .toString
-            val sparkSrc = srcOf(classOf[org.apache.spark.sql.SparkSession])
-            val cp = Seq(
-              srcOf(SparkEntry.getClass),
-              if (sparkSrc.endsWith(".jar"))
-                java.nio.file.Paths.get(sparkSrc).getParent.toString + "/*"
-              else sparkSrc,
-              srcOf(classOf[scala.Option[_]]))
-              .mkString(java.io.File.pathSeparator)
-            val javaBin = java.nio.file.Paths.get(
-              System.getProperty("java.home"), "bin", "java").toString
-            val addOpens = Seq("java.lang", "java.lang.invoke",
-              "java.lang.reflect", "java.io", "java.net", "java.nio",
-              "java.util", "java.util.concurrent",
-              "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
-              "sun.security.action", "sun.util.calendar")
-              .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
             // the crash batch REPLACES batch 0's rows under new batch_id
             // 999 (same keys), so pre- and post-image are distinguishable
             // and both enumerable exactly
             batchDf(0).withColumn("batch_id", lit(999))
               .write.mode("overwrite").parquet(s"$tmp/crash_batch")
-            val pb = new ProcessBuilder((Seq(javaBin) ++ addOpens ++ Seq(
-              "-Xmx3g", "-cp", cp, "graft.sources.SoakCrashWriter",
-              s"$tmp/cat", "soak_orders", s"$tmp/crash_batch",
-              "o_orderkey")): _*).redirectErrorStream(true)
-            pb.environment().put("GRAFT_SWAP_PAUSE_MS", "120000")
-            val proc = pb.start()
-            val drain = new Thread(() =>
-              try proc.getInputStream.transferTo(
-                java.io.OutputStream.nullOutputStream())
-              catch { case _: Throwable => })
-            drain.setDaemon(true)
-            drain.start()
+            val proc = sources.ChildJvm.spawn(
+              "graft.sources.SoakCrashWriter",
+              Seq(s"$tmp/cat", "soak_orders", s"$tmp/crash_batch",
+                "o_orderkey"),
+              env = Map("GRAFT_SWAP_PAUSE_MS" -> "120000"))
             val flag = java.nio.file.Paths.get(
               s"$tmp/cat", "_locks", ".midswap_soak_orders")
             val dl = System.nanoTime() + 240L * 1000000000L
@@ -848,8 +830,6 @@ object Bench {
     traceLoad("all")
 
     // machine-state verdict for the whole run. Contended when any of:
-    //  - the machine was busy BEFORE we started (entry loadavg above
-    //    half our cpu budget — our own work contributes nothing yet);
     //  - the hypervisor stole >5% of cpu during the run;
     //  - any timing failed to converge under the re-run guard;
     //  - parallel efficiency (all-threads probe ÷ threads×single-thread
@@ -858,6 +838,11 @@ object Bench {
     //    co-tenant can't hide from: SMT alone sits ~0.5 on a dedicated
     //    box, while a host-level co-load (invisible to containerized
     //    loadavg AND to steal) caps aggregate throughput directly.
+    // Entry loadavg is reported but is NOT a trigger: the 1-minute
+    // average still carries the harness's own just-finished compile /
+    // JVM startup and decays slowly, so it false-positives on a clean
+    // dedicated box (and, containerized, misses the host anyway — the
+    // probe covers that case properly).
     val jiffies1 = cpuJiffies()
     val stealPct =
       if (jiffies1._2 > jiffies0._2)
@@ -867,8 +852,7 @@ object Bench {
       if (probe1 > 0 && cpus.toInt > 1)
         math.rint(probeN / (probe1 * cpus.toInt) * 100) / 100
       else 1.0
-    val contended = (loadEntry > cpus.toDouble * 0.5) ||
-      stealPct > 5.0 || unstable.nonEmpty ||
+    val contended = stealPct > 5.0 || unstable.nonEmpty ||
       (cpus.toInt > 1 && parEff < 0.35)
     // exit probe: a co-load that ARRIVED mid-run shows as probe decay
     val probe1End = cpuProbe(1)

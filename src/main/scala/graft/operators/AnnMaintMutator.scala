@@ -51,8 +51,14 @@ object AnnMaintMutator {
     val all = graft.Tables.table(spark, dir, "embeddings")
     val heldOut = all.filter(pmod(col("vec_id"), lit(8)) === 0)
     for (r <- 1 to rounds) {
+      // slice on vec_id/8 (consecutive ints over the held-out set), NOT
+      // vec_id itself: every held-out id is a multiple of 8, so
+      // pmod(vec_id, rounds) would be identically 0 for rounds ∈
+      // {2,4,8} and rounds 2..n would append EMPTY segments — the
+      // parent test pins each slice non-empty to keep this honest
       withFlag(AnnIndex.appendSegment(spark, dir,
-        heldOut.filter(pmod(col("vec_id"), lit(rounds.toLong)) === (r - 1)),
+        heldOut.filter(pmod((col("vec_id") / lit(8)).cast("long"),
+          lit(rounds.toLong)) === (r - 1)),
         s"seg$r"))
       withFlag(AnnIndex.writeTombstones(spark, dir,
         all.filter(pmod(col("vec_id"), lit(7)) === (r % 7))

@@ -1230,8 +1230,18 @@ object EventsQueries {
           "idempotent replay from a checkpoint reset — refusing to " +
           "skip; restore the original checkpoint or reset the state " +
           "table with it")
-    if (runId.nonEmpty && appliedRun.isEmpty && applied == bid)
-      Files.writeString(markOf(stateDir), s"$applied $runId\n")
+    if (runId.nonEmpty && appliedRun.isEmpty && applied == bid) {
+      // adopt atomically (write-aside + ATOMIC_MOVE): a crash mid-write
+      // of an in-place rewrite would leave a truncated marker that
+      // fails every subsequent parse — the one marker mutation that
+      // doesn't ride the staged-dir swap must not be the one that can
+      // tear
+      val tmpMark = Paths.get(s"$stateDir/_applied_bid.tmp")
+      Files.writeString(tmpMark, s"$applied $runId\n")
+      Files.move(tmpMark, markOf(stateDir),
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
     if (applied < bid) {
       val bAgg = batch.groupBy(col("user_id"))
         .agg(max(struct(col("ts"), col("event_id"), col("event_type"),

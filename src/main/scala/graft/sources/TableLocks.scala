@@ -201,11 +201,13 @@ object TableLocks {
         Files.createDirectories(lf.getParent)
         val deadline = System.nanoTime() + timeoutMs * 1000000L
         var claimed = false
+        var myStamp = ""
         while (!claimed) {
           val tmp = lf.resolveSibling(
             s".claim_${table}_${selfPid}_${Thread.currentThread().getId}")
-          Files.writeString(tmp,
-            s"$selfPid $selfStart $hostId ${System.currentTimeMillis()}\n")
+          myStamp =
+            s"$selfPid $selfStart $hostId ${System.currentTimeMillis()}\n"
+          Files.writeString(tmp, myStamp)
           // publish the claim via hard LINK: link(2) fails with EEXIST
           // when the target exists, so exactly one process wins AND the
           // winner's content (owner stamp) is in place atomically. A
@@ -258,7 +260,19 @@ object TableLocks {
           }
         }
         try f
-        finally Files.deleteIfExists(lf)
+        finally {
+          // release ONLY our own claim: if an operator force-cleared us
+          // (clear(force=true) on a wedged-looking writer) or a foreign
+          // host stole our expired lease, the file now carries a
+          // SUCCESSOR's stamp — deleting it unconditionally would strip
+          // the live successor's exclusion and let a third writer in
+          // mid-swap (lost update). Safe without further locking: while
+          // the file is ours, contenders can only spin or steal-if-dead,
+          // and we are provably alive.
+          val now = try Some(Files.readString(lf))
+                    catch { case _: Exception => None }
+          if (now.contains(myStamp)) Files.deleteIfExists(lf)
+        }
       }
     } finally jl.unlock()
   }

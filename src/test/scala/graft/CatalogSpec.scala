@@ -466,35 +466,9 @@ class CatalogSpec extends GraftSuite {
         spark.range(0, 100).toDF("id").withColumn("gen", lit(0)))
       spark.range(0, 100).toDF("id").withColumn("gen", lit(1))
         .write.parquet(s"$root/_batch")
-      def srcOf(c: Class[_]) = Paths.get(
-        c.getProtectionDomain.getCodeSource.getLocation.toURI).toString
-      val sparkSrc = srcOf(classOf[org.apache.spark.sql.SparkSession])
-      val cp = Seq(
-        srcOf(sources.SoakCrashWriter.getClass),
-        if (sparkSrc.endsWith(".jar"))
-          Paths.get(sparkSrc).getParent.toString + "/*"
-        else sparkSrc,
-        srcOf(classOf[scala.Option[_]]))
-        .mkString(java.io.File.pathSeparator)
-      val javaBin = Paths.get(
-        System.getProperty("java.home"), "bin", "java").toString
-      val addOpens = Seq("java.lang", "java.lang.invoke",
-        "java.lang.reflect", "java.io", "java.net", "java.nio",
-        "java.util", "java.util.concurrent",
-        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
-        "sun.security.action", "sun.util.calendar")
-        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
-      val pb = new ProcessBuilder((Seq(javaBin) ++ addOpens ++ Seq(
-        "-Xmx3g", "-cp", cp, "graft.sources.SoakCrashWriter",
-        root, "t", s"$root/_batch", "id")): _*)
-        .redirectErrorStream(true)
-      pb.environment().put("GRAFT_SWAP_PAUSE_MS", "120000")
-      proc = pb.start()
-      val drain = new Thread(() =>
-        try proc.getInputStream.transferTo(
-          java.io.OutputStream.nullOutputStream())
-        catch { case _: Throwable => })
-      drain.setDaemon(true); drain.start()
+      proc = sources.ChildJvm.spawn("graft.sources.SoakCrashWriter",
+        Seq(root, "t", s"$root/_batch", "id"),
+        env = Map("GRAFT_SWAP_PAUSE_MS" -> "120000"))
       val flag = Paths.get(root, "_locks", ".midswap_t")
       val dl = System.nanoTime() + 240L * 1000000000L
       while (!Files.exists(flag) && proc.isAlive &&

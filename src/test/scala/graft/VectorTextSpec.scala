@@ -338,36 +338,22 @@ class VectorTextSpec extends GraftSuite {
         .collect().map(_.toSeq).toSeq
       assert(baseline.nonEmpty, "fixture: base segment must answer")
 
-      def srcOf(c: Class[_]) = Paths.get(
-        c.getProtectionDomain.getCodeSource.getLocation.toURI).toString
-      val sparkSrc = srcOf(classOf[org.apache.spark.sql.SparkSession])
-      val cp = Seq(
-        srcOf(operators.AnnIndex.getClass),
-        if (sparkSrc.endsWith(".jar"))
-          Paths.get(sparkSrc).getParent.toString + "/*"
-        else sparkSrc,
-        srcOf(classOf[scala.Option[_]]))
-        .mkString(java.io.File.pathSeparator)
-      val javaBin = Paths.get(
-        System.getProperty("java.home"), "bin", "java").toString
-      val addOpens = Seq("java.lang", "java.lang.invoke",
-        "java.lang.reflect", "java.io", "java.net", "java.nio",
-        "java.util", "java.util.concurrent",
-        "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
-        "sun.security.action", "sun.util.calendar")
-        .flatMap(p => Seq("--add-opens", s"java.base/$p=ALL-UNNAMED"))
       val rounds = 4
-      proc = new ProcessBuilder((Seq(javaBin) ++ addOpens ++ Seq(
-        "-Xmx3g",
-        s"-Dgraft.ann.scratch=${operators.AnnIndex.scratchRootPath}",
-        "-cp", cp, "graft.operators.AnnMaintMutator",
-        tmpA, rounds.toString)): _*)
-        .redirectErrorStream(true).start()
-      val drain = new Thread(() =>
-        try proc.getInputStream.transferTo(
-          java.io.OutputStream.nullOutputStream())
-        catch { case _: Throwable => })
-      drain.setDaemon(true); drain.start()
+      // fixture sanity: every per-round append slice must be non-empty
+      // (a modulus mistake over the all-multiples-of-8 held-out set
+      // once made rounds 2..4 append EMPTY segments, silently gutting
+      // this test's coverage)
+      import org.apache.spark.sql.functions.{col, lit, pmod}
+      val heldOut = emb.filter(pmod(col("vec_id"), lit(8)) === 0)
+      (1 to rounds).foreach { r =>
+        assert(heldOut.filter(pmod((col("vec_id") / lit(8)).cast("long"),
+          lit(rounds.toLong)) === (r - 1)).count() > 0,
+          s"append slice $r is empty — the mutation schedule is a no-op")
+      }
+      proc = sources.ChildJvm.spawn("graft.operators.AnnMaintMutator",
+        Seq(tmpA, rounds.toString),
+        sysProps =
+          Seq(s"-Dgraft.ann.scratch=${operators.AnnIndex.scratchRootPath}"))
 
       // query loop against the live index: EVERY read must resolve a
       // complete manifest — full result shape, no vanished files, no
