@@ -500,6 +500,27 @@ class CatalogSpec extends GraftSuite {
     }
   }
 
+  test("release after a forced clear never deletes the successor's claim") {
+    // an operator force-clears a live-but-wedged-looking writer and a
+    // successor claims; when the original writer finishes, its release
+    // must recognize the file is no longer ITS stamp and leave the
+    // successor's exclusion intact (an unconditional delete here would
+    // let a third writer into the successor's commit window)
+    val root = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val lf = java.nio.file.Paths.get(root, "_locks", "t.lock")
+    val successor = s"4242 99999 otherhost#deadbeef " +
+      s"${System.currentTimeMillis()}\n"
+    graft.sources.TableLocks.withLock(root, "t") {
+      // simulate the operator + successor landing mid-hold
+      assert(graft.sources.TableLocks.clear(root, "t", force = true),
+        "forced clear must remove even a live claim")
+      java.nio.file.Files.writeString(lf, successor)
+    }
+    assert(java.nio.file.Files.exists(lf) &&
+      java.nio.file.Files.readString(lf) == successor,
+      "release deleted the successor's claim — mutual exclusion broken")
+  }
+
   test("a forged claim with a LIVE-but-reused pid (wrong start time) is stolen") {
     // pid-reuse scenario: the claim carries OUR OWN (provably live) pid
     // but a start time no process on this host has — the stamp of a dead
