@@ -537,52 +537,95 @@ object Bench {
             // and both enumerable exactly
             batchDf(0).withColumn("batch_id", lit(999))
               .write.mode("overwrite").parquet(s"$tmp/crash_batch")
-            val proc = sources.ChildJvm.spawn(
-              "graft.sources.SoakCrashWriter",
-              Seq(s"$tmp/cat", "soak_orders", s"$tmp/crash_batch",
-                "o_orderkey"),
-              env = Map("GRAFT_SWAP_PAUSE_MS" -> "120000"))
+            def jstr(s: String): String = "\"" + s
+              .replaceAll("[\\\\\"]", " ")
+              .replaceAll("[\\u0000-\\u001f]", " ") + "\""
+            // STAGING (getting the child parked inside the commit
+            // window) is a harness concern, separate from RECOVERY (the
+            // engine surviving the kill): round 9's driver run conflated
+            // them in one soak_fail counter with zero diagnostics when
+            // the child died before parking. Staging now retries once,
+            // records the child's exit code and a bounded output tail,
+            // and a staging failure reports itself (`staged:false` +
+            // diagnosis) WITHOUT counting as a soak failure — only a
+            // staged drill whose recovery then breaks is one.
+            var staged = false
+            var attempts = 0
+            var childExit = "null"
+            var childTail = ""
             val flag = java.nio.file.Paths.get(
               s"$tmp/cat", "_locks", ".midswap_soak_orders")
-            val dl = System.nanoTime() + 240L * 1000000000L
-            while (!java.nio.file.Files.exists(flag) && proc.isAlive &&
-                System.nanoTime() < dl)
-              Thread.sleep(20)
-            val flagged = java.nio.file.Files.exists(flag)
-            proc.destroyForcibly()
-            proc.waitFor()
-            val liveGone = !java.nio.file.Files.exists(
-              java.nio.file.Paths.get(s"$tmp/cat/soak_orders"))
-            val lockLeft = java.nio.file.Files.exists(
-              java.nio.file.Paths.get(s"$tmp/cat/_locks/soak_orders.lock"))
-            // next READER: must recover (steal the dead writer's lock,
-            // restore an image) and see a COMPLETE snapshot — the full
-            // pre-image (batch 0 live) or the full post-image (999
-            // replacing 0), never a mix or a missing table
-            val seen = cat.readCommitted("soak_orders")(
-              _.groupBy("batch_id").count().collect())
-              .map(r => r.getInt(0) -> r.getLong(1)).toMap
-            val preImage = (0 until nb).map(k => k -> expected(k)).toMap
-            val postImage = preImage - 0 + (999 -> expected(0))
-            val image =
-              if (seen == postImage) "post"
-              else if (seen == preImage) "pre" else "INCONSISTENT"
-            // next WRITER proceeds under a fresh claim: restore batch 0
-            cat.upsert("soak_orders", batchDf(0), Seq("o_orderkey"))
-            val finalOk = cat.readCommitted("soak_orders")(
-              _.groupBy("batch_id").count().collect())
-              .map(r => r.getInt(0) -> r.getLong(1)).toMap == preImage
-            val recovered = flagged && image != "INCONSISTENT" && finalOk
-            if (!recovered) soakFail += 1
-            s"""{"ran":true,"killed_mid_swap":$flagged,""" +
-              s""""live_gone_at_kill":$liveGone,""" +
-              s""""stale_lock_left":$lockLeft,"reader_image":"$image",""" +
-              s""""next_writer_ok":$finalOk,"recovered":$recovered}"""
+            while (!staged && attempts < 2) {
+              attempts += 1
+              val child = sources.ChildJvm.spawn(
+                "graft.sources.SoakCrashWriter",
+                Seq(s"$tmp/cat", "soak_orders", s"$tmp/crash_batch",
+                  "o_orderkey"),
+                env = Map("GRAFT_SWAP_PAUSE_MS" -> "120000"))
+              val dl = System.nanoTime() + 240L * 1000000000L
+              while (!java.nio.file.Files.exists(flag) && child.isAlive &&
+                  System.nanoTime() < dl)
+                Thread.sleep(20)
+              staged = java.nio.file.Files.exists(flag)
+              if (!staged) {
+                childExit =
+                  if (!child.isAlive) child.proc.exitValue().toString
+                  else "\"timeout\"" // alive but never parked in 240 s
+                childTail = child.tail()
+                System.err.println(s"[bench] soak_crash staging attempt " +
+                  s"$attempts failed (exit=$childExit); child tail:\n" +
+                  childTail.takeRight(2000))
+              }
+              // kill -9 — at the parked commit window when staged, or
+              // cleanup of a failed attempt (the next attempt's locked
+              // upsert steals the dead claim and recovers, which is the
+              // production path anyway)
+              child.destroyForcibly()
+              child.waitFor()
+            }
+            if (!staged) {
+              // self-explaining staging diagnosis in the artifact of
+              // record; recovery is NOT implicated, so no soak_fail
+              s"""{"ran":true,"staged":false,"attempts":$attempts,""" +
+                s""""child_exit":$childExit,""" +
+                s""""child_tail":${jstr(childTail.takeRight(160))}}"""
+            } else {
+              val liveGone = !java.nio.file.Files.exists(
+                java.nio.file.Paths.get(s"$tmp/cat/soak_orders"))
+              val lockLeft = java.nio.file.Files.exists(
+                java.nio.file.Paths.get(
+                  s"$tmp/cat/_locks/soak_orders.lock"))
+              // next READER: must recover (steal the dead writer's lock,
+              // restore an image) and see a COMPLETE snapshot — the full
+              // pre-image (batch 0 live) or the full post-image (999
+              // replacing 0), never a mix or a missing table
+              val seen = cat.readCommitted("soak_orders")(
+                _.groupBy("batch_id").count().collect())
+                .map(r => r.getInt(0) -> r.getLong(1)).toMap
+              val preImage = (0 until nb).map(k => k -> expected(k)).toMap
+              val postImage = preImage - 0 + (999 -> expected(0))
+              val image =
+                if (seen == postImage) "post"
+                else if (seen == preImage) "pre" else "INCONSISTENT"
+              // next WRITER proceeds under a fresh claim: restore batch 0
+              cat.upsert("soak_orders", batchDf(0), Seq("o_orderkey"))
+              val finalOk = cat.readCommitted("soak_orders")(
+                _.groupBy("batch_id").count().collect())
+                .map(r => r.getInt(0) -> r.getLong(1)).toMap == preImage
+              val recovered = image != "INCONSISTENT" && finalOk
+              if (!recovered) soakFail += 1
+              s"""{"ran":true,"staged":true,"attempts":$attempts,""" +
+                s""""killed_mid_swap":true,""" +
+                s""""live_gone_at_kill":$liveGone,""" +
+                s""""stale_lock_left":$lockLeft,""" +
+                s""""reader_image":"$image",""" +
+                s""""next_writer_ok":$finalOk,"recovered":$recovered}"""
+            }
           } catch { case e: Throwable =>
             soakFail += 1
             val msg = Option(e.getMessage).getOrElse(e.toString)
               .replaceAll("[\"\\\\\n\r]", " ").take(200)
-            s"""{"ran":true,"recovered":false,"err":"$msg"}"""
+            s"""{"ran":true,"staged":true,"recovered":false,"err":"$msg"}"""
           }
 
           cycles.mkString("[", ",", "]")
@@ -900,6 +943,12 @@ object Bench {
       s""","scal_worst":$scalWorst,"conc_worst":$concW""" +
       s""","all_total":${r3(allTotal)},"all_fail":$allFail""" +
       s""","slowest":$slowJson,"soak_fail":$soakFail""" +
+      // the drill's verdict rides the DRIVER-VISIBLE line in full:
+      // round 9's bare soak_fail count arrived with zero diagnosis and
+      // forced forensics on a gitignored file — staged/child_exit/
+      // recovered (and a bounded child tail on failure) make any
+      // future staging or recovery failure self-explaining
+      s""","soak_crash":$soakCrashJson""" +
       s""","contended":$contended,"load_entry":$loadEntry""" +
       s""","steal_pct":${math.rint(stealPct * 100) / 100}""" +
       s""","cpu_probe_1":$probe1,"cpu_probe_n":$probeN"""

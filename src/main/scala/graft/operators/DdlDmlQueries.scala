@@ -1325,9 +1325,16 @@ object DdlDmlQueries {
       rows += ((3, "crashed_writer", tbl, present(), live(),
         TableLocks.clear(root, tbl)))
       // a remote host's fresh claim: locally unprobeable, honored as
-      // live under the lease — plain clear refuses, force overrides
+      // live under the lease — plain clear refuses, force overrides.
+      // Stamped a year into the future so the liveness verdict (this
+      // row sits in the byte-exact correctness gate) is independent of
+      // wall-clock stalls AND of the graft.lock.crossHostLeaseMs
+      // sys-prop, which concurrently-running lock specs legitimately
+      // shrink to milliseconds — liveness reads max(wall, mtime)
+      // against the lease, and a future wall can only read live.
       java.nio.file.Files.writeString(lf,
-        s"4242 99999 remotehost#deadbeef ${System.currentTimeMillis()}\n")
+        s"4242 99999 remotehost#deadbeef " +
+          s"${System.currentTimeMillis() + 365L * 24 * 3600 * 1000}\n")
       rows += ((4, "remote_leased", tbl, present(), live(),
         TableLocks.clear(root, tbl)))
       rows += ((5, "remote_forced", tbl, present(), live(),

@@ -1211,26 +1211,35 @@ object EventsQueries {
           "checkpoint, or restore the original checkpoint")
     // upgrade guard: a PRE-LINEAGE marker (bid only) can't distinguish a
     // same-checkpoint replay from a checkpoint reset — EXCEPT at the
-    // in-order replay boundary. A same-checkpoint crash recovery
-    // re-presents exactly the last committed batch (bid == applied);
-    // failing that hard would turn every first restart after upgrading
-    // to lineage-stamped code into an operator-intervention outage. So
-    // bid == applied no-ops idempotently AND adopts this stream's
-    // lineage into the marker (first contact claims provenance, making
-    // the next reset detectable); only bid STRICTLY below the marker —
-    // a batch-id restart, the genuine reset signature — fails loudly,
-    // because the skip branch must never eat a window of batches on the
-    // strength of a marker that lacks provenance.
+    // in-order replay boundary ABOVE batch 0. A same-checkpoint crash
+    // recovery re-presents exactly the last committed batch
+    // (bid == applied); failing that hard would turn every first
+    // restart after upgrading to lineage-stamped code into an
+    // operator-intervention outage. So bid == applied > 0 no-ops
+    // idempotently AND adopts this stream's lineage into the marker
+    // (first contact claims provenance, making the next reset
+    // detectable) — safe because a RESET stream restarts its bids at
+    // 0, so it would have tripped the applied > bid guard below on
+    // batch 0 long before reaching bid == applied. At applied == 0 ==
+    // bid that alibi vanishes: 0/0 is simultaneously the replay
+    // boundary and the reset signature (a reset's very first batch),
+    // and a silent adopt-and-skip there eats one batch of genuinely
+    // different data. Both ambiguous shapes fail loudly; only the
+    // provably-replay one adopts.
     if (runId.nonEmpty && appliedRun.isEmpty && applied >= 0 &&
-        applied > bid)
+        applied >= bid && !(applied == bid && applied > 0))
       throw new IllegalStateException(
         s"CDC state at $stateDir carries a pre-lineage marker (through " +
           s"batch $applied, no stream id) and this stream (lineage " +
-          s"$runId) presented batch $bid < $applied: cannot tell an " +
-          "idempotent replay from a checkpoint reset — refusing to " +
-          "skip; restore the original checkpoint or reset the state " +
-          "table with it")
-    if (runId.nonEmpty && appliedRun.isEmpty && applied == bid) {
+          s"$runId) presented batch $bid: cannot tell an idempotent " +
+          "replay from a checkpoint reset" +
+          (if (applied == bid) " (batch 0/0 is both the replay boundary" +
+            " and a reset's first batch)" else "") +
+          " — refusing to merge (double-count) or skip (data loss); " +
+          "restore the original checkpoint or reset the state table " +
+          "with it")
+    if (runId.nonEmpty && appliedRun.isEmpty && applied == bid &&
+        applied > 0) {
       // adopt atomically (write-aside + ATOMIC_MOVE): a crash mid-write
       // of an in-place rewrite would leave a truncated marker that
       // fails every subsequent parse — the one marker mutation that

@@ -34,16 +34,23 @@ import scala.collection.concurrent.TrieMap
   *  - MULTI-HOST sharing (HDFS/NFS roots): a claim stamped by ANOTHER
   *    host cannot be liveness-probed locally at all — ProcessHandle
   *    answers for this host's pid namespace only — so foreign claims
-  *    are honored as live until a LEASE window (`graft.lock.
-  *    crossHostLeaseMs`, default 60 s, wall-clock) expires, then
-  *    treated as crashed and stolen. The lease bounds lock loss after
-  *    a remote writer dies at the cost of requiring roughly-synced
-  *    clocks and holds shorter than the lease; deployments with long
-  *    commit windows or unsynced clocks should swap this object for a
-  *    real lock service (DynamoDB/ZK) — the Catalog call sites stay
-  *    identical. hostId is hostname plus the kernel boot id, so two
-  *    containers sharing a hostname string still read as distinct
-  *    owners.
+  *    are honored as live while their LEASE window (`graft.lock.
+  *    crossHostLeaseMs`, default 60 s, wall-clock) is fresh, then
+  *    treated as crashed and stolen. The lease is RENEWED while held:
+  *    withLock runs a daemon that touches the lock file's mtime every
+  *    lease/4, and foreign liveness is judged on max(stamp wall,
+  *    file mtime) — so a hold longer than the lease (Catalog.rewrite
+  *    through a full staged write, a 30-minute ANN index build) stays
+  *    owned for as long as its process breathes, and lock loss after a
+  *    remote crash is still bounded by one lease. mtime is preferred
+  *    as renewal evidence because the fileserver stamps it — the two
+  *    hosts never need to agree on a clock for renewal, only for the
+  *    initial claim; max() keeps a skewed writer-side wall from
+  *    SHORTENING the lease. Deployments with unsynced clocks should
+  *    still swap this object for a real lock service (DynamoDB/ZK) —
+  *    the Catalog call sites stay identical. hostId is hostname plus
+  *    the kernel boot id, so two containers sharing a hostname string
+  *    still read as distinct owners.
   *
   * A claim whose owner is provably dead (same host+boot, pid gone or
   * start-time mismatch; foreign host, lease expired) is stale and is
@@ -120,15 +127,26 @@ object TableLocks {
   /** Is the claim's owner still alive? Same (host, boot): the pid must
     * exist AND its start time must match the stamp (pid-reuse-proof;
     * a 0 start on either side means unknown and matches). Foreign
-    * (host, boot): alive until the lease expires. */
-  private def claimOwnerLive(c: Claim): Boolean =
+    * (host, boot): alive while the lease is fresh — judged on the
+    * NEWEST evidence of life, max(stamp wall, lock-file mtime), so a
+    * held lock whose renewal daemon keeps touching the file never
+    * expires under its live owner, and a forged/failed clock on the
+    * writer side can only LENGTHEN the lease, never strip a live
+    * hold. */
+  private def claimOwnerLive(c: Claim, lock: Path): Boolean =
     if (c.host == hostId) {
       val h = ProcessHandle.of(c.pid)
       h.isPresent && {
         val actual = startOf(h.get)
         c.start == 0L || actual == 0L || actual == c.start
       }
-    } else System.currentTimeMillis() - c.wall < crossHostLeaseMs
+    } else {
+      val mtime =
+        try Files.getLastModifiedTime(lock).toMillis
+        catch { case _: Exception => c.wall }
+      System.currentTimeMillis() - math.max(c.wall, mtime) <
+        crossHostLeaseMs
+    }
 
   /** One row of the lock view — the viewtablelock analog (reference:
     * tools/viewtablelock/viewtablelock.cpp prints table, owner
@@ -152,7 +170,8 @@ object TableLocks {
         .flatMap { p =>
           val t = p.getFileName.toString.stripSuffix(".lock")
           readClaim(p).map(c =>
-            LockInfo(t, c.pid, c.start, c.host, c.wall, claimOwnerLive(c)))
+            LockInfo(t, c.pid, c.start, c.host, c.wall,
+              claimOwnerLive(c, p)))
         }.toSeq.sortBy(_.table)
     }
   }
@@ -167,9 +186,85 @@ object TableLocks {
     * live, so a typo can't break an in-flight writer's exclusion. */
   def clear(root: String, table: String, force: Boolean = false): Boolean = {
     val lf = lockFile(root, table)
-    if (!Files.exists(lf)) false
-    else if (!force && readClaim(lf).exists(claimOwnerLive)) false
-    else Files.deleteIfExists(lf)
+    val observed =
+      try Some(Files.readString(lf)) catch { case _: Exception => None }
+    observed match {
+      case None => false
+      case Some(content) =>
+        if (!force && parseClaim(content).exists(claimOwnerLive(_, lf)))
+          false
+        // same rename-aside protocol as the in-band steal: between the
+        // dead verdict above and a bare delete, a contender could steal
+        // the dead claim and publish a fresh live one — deleting THAT
+        // strips the live successor's exclusion. The atomic rename
+        // freezes exactly one file; the content check then runs on
+        // bytes nobody else can touch.
+        else removeClaim(lf, table, content,
+          matchContent = !force) // the forced override clears whatever
+                                 // is there — that is the tool's
+                                 // explicit, confirmed semantics
+    }
+  }
+
+  /** Remove the claim at `lf` via rename-aside, the TOCTOU-free removal
+    * primitive shared by the in-band steal and the admin clear():
+    *
+    *  1. atomically RENAME the lock file to a remover-unique grave name
+    *     — rename(2) has exactly one winner, so two simultaneous
+    *     removers can never both "succeed" on the same claim (the
+    *     round-9 read-compare-delete let the loser delete a FRESH claim
+    *     published in between);
+    *  2. the renamed file's bytes are frozen (only we hold the grave
+    *     name), so the content check against the claim we judged dead
+    *     is now race-free: a match means we removed the corpse we meant
+    *     to — delete it and report success;
+    *  3. a MISMATCH means a contender stole the dead claim and
+    *     published a fresh live one between our read and our rename —
+    *     restore it via link(2) and report failure. The restore can
+    *     itself lose to a third claimant inside its two-syscall window;
+    *     that residue is detected (link throws EEXIST) and surfaced
+    *     loudly rather than silently leaving two writers who both
+    *     believe they hold the table.
+    *
+    * Returns true when the claim was removed (`lf` is now free to
+    * claim), false when the removal lost a race and `lf` should be
+    * re-examined. */
+  private[graft] def removeClaim(lf: Path, table: String, judged: String,
+      matchContent: Boolean): Boolean = {
+    val grave = lf.resolveSibling(
+      s".grave_${table}_${selfPid}_${Thread.currentThread().getId}_" +
+        s"${System.nanoTime()}")
+    try {
+      Files.move(lf, grave,
+        java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+      val got =
+        try Some(Files.readString(grave)) catch { case _: Exception => None }
+      if (!matchContent || got.contains(judged)) {
+        Files.deleteIfExists(grave)
+        true
+      } else {
+        try {
+          Files.createLink(lf, grave)
+          Files.deleteIfExists(grave)
+          false
+        } catch {
+          case _: java.nio.file.FileAlreadyExistsException =>
+            // a third writer claimed lf during the restore window: the
+            // successor whose claim we grabbed AND that third writer
+            // now both believe they own the table. Unrecoverable from
+            // here — put the grabbed claim back under its grave name
+            // for forensics and fail loudly instead of joining in.
+            throw new IllegalStateException(
+              s"lock restore for $table lost to a new claimant: a live " +
+                s"claim was displaced during a stale-claim removal and " +
+                s"could not be restored (displaced stamp preserved at " +
+                s"$grave) — mutual exclusion may be violated")
+        }
+      }
+    } catch {
+      case _: java.nio.file.NoSuchFileException => false // lost the
+      // rename race outright: another remover already took the claim
+    }
   }
 
   /** True while a DIFFERENT live owner (or a not-yet-readable claim)
@@ -180,7 +275,7 @@ object TableLocks {
     val lf = lockFile(root, table)
     Files.exists(lf) && (readClaim(lf) match {
       case Some(c) =>
-        !(c.pid == selfPid && c.host == hostId) && claimOwnerLive(c)
+        !(c.pid == selfPid && c.host == hostId) && claimOwnerLive(c, lf)
       case None => Files.exists(lf) // claim mid-write: assume live
     })
   }
@@ -239,17 +334,17 @@ object TableLocks {
               val observed =
                 try Some(Files.readString(lf)) catch { case _: Exception => None }
               val stale = observed.exists(s =>
-                parseClaim(s).exists(c => !claimOwnerLive(c)))
+                parseClaim(s).exists(c => !claimOwnerLive(c, lf)))
               if (stale) {
                 // stale claim from a dead writer — steal (the
-                // cleartablelock analog). Guard against deleting a FRESH
-                // claim that replaced the stale one since we read it:
-                // re-read and delete only on byte-identical content (the
-                // pid+millis stamp makes a colliding fresh claim
-                // practically impossible); a lost race just retries.
-                val now = try Some(Files.readString(lf))
-                          catch { case _: Exception => None }
-                if (now == observed) Files.deleteIfExists(lf)
+                // cleartablelock analog) through the rename-aside
+                // removal: exactly one of N simultaneous stealers wins
+                // the rename, and the content check that protects a
+                // FRESH claim published since our read runs on the
+                // renamed (frozen) bytes, not on a re-read the winner's
+                // delete can invalidate mid-compare. A lost race just
+                // retries the claim loop.
+                removeClaim(lf, table, observed.get, matchContent = true)
               } else {
                 if (System.nanoTime() > deadline)
                   throw new IllegalStateException(
@@ -259,8 +354,35 @@ object TableLocks {
               }
           }
         }
+        // lease renewal while held: touch the lock file's mtime every
+        // lease/4 so a FOREIGN host judging us by max(wall, mtime)
+        // keeps seeing a fresh lease for as long as we actually hold —
+        // the round-9 fixed 60 s lease broke mutual exclusion on
+        // exactly the holds that matter (a staged rewrite of a big
+        // table, a 30-minute ANN index build on a shared root). Touch
+        // only while the file still carries OUR stamp, so a forced
+        // clear + successor claim mid-hold isn't kept alive by us.
+        val renewer = new Thread(() => {
+          val period = math.max(100L, crossHostLeaseMs / 4)
+          try while (true) {
+            Thread.sleep(period)
+            try {
+              val cur = try Some(Files.readString(lf))
+                        catch { case _: Exception => None }
+              if (cur.contains(myStamp))
+                Files.setLastModifiedTime(lf,
+                  java.nio.file.attribute.FileTime.fromMillis(
+                    System.currentTimeMillis()))
+            } catch { case _: InterruptedException => throw
+                new InterruptedException()
+              case _: Exception => }
+          } catch { case _: InterruptedException => }
+        }, s"graft-lock-renew-$table")
+        renewer.setDaemon(true)
+        renewer.start()
         try f
         finally {
+          renewer.interrupt()
           // release ONLY our own claim: if an operator force-cleared us
           // (clear(force=true) on a wedged-looking writer) or a foreign
           // host stole our expired lease, the file now carries a

@@ -459,7 +459,7 @@ class CatalogSpec extends GraftSuite {
     // writer must proceed under a fresh claim.
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft_crash").toString
-    var proc: Process = null
+    var proc: sources.ChildJvm.Spawned = null
     try {
       val cat = new sources.Catalog(spark, root)
       cat.createTableAs("t",
@@ -475,7 +475,8 @@ class CatalogSpec extends GraftSuite {
           System.nanoTime() < dl)
         Thread.sleep(20)
       assert(Files.exists(flag),
-        "writer JVM never reached the commit window")
+        s"writer JVM never reached the commit window (alive=" +
+          s"${proc.isAlive}); output tail:\n${proc.tail().takeRight(2000)}")
       proc.destroyForcibly(); proc.waitFor()
       assert(!Files.exists(Paths.get(root, "t")),
         "kill must land with the live dir renamed aside")
@@ -521,6 +522,153 @@ class CatalogSpec extends GraftSuite {
       "release deleted the successor's claim — mutual exclusion broken")
   }
 
+  test("a stale-claim steal never deletes a fresh claim published in between") {
+    // the round-9 TOCTOU, pinned: contenders A and B both observe the
+    // same dead claim; A steals it and publishes a FRESH claim; B's
+    // steal — still armed with the dead claim's bytes — must refuse,
+    // leaving A's fresh claim byte-identical on disk (read-compare-
+    // delete let B delete it, admitting a third writer mid-swap)
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_lock").toString
+    val lf = Paths.get(root, "_locks", "t.lock")
+    Files.createDirectories(lf.getParent)
+    val stale = s"999999999 1 ${graft.sources.TableLocks.hostId} 1\n"
+    Files.writeString(lf, stale)
+    // contender A: wins the steal...
+    assert(graft.sources.TableLocks.removeClaim(lf, "t", stale,
+      matchContent = true), "first stealer must remove the dead claim")
+    // ...and publishes its fresh (live, foreign so liveness-leased) claim
+    val fresh = s"4242 99999 otherhost#deadbeef " +
+      s"${System.currentTimeMillis()}\n"
+    Files.writeString(lf, fresh)
+    // contender B: same dead bytes in hand, must lose — and harm nothing
+    assert(!graft.sources.TableLocks.removeClaim(lf, "t", stale,
+      matchContent = true), "second stealer must refuse the fresh claim")
+    assert(Files.exists(lf) && Files.readString(lf) == fresh,
+      "the fresh claim must survive the losing steal byte-identically")
+    // and no grave debris is left behind for the lock view to trip on
+    import scala.jdk.CollectionConverters._
+    val debris = Files.list(lf.getParent).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(".grave_")).toSeq
+    assert(debris.isEmpty, s"steal left grave files: $debris")
+    sources.FsUtil.deleteRecursively(Paths.get(root), swallowErrors = true)
+  }
+
+  test("N contenders racing over a stale claim serialize without overlap") {
+    // hammer the steal + claim path from many threads at once, starting
+    // from a dead claim: every contender must eventually enter, at most
+    // one at a time (two simultaneous holders = the lost-update bug the
+    // lock exists to prevent)
+    import scala.jdk.CollectionConverters._
+    val root = java.nio.file.Files.createTempDirectory("graft_lock").toString
+    val lf = java.nio.file.Paths.get(root, "_locks", "t.lock")
+    java.nio.file.Files.createDirectories(lf.getParent)
+    java.nio.file.Files.writeString(lf, "999999999 0\n") // dead claim
+    val inside = new java.util.concurrent.atomic.AtomicInteger
+    val maxInside = new java.util.concurrent.atomic.AtomicInteger
+    val entries = new java.util.concurrent.atomic.AtomicInteger
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val threads = (1 to 8).map { _ =>
+      new Thread(() => {
+        try graft.sources.TableLocks.withLock(root, "t",
+            timeoutMs = 30000) {
+          val n = inside.incrementAndGet()
+          maxInside.getAndUpdate(m => math.max(m, n))
+          entries.incrementAndGet()
+          Thread.sleep(5)
+          inside.decrementAndGet()
+        } catch { case e: Throwable => errs.add(e) }
+      })
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    assert(errs.isEmpty, errs.asScala.map(_.toString).mkString("; "))
+    assert(entries.get() == 8, s"all contenders must enter: ${entries.get()}")
+    assert(maxInside.get() == 1,
+      s"mutual exclusion violated: ${maxInside.get()} holders at once")
+    sources.FsUtil.deleteRecursively(java.nio.file.Paths.get(root),
+      swallowErrors = true)
+  }
+
+  test("a held lock renews its cross-host lease: fresh mtime keeps it owned") {
+    // the round-9 fixed lease broke exactly the long holds that matter
+    // (staged rewrites, 30-min ANN builds on NFS): a foreign contender
+    // judged the live owner dead after 60 s and stole mid-hold. Now the
+    // holder's daemon touches the lock file every lease/4 and foreign
+    // liveness reads max(stamp wall, mtime) — so (a) a renewed foreign
+    // claim with an ANCIENT wall still reads live, and (b) a hold
+    // longer than the lease keeps its mtime fresh throughout.
+    import java.nio.file.{Files, Paths}
+    import java.nio.file.attribute.FileTime
+    val root = Files.createTempDirectory("graft_lock").toString
+    val lf = Paths.get(root, "_locks", "t.lock")
+    Files.createDirectories(lf.getParent)
+    val prev = sys.props.get("graft.lock.crossHostLeaseMs")
+    sys.props("graft.lock.crossHostLeaseMs") = "1000"
+    try {
+      // (a) foreign claim, wall far beyond the lease, mtime fresh — the
+      // renewal evidence must keep it honored as live
+      Files.writeString(lf,
+        s"4242 99999 otherhost#deadbeef " +
+          s"${System.currentTimeMillis() - 60000}\n")
+      assert(graft.sources.TableLocks.heldByOtherLiveOwner(root, "t"),
+        "a renewed (fresh-mtime) foreign claim must read as live")
+      Files.delete(lf)
+      // (b) our own hold outlasting the lease: the daemon must have
+      // touched the file, leaving its mtime far newer than claim time
+      graft.sources.TableLocks.withLock(root, "t") {
+        val claimed = Files.getLastModifiedTime(lf).toMillis
+        // age the file artificially so ONLY a renewal touch can
+        // refresh it (sleep alone proves nothing if nobody touches)
+        Files.setLastModifiedTime(lf,
+          FileTime.fromMillis(claimed - 60000))
+        Thread.sleep(700) // > lease/4 = 250 ms: at least one touch
+        val renewed = Files.getLastModifiedTime(lf).toMillis
+        assert(renewed >= claimed - 1000,
+          s"renewal daemon never touched the held lock " +
+            s"(claimed=$claimed, mtime=$renewed)")
+      }
+      assert(!Files.exists(lf), "lock released after the body")
+    } finally {
+      prev match {
+        case Some(v) => sys.props("graft.lock.crossHostLeaseMs") = v
+        case None => sys.props -= "graft.lock.crossHostLeaseMs"
+      }
+      sources.FsUtil.deleteRecursively(Paths.get(root),
+        swallowErrors = true)
+    }
+  }
+
+  test("admin clear refuses when a successor replaced the dead claim mid-clear") {
+    // clear()'s non-forced path shares removeClaim: judged-dead bytes
+    // that no longer match the file must refuse and leave the
+    // successor's claim intact (the round-9 clear() deleted it)
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_lock").toString
+    val lf = Paths.get(root, "_locks", "t.lock")
+    Files.createDirectories(lf.getParent)
+    val stale = s"999999999 1 ${graft.sources.TableLocks.hostId} 1\n"
+    val fresh = s"4242 99999 otherhost#deadbeef " +
+      s"${System.currentTimeMillis()}\n"
+    Files.writeString(lf, stale)
+    // the dead claim is clearable as-is
+    assert(graft.sources.TableLocks.removeClaim(lf, "t", stale,
+      matchContent = true))
+    // successor claims; an operator's clear armed with the OLD dead
+    // bytes must now refuse
+    Files.writeString(lf, fresh)
+    assert(!graft.sources.TableLocks.removeClaim(lf, "t", stale,
+      matchContent = true))
+    assert(Files.readString(lf) == fresh,
+      "clear deleted the successor's claim")
+    // while the plain clear() API against the live successor refuses
+    // outright and force clears it (the tool's confirmed override)
+    assert(!graft.sources.TableLocks.clear(root, "t"))
+    assert(graft.sources.TableLocks.clear(root, "t", force = true))
+    assert(!Files.exists(lf))
+    sources.FsUtil.deleteRecursively(Paths.get(root),
+      swallowErrors = true)
+  }
+
   test("a forged claim with a LIVE-but-reused pid (wrong start time) is stolen") {
     // pid-reuse scenario: the claim carries OUR OWN (provably live) pid
     // but a start time no process on this host has — the stamp of a dead
@@ -562,11 +710,16 @@ class CatalogSpec extends GraftSuite {
         graft.sources.TableLocks.withLock(root, "t", timeoutMs = 300) {}
       }
       // same claim with the lease expired: treated as a crashed remote
-      // writer and stolen
+      // writer and stolen. Liveness is judged on max(stamp wall, file
+      // mtime) — the renewal-daemon evidence — so forging an expired
+      // claim must back-date BOTH (writing the file stamps mtime=now).
       sys.props("graft.lock.crossHostLeaseMs") = "1000"
       java.nio.file.Files.writeString(lf,
         s"4242 99999 otherhost#deadbeef " +
           s"${System.currentTimeMillis() - 5000}\n")
+      java.nio.file.Files.setLastModifiedTime(lf,
+        java.nio.file.attribute.FileTime.fromMillis(
+          System.currentTimeMillis() - 5000))
       assert(!graft.sources.TableLocks.heldByOtherLiveOwner(root, "t"))
       var ran = false
       graft.sources.TableLocks.withLock(root, "t", timeoutMs = 5000) {

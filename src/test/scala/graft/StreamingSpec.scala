@@ -289,6 +289,19 @@ class StreamingSpec extends GraftSuite {
       operators.EventsQueries.applyCdcBatch(tmp, b0, 2L, "lineageB")
       assert(Files.readString(Paths.get(s"$tmp/state/_applied_bid"))
         .contains("lineageB"))
+      // the 0/0 boundary is NOT adoptable: applied == 0 is both the
+      // replay boundary (crash right after batch 0) and the reset
+      // signature (a reset restarts bids at 0, so its FIRST batch is
+      // the first chance to notice) — a silent adopt here would eat one
+      // batch of genuinely different data. Must fail loudly.
+      Files.writeString(Paths.get(s"$tmp/state/_applied_bid"), "0\n")
+      val e4 = intercept[IllegalStateException](
+        operators.EventsQueries.applyCdcBatch(tmp, b0, 0L, "lineageD"))
+      assert(e4.getMessage.contains("pre-lineage") &&
+        e4.getMessage.contains("0/0"),
+        s"0/0 over a pre-lineage marker must refuse: ${e4.getMessage}")
+      assert(!Files.readString(Paths.get(s"$tmp/state/_applied_bid"))
+        .contains("lineageD"), "the refused 0/0 must not adopt")
     } finally {
       sources.FsUtil.deleteRecursively(Paths.get(tmp), swallowErrors = true)
     }

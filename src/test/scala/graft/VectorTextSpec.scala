@@ -328,7 +328,7 @@ class VectorTextSpec extends GraftSuite {
     import java.nio.file.{Files, Paths}
     val tmpA = Files.createTempDirectory("graft_annmaint_a").toString
     val tmpB = Files.createTempDirectory("graft_annmaint_b").toString
-    var proc: Process = null
+    var proc: sources.ChildJvm.Spawned = null
     try {
       val emb = Tables.table(spark, sf, "embeddings")
       emb.write.parquet(s"$tmpA/embeddings.parquet")
@@ -372,8 +372,9 @@ class VectorTextSpec extends GraftSuite {
         assert(rows.map(_.getLong(0)).distinct.length == 10,
           s"read $reads lost query ids — partial state observed")
       }
-      assert(proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) &&
-        proc.exitValue() == 0, "mutator JVM failed")
+      assert(proc.proc.waitFor(60, java.util.concurrent.TimeUnit.SECONDS) &&
+        proc.proc.exitValue() == 0,
+        s"mutator JVM failed; output tail:\n${proc.tail().takeRight(2000)}")
       assert(Files.exists(Paths.get(tmpA, "_mutator_done")),
         "mutator never finished its schedule")
       assert(reads > 0, "the reader loop must actually observe the index")
