@@ -231,12 +231,22 @@ object Bench {
     // r1–r7 were execution-only for lazily-constructed plans; the bases
     // differ by construction/analysis cost only, single-digit ms for
     // those plans.)
+    // plan fingerprints for the query-history batch: captured once per
+    // headline query from the constructed DataFrame (semanticHash of
+    // the optimized plan — one extra driver-side Catalyst pass per
+    // QUERY, not per rep, outside the timed window)
+    val headlineSet = headline.toSet
+    val planHashes = scala.collection.mutable.Map.empty[String, String]
     def runE2eIn(name: String, dir: String): Double = {
       resetState()
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, dir)
-        .write.mode("overwrite").format("noop").save()
-      (System.nanoTime() - t0) / 1e9
+      val df = SparkEntry.queries(name)(spark, dir)
+      df.write.mode("overwrite").format("noop").save()
+      val sec = (System.nanoTime() - t0) / 1e9
+      if (dir == sfDir && headlineSet(name) && !planHashes.contains(name))
+        try planHashes(name) = graft.plans.QueryStats.planHash(df)
+        catch { case _: Throwable => }
+      sec
     }
     def runE2e(name: String): Double = runE2eIn(name, sfDir)
     def run(name: String): Double = runE2e(name)
@@ -334,6 +344,28 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
       .mkString("{", ",", "}")
     val total = results.flatMap(_._2).sum
+
+    // persisted query-history stats (querystats analog — reference:
+    // utils/querystats/querystats.h): one batch per bench run into a
+    // durable history catalog, so round-over-round walls and plan
+    // hashes are queryable with the engine itself (d_query_stats is
+    // the oracle-gated read side). rows is -1 on this path — the noop
+    // sink reports no row count, and counting would re-run the query.
+    // Fallible and opt-out-able (SPARK_GRAFT_HISTORY_DIR="") — a
+    // history write must never damage the bench.
+    try {
+      val histRoot =
+        sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history")
+      if (histRoot.nonEmpty) {
+        val ts = System.currentTimeMillis()
+        plans.QueryStats.append(spark, histRoot, s"bench_$ts",
+          results.flatMap { case (n, secOpt) => secOpt.map(s =>
+            plans.QueryStats.Entry(n, math.rint(s * 1e6) / 1e3, -1L, ts,
+              planHashes.getOrElse(n, ""))) })
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] query history append: $e")
+    }
 
     // concurrency mini-bench — the reference's multi-user story
     // (utils/scenarios/perf/testcase/grptest.sh:17-23 runs the query group

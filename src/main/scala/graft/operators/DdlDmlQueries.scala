@@ -1353,6 +1353,61 @@ object DdlDmlQueries {
       ORDER BY phase""")
   )
 
+  /** Persisted query-history stats (reference: utils/querystats/
+    * querystats.h — per-query wall/rows/session accumulated into a
+    * stats table; scenario tblTestStats.sql reads it back). Records
+    * two runs each of three queries into a scratch `query_history`
+    * catalog table — the second batch through a FRESH catalog
+    * instance, proving the history persists across sessions — then
+    * answers the operator questions the table exists for: how many
+    * runs, how many rows, did the plan stay stable, were the
+    * measurements sane. Row counts and plan-stability are exact
+    * (semanticHash is deterministic for a fixed query over a fixed
+    * schema), so the oracle pins them from the source tables; walls
+    * and timestamps are nondeterministic and collapse to sanity
+    * booleans. */
+  val queryStats: QueryDef = QueryDef(
+    "d_query_stats",
+    (s, dir) => {
+      import graft.plans.QueryStats
+      val root = scratch("qstats")
+      def queries: Seq[(String, DataFrame)] = Seq(
+        "nation_rows" -> t(s, dir, "nation"),
+        "orders_by_status" -> t(s, dir, "orders")
+          .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n")),
+        "region_rollup" -> t(s, dir, "region")
+          .agg(count(lit(1)).as("n")))
+      QueryStats.append(s, root, "run1",
+        queries.map { case (n, df) => QueryStats.timed(n, df) })
+      // batch 2 rides a fresh catalog attach — history is durable state
+      QueryStats.append(s, root, "run2",
+        queries.map { case (n, df) => QueryStats.timed(n, df) })
+      QueryStats.history(s, root)
+        .groupBy(col("query"))
+        .agg(count(lit(1)).as("runs"),
+          min(col("rows")).as("rows"),
+          (min(col("rows")) === max(col("rows"))).as("rows_stable"),
+          countDistinct(col("plan_hash")).as("plans"),
+          (min(col("wall_ms")) > lit(0.0)).as("wall_ok"),
+          (min(col("ts")) > lit(0L) &&
+            countDistinct(col("run_id")) === lit(2)).as("runs_distinct"))
+        .orderBy(col("query"))
+    },
+    oracle = Some("""
+      SELECT * FROM (VALUES
+        ('nation_rows', CAST(2 AS BIGINT),
+          (SELECT count(*) FROM nation), true, CAST(1 AS BIGINT),
+          true, true),
+        ('orders_by_status', CAST(2 AS BIGINT),
+          (SELECT count(DISTINCT o_orderstatus) FROM orders), true,
+          CAST(1 AS BIGINT), true, true),
+        ('region_rollup', CAST(2 AS BIGINT), CAST(1 AS BIGINT), true,
+          CAST(1 AS BIGINT), true, true)
+      ) AS t(query, runs, rows, rows_stable, plans, wall_ok,
+             runs_distinct)
+      ORDER BY query""")
+  )
+
   val queryTrace: QueryDef = QueryDef(
     "d_query_trace",
     (s, dir) => {
@@ -1419,5 +1474,5 @@ object DdlDmlQueries {
     analyzeHistogram, schemaMerge, typeWidening, dmlJoin,
     dynamicPartitionOverwrite,
     wapPublish, maskedView, checkConstraints, compressionCodecs,
-    autoIncrement, queryTrace, viewTableLocks)
+    autoIncrement, queryTrace, viewTableLocks, queryStats)
 }
