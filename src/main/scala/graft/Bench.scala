@@ -520,6 +520,11 @@ object Bench {
             shared4(n).write.mode("overwrite").format("noop").save()
             (System.nanoTime() - t0) / 1e9
           }
+          // one untimed pass first: the serial baseline must be the
+          // same WARM steady-state the concurrent samples reach, or
+          // p95/serial reads flatteringly below 1 on first-codegen cost
+          mixNames.filter(shared4.contains).foreach(n =>
+            try execOnly(n) catch { case _: Throwable => })
           val serial4 = mixNames.filter(shared4.contains)
             .map(n => n -> execOnly(n)).toMap
           val samples =

@@ -729,6 +729,7 @@ object AnnIndex {
   def appendSegment(s: SparkSession, dir: String, batch: DataFrame,
       seg: String = "seg1"): Unit = withMaintLock(dir) {
     require(seg.matches("seg[1-9][0-9]*"), s"bad segment name: $seg")
+    java.nio.file.Files.deleteIfExists(maintStateMarker(dir))
     val m = readManifest(dir)
     val old = m.segs.find(_._1 == seg).map(_._2)
     val phys = freshPhys(s"${seg}_g${m.gen}", old)
@@ -750,6 +751,7 @@ object AnnIndex {
     * O(tombstones) metadata; no list is touched until `compact`. */
   def writeTombstones(s: SparkSession, dir: String, ids: DataFrame): Unit =
     withMaintLock(dir) {
+      java.nio.file.Files.deleteIfExists(maintStateMarker(dir))
       val m = readManifest(dir)
       val phys = freshPhys(s"tomb_g${m.gen}", m.tomb)
       ids.select(col("vec_id"))
@@ -804,6 +806,7 @@ object AnnIndex {
     * identical rows — the invariant the VectorTextSpec maintenance test
     * pins. */
   def compact(s: SparkSession, dir: String): Unit = withMaintLock(dir) {
+    java.nio.file.Files.deleteIfExists(maintStateMarker(dir))
     val m = readManifest(dir)
     val (assign, codes) = liveLists(s, dir, m)
     // prune dead code rows against the broadcast TOMBSTONE set (the
@@ -831,6 +834,49 @@ object AnnIndex {
     dropNow.foreach(p => graft.sources.FsUtil.deleteRecursively(
       root.resolve(p), swallowErrors = true))
   }
+
+  // ---- canonical maintained state -----------------------------------
+  // The maintenance row and the recall gate share one lifecycle schedule
+  // (base on vec_id%8≠0, delta = the held-out eighth, tombstones
+  // vec_id%5=3). establishMaintained ALWAYS rebuilds it — that is what
+  // x_ann_index_maintenance times — and stamps a marker; ensureMaintained
+  // skips when the marker says the canonical state is already live, so
+  // the recall gate doesn't re-pay the base training the maintenance row
+  // just performed in the same sweep (standalone it builds). Every OTHER
+  // mutator invalidates the marker (buildBaseSegment's post-publish wipe
+  // removes it as an unreferenced file; append/tombstone/compact delete
+  // it explicitly), so the marker can never claim canonical over a
+  // diverged manifest.
+
+  private def maintStateMarker(dir: String): java.nio.file.Path =
+    java.nio.file.Paths.get(maintPath(dir, "_canonical_state"))
+  private val MaintStateVersion = s"$IndexVersion-canon1"
+
+  /** Rebuild the canonical maintained state from scratch (build → append
+    * → tombstones) and stamp it. */
+  def establishMaintained(s: SparkSession, dir: String): Unit =
+    withMaintLock(dir) {
+      val all = Tables.table(s, dir, "embeddings")
+      buildBaseSegment(s, dir)
+      appendSegment(s, dir, all.filter(pmod(col("vec_id"), lit(8)) === 0))
+      writeTombstones(s, dir,
+        all.filter(pmod(col("vec_id"), lit(5)) === 3))
+      java.nio.file.Files.writeString(maintStateMarker(dir),
+        s"$MaintStateVersion\n")
+    }
+
+  /** Establish the canonical maintained state only when it isn't already
+    * the live one (same idempotence contract as ensureBuilt, same
+    * fallible-read rule: any marker read failure means rebuild). */
+  def ensureMaintained(s: SparkSession, dir: String): Unit =
+    withMaintLock(dir) {
+      val fresh =
+        try java.nio.file.Files.readString(maintStateMarker(dir)).trim ==
+            MaintStateVersion &&
+          java.nio.file.Files.exists(manifestFile(dir))
+        catch { case _: Exception => false }
+      if (!fresh) establishMaintained(s, dir)
+    }
 
   /** Artifact summary for the build gate: per coarse cluster and per PQ
     * codebook entry, member counts and centroid norms (rounded 4) — the

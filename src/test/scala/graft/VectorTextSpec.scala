@@ -406,6 +406,46 @@ class VectorTextSpec extends GraftSuite {
     }
   }
 
+  test("canonical maintained state: ensure skips, any mutator invalidates") {
+    // the recall gate reuses the maintenance row's lifecycle state via a
+    // marker; the marker must (a) make ensureMaintained a no-op while
+    // the canonical state is live, and (b) die with ANY mutation, so it
+    // can never claim canonical over a diverged manifest
+    import java.nio.file.{Files, Paths}
+    val tmp = Files.createTempDirectory("graft_annstate").toString
+    try {
+      Tables.table(spark, sf, "embeddings")
+        .write.parquet(s"$tmp/embeddings.parquet")
+      operators.AnnIndex.establishMaintained(spark, tmp)
+      val before = operators.AnnIndex.maintQuery(spark, tmp)
+        .collect().map(_.toSeq).toSeq
+      def epochOf(): String = Files.readString(Paths.get(
+        operators.AnnIndex.indexDir(tmp), "maint", "MANIFEST"))
+      val m0 = epochOf()
+      // (a) ensure over a live canonical state must not rebuild: the
+      // manifest (epoch included) stays byte-identical
+      operators.AnnIndex.ensureMaintained(spark, tmp)
+      assert(epochOf() == m0, "ensureMaintained rebuilt a live canonical " +
+        "state — the recall gate would re-pay the base training")
+      // (b) a mutation (extra tombstone wave) invalidates the marker;
+      // ensure must then re-establish (epoch bumps), and the re-built
+      // state answers identically to the first canonical build
+      operators.AnnIndex.writeTombstones(spark, tmp,
+        Tables.table(spark, tmp, "embeddings")
+          .filter(org.apache.spark.sql.functions.col("vec_id") === 1))
+      operators.AnnIndex.ensureMaintained(spark, tmp)
+      assert(epochOf() != m0,
+        "a mutated state must not pass for canonical")
+      val after = operators.AnnIndex.maintQuery(spark, tmp)
+        .collect().map(_.toSeq).toSeq
+      assert(after == before,
+        "re-established canonical state must answer identically")
+    } finally {
+      sources.FsUtil.deleteRecursively(java.nio.file.Paths.get(tmp),
+        swallowErrors = true)
+    }
+  }
+
   test("ANN queries leave the block-manager cache empty") {
     // two trainings back-to-back in one session: a library caller must
     // not accumulate cached assignment blocks (materialization goes
