@@ -152,9 +152,41 @@ class Catalog(spark: SparkSession, root: String) {
   def table(name: String): DataFrame = {
     val schema = tables.getOrElse(name,
       throw new IllegalArgumentException(s"no such table: $name"))
-    ensureLive(name)
-    spark.read.schema(schema).parquet(tablePath(name))
+    // bracket the eager file LISTING with a generation identity check:
+    // Spark's InMemoryFileIndex treats a root directory that vanishes
+    // between its glob and its leaf-listing as an EMPTY directory (by
+    // design — "was it deleted very recently?" is a WARNING), so a
+    // reader whose listing straddles rewrite()'s swap window can get a
+    // silently EMPTY relation instead of an error (observed ~1/500
+    // commits under the CatalogStress hammer). The live dir's file key
+    // (inode) changes with every swap; equal keys on both sides of the
+    // listing prove it saw exactly one committed generation. A swap
+    // landing AFTER the listing still fails loudly at scan time
+    // (FAILED_READ_FILE) and is absorbed by readCommitted's retry.
+    var attempt = 0
+    while (true) {
+      ensureLive(name)
+      val k1 = liveKey(name)
+      val df = spark.read.schema(schema).parquet(tablePath(name))
+      val k2 = liveKey(name)
+      if ((k1 != null && k1 == k2) || attempt >= 20) return df
+      attempt += 1
+      Thread.sleep(10)
+    }
+    sys.error("unreachable")
   }
+
+  /** Identity of the live directory's current generation: the inode
+    * (fileKey) when the filesystem reports one, else the dir's mtime;
+    * null while the dir is missing (mid-swap). */
+  private def liveKey(name: String): AnyRef =
+    try {
+      val a = Files.readAttributes(Paths.get(tablePath(name)),
+        classOf[java.nio.file.attribute.BasicFileAttributes])
+      val fk = a.fileKey()
+      if (fk != null) fk
+      else java.lang.Long.valueOf(a.lastModifiedTime().toMillis)
+    } catch { case _: Exception => null }
 
   /** Reader-side commit-window handling: a missing live dir means either
     * a writer is inside rewrite()'s two-rename commit window (wait it
@@ -191,8 +223,15 @@ class Catalog(spark: SparkSession, root: String) {
         .take(8).toSeq
       chain.exists {
         case _: java.io.FileNotFoundException => true
+        // rename-swap victims surface as NoSuchFileException too, whose
+        // message is just the PATH — no "does not exist" to match; and
+        // Spark 4 wraps either in SparkException [FAILED_READ_FILE.*],
+        // sometimes (NO_HINT) with the cause's text absent from every
+        // message in the driver-side chain
+        case _: java.nio.file.NoSuchFileException => true
         case t => val m = Option(t.getMessage).getOrElse("")
-          m.contains("does not exist") || m.contains("PATH_NOT_FOUND")
+          m.contains("does not exist") || m.contains("PATH_NOT_FOUND") ||
+            m.contains("FAILED_READ_FILE")
       }
     }
     var attempt = 0

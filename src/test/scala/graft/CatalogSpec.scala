@@ -383,6 +383,56 @@ class CatalogSpec extends GraftSuite {
       .map(_.getInt(0)).toSeq == Seq(5))
   }
 
+  test("snapshot reads stay complete under a continuous writer (hammer)") {
+    // round-10 regression pin (found by the bench's new mixed leg,
+    // reproduced by sources.CatalogStress): Spark's InMemoryFileIndex
+    // treats a root dir that vanishes between its glob and its
+    // leaf-listing as EMPTY (a logged warning, not an error), so a
+    // reader whose listing straddled rewrite()'s swap window got a
+    // silently EMPTY relation (~1/500 commits); and the swap's scan
+    // victims surface as NoSuchFileException / [FAILED_READ_FILE.*]
+    // shapes the old transient matcher missed. table() now brackets
+    // the listing with a generation file-key check and readCommitted
+    // retries all vanished-file shapes — this hammer must observe
+    // ONLY complete one-generation snapshots.
+    import scala.jdk.CollectionConverters._
+    val cat = freshCatalog()
+    cat.createTableAs("h",
+      spark.range(0, 5000).toDF("id").withColumn("gen", lit(0)))
+    @volatile var stop = false
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val nreads = new java.util.concurrent.atomic.AtomicInteger
+    var commits = 0
+    val writer = new Thread(() => {
+      var g = 1
+      try while (!stop) {
+        cat.update("h", _.withColumn("gen", lit(g)))
+        commits += 1; g += 1
+      } catch { case e: Throwable => bad.add(s"writer: $e") }
+    })
+    val readers = (1 to 2).map { r =>
+      new Thread(() => {
+        while (!stop) {
+          try {
+            val gens = cat.readCommitted("h")(
+              _.groupBy("gen").count().collect())
+            nreads.incrementAndGet()
+            if (gens.length != 1 || gens(0).getLong(1) != 5000L)
+              bad.add(s"reader$r torn snapshot: ${gens.mkString(",")}")
+          } catch { case e: Throwable => bad.add(s"reader$r: $e") }
+        }
+      })
+    }
+    writer.start(); readers.foreach(_.start())
+    Thread.sleep(15000)
+    stop = true
+    writer.join(); readers.foreach(_.join())
+    assert(bad.isEmpty, bad.asScala.take(3).mkString("; "))
+    assert(commits > 5 && nreads.get() > 5,
+      s"hammer too idle to mean anything: $commits commits, " +
+        s"${nreads.get()} reads")
+  }
+
   test("the table lock excludes a writer in a DIFFERENT JVM") {
     // true cross-process evidence: spawn a second JVM (no Spark — the
     // lock layer is pure java.nio) that holds the lock ~2 s; this JVM's
