@@ -551,6 +551,22 @@ class CatalogSpec extends GraftSuite {
     }
   }
 
+  test("ChildJvm captures a failing child's output tail") {
+    // the round-9 driver soak_fail was undiagnosable because the child
+    // drain went to the null stream; the bounded tail must carry a
+    // child's crash output back to the parent (this is what makes a
+    // staging failure self-explaining in the bench artifact)
+    val child = sources.ChildJvm.spawn("graft.sources.TableLockHolder",
+      Seq("wrong-arity")) // MatchError at startup, nonzero exit
+    assert(child.waitFor() != 0, "mis-invoked child must fail")
+    // the drain thread races process exit by a beat
+    val dl = System.nanoTime() + 15L * 1000000000L
+    while (!child.tail().contains("MatchError") && System.nanoTime() < dl)
+      Thread.sleep(50)
+    assert(child.tail().contains("MatchError"),
+      s"tail must carry the crash output, got: ${child.tail().take(400)}")
+  }
+
   test("release after a forced clear never deletes the successor's claim") {
     // an operator force-clears a live-but-wedged-looking writer and a
     // successor claims; when the original writer finishes, its release
