@@ -316,7 +316,7 @@ object Bench {
     // a failed query is reported as JSON null, never a numeric sentinel a
     // consumer could silently fold into sums/averages
     def jnum(v: Option[Double]): String = v.map(_.toString).getOrElse("null")
-    def r3s(d: Double): Double = math.rint(d * 1000) / 1000
+    def r3(d: Double): Double = math.rint(d * 1000) / 1000
     // targeted iteration mode: time just the named queries end-to-end
     // (construction included, like the extended section), print one line,
     // and skip every other section
@@ -590,18 +590,23 @@ object Bench {
             ser.filter(_ > 0).foreach(s0 =>
               conc4Worst = Some(math.max(conc4Worst.getOrElse(0.0),
                 p95 / s0)))
-            s""""$n":{"p50":${r3s(p50)},"p95":${r3s(p95)},""" +
+            s""""$n":{"p50":${r3(p50)},"p95":${r3(p95)},""" +
               s""""serial":${jnum(ser)},"n":${s.size}}"""
           })
-          val consistent = badReads.isEmpty && errs.isEmpty
+          // consistency and errors are DIFFERENT verdicts: `consistent`
+          // answers "did any read observe a torn snapshot" (the MVCC
+          // claim under test); a reader/writer exception is reported in
+          // its own counter so a transient query failure can't print as
+          // a false snapshot-integrity alarm in the artifact of record
+          val consistent = badReads.isEmpty
           errs.forEach(e => System.err.println(s"[bench] mixed: $e"))
           badReads.forEach(b =>
             System.err.println(s"[bench] mixed inconsistent snapshot: $b"))
-          s"""{"sessions":$mixUsers,"dur_sec":${r3s(durSec)},""" +
+          s"""{"sessions":$mixUsers,"dur_sec":${r3(durSec)},""" +
             s""""writer_commits":$commits,""" +
             s""""snapshot_reads":${nReads.get()},""" +
-            s""""consistent":$consistent,"queries":${
-              entries.mkString("{", ",", "}")}}"""
+            s""""consistent":$consistent,"errors":${errs.size},""" +
+            s""""queries":${entries.mkString("{", ",", "}")}}"""
         } finally {
           sources.FsUtil.deleteRecursively(tmp, swallowErrors = true)
         }
@@ -730,72 +735,83 @@ object Bench {
           // instant), and is kill -9'd there. The next reader and
           // writer must proceed through the stale-lock steal +
           // recover() path and observe only complete images. ----------
-          def runCrashDrill(): String = try {
-            // the crash batch REPLACES batch 0's rows under new batch_id
-            // 999 (same keys), so pre- and post-image are distinguishable
-            // and both enumerable exactly
-            batchDf(0).withColumn("batch_id", lit(999))
-              .write.mode("overwrite").parquet(s"$tmp/crash_batch")
-            def jstr(s: String): String = "\"" + s
-              .replaceAll("[\\\\\"]", " ")
-              .replaceAll("[\\u0000-\\u001f]", " ") + "\""
+          def jstr(s: String): String = "\"" + s
+            .replaceAll("[\\\\\"]", " ")
+            .replaceAll("[\\u0000-\\u001f]", " ") + "\""
+          def runCrashDrill(): String = {
             // STAGING (getting the child parked inside the commit
             // window) is a harness concern, separate from RECOVERY (the
             // engine surviving the kill): round 9's driver run conflated
             // them in one soak_fail counter with zero diagnostics when
             // the child died before parking. Staging now retries once,
             // records the child's exit code and a bounded output tail,
-            // and a staging failure reports itself (`staged:false` +
-            // diagnosis) WITHOUT counting as a soak failure — only a
-            // staged drill whose recovery then breaks is one.
-            var staged = false
+            // and ANY staging failure — a never-parking child OR an
+            // exception thrown while setting the stage — reports itself
+            // (`staged:false` + diagnosis) WITHOUT counting as a soak
+            // failure; only a staged drill whose recovery then breaks
+            // is one.
             var attempts = 0
             var childExit = "null"
             var childTail = ""
             val flag = java.nio.file.Paths.get(
               s"$tmp/cat", "_locks", ".midswap_soak_orders")
-            while (!staged && attempts < 2) {
-              attempts += 1
-              // a PREVIOUS drill's kill -9 lands while the child parks
-              // inside the flag's try/finally, so the flag file
-              // survives the kill — without this delete the next
-              // drill's wait loop "sees" the stale flag instantly and
-              // kills a child that never reached the window (false
-              // staged: the kill tests nothing)
-              java.nio.file.Files.deleteIfExists(flag)
-              val child = sources.ChildJvm.spawn(
-                "graft.sources.SoakCrashWriter",
-                Seq(s"$tmp/cat", "soak_orders", s"$tmp/crash_batch",
-                  "o_orderkey"),
-                env = Map("GRAFT_SWAP_PAUSE_MS" -> "120000"))
-              val dl = System.nanoTime() + 240L * 1000000000L
-              while (!java.nio.file.Files.exists(flag) && child.isAlive &&
-                  System.nanoTime() < dl)
-                Thread.sleep(20)
-              staged = java.nio.file.Files.exists(flag)
-              if (!staged) {
-                childExit =
-                  if (!child.isAlive) child.proc.exitValue().toString
-                  else "\"timeout\"" // alive but never parked in 240 s
-                childTail = child.tail()
-                System.err.println(s"[bench] soak_crash staging attempt " +
-                  s"$attempts failed (exit=$childExit); child tail:\n" +
-                  childTail.takeRight(2000))
+            val stagedOk: Either[String, Unit] = try {
+              // the crash batch REPLACES batch 0's rows under new
+              // batch_id 999 (same keys), so pre- and post-image are
+              // distinguishable and both enumerable exactly
+              batchDf(0).withColumn("batch_id", lit(999))
+                .write.mode("overwrite").parquet(s"$tmp/crash_batch")
+              var staged = false
+              while (!staged && attempts < 2) {
+                attempts += 1
+                // a PREVIOUS drill's kill -9 lands while the child parks
+                // inside the flag's try/finally, so the flag file
+                // survives the kill — without this delete the next
+                // drill's wait loop "sees" the stale flag instantly and
+                // kills a child that never reached the window (false
+                // staged: the kill tests nothing)
+                java.nio.file.Files.deleteIfExists(flag)
+                val child = sources.ChildJvm.spawn(
+                  "graft.sources.SoakCrashWriter",
+                  Seq(s"$tmp/cat", "soak_orders", s"$tmp/crash_batch",
+                    "o_orderkey"),
+                  env = Map("GRAFT_SWAP_PAUSE_MS" -> "120000"))
+                val dl = System.nanoTime() + 240L * 1000000000L
+                while (!java.nio.file.Files.exists(flag) && child.isAlive &&
+                    System.nanoTime() < dl)
+                  Thread.sleep(20)
+                staged = java.nio.file.Files.exists(flag)
+                if (!staged) {
+                  childExit =
+                    if (!child.isAlive) child.proc.exitValue().toString
+                    else "\"timeout\"" // alive but never parked in 240 s
+                  childTail = child.tail()
+                  System.err.println(s"[bench] soak_crash staging attempt " +
+                    s"$attempts failed (exit=$childExit); child tail:\n" +
+                    childTail.takeRight(2000))
+                }
+                // kill -9 — at the parked commit window when staged, or
+                // cleanup of a failed attempt (the next attempt's locked
+                // upsert steals the dead claim and recovers, which is the
+                // production path anyway)
+                child.destroyForcibly()
+                child.waitFor()
               }
-              // kill -9 — at the parked commit window when staged, or
-              // cleanup of a failed attempt (the next attempt's locked
-              // upsert steals the dead claim and recovers, which is the
-              // production path anyway)
-              child.destroyForcibly()
-              child.waitFor()
+              if (staged) Right(())
+              else Left(
+                // self-explaining staging diagnosis in the artifact of
+                // record; recovery is NOT implicated, so no soak_fail
+                s"""{"ran":true,"staged":false,"attempts":$attempts,""" +
+                  s""""child_exit":$childExit,""" +
+                  s""""child_tail":${jstr(childTail.takeRight(160))}}""")
+            } catch { case e: Throwable =>
+              val msg = Option(e.getMessage).getOrElse(e.toString)
+              Left(s"""{"ran":true,"staged":false,""" +
+                s""""attempts":$attempts,"err":${jstr(msg.take(200))}}""")
             }
-            if (!staged) {
-              // self-explaining staging diagnosis in the artifact of
-              // record; recovery is NOT implicated, so no soak_fail
-              s"""{"ran":true,"staged":false,"attempts":$attempts,""" +
-                s""""child_exit":$childExit,""" +
-                s""""child_tail":${jstr(childTail.takeRight(160))}}"""
-            } else {
+            stagedOk match {
+              case Left(json) => json
+              case Right(_) => try {
               val liveGone = !java.nio.file.Files.exists(
                 java.nio.file.Paths.get(s"$tmp/cat/soak_orders"))
               val lockLeft = java.nio.file.Files.exists(
@@ -826,12 +842,16 @@ object Bench {
                 s""""stale_lock_left":$lockLeft,""" +
                 s""""reader_image":"$image",""" +
                 s""""next_writer_ok":$finalOk,"recovered":$recovered}"""
+              } catch { case e: Throwable =>
+                // the stage WAS set (child parked + killed mid-swap):
+                // an exception here is the recovery path failing — the
+                // one case that legitimately counts as a soak failure
+                soakFail += 1
+                val msg = Option(e.getMessage).getOrElse(e.toString)
+                s"""{"ran":true,"staged":true,"recovered":false,""" +
+                  s""""err":${jstr(msg.take(200))}}"""
+              }
             }
-          } catch { case e: Throwable =>
-            soakFail += 1
-            val msg = Option(e.getMessage).getOrElse(e.toString)
-              .replaceAll("[\"\\\\\n\r]", " ").take(200)
-            s"""{"ran":true,"staged":true,"recovered":false,"err":"$msg"}"""
           }
           // each drill self-restores the pre-image, so repeated drills
           // (the nightly crash-per-N-cycles profile) are independent
@@ -954,28 +974,37 @@ object Bench {
                 }))
               case _ => None
             }
-          // superlinear-alarm confirmation: the xN legs are single-shot
-          // by design (the bias OVERSTATES ratios — conservative), but a
-          // single shot taken 20 minutes into a JVM can also catch a
-          // one-off GC/spill spike and stamp a phantom 24× into the
-          // artifact of record (round-10's first full run did exactly
-          // that on dsir@27×: 35.8 s vs 6.2 s on a clean re-run). A
-          // result that looks SUPERLINEAR (ratio > factor) gets exactly
-          // one confirming re-run; if it reproduces, it stays.
+          // anomaly-confirmation for the single-shot xN legs: they stay
+          // single-shot by design (the bias OVERSTATES ratios —
+          // conservative), but a single shot taken 20 minutes into a
+          // JVM can also catch a one-off GC/spill spike and stamp a
+          // phantom 24× into the artifact of record (round-10's first
+          // full run did exactly that on dsir@27×: 35.8 s vs 6.2 s on a
+          // clean re-run). A result whose ratio exceeds `thresh` gets
+          // exactly one confirming re-run; if it reproduces, it stays.
           def confirmedRun(name: String, dir: String, x1: Double,
-              factor: Int): Double = {
+              thresh: Double): Double = {
             val first = runE2eIn(name, dir)
-            if (x1 > 0 && first / x1 > factor)
+            if (x1 > 0 && first / x1 > thresh) {
+              System.err.println(s"[bench] scaling $name read " +
+                s"${math.rint(first / x1 * 10) / 10}x (> $thresh) — " +
+                "confirming with one re-run")
               math.min(first, runE2eIn(name, dir))
-            else first
+            } else first
           }
           val x1Times = scala.collection.mutable.Map.empty[String, Double]
+          val rawRatio8 = scala.collection.mutable.Map.empty[String, Double]
           val entries = scaleQs.map { name =>
             try {
               val x1 = runStable(name, sfDir, 2)
               x1Times(name) = x1
-              val xn = confirmedRun(name, tmp.toString, x1, scaleFactor)
+              // at 8× the alarm bar is the factor itself: even the
+              // edge-superlinear graph queries measure well below it
+              // (2.1–2.4× raw), so a trip means a genuine anomaly
+              val xn = confirmedRun(name, tmp.toString, x1,
+                scaleFactor.toDouble)
               val ratio = if (x1 > 0) xn / x1 else -1.0
+              if (ratio > 0) rawRatio8(name) = ratio
               val outs: Option[(Long, Long)] =
                 if (outputBound(name)) {
                   resetState()
@@ -1022,7 +1051,16 @@ object Bench {
               val e27 = q27.map { name =>
                 try {
                   val x1 = x1Times(name)
-                  val xn = confirmedRun(name, tmp27.toString, x1, f27)
+                  // the 27× alarm bar extrapolates from the MEASURED 8×
+                  // ratio (2 × ratio8 × 27/8, floored at the factor):
+                  // a raw "ratio > 27" bar never fires — the round-10
+                  // dsir spike read 24.4×, i.e. sub-factor yet 18×
+                  // above what its own 8× leg predicted
+                  val thresh = rawRatio8.get(name).filter(_ > 0)
+                    .map(r8 => math.min(f27.toDouble,
+                      2.0 * r8 * f27 / scaleFactor))
+                    .getOrElse(f27.toDouble)
+                  val xn = confirmedRun(name, tmp27.toString, x1, thresh)
                   val ratio = if (x1 > 0) xn / x1 else -1.0
                   // same edge normalization as the 8× leg: the derived
                   // star-edge set grows SUPERLINEARLY in the copy count
@@ -1147,7 +1185,6 @@ object Bench {
     // round-5's full line (~3.6 KB) was truncated mid-JSON and recorded as
     // parsed:null. Print headline (rounded to ms) always, plus as many of
     // the secondary sections as fit under the budget.
-    def r3(d: Double): Double = math.rint(d * 1000) / 1000
     def jnum3(v: Option[Double]): String =
       v.map(x => r3(x).toString).getOrElse("null")
     val qs3 = results.map { case (k, v) => "\"" + k + "\":" + jnum3(v) }

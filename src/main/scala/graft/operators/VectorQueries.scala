@@ -413,8 +413,16 @@ ${LshOracleSql.cosineExpr} AS cos
       val q2 = startStream("codes")(st =>
         pqEncode(pqSubs(st, 16, 4), bookF)
           .select(col("vec_id"), col("ss"), col("cid")))
-      q1.awaitTermination()
-      q2.awaitTermination()
+      // a failure in either await must not LEAK the other query: an
+      // orphaned active stream keeps writing under a scratch dir the
+      // next rep wipes, and persists in the shared session
+      try {
+        q1.awaitTermination()
+        q2.awaitTermination()
+      } finally {
+        if (q1.isActive) q1.stop()
+        if (q2.isActive) q2.stop()
+      }
       val codes = s.read.parquet(s"$tmp/codes")
         .groupBy(col("vec_id"))
         .agg(expr(

@@ -66,8 +66,13 @@ object QueryStats {
       entries: Seq[Entry]): Unit = {
     if (entries.isEmpty) return
     val cat = new Catalog(spark, root)
-    cat.attach()
     TableLocks.withLock(root, tableName) {
+      // attach INSIDE the lock: an attach taken before it would carry a
+      // pre-lock table listing, letting two recorders racing a fresh
+      // history root both pass the missing check — the loser's
+      // createTable (SaveMode.Overwrite) would clobber the winner's
+      // just-inserted batch
+      cat.attach()
       if (!cat.listTables.contains(tableName))
         cat.createTable(tableName, schema)
       val rows = entries.map(e =>

@@ -169,7 +169,21 @@ class Catalog(spark: SparkSession, root: String) {
       val k1 = liveKey(name)
       val df = spark.read.schema(schema).parquet(tablePath(name))
       val k2 = liveKey(name)
-      if ((k1 != null && k1 == k2) || attempt >= 20) return df
+      if (k1 != null && k1 == k2) return df
+      if (attempt >= 20) {
+        // 20 straight generation changes inside a ~ms listing window
+        // means a pathological commit rate; returning the last listing
+        // is best-effort, but it must SAY so — a silent return here
+        // would reinstate the silent-empty-read this bracket exists to
+        // kill (the residual false-pass — a crash-recover() restoring
+        // the ORIGINAL inode within one listing — needs a writer crash
+        // inside this same window and is accepted as negligible)
+        System.err.println(s"[catalog] table($name): listing never " +
+          "bracketed one stable generation after 20 attempts — " +
+          "returning a possibly-torn listing (writer commit rate " +
+          "pathological?)")
+        return df
+      }
       attempt += 1
       Thread.sleep(10)
     }
