@@ -418,3 +418,32 @@ object TableLockHolder {
     }
   }
 }
+
+/** Cross-process lock CONTENTION hammer: loops `rounds` critical
+  * sections under `table`'s lock, appending enter/exit records (pid,
+  * System.nanoTime — CLOCK_MONOTONIC on Linux, comparable across
+  * processes within one boot) to `<root>/log` with O_APPEND. The
+  * in-process thread hammer can't exercise the FILE protocol's steal
+  * races — same-JVM contenders serialize on the reentrant jvmLock
+  * before ever touching the claim file — so mutual exclusion of the
+  * rename-aside steal (round 10) is only provable with several of
+  * these JVMs racing over a planted stale claim; the parent asserts
+  * the logged critical sections never overlap. Writes are single
+  * small O_APPEND lines (atomic on POSIX for < PIPE_BUF). */
+object LockContender {
+  def main(args: Array[String]): Unit = {
+    val Array(root, table, rounds) = args
+    val log = Paths.get(root, "log")
+    val pid = ProcessHandle.current().pid()
+    def rec(tag: String): Unit =
+      Files.writeString(log, s"$pid $tag ${System.nanoTime()}\n",
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND)
+    for (_ <- 1 to rounds.toInt)
+      TableLocks.withLock(root, table, timeoutMs = 60000) {
+        rec("enter")
+        Thread.sleep(3)
+        rec("exit")
+      }
+  }
+}

@@ -482,6 +482,58 @@ class CatalogSpec extends GraftSuite {
     }
   }
 
+  test("multi-JVM contenders racing a stale claim never overlap critical sections") {
+    // the FILE protocol's steal race is unreachable from same-JVM
+    // threads (they serialize on the reentrant jvmLock first): three
+    // real JVMs all wake up to the same planted dead claim, race the
+    // rename-aside steal, then keep contending for 6 rounds each. The
+    // O_APPEND enter/exit log (nanoTime = CLOCK_MONOTONIC, comparable
+    // across processes on one boot) must show strictly alternating
+    // enter/exit — any interleaving means two writers held the table
+    // at once, the exact lost-update the round-10 steal rework closes.
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_xhammer").toString
+    val lf = Paths.get(root, "_locks", "t.lock")
+    Files.createDirectories(lf.getParent)
+    Files.writeString(lf, "999999999 0\n") // dead claim, all must steal
+    val kids = (1 to 3).map(_ => sources.ChildJvm.spawn(
+      "graft.sources.LockContender", Seq(root, "t", "6"), maxHeap = "256m"))
+    try {
+      val dl = System.nanoTime() + 120L * 1000000000L
+      kids.foreach { k =>
+        while (k.isAlive && System.nanoTime() < dl) Thread.sleep(50)
+        assert(!k.isAlive && k.proc.exitValue() == 0,
+          s"contender failed (alive=${k.isAlive}); tail:\n" +
+            k.tail().takeRight(1500))
+      }
+      val recs = Files.readAllLines(Paths.get(root, "log"))
+      import scala.jdk.CollectionConverters._
+      val events = recs.asScala.map(_.trim.split("\\s+")).collect {
+        case Array(pid, tag, nanos) => (pid, tag, nanos.toLong)
+      }.toSeq.sortBy(_._3)
+      assert(events.count(_._2 == "enter") == 18 &&
+        events.count(_._2 == "exit") == 18,
+        s"expected 3 JVMs x 6 rounds, got ${events.size} events")
+      var inside: Option[String] = None
+      for ((pid, tag, _) <- events) tag match {
+        case "enter" =>
+          assert(inside.isEmpty,
+            s"pid $pid entered while pid ${inside.getOrElse("?")} was " +
+              "inside — mutual exclusion violated")
+          inside = Some(pid)
+        case "exit" =>
+          assert(inside.contains(pid), s"unpaired exit from pid $pid")
+          inside = None
+      }
+      assert(inside.isEmpty, "log ends inside a critical section")
+      assert(!Files.exists(lf), "lock released after the last contender")
+    } finally {
+      kids.foreach(_.destroyForcibly())
+      sources.FsUtil.deleteRecursively(Paths.get(root),
+        swallowErrors = true)
+    }
+  }
+
   test("a dead writer's stale table lock is stolen, not waited out") {
     val root = java.nio.file.Files.createTempDirectory("graft_lock").toString
     val lf = java.nio.file.Paths.get(root, "_locks", "t.lock")
