@@ -59,9 +59,9 @@ class Catalog(spark: SparkSession, root: String) {
 
   def listViews: Seq[String] =
     if (!Files.exists(viewsDir)) Seq.empty
-    else {
+    else scala.util.Using.resource(Files.list(viewsDir)) { st =>
       import scala.jdk.CollectionConverters._
-      Files.list(viewsDir).iterator().asScala
+      st.iterator().asScala
         .map(_.getFileName.toString)
         .filter(_.endsWith(".sql")).map(_.stripSuffix(".sql"))
         .toSeq.sorted
@@ -76,11 +76,26 @@ class Catalog(spark: SparkSession, root: String) {
     * way (ha_view.cpp resolves them from the frm store per statement). */
   def attach(): Unit = {
     import scala.jdk.CollectionConverters._
-    Files.list(Paths.get(root)).iterator().asScala
-      .filter(Files.isDirectory(_))
-      .map(_.getFileName.toString)
-      .filterNot(n => n.startsWith("_") || n.startsWith(".") ||
-        n.endsWith(".staging") || n.endsWith(".old"))
+    val entries = scala.util.Using.resource(Files.list(Paths.get(root)))(
+      _.iterator().asScala
+        .filter(Files.isDirectory(_))
+        .map(_.getFileName.toString)
+        .filterNot(n => n.startsWith("_") || n.startsWith("."))
+        .toSeq)
+    val live = entries.filterNot(n =>
+      n.endsWith(".staging") || n.endsWith(".old")).toSet
+    // a table whose writer crashed INSIDE the commit window has no live
+    // dir — only <n>.old (pre-image) and/or <n>.staging (post-image).
+    // Filtering those names out silently DROPS the table from a fresh
+    // session forever (the crash spec passed only because it reused the
+    // pre-crash Catalog instance); run the same recovery the read path
+    // uses, under the table lock, and register the restored image.
+    val crashed = entries.collect {
+      case n if n.endsWith(".staging") => n.stripSuffix(".staging")
+      case n if n.endsWith(".old") => n.stripSuffix(".old")
+    }.distinct.filterNot(live)
+    crashed.foreach(n => TableLocks.withLock(root, n)(recover(n)))
+    (live ++ crashed.filter(n => Files.exists(Paths.get(tablePath(n)))))
       .toSeq.sorted
       .foreach { n =>
         tables.put(n, table0(n).schema)
@@ -280,16 +295,54 @@ class Catalog(spark: SparkSession, root: String) {
 
   /** INSERT INTO name SELECT … (append). Serialized by the table lock
     * like every DML statement (the reference's DMLProc takes the table
-    * lock for inserts too — dbcon/dmlpackageproc). */
+    * lock for inserts too — dbcon/dmlpackageproc), and COMMITTED like
+    * one: a bare `Append` into the live dir publishes the batch's part
+    * files one rename at a time, so a concurrent reader could list the
+    * pre-image plus HALF the batch — with the dir inode unchanged, so
+    * neither table()'s generation bracket nor readCommitted's retry
+    * can tell. Instead the batch stages next to HARD LINKS of the
+    * current files (O(files) metadata, no data copy) and publishes
+    * through the same atomic rename-aside swap as rewrite() — readers
+    * see the complete pre- or post-image, never a torn batch, and the
+    * pre-image joins the version history like every other DML. */
   def insertIntoSelect(name: String, df: DataFrame): Unit = {
     require(tables.contains(name), s"no such table: $name")
     TableLocks.withLock(root, name) {
-      // recover BEFORE appending: after a crash inside rewrite()'s
-      // commit window the live dir is missing and the pre-image is
-      // parked in .old — a bare Append would mint a fresh live dir with
-      // only the new batch and silently orphan every pre-crash row
+      // recover BEFORE appending: after a crash inside the commit
+      // window the live dir is missing and the pre-image is parked in
+      // .old — appending against nothing would mint a fresh live dir
+      // with only the new batch and silently orphan every pre-crash row
       recover(name)
-      df.write.mode(SaveMode.Append).parquet(tablePath(name))
+      stageAppend(name, df)
+      commitStaged(name)
+    }
+  }
+
+  /** Build `<name>.staging` = hard links to the live image's files plus
+    * the appended batch. _SUCCESS is deliberately NOT linked: the batch
+    * write re-creates it at job commit, so recover() can only ever
+    * promote a staged dir whose batch finished. */
+  private def stageAppend(name: String, df: DataFrame): Unit = {
+    val live = Paths.get(tablePath(name))
+    val staged = Paths.get(tablePath(name) + ".staging")
+    FsUtil.deleteRecursively(staged)
+    linkTree(live, staged)
+    df.write.mode(SaveMode.Append).parquet(staged.toString)
+  }
+
+  /** Recursively hard-link `src`'s data tree under `dst` (files only —
+    * directories are recreated), skipping _SUCCESS and dot-files. */
+  private def linkTree(src: Path, dst: Path): Unit = {
+    Files.createDirectories(dst)
+    scala.util.Using.resource(Files.list(src)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.foreach { p =>
+        val n = p.getFileName.toString
+        if (!n.startsWith(".") && n != "_SUCCESS") {
+          if (Files.isDirectory(p)) linkTree(p, dst.resolve(n))
+          else Files.createLink(dst.resolve(n), p)
+        }
+      }
     }
   }
 
@@ -316,8 +369,15 @@ class Catalog(spark: SparkSession, root: String) {
     recover(name)
     val staged = tablePath(name) + ".staging"
     f(table(name)).write.mode(SaveMode.Overwrite).parquet(staged)
-    // swap via rename-aside so a crash mid-sequence never leaves the table
-    // missing: worst case the data survives in .old or .staging
+    commitStaged(name)
+  }
+
+  /** The one COMMIT sequence (shared by rewrite and the staged append
+    * paths): swap the completed `.staging` post-image in via
+    * rename-aside so a crash mid-sequence never leaves the table
+    * missing — worst case the data survives in .old or .staging — then
+    * retain the displaced pre-image as the next version. */
+  private def commitStaged(name: String): Unit = {
     val live = Paths.get(tablePath(name))
     val old = Paths.get(tablePath(name) + ".old")
     deleteRecursively(old)
@@ -338,16 +398,23 @@ class Catalog(spark: SparkSession, root: String) {
       try Thread.sleep(ms.toLong)
       finally Files.deleteIfExists(flag)
     }
-    Files.move(Paths.get(staged), live)
+    Files.move(Paths.get(tablePath(name) + ".staging"), live)
     // MVCC snapshot retention (reference: versioning/BRM version buffer,
     // dbrm.h:163-192 — a DML block-rewrite keeps the pre-image until the
     // transaction's VSS entries age out): the displaced pre-image becomes
-    // version N under _versions/<name>, readable via tableAsOf. Rename
-    // only — no data copy; at 100 TB retention is bounded by
-    // vacuumVersions (the aging analog), not by the write path.
+    // the NEXT version under _versions/<name>, readable via tableAsOf.
+    // Numbered max+1, never count-based: after vacuumVersions([v0,v1] →
+    // [v1]) a count-derived name collides with a retained one — the
+    // move throws AFTER the live swap landed, stranding the pre-image
+    // in .old where the next rewrite's cleanup silently discards it —
+    // and non-colliding counts misorder history so "oldest first" (and
+    // therefore vacuum itself) lies. Rename only — no data copy; at
+    // 100 TB retention is bounded by vacuumVersions (the aging analog),
+    // not by the write path.
     val vdir = versionsDir(name)
     Files.createDirectories(vdir)
-    Files.move(old, vdir.resolve(s"v${versions(name).size}"))
+    Files.move(old, vdir.resolve(
+      s"v${versions(name).lastOption.map(_ + 1).getOrElse(0)}"))
   }
 
   // ---- time travel ----------------------------------------------------
@@ -360,14 +427,14 @@ class Catalog(spark: SparkSession, root: String) {
   def versions(name: String): Seq[Int] = {
     val d = versionsDir(name)
     if (!Files.exists(d)) Seq.empty
-    else {
-      val it = Files.list(d).iterator()
-      val vs = scala.collection.mutable.ArrayBuffer.empty[Int]
-      while (it.hasNext) {
-        val f = it.next().getFileName.toString
-        if (f.startsWith("v")) vs += f.drop(1).toInt
-      }
-      vs.sorted.toSeq
+    else scala.util.Using.resource(Files.list(d)) { st =>
+      // resource-wrapped: this runs on EVERY commit (version numbering)
+      // — an unclosed directory stream here leaks one fd per DML until
+      // the writer session hits its ulimit
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("v")).map(_.drop(1).toInt)
+        .toSeq.sorted
     }
   }
 
@@ -380,10 +447,14 @@ class Catalog(spark: SparkSession, root: String) {
   }
 
   /** Age out retained snapshots older than `keep` versions (the VSS
-    * aging analog — at scale a retention window, not forever). */
+    * aging analog — at scale a retention window, not forever). Under
+    * the table lock: racing a rewrite's version-number assignment
+    * would let the vacuum read a version list mid-mutation. */
   def vacuumVersions(name: String, keep: Int): Unit =
-    versions(name).dropRight(keep).foreach(v =>
-      deleteRecursively(versionsDir(name).resolve(s"v$v")))
+    TableLocks.withLock(root, name) {
+      versions(name).dropRight(keep).foreach(v =>
+        deleteRecursively(versionsDir(name).resolve(s"v$v")))
+    }
 
   /** ROLLBACK analog: restore the retained pre-image snapshot v as the
     * current table state (reference: a DML rollback re-applies the
@@ -427,14 +498,25 @@ class Catalog(spark: SparkSession, root: String) {
     if (Files.exists(f)) Files.readString(f).trim.toLong else 1L
   }
 
+  /** Persist the sequence counter via write-aside + ATOMIC_MOVE: a
+    * crash inside a plain truncate-then-write leaves an EMPTY counter
+    * file whose parse failure bricks every later insert. */
+  private def writeAutoInc(f: Path, next: Long): Unit = {
+    Files.createDirectories(f.getParent)
+    val tmp = f.resolveSibling(
+      s".${f.getFileName}.tmp.${ProcessHandle.current().pid()}")
+    Files.writeString(tmp, next.toString)
+    Files.move(tmp, f, java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+      java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+  }
+
   /** ALTER TABLE … AUTO_INCREMENT = n analog (reference:
     * startAutoIncrementSequence). MySQL semantics: the sequence only
     * moves FORWARD — a start below the current next value is a no-op. */
   def setAutoIncStart(name: String, colName: String, next: Long): Unit =
     TableLocks.withLock(root, name) {
-      val f = autoIncFile(name, colName)
-      Files.createDirectories(f.getParent)
-      Files.writeString(f, math.max(next, autoIncNext(name, colName)).toString)
+      writeAutoInc(autoIncFile(name, colName),
+        math.max(next, autoIncNext(name, colName)))
     }
 
   /** INSERT with AUTO_INCREMENT id assignment: reserves a contiguous id
@@ -445,9 +527,13 @@ class Catalog(spark: SparkSession, root: String) {
     * sequence. Returns the first id of the reserved range (MySQL's
     * LAST_INSERT_ID() reports the first id of a multi-row insert).
     *
-    * The whole reserve→assign→append→advance sequence runs under the
-    * table lock, so two concurrent inserters get disjoint ranges — the
-    * exact guarantee BRM's mutex around the AI counter provides. At
+    * The whole reserve→assign→append sequence runs under the table
+    * lock, so two concurrent inserters get disjoint ranges — the exact
+    * guarantee BRM's mutex around the AI counter provides. The counter
+    * advances BEFORE the batch lands: a crash between them burns the
+    * reserved range (a gap — MySQL semantics after a rolled-back
+    * insert) instead of handing the SAME ids out again next time,
+    * which is the one failure an id sequence can never have. At
     * 100 TB the lock holds for the batch write, identical to the
     * reference's bulk-load table lock; ids within the batch cost one
     * count + one prefix-scan over the batch only, never the table. */
@@ -463,17 +549,15 @@ class Catalog(spark: SparkSession, root: String) {
       // handing the overflow ids out again on the next insert
       val b = Checkpoints.barrier(batch)
       val n = b.count()
+      writeAutoInc(autoIncFile(name, colName), first + n) // RESERVE
       val rn = "__ai_rn"
       val assigned = graft.functions.Prefix.over(b, orderBy,
           Seq(graft.functions.Prefix.rowNumber(rn)))
         .withColumn(colName, col(rn) + lit(first - 1L))
         .drop(rn)
       val cols = tables(name).fieldNames.toSeq
-      assigned.select(cols.head, cols.tail: _*)
-        .write.mode(SaveMode.Append).parquet(tablePath(name))
-      val f = autoIncFile(name, colName)
-      Files.createDirectories(f.getParent)
-      Files.writeString(f, (first + n).toString)
+      stageAppend(name, assigned.select(cols.head, cols.tail: _*))
+      commitStaged(name)
       first
     }
   }
@@ -490,10 +574,26 @@ class Catalog(spark: SparkSession, root: String) {
     }
   }
 
-  /** DROP TABLE. */
-  def dropTable(name: String): Unit = {
+  /** DROP TABLE — under the table lock (dropping mid-rewrite would
+    * yank the live dir out of the swap sequence), and scrubbing every
+    * per-table sidecar: retained versions, auto-increment counters,
+    * and crash remnants. Leaving them would let a later CREATE of the
+    * same name serve the DROPPED table's history through tableAsOf and
+    * resume its id sequence. */
+  def dropTable(name: String): Unit = TableLocks.withLock(root, name) {
     tables.remove(name)
     deleteRecursively(Paths.get(tablePath(name)))
+    deleteRecursively(Paths.get(tablePath(name) + ".old"))
+    deleteRecursively(Paths.get(tablePath(name) + ".staging"))
+    deleteRecursively(versionsDir(name))
+    val ai = Paths.get(root, "_autoinc")
+    if (Files.exists(ai))
+      scala.util.Using.resource(Files.list(ai)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(_.getFileName.toString.startsWith(s"$name."))
+          .toSeq
+      }.foreach(p => Files.deleteIfExists(p))
   }
 
   /** ALTER TABLE ADD COLUMN (with default value, rewrite). */

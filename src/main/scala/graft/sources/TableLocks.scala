@@ -298,8 +298,15 @@ object TableLocks {
         var claimed = false
         var myStamp = ""
         while (!claimed) {
+          // temp name must be unique across HOSTS too: two containers
+          // sharing an NFS root routinely share pids, and a colliding
+          // temp file lets writer A link writer B's stamp under A's
+          // claim — A then can't release (stamp mismatch) and B spins
+          // on a claim naming B itself. hostId + a nanotime nonce.
           val tmp = lf.resolveSibling(
-            s".claim_${table}_${selfPid}_${Thread.currentThread().getId}")
+            (s".claim_${table}_${hostId}_${selfPid}_" +
+              s"${Thread.currentThread().getId}_${System.nanoTime()}")
+              .replaceAll("[^A-Za-z0-9._-]", "_"))
           myStamp =
             s"$selfPid $selfStart $hostId ${System.currentTimeMillis()}\n"
           Files.writeString(tmp, myStamp)
@@ -388,12 +395,25 @@ object TableLocks {
           // host stole our expired lease, the file now carries a
           // SUCCESSOR's stamp — deleting it unconditionally would strip
           // the live successor's exclusion and let a third writer in
-          // mid-swap (lost update). Safe without further locking: while
-          // the file is ours, contenders can only spin or steal-if-dead,
-          // and we are provably alive.
+          // mid-swap (lost update). The pre-read keeps a successor's
+          // file untouched in the common case; the delete itself goes
+          // through removeClaim's rename-verify so even a force-clear +
+          // successor-claim landing BETWEEN this read and the delete
+          // (the round-9 release TOCTOU's mirror) is detected on the
+          // frozen bytes and restored rather than silently deleting the
+          // successor's claim.
           val now = try Some(Files.readString(lf))
                     catch { case _: Exception => None }
-          if (now.contains(myStamp)) Files.deleteIfExists(lf)
+          if (now.contains(myStamp))
+            try removeClaim(lf, table, myStamp, matchContent = true)
+            catch { case e: IllegalStateException =>
+              // restore lost to a third claimant — surfaced, never
+              // rethrown: the caller's work COMMITTED before release,
+              // and masking its result with a lock-release error would
+              // turn a diagnosable protocol violation into a phantom
+              // write failure
+              System.err.println(s"[locks] release of $table: $e")
+            }
         }
       }
     } finally jl.unlock()

@@ -85,6 +85,103 @@ class CatalogSpec extends GraftSuite {
     intercept[IllegalArgumentException](cat.tableAsOf("t", 0))
   }
 
+  test("version numbering survives vacuum: max+1, never count-based") {
+    // count-based numbering collided with retained versions after a
+    // vacuum (v{size} over [v1] mints v1 again — the move throws AFTER
+    // the live swap landed) and misordered history so vacuum deleted
+    // the NEWEST snapshot
+    val cat = freshCatalog()
+    cat.createTableAs("t", Seq((1L, 0)).toDF("id", "g"))
+    cat.update("t", _.withColumn("g", lit(1))) // retains v0 (g=0)
+    cat.update("t", _.withColumn("g", lit(2))) // retains v1 (g=1)
+    cat.vacuumVersions("t", keep = 1)          // [v1]
+    cat.update("t", _.withColumn("g", lit(3))) // must NOT collide
+    assert(cat.versions("t") == Seq(1, 2), s"got ${cat.versions("t")}")
+    // and the numbering still orders history: v1 (g=1) precedes v2 (g=2)
+    assert(cat.tableAsOf("t", 1).select("g").collect()(0).getInt(0) == 1)
+    assert(cat.tableAsOf("t", 2).select("g").collect()(0).getInt(0) == 2)
+    cat.vacuumVersions("t", keep = 1)
+    assert(cat.versions("t") == Seq(2), "vacuum must age out the OLDEST")
+  }
+
+  test("attach() recovers a table whose writer crashed mid-swap") {
+    // a fresh session attaching a catalog whose writer died inside the
+    // commit window (live dir missing, pre-image in .old) must restore
+    // and register the table — round-10's review found attach()
+    // silently filtering the remnants out, losing the table forever
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_cat").toString
+    val cat = new Catalog(spark, root)
+    cat.createTableAs("t", Seq((1L, "a"), (2L, "b")).toDF("id", "name"))
+    Files.move(Paths.get(s"$root/t"), Paths.get(s"$root/t.old"))
+    val fresh = new Catalog(spark.newSession(), root)
+    fresh.attach()
+    assert(fresh.listTables == Seq("t"),
+      "crashed table must be recovered and registered on attach")
+    assert(fresh.table("t").count() == 2,
+      "recovered image must be the complete pre-image")
+    // the complete staged post-image variant recovers forward instead
+    Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "name")
+      .write.parquet(s"$root/t.staging")
+    Files.move(Paths.get(s"$root/t"), Paths.get(s"$root/t.old"))
+    val fresh2 = new Catalog(spark.newSession(), root)
+    fresh2.attach()
+    assert(fresh2.table("t").count() == 3,
+      "a completed staged post-image must win recovery on attach")
+  }
+
+  test("dropTable scrubs versions, auto-inc state, and crash remnants") {
+    val cat = freshCatalog()
+    cat.createTableAs("t", Seq((0L, 5L)).toDF("id", "k"))
+    cat.insertAutoInc("t", "id", Seq(7L).toDF("k"), Seq(col("k")))
+    cat.update("t", _.withColumn("k", col("k") + 1))
+    assert(cat.versions("t").nonEmpty && cat.autoIncNext("t", "id") > 1)
+    cat.dropTable("t")
+    // a re-created table of the same name must start with NO history
+    // and a fresh id sequence — serving the dropped table's snapshots
+    // or resuming its counter is time travel into another table's life
+    cat.createTableAs("t", Seq((0L, 9L)).toDF("id", "k"))
+    assert(cat.versions("t").isEmpty,
+      "recreated table inherited the dropped table's versions")
+    assert(cat.autoIncNext("t", "id") == 1L,
+      "recreated table inherited the dropped table's id sequence")
+  }
+
+  test("appends are atomic: readers never see a torn batch") {
+    // a bare Append publishes part files one rename at a time — with
+    // the dir inode unchanged, neither the generation bracket nor
+    // readCommitted's retry can see it. Appends now stage against
+    // hard links and commit through the same swap as rewrites; every
+    // concurrent count must land on a batch boundary.
+    import scala.jdk.CollectionConverters._
+    val cat = freshCatalog()
+    cat.createTableAs("t",
+      spark.range(0, 1000).toDF("id").withColumn("b", lit(-1)))
+    @volatile var stop = false
+    val bad = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val reads = new java.util.concurrent.atomic.AtomicInteger
+    val reader = new Thread(() => {
+      while (!stop) {
+        try {
+          val n = cat.readCommitted("t")(_.count())
+          reads.incrementAndGet()
+          if (n % 500 != 0) bad.add(s"torn count $n")
+        } catch { case e: Throwable => bad.add(e.toString) }
+      }
+    })
+    reader.start()
+    // 500-row multi-part batches (repartition forces several files per
+    // commit, the shape that tears under a bare Append)
+    for (b <- 0 until 8)
+      cat.insertIntoSelect("t",
+        spark.range(0, 500).toDF("id").withColumn("b", lit(b))
+          .repartition(4))
+    stop = true; reader.join()
+    assert(bad.isEmpty, bad.asScala.take(3).mkString("; "))
+    assert(reads.get() > 0, "the reader must actually observe counts")
+    assert(cat.table("t").count() == 5000)
+  }
+
   test("rollbackTo restores the pre-image and keeps the audit trail") {
     val cat = freshCatalog()
     cat.createTableAs("t", Seq((1L, 10.0), (2L, -5.0), (3L, 7.0))
