@@ -1163,10 +1163,26 @@ object Bench {
       if (probe1 > 0 && cpus.toInt > 1)
         math.rint(probeN / (probe1 * cpus.toInt) * 100) / 100
       else 1.0
-    val contended = stealPct > 5.0 || unstable.nonEmpty ||
-      (cpus.toInt > 1 && parEff < 0.35)
     // exit probe: a co-load that ARRIVED mid-run shows as probe decay
     val probe1End = cpuProbe(1)
+    // run-level verdict. ONE query failing the 25% convergence guard is
+    // not, by itself, machine contention: round-10 measured a pristine
+    // window (par_eff 0.84, steal 0.03%, probe 454→449 M/s) where a
+    // single sub-second extended query (x_events_survival_km) still
+    // spread past the guard on its own GC variance — flipping the whole
+    // artifact to `contended` on that alone makes the flag cry wolf and
+    // buries the real signal. So: when every machine probe is PRISTINE
+    // (steal ≤1%, par_eff ≥0.7, no probe decay), a singleton unstable
+    // timing stays a per-query annotation in `load.unstable`; two or
+    // more, or any non-pristine probe alongside instability, still
+    // condemn the run — the genuinely co-loaded round-10 windows read
+    // 4×unstable and 1×unstable@par_eff 0.56 and both stay flagged.
+    val probeDecay = probe1 > 0 && probe1End < probe1 * 0.85
+    val pristine = stealPct <= 1.0 && !probeDecay &&
+      (cpus.toInt == 1 || parEff >= 0.7)
+    val contended = stealPct > 5.0 ||
+      (cpus.toInt > 1 && parEff < 0.35) ||
+      (if (pristine) unstable.size >= 2 else unstable.nonEmpty)
     val loadJson = s"""{"entry":$loadEntry,"steal_pct":${
         math.rint(stealPct * 100) / 100},"reruns":$benchReruns,""" +
       s""""cpu_probe_1":$probe1,"cpu_probe_n":$probeN,""" +
