@@ -234,11 +234,14 @@ object Bench {
     // r1–r7 were execution-only for lazily-constructed plans; the bases
     // differ by construction/analysis cost only, single-digit ms for
     // those plans.)
-    // plan fingerprints for the query-history batch: captured once per
-    // headline query from the constructed DataFrame (semanticHash of
-    // the optimized plan — one extra driver-side Catalyst pass per
-    // QUERY, not per rep, outside the timed window)
-    val headlineSet = headline.toSet
+    // plan fingerprints for the query-history batches: captured once
+    // per query from the constructed DataFrame (semanticHash of the
+    // optimized plan — one extra driver-side Catalyst pass per QUERY,
+    // not per rep, outside the timed window). Round 11 widened this
+    // from the headline set to every query timed at sfDir, so the
+    // full-registry sweep's history rows carry plan hashes too and the
+    // regression tripwire can tell "slower" from "slower because the
+    // plan changed" across the whole surface.
     val planHashes = scala.collection.mutable.Map.empty[String, String]
     def runE2eIn(name: String, dir: String): Double = {
       resetState()
@@ -246,7 +249,7 @@ object Bench {
       val df = SparkEntry.queries(name)(spark, dir)
       df.write.mode("overwrite").format("noop").save()
       val sec = (System.nanoTime() - t0) / 1e9
-      if (dir == sfDir && headlineSet(name) && !planHashes.contains(name))
+      if (dir == sfDir && !planHashes.contains(name))
         try planHashes(name) = graft.plans.QueryStats.planHash(df)
         catch { case _: Throwable => }
       sec
@@ -372,9 +375,9 @@ object Bench {
     // sink reports no row count, and counting would re-run the query.
     // Fallible and opt-out-able (SPARK_GRAFT_HISTORY_DIR="") — a
     // history write must never damage the bench.
+    val histRoot =
+      sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history")
     try {
-      val histRoot =
-        sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history")
       if (histRoot.nonEmpty && results.nonEmpty) {
         val ts = System.currentTimeMillis()
         plans.QueryStats.append(spark, histRoot, s"bench_$ts",
@@ -384,6 +387,29 @@ object Bench {
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] query history append: $e")
+    }
+    // regression tripwire over the accumulated headline history (the
+    // querystats read-back the table exists for): after appending this
+    // run's batch, flag any headline query whose latest wall is >3× its
+    // trailing same-plan median (≥3 priors), plus plan churn. -1 =
+    // tripwire unavailable (fresh/empty history, opt-out, or failure);
+    // 0 = checked and clean. Scoped to bench_* run_ids — the sweep's
+    // single-shot walls are a different measurement basis.
+    var regressionsN = -1
+    var regressionNames: Seq[String] = Seq.empty
+    try {
+      if (histRoot.nonEmpty && results.nonEmpty) {
+        import org.apache.spark.sql.functions.col
+        val hist = plans.QueryStats.history(spark, histRoot)
+          .filter(col("run_id").startsWith("bench_"))
+        val flagged = plans.QueryStats.regressions(hist)
+          .select("query", "kind").collect()
+        regressionsN = flagged.length
+        regressionNames = flagged.toSeq
+          .map(r => s"${r.getString(0)}:${r.getString(1)}").sorted
+      }
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] regression tripwire: $e")
     }
 
     // concurrency mini-bench — the reference's multi-user story
@@ -487,6 +513,12 @@ object Bench {
     val mixSecs =
       sys.env.getOrElse("SPARK_GRAFT_BENCH_MIXED", "30").toInt
     var conc4Worst: Option[Double] = None
+    // self-validated verdict for the mixed leg (round-11 directive: the
+    // SCALE.md bound — p95/serial ≤2.5× at serial ≥0.25 s, ≤4× below,
+    // zero inconsistent snapshots, zero errors — was documented but the
+    // artifact carried only raw numbers; a violation should be a
+    // one-glance failure the way `contended` is). None = leg skipped.
+    var conc4Ok: Option[Boolean] = None
     val concurrent4Json: String =
       if (mixSecs <= 0 || soakOnly) "{}"
       else try {
@@ -582,14 +614,23 @@ object Bench {
           val durSec = (System.nanoTime() - t0) / 1e9
           import scala.jdk.CollectionConverters._
           val byName = samples.asScala.toSeq.groupBy(_._1)
+          val boundViolations =
+            scala.collection.mutable.ArrayBuffer.empty[String]
           val entries = mixNames.flatMap(n => byName.get(n).map { vs =>
             val s = vs.map(_._2).sorted
             val p50 = s((s.size - 1) / 2)
             val p95 = s(math.max(0, math.ceil(s.size * 0.95).toInt - 1))
             val ser = serial4.get(n)
-            ser.filter(_ > 0).foreach(s0 =>
+            ser.filter(_ > 0).foreach { s0 =>
               conc4Worst = Some(math.max(conc4Worst.getOrElse(0.0),
-                p95 / s0)))
+                p95 / s0))
+              // SCALE.md bound: small queries see the largest RELATIVE
+              // tail (one 0.2 s scheduling stall is 3× a sub-0.15 s
+              // serial wall but noise on a big one)
+              val bound = if (s0 >= 0.25) 2.5 else 4.0
+              if (p95 / s0 > bound)
+                boundViolations += s"$n:${r3(p95 / s0)}x>${bound}x"
+            }
             s""""$n":{"p50":${r3(p50)},"p95":${r3(p95)},""" +
               s""""serial":${jnum(ser)},"n":${s.size}}"""
           })
@@ -599,13 +640,19 @@ object Bench {
           // its own counter so a transient query failure can't print as
           // a false snapshot-integrity alarm in the artifact of record
           val consistent = badReads.isEmpty
+          conc4Ok = Some(consistent && errs.isEmpty &&
+            boundViolations.isEmpty)
           errs.forEach(e => System.err.println(s"[bench] mixed: $e"))
           badReads.forEach(b =>
             System.err.println(s"[bench] mixed inconsistent snapshot: $b"))
+          boundViolations.foreach(v =>
+            System.err.println(s"[bench] mixed p95/serial bound: $v"))
           s"""{"sessions":$mixUsers,"dur_sec":${r3(durSec)},""" +
             s""""writer_commits":$commits,""" +
             s""""snapshot_reads":${nReads.get()},""" +
             s""""consistent":$consistent,"errors":${errs.size},""" +
+            s""""ok":${conc4Ok.get},"violations":${boundViolations
+              .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             s""""queries":${entries.mkString("{", ",", "}")}}"""
         } finally {
           sources.FsUtil.deleteRecursively(tmp, swallowErrors = true)
@@ -798,12 +845,26 @@ object Bench {
                 child.waitFor()
               }
               if (staged) Right(())
-              else Left(
+              else {
                 // self-explaining staging diagnosis in the artifact of
-                // record; recovery is NOT implicated, so no soak_fail
-                s"""{"ran":true,"staged":false,"attempts":$attempts,""" +
-                  s""""child_exit":$childExit,""" +
-                  s""""child_tail":${jstr(childTail.takeRight(160))}}""")
+                // record; recovery is NOT implicated, so no soak_fail.
+                // Round 10's tail-only truncation kept "…2 more" and
+                // dropped the line naming WHICH class failed — report
+                // the FIRST exception line, the bounded tail, a
+                // classload-only probe verdict (isolates classpath
+                // propagation from Spark startup), and the resolved
+                // child classpath shape.
+                val probe = sources.ChildJvm.probe()
+                Left(
+                  s"""{"ran":true,"staged":false,"attempts":$attempts,""" +
+                    s""""child_exit":$childExit,""" +
+                    s""""child_err":${jstr(
+                      sources.ChildJvm.firstError(childTail))},""" +
+                    s""""probe":${jstr(probe)},""" +
+                    s""""child_cp":${jstr(
+                      sources.ChildJvm.describeClasspath().take(200))},""" +
+                    s""""child_tail":${jstr(childTail.takeRight(160))}}""")
+              }
             } catch { case e: Throwable =>
               val msg = Option(e.getMessage).getOrElse(e.toString)
               Left(s"""{"ran":true,"staged":false,""" +
@@ -1118,23 +1179,83 @@ object Bench {
     var allTotal = 0.0
     var allFail = 0
     var slowest: (String, Double) = ("", 0.0)
+    // anomaly-confirm for the sweep (round-11 directive: the 27× leg
+    // got single-shot confirmation in round 10, the sweep didn't — and
+    // the round-10 driver artifact carries an 18.6 s single-shot spike
+    // the builder measures at 7.0 s). A single-shot entry that reads
+    // far above its own reference — trailing sweep median from the
+    // history when ≥3 priors exist, else this run's best-of-N for the
+    // same query, else an 8 s absolute bar — gets exactly one
+    // confirming re-run; the min lands in the artifact and the name in
+    // `all_confirmed`, so a surviving tail entry is a confirmed
+    // measurement, never a lottery ticket.
+    val allConfirmed = scala.collection.mutable.ArrayBuffer.empty[String]
     val allJson: String =
       if (!fullReg) "{}"
       else {
+        val sweepMedians: Map[String, (Double, Long)] =
+          try {
+            if (histRoot.isEmpty) Map.empty
+            else {
+              import org.apache.spark.sql.functions.{col, count, lit,
+                median}
+              plans.QueryStats.history(spark, histRoot)
+                .filter(col("run_id").startsWith("sweep_"))
+                .groupBy(col("query"))
+                .agg(median(col("wall_ms")).as("med"),
+                  count(lit(1)).as("n"))
+                .collect()
+                .map(r => r.getString(0) ->
+                  (r.getDouble(1) / 1000.0, r.getLong(2))).toMap
+            }
+          } catch { case _: Throwable => Map.empty }
+        val priorBest: Map[String, Double] =
+          (results ++ extResults).collect { case (n, Some(s)) => n -> s }
+            .toMap
+        def confirmBar(name: String): Double =
+          sweepMedians.get(name).collect { case (med, n) if n >= 3 =>
+            math.max(2.0 * med, 1.0) }
+          .orElse(priorBest.get(name).map(b => math.max(3.0 * b, 2.0)))
+          .getOrElse(8.0)
+        val sweepTimes =
+          scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
         val entries = SparkEntry.queries.keys.toSeq.sorted.map { name =>
           val sec =
-            try Some(runE2e(name))
-            catch { case e: Throwable =>
+            try {
+              val first = runE2e(name)
+              val bar = confirmBar(name)
+              Some(if (first > bar) {
+                System.err.println(s"[bench] sweep $name read " +
+                  s"${r3(first)}s (> ${r3(bar)}s bar) — confirming " +
+                  "with one re-run")
+                allConfirmed += name
+                math.min(first, runE2e(name))
+              } else first)
+            } catch { case e: Throwable =>
               System.err.println(s"[bench] all $name failed: ${e.getMessage}")
               None
             }
           sec match {
             case Some(s) =>
               allTotal += s
+              sweepTimes += name -> s
               if (s > slowest._2) slowest = (name, s)
             case None => allFail += 1
           }
           "\"" + name + "\":" + jnum(sec)
+        }
+        // the sweep's walls join the history under sweep_* run_ids —
+        // the trailing-median reference the confirm bar reads next run
+        try {
+          if (histRoot.nonEmpty && sweepTimes.nonEmpty) {
+            val ts = System.currentTimeMillis()
+            plans.QueryStats.append(spark, histRoot, s"sweep_$ts",
+              sweepTimes.toSeq.map { case (n, s) =>
+                plans.QueryStats.Entry(n, math.rint(s * 1e6) / 1e3, -1L,
+                  ts, planHashes.getOrElse(n, "")) })
+          }
+        } catch { case e: Throwable =>
+          System.err.println(s"[bench] sweep history append: $e")
         }
         entries.mkString("{", ",", "}")
       }
@@ -1191,7 +1312,11 @@ object Bench {
       s""""trace":${loadTrace.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")}}"""
 
-    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"extended":$extJson,"scaling":$scalingJson,"scaling27":$scaling27Json,"concurrent":{"sessions":$users,"queries":$concurrentJson},"concurrent4":$concurrent4Json,"soak":$soakJson,"soak_crash":$soakCrashJson,"soak_crash_all":$soakCrashAllJson,"all":$allJson,"contended":$contended,"load":$loadJson,"sf":"$sfDir"}"""
+    val confirmedJson =
+      allConfirmed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val regNamesJson =
+      regressionNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"extended":$extJson,"scaling":$scalingJson,"scaling27":$scaling27Json,"concurrent":{"sessions":$users,"queries":$concurrentJson},"concurrent4":$concurrent4Json,"soak":$soakJson,"soak_crash":$soakCrashJson,"soak_crash_all":$soakCrashAllJson,"all":$allJson,"all_confirmed":$confirmedJson,"regressions":$regressionsN,"regression_names":$regNamesJson,"contended":$contended,"load":$loadJson,"sf":"$sfDir"}"""
     // full-precision, full-section copy: sbt wraps stdout in [info] noise
     // and the driver's stdout tail capture is ~2 KB, so the complete
     // artifact always lands in this file
@@ -1226,7 +1351,14 @@ object Bench {
     val signals = s""","ext_total":$extTotal,"ext_fail":$extFail""" +
       s""","scal_worst":$scalWorst,"conc_worst":$concW""" +
       s""","conc4_worst":$conc4W""" +
+      // the self-validating verdicts of round 11: conc4_ok (SCALE.md
+      // mixed-leg bound checked in-bench), regressions (query-history
+      // tripwire; -1 = no trailing history yet), all_confirmed (sweep
+      // entries that survived an anomaly-confirm re-run)
+      s""","conc4_ok":${conc4Ok.map(_.toString).getOrElse("null")}""" +
+      s""","regressions":$regressionsN""" +
       s""","all_total":${r3(allTotal)},"all_fail":$allFail""" +
+      s""","all_confirmed":$confirmedJson""" +
       s""","slowest":$slowJson,"soak_fail":$soakFail""" +
       // the drill's verdict rides the DRIVER-VISIBLE line in full:
       // round 9's bare soak_fail count arrived with zero diagnosis and

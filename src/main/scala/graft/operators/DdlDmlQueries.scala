@@ -1408,6 +1408,59 @@ object DdlDmlQueries {
       ORDER BY query""")
   )
 
+  /** Regression tripwire over the persisted query history — what the
+    * history table exists FOR (reference: utils/querystats/querystats.h
+    * accumulates per-query stats; the perf scenario harness reads them
+    * back via tblTestStats.sql to compare runs). Builds a deterministic
+    * four-run history for three queries — one stable, one whose latest
+    * wall blows past 3× its trailing same-plan median, one whose plan
+    * changed under it — using REAL plan hashes (semanticHash of real
+    * plans over the source tables; their equality/inequality is the
+    * deterministic signal) and crafted walls/timestamps (walls are the
+    * INPUT here; the detection logic is what's under test), then
+    * asserts QueryStats.regressions flags exactly the two bad rows.
+    * The same detector runs live in Bench over bench_history
+    * (`regressions` field in the artifact of record). */
+  val queryRegression: QueryDef = QueryDef(
+    "d_query_regression",
+    (s, dir) => {
+      import graft.plans.QueryStats
+      val root = scratch("qreg")
+      val planStable = QueryStats.planHash(t(s, dir, "orders")
+        .groupBy(col("o_orderstatus")).agg(count(lit(1)).as("n")))
+      val planNation = QueryStats.planHash(t(s, dir, "nation"))
+      val planRegionA = QueryStats.planHash(t(s, dir, "region"))
+      val planRegionB = QueryStats.planHash(
+        t(s, dir, "region").filter(col("r_regionkey") >= 0))
+      def batch(runId: String, ts: Long,
+          entries: (String, Double, String)*): Unit =
+        QueryStats.append(s, root, runId, entries.map { case (q, w, p) =>
+          QueryStats.Entry(q, w, -1L, ts, p) })
+      batch("run1", 1000L, ("stable_orders", 50.0, planStable),
+        ("regressed_nation", 10.0, planNation),
+        ("churn_region", 20.0, planRegionA))
+      batch("run2", 2000L, ("stable_orders", 52.0, planStable),
+        ("regressed_nation", 12.0, planNation),
+        ("churn_region", 20.0, planRegionA))
+      batch("run3", 3000L, ("stable_orders", 51.0, planStable),
+        ("regressed_nation", 11.0, planNation),
+        ("churn_region", 20.0, planRegionA))
+      batch("run4", 4000L, ("stable_orders", 54.0, planStable),
+        ("regressed_nation", 99.0, planNation),
+        ("churn_region", 20.0, planRegionB))
+      QueryStats.regressions(QueryStats.history(s, root))
+        .orderBy(col("query"))
+    },
+    oracle = Some("""
+      SELECT * FROM (VALUES
+        ('churn_region', 'plan_change', CAST(20.0 AS DOUBLE),
+          CAST(NULL AS DOUBLE)),
+        ('regressed_nation', 'wall_regression', CAST(99.0 AS DOUBLE),
+          CAST(11.0 AS DOUBLE))
+      ) AS t(query, kind, latest_wall_ms, trailing_median_ms)
+      ORDER BY query""")
+  )
+
   val queryTrace: QueryDef = QueryDef(
     "d_query_trace",
     (s, dir) => {
@@ -1474,5 +1527,6 @@ object DdlDmlQueries {
     analyzeHistogram, schemaMerge, typeWidening, dmlJoin,
     dynamicPartitionOverwrite,
     wapPublish, maskedView, checkConstraints, compressionCodecs,
-    autoIncrement, queryTrace, viewTableLocks, queryStats)
+    autoIncrement, queryTrace, viewTableLocks, queryStats,
+    queryRegression)
 }

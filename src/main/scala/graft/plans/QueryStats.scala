@@ -71,9 +71,12 @@ object QueryStats {
       // pre-lock table listing, letting two recorders racing a fresh
       // history root both pass the missing check — the loser's
       // createTable (SaveMode.Overwrite) would clobber the winner's
-      // just-inserted batch
-      cat.attach()
-      if (!cat.listTables.contains(tableName))
+      // just-inserted batch. Scoped to THIS table only (attachOne): a
+      // full attach() acquires OTHER tables' locks for crash recovery,
+      // which is a cross-process lock-order inversion with any writer
+      // that holds a data-table lock and then records history —
+      // surfacing as spurious 60 s lock timeouts on shared roots.
+      if (!cat.attachOne(tableName))
         cat.createTable(tableName, schema)
       val rows = entries.map(e =>
         Row(e.query, e.wallMs, e.rows, e.tsMillis, e.planHash, runId))
@@ -88,5 +91,55 @@ object QueryStats {
     val cat = new Catalog(spark, root)
     cat.attach()
     cat.table(tableName)
+  }
+
+  /** The regression tripwire the history exists for (reference: the
+    * perf scenario harness reads querystats back via tblTestStats.sql
+    * to compare runs): flag, per query, a latest execution whose wall
+    * exceeds `factor`× the trailing median of its PRIOR runs under the
+    * SAME plan (needs ≥ `minPrior` such priors — a fresh history never
+    * cries wolf), and any query whose plan_hash changed between its
+    * two latest runs (plan churn: "the optimizer picked a different
+    * plan under me" is a regression signal even when the wall hasn't
+    * moved yet). Returns (query, kind, latest_wall_ms,
+    * trailing_median_ms) rows, `kind` ∈ {wall_regression, plan_change};
+    * trailing_median_ms is null on plan_change rows (the prior-plan
+    * median is not comparable across plans).
+    *
+    * All-DataFrame: windows are partitioned by query (bounded
+    * cardinality = distinct queries, never rows), the median is one
+    * partial-aggregable pass — history scale is runs × queries, noise
+    * at any corpus size. */
+  def regressions(history: DataFrame, factor: Double = 3.0,
+      minPrior: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.functions._
+    val w = Window.partitionBy(col("query"))
+      .orderBy(col("ts").desc, col("run_id").desc)
+    val ranked = history.withColumn("__rn", row_number().over(w))
+    val latest = ranked.filter(col("__rn") === 1)
+      .select(col("query"), col("wall_ms").as("latest_wall_ms"),
+        col("plan_hash").as("latest_plan"))
+    val priors = ranked.filter(col("__rn") > 1)
+      .select(col("query"), col("wall_ms"), col("plan_hash"),
+        col("__rn"))
+    val med = priors.join(latest, "query")
+      .filter(col("plan_hash") === col("latest_plan"))
+      .groupBy(col("query"))
+      .agg(median(col("wall_ms")).as("trailing_median_ms"),
+        count(lit(1)).as("prior_runs"))
+    val wallReg = latest.join(med, "query")
+      .filter(col("prior_runs") >= minPrior &&
+        col("latest_wall_ms") > lit(factor) * col("trailing_median_ms"))
+      .select(col("query"), lit("wall_regression").as("kind"),
+        col("latest_wall_ms"), col("trailing_median_ms"))
+    val churn = priors.filter(col("__rn") === 2)
+      .select(col("query"), col("plan_hash").as("prev_plan"))
+      .join(latest, "query")
+      .filter(col("prev_plan") =!= col("latest_plan"))
+      .select(col("query"), lit("plan_change").as("kind"),
+        col("latest_wall_ms"),
+        lit(null).cast("double").as("trailing_median_ms"))
+    wallReg.unionByName(churn)
   }
 }

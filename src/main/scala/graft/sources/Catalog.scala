@@ -23,7 +23,8 @@ import scala.collection.concurrent.TrieMap
   * the operation is a full distributed scan+write, same cost class as the
   * reference's block-rewrite through the version buffer.
   */
-class Catalog(spark: SparkSession, root: String) {
+class Catalog(spark: SparkSession, root: String,
+    bracketAttempts: Int = 20) {
   private val tables = TrieMap.empty[String, StructType]
   Files.createDirectories(Paths.get(root))
 
@@ -106,6 +107,31 @@ class Catalog(spark: SparkSession, root: String) {
     }
   }
 
+  /** Attach exactly ONE table from the catalog dir (crash-recovering it
+    * under ITS OWN lock if a writer died mid-commit), returning false
+    * when nothing of the table exists yet. For callers that need a
+    * single table while already holding locks — a full attach()
+    * acquires OTHER tables' locks for their crash recovery, which is a
+    * cross-process lock-order inversion for anyone recording into one
+    * catalog table while holding another table's lock (QueryStats.append
+    * was exactly that: a writer holding a data-table lock then logging
+    * history could deadlock-by-timeout against this session). Reentrant
+    * when the caller already holds `name`'s lock. */
+  def attachOne(name: String): Boolean = {
+    def exists(suffix: String) =
+      Files.exists(Paths.get(tablePath(name) + suffix))
+    if (!exists("") && !exists(".old") && !exists(".staging")) false
+    else {
+      TableLocks.withLock(root, name)(recover(name))
+      if (!exists("")) false // remnants unrecoverable (incomplete stage)
+      else {
+        tables.put(name, table0(name).schema)
+        table(name).createOrReplaceTempView(name)
+        true
+      }
+    }
+  }
+
   /** CREATE TABLE name (schema) — an empty Parquet directory with schema. */
   def createTable(name: String, schema: StructType): Unit = {
     require(!tables.contains(name), s"table $name already exists")
@@ -185,19 +211,22 @@ class Catalog(spark: SparkSession, root: String) {
       val df = spark.read.schema(schema).parquet(tablePath(name))
       val k2 = liveKey(name)
       if (k1 != null && k1 == k2) return df
-      if (attempt >= 20) {
-        // 20 straight generation changes inside a ~ms listing window
-        // means a pathological commit rate; returning the last listing
-        // is best-effort, but it must SAY so — a silent return here
-        // would reinstate the silent-empty-read this bracket exists to
-        // kill (the residual false-pass — a crash-recover() restoring
-        // the ORIGINAL inode within one listing — needs a writer crash
-        // inside this same window and is accepted as negligible)
-        System.err.println(s"[catalog] table($name): listing never " +
-          "bracketed one stable generation after 20 attempts — " +
-          "returning a possibly-torn listing (writer commit rate " +
-          "pathological?)")
-        return df
+      if (attempt >= bracketAttempts) {
+        // N straight generation changes inside a ~ms listing window
+        // means a pathological commit rate. Round 10 returned the last
+        // (possibly-torn) listing with a stderr note — but readCommitted
+        // callers then treated it as a committed snapshot, quietly
+        // reinstating the silent-empty-read this bracket exists to
+        // kill. Fail TRANSIENTLY instead (FileNotFound-class, which
+        // readCommitted's retry absorbs like any other commit-window
+        // artifact), and leave a persisted incident an operator can
+        // query after the fact — stderr on an executor is ephemeral.
+        Incidents.record(root, "torn_listing", name,
+          s"generation bracket exhausted after $bracketAttempts " +
+            "attempts (pathological commit rate?)")
+        throw new java.io.FileNotFoundException(
+          s"table $name: listing never bracketed one stable generation " +
+            s"after $bracketAttempts attempts — transient, retry the read")
       }
       attempt += 1
       Thread.sleep(10)
@@ -276,8 +305,11 @@ class Catalog(spark: SparkSession, root: String) {
 
   /** Crash recovery: a failure between the two moves in rewrite() can leave
     * no live dir while .old (pre-image) and/or .staging (post-image) exist.
-    * Restore the staged post-image if its write completed (_SUCCESS marker),
-    * else fall back to the pre-image — so readers never see a missing table. */
+    * Restore the staged post-image if its write completed (_SUCCESS marker)
+    * — archiving the pre-image as the version the completed commit would
+    * have retained, so the crash leaves no gap in tableAsOf history —
+    * else fall back to the pre-image, so readers never see a missing
+    * table. */
   private def recover(name: String): Unit = {
     val live = Paths.get(tablePath(name))
     if (!Files.exists(live)) {
@@ -285,13 +317,27 @@ class Catalog(spark: SparkSession, root: String) {
       val old = Paths.get(tablePath(name) + ".old")
       if (Files.exists(staged) && Files.exists(staged.resolve("_SUCCESS"))) {
         Files.move(staged, live)
-        deleteRecursively(old)
+        archiveOld(name, old)
       } else if (Files.exists(old)) {
         Files.move(old, live)
         deleteRecursively(staged)
       }
     }
   }
+
+  /** Retain a displaced pre-image directory as the table's next version
+    * (no-op when `old` doesn't exist). Shared by the commit sequence and
+    * both salvage paths (recover's staged promotion; a leftover .old a
+    * crash stranded between commitStaged's swap and its versioning move
+    * — deleting that, as pre-round-11 code did, silently cut a snapshot
+    * out of the rollbackTo/tableAsOf history). */
+  private def archiveOld(name: String, old: Path): Unit =
+    if (Files.exists(old)) {
+      val vdir = versionsDir(name)
+      Files.createDirectories(vdir)
+      Files.move(old, vdir.resolve(
+        s"v${versions(name).lastOption.map(_ + 1).getOrElse(0)}"))
+    }
 
   /** INSERT INTO name SELECT … (append). Serialized by the table lock
     * like every DML statement (the reference's DMLProc takes the table
@@ -380,7 +426,36 @@ class Catalog(spark: SparkSession, root: String) {
   private def commitStaged(name: String): Unit = {
     val live = Paths.get(tablePath(name))
     val old = Paths.get(tablePath(name) + ".old")
-    deleteRecursively(old)
+    val staged = Paths.get(tablePath(name) + ".staging")
+    // a leftover .old here means a PREVIOUS commit crashed between its
+    // staging→live swap and its versioning move: live is that commit's
+    // post-image and .old its never-versioned pre-image. Salvage it
+    // into the version history (what the crashed commit was about to
+    // do) instead of deleting it — a delete leaves a silent gap in
+    // tableAsOf/rollbackTo.
+    archiveOld(name, old)
+    // disabled partitions (dot-prefixed dirs, see disablePartition)
+    // ride EVERY commit: staging is built from the live listing —
+    // which, by design, excludes hidden dirs — so without this
+    // re-link the first DML while a partition is offline would drop
+    // the partition from the live image and strand its data in a
+    // vacuumable version snapshot (enablePartition would then fail).
+    // Hard links only: the bytes stay shared with the displaced
+    // pre-image snapshot, and the offline data is intentionally NOT
+    // transformed by the DML — offline means invisible to reads and
+    // writes alike, exactly the reference's disabled-partition
+    // semantics (ha_calpont_partition.cpp partition mark).
+    if (Files.exists(live) && Files.exists(staged))
+      scala.util.Using.resource(Files.list(live)) { st =>
+        import scala.jdk.CollectionConverters._
+        st.iterator().asScala
+          .filter(p => Files.isDirectory(p) &&
+            p.getFileName.toString.startsWith("."))
+          .foreach { p =>
+            val dst = staged.resolve(p.getFileName.toString)
+            if (!Files.exists(dst)) linkTree(p, dst)
+          }
+      }
     Files.move(live, old)
     // crash-injection window for the dwweek recovery drill (reference:
     // a DMLProc crash mid-commit is what cleartablelock recovery exists
@@ -398,7 +473,7 @@ class Catalog(spark: SparkSession, root: String) {
       try Thread.sleep(ms.toLong)
       finally Files.deleteIfExists(flag)
     }
-    Files.move(Paths.get(tablePath(name) + ".staging"), live)
+    Files.move(staged, live)
     // MVCC snapshot retention (reference: versioning/BRM version buffer,
     // dbrm.h:163-192 — a DML block-rewrite keeps the pre-image until the
     // transaction's VSS entries age out): the displaced pre-image becomes
@@ -406,15 +481,12 @@ class Catalog(spark: SparkSession, root: String) {
     // Numbered max+1, never count-based: after vacuumVersions([v0,v1] →
     // [v1]) a count-derived name collides with a retained one — the
     // move throws AFTER the live swap landed, stranding the pre-image
-    // in .old where the next rewrite's cleanup silently discards it —
-    // and non-colliding counts misorder history so "oldest first" (and
-    // therefore vacuum itself) lies. Rename only — no data copy; at
-    // 100 TB retention is bounded by vacuumVersions (the aging analog),
-    // not by the write path.
-    val vdir = versionsDir(name)
-    Files.createDirectories(vdir)
-    Files.move(old, vdir.resolve(
-      s"v${versions(name).lastOption.map(_ + 1).getOrElse(0)}"))
+    // in .old — salvaged by the NEXT commit's archiveOld (or recover),
+    // so even that crash leaves no history gap — and non-colliding
+    // counts misorder history so "oldest first" (and therefore vacuum
+    // itself) lies. Rename only — no data copy; at 100 TB retention is
+    // bounded by vacuumVersions (the aging analog), not the write path.
+    archiveOld(name, old)
   }
 
   // ---- time travel ----------------------------------------------------
@@ -613,6 +685,11 @@ class Catalog(spark: SparkSession, root: String) {
     spark.read.parquet(tablePath(name))
 
   def listTables: Seq[String] = tables.keys.toSeq.sorted
+
+  /** Recorded operational incidents for this catalog root (torn-listing
+    * bailouts, lock-restore losses) — queryable with the engine itself,
+    * like the lock view. */
+  def incidents: DataFrame = Incidents.df(spark, root)
 
   private def deleteRecursively(p: Path): Unit =
     FsUtil.deleteRecursively(p)

@@ -243,6 +243,11 @@ object TableLocks {
         Files.deleteIfExists(grave)
         true
       } else {
+        // test hook: widen the two-syscall restore window so the spec
+        // can deterministically land a third claimant inside it (the
+        // GRAFT_SWAP_PAUSE_MS pattern; a no-op when the prop is unset)
+        sys.props.get("graft.lock.restoreDelayMs")
+          .foreach(ms => Thread.sleep(ms.toLong))
         try {
           Files.createLink(lf, grave)
           Files.deleteIfExists(grave)
@@ -251,9 +256,15 @@ object TableLocks {
           case _: java.nio.file.FileAlreadyExistsException =>
             // a third writer claimed lf during the restore window: the
             // successor whose claim we grabbed AND that third writer
-            // now both believe they own the table. Unrecoverable from
-            // here — put the grabbed claim back under its grave name
-            // for forensics and fail loudly instead of joining in.
+            // now both believe they own the table (the successor's
+            // post-claim verify in withLock catches this within its
+            // settle window in practice). Unrecoverable from here —
+            // put the grabbed claim back under its grave name for
+            // forensics, persist an incident an operator can query,
+            // and fail loudly instead of joining in.
+            Incidents.record(lf.getParent.getParent.toString,
+              "lock_restore_lost", table,
+              s"displaced stamp preserved at ${grave.getFileName}")
             throw new IllegalStateException(
               s"lock restore for $table lost to a new claimant: a live " +
                 s"claim was displaced during a stale-claim removal and " +
@@ -265,6 +276,27 @@ object TableLocks {
       case _: java.nio.file.NoSuchFileException => false // lost the
       // rename race outright: another remover already took the claim
     }
+  }
+
+  /** Confirm a just-published claim still carries `myStamp`: true on
+    * the first read in the overwhelmingly common case. A missing file
+    * means a stale-claim remover grabbed us mid-race — wait out its
+    * restore for up to ~300 ms (the restore is two syscalls away
+    * unless the remover is descheduled); a DIFFERENT stamp means a
+    * third claimant won the displaced window — we lost, re-claim. */
+  private def verifyClaim(lf: Path, myStamp: String): Boolean = {
+    val deadline = System.nanoTime() + 300L * 1000000L
+    while (true) {
+      (try Some(Files.readString(lf))
+       catch { case _: Exception => None }) match {
+        case Some(c) if c == myStamp => return true
+        case Some(_) => return false
+        case None =>
+          if (System.nanoTime() > deadline) return false
+          Thread.sleep(10)
+      }
+    }
+    false
   }
 
   /** True while a DIFFERENT live owner (or a not-yet-readable claim)
@@ -319,8 +351,24 @@ object TableLocks {
           // test in CatalogSpec).
           try {
             Files.createLink(lf, tmp)
-            claimed = true
             Files.deleteIfExists(tmp)
+            // post-claim ownership verify (round 11): a remover that
+            // judged the PREVIOUS claim stale can rename OUR fresh
+            // claim aside if we landed between its read and its
+            // rename(2). Its mismatch check then restores us within
+            // microseconds — but until round 11 the displaced window
+            // was invisible to us, and if a third claimant slipped in
+            // before the restore, BOTH of us proceeded. Re-reading our
+            // own stamp (with a short settle wait for an in-flight
+            // restore) converts that into: restored → proceed;
+            // displaced-and-lost → re-enter the claim loop. One file
+            // read on the fast path. This narrows the residual
+            // two-writer window from "any grab during the hold" to "a
+            // remover pausing >settle between grab and restore" — an
+            // advisory file lock can't close it completely; SCALE.md
+            // still says swap in a real lock service for hostile
+            // deployments.
+            claimed = verifyClaim(lf, myStamp)
           } catch {
             case e @ (_: java.nio.file.FileAlreadyExistsException |
                  _: java.nio.file.FileSystemException) =>
@@ -340,9 +388,17 @@ object TableLocks {
                     "swap TableLocks for an external lock service", e)
               val observed =
                 try Some(Files.readString(lf)) catch { case _: Exception => None }
+              // a claim stamped with OUR pid+host here is this thread's
+              // own ABANDONED claim (same-JVM contenders serialize on
+              // jvmLock before touching the file): the verify above
+              // gave up on a displaced claim and the remover's restore
+              // landed late. Without this branch we'd spin on "held by
+              // a live owner" — ourselves — until timeout.
+              val mine = observed.exists(s => parseClaim(s).exists(c =>
+                c.pid == selfPid && c.host == hostId))
               val stale = observed.exists(s =>
                 parseClaim(s).exists(c => !claimOwnerLive(c, lf)))
-              if (stale) {
+              if (mine || stale) {
                 // stale claim from a dead writer — steal (the
                 // cleartablelock analog) through the rename-aside
                 // removal: exactly one of N simultaneous stealers wins

@@ -1045,4 +1045,183 @@ class CatalogSpec extends GraftSuite {
         s"${ids.toSet.size} distinct")
     assert(cat.autoIncNext("t", "id") == 301L)
   }
+
+  test("DML while a partition is disabled preserves the offline data") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_part").toString
+    val cat = new Catalog(spark, root)
+    val df = (0L until 30L).map(i => (i, (i % 3).toInt)).toDF("id", "pk")
+    // staged APPEND while offline (the round-10 regression: staging was
+    // built from the live listing, which excludes hidden dirs, so the
+    // commit dropped the disabled partition from the live image and
+    // enablePartition failed, the data surviving only in a vacuumable
+    // version snapshot)
+    cat.createTablePartitionedAs("pta", df, "pk")
+    cat.disablePartition("pta", "pk=0")
+    cat.insertIntoSelect("pta", Seq((100L, 1)).toDF("id", "pk"))
+    assert(Files.isDirectory(Paths.get(root, "pta", ".pk=0")),
+      "hidden partition must survive a staged append")
+    cat.enablePartition("pta", "pk=0")
+    // offline rows byte-identical after the round trip (read the
+    // partition dir directly — the appended batch lands in the root
+    // layout, which is a separate concern from offline preservation)
+    assert(spark.read.parquet(s"$root/pta/pk=0").count() == 10)
+    // REWRITE while offline, on its own table: offline data is
+    // invisible to the DML (the delete must not touch it) and must
+    // survive the swap too
+    cat.createTablePartitionedAs("ptb", df, "pk")
+    cat.disablePartition("ptb", "pk=0")
+    cat.update("ptb", _.filter(col("id") % 2 === 0))
+    assert(Files.isDirectory(Paths.get(root, "ptb", ".pk=0")),
+      "hidden partition must survive a rewrite")
+    cat.enablePartition("ptb", "pk=0")
+    assert(spark.read.parquet(s"$root/ptb/pk=0").count() == 10,
+      "offline rows must be untouched by the online delete")
+    sources.FsUtil.deleteRecursively(Paths.get(root), swallowErrors = true)
+  }
+
+  test("a pre-image stranded in .old is salvaged into version history") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_salv").toString
+    val cat = new Catalog(spark, root)
+    cat.createTableAs("t", Seq(1L, 2L).toDF("v"))
+    cat.update("t", _.withColumn("v", col("v") * 10))
+    assert(cat.versions("t") == Seq(0))
+    // simulate a crash BETWEEN commitStaged's staging→live swap and its
+    // .old→_versions move: live already holds the post-image, the
+    // pre-image sits in .old, never versioned. Pre-round-11 the next
+    // commit's deleteRecursively(old) silently discarded it — a gap in
+    // tableAsOf history.
+    Files.move(Paths.get(root, "_versions", "t", "v0"),
+      Paths.get(root, "t.old"))
+    assert(cat.versions("t").isEmpty)
+    cat.update("t", _.withColumn("v", col("v") + 1))
+    // both the salvaged pre-image AND this commit's displaced pre-image
+    // must now be retained, in order
+    assert(cat.versions("t") == Seq(0, 1))
+    assert(cat.tableAsOf("t", 0).as[Long].collect().sorted.toSeq ==
+      Seq(1L, 2L), "salvaged snapshot must be the original pre-image")
+    assert(cat.tableAsOf("t", 1).as[Long].collect().sorted.toSeq ==
+      Seq(10L, 20L))
+    assert(cat.table("t").as[Long].collect().sorted.toSeq ==
+      Seq(11L, 21L))
+    sources.FsUtil.deleteRecursively(Paths.get(root), swallowErrors = true)
+  }
+
+  test("generation-bracket exhaustion fails transiently + records incident") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_torn").toString
+    // attempts=0: the FIRST listing that straddles a commit swap trips
+    // the exhaustion path (production keeps 20 retries; the path under
+    // test is what happens when they run out)
+    val cat = new Catalog(spark, root, bracketAttempts = 0)
+    cat.createTableAs("t", Seq(1L, 2L).toDF("v"))
+    @volatile var stop = false
+    val writerErr = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    val writer = new Thread(() => {
+      try { var g = 0L
+        while (!stop) { cat.update("t", _.withColumn("v", lit(g))); g += 1 }
+      } catch { case e: Throwable => writerErr.set(e) }
+    })
+    writer.start()
+    var sawTransient = false
+    val deadline = System.nanoTime() + 90L * 1000000000L
+    while (!sawTransient && System.nanoTime() < deadline) {
+      try { cat.table("t"); () }
+      catch { case _: java.io.FileNotFoundException => sawTransient = true }
+    }
+    // readCommitted must ABSORB the transient failure (its retry loop is
+    // exactly what the FileNotFound-class contract exists for)
+    if (sawTransient)
+      assert(cat.readCommitted("t")(_.count()) == 2L)
+    stop = true
+    writer.join()
+    assert(writerErr.get() == null, s"writer failed: ${writerErr.get()}")
+    assert(sawTransient,
+      "a 0-attempt bracket under a hammering writer must trip within 90s")
+    assert(sources.Incidents.list(root).exists(_.kind == "torn_listing"),
+      "exhaustion must leave a queryable incident")
+    assert(cat.incidents.filter(col("kind") === "torn_listing").count() >= 1)
+    sources.FsUtil.deleteRecursively(Paths.get(root), swallowErrors = true)
+  }
+
+  test("a lock restore lost to a third claimant records an incident") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_rlost").toString
+    val lf = Paths.get(root, "_locks", "t.lock")
+    Files.createDirectories(lf.getParent)
+    // a live foreign claim sits on the lock; the remover below is armed
+    // with DIFFERENT (stale) bytes, so it must grab-mismatch-restore
+    val current = s"4242 99999 otherhost#beef ${System.currentTimeMillis()}\n"
+    Files.writeString(lf, current)
+    val thirdStamp = s"7777 11111 thirdhost#cafe 1\n"
+    val thrown = new java.util.concurrent.atomic.AtomicReference[Throwable]
+    System.setProperty("graft.lock.restoreDelayMs", "800")
+    try {
+      val remover = new Thread(() =>
+        try graft.sources.TableLocks.removeClaim(lf, "t",
+          judged = "999 1 deadhost#dead 1\n", matchContent = true)
+        catch { case e: Throwable => thrown.set(e) })
+      remover.start()
+      // third claimant lands inside the (widened) restore window
+      val dl = System.nanoTime() + 10L * 1000000000L
+      while (Files.exists(lf) && System.nanoTime() < dl) Thread.sleep(5)
+      assert(!Files.exists(lf), "remover must have grabbed the claim")
+      Files.writeString(lf, thirdStamp)
+      remover.join()
+    } finally System.clearProperty("graft.lock.restoreDelayMs")
+    assert(thrown.get().isInstanceOf[IllegalStateException],
+      s"expected the loud restore-lost failure, got ${thrown.get()}")
+    // the incident is queryable after the fact, the displaced stamp is
+    // preserved for forensics, and the third claimant is untouched
+    assert(sources.Incidents.list(root).exists(_.kind == "lock_restore_lost"))
+    import scala.jdk.CollectionConverters._
+    val graves = Files.list(lf.getParent).iterator().asScala
+      .map(_.getFileName.toString).filter(_.startsWith(".grave_")).toSeq
+    assert(graves.nonEmpty, "displaced stamp must be preserved in a grave")
+    assert(Files.readString(lf) == thirdStamp)
+    sources.FsUtil.deleteRecursively(Paths.get(root), swallowErrors = true)
+  }
+
+  test("QueryStats.append takes no OTHER table's lock (scoped attach)") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_qslock").toString
+    val cat = new Catalog(spark, root)
+    cat.createTableAs("data", Seq(1L).toDF("v"))
+    // plant a crashed commit on "data" (live parked in .old): a FULL
+    // attach would need data's lock to recover it — which a writer
+    // holds. Round 10's append deadlocked-by-timeout here (lock-order
+    // inversion: writer holds data + wants history; recorder holds
+    // history + wants data).
+    Files.move(Paths.get(root, "data"), Paths.get(root, "data.old"))
+    @volatile var release = false
+    val holding = new java.util.concurrent.CountDownLatch(1)
+    val holder = new Thread(() =>
+      graft.sources.TableLocks.withLock(root, "data") {
+        holding.countDown()
+        while (!release) Thread.sleep(10)
+      })
+    holder.start()
+    assert(holding.await(10, java.util.concurrent.TimeUnit.SECONDS))
+    val t0 = System.nanoTime()
+    graft.plans.QueryStats.append(spark, root, "r1",
+      Seq(graft.plans.QueryStats.Entry("q", 1.0, -1L, 1L, "p")))
+    val sec = (System.nanoTime() - t0) / 1e9
+    release = true
+    holder.join()
+    assert(sec < 20.0,
+      s"append blocked ${sec}s — it must not wait on data's lock")
+    // the history landed and data recovers fine once its lock is free
+    assert(graft.plans.QueryStats.history(spark, root).count() == 1)
+    assert(cat.readCommitted("data")(_.count()) == 1L)
+    sources.FsUtil.deleteRecursively(Paths.get(root), swallowErrors = true)
+  }
+
+  test("ChildJvm classload probe passes; firstError names the class") {
+    assert(sources.ChildJvm.probe() == "ok")
+    val tail = "starting\n  at a.b.C.main(C.java:1)\n" +
+      "Caused by: java.lang.ClassNotFoundException: x.Y\n  ... 2 more\n"
+    assert(sources.ChildJvm.firstError(tail)
+      .contains("ClassNotFoundException: x.Y"))
+  }
 }
