@@ -38,14 +38,22 @@ object QueryStats {
     StructField("run_id", StringType)))
 
   /** Semantic fingerprint of a DataFrame's optimized logical plan —
-    * stable across executions of the same query text/structure,
-    * changed by anything that alters the plan (a new filter, a join
-    * reorder, a schema change underneath). Catalyst's semanticHash
-    * normalizes cosmetic differences (expression ids, aliases), which
-    * is exactly the "is this the same query" equivalence a history
-    * wants. */
+    * stable across executions AND SESSIONS of the same query
+    * structure, changed by anything that alters the plan shape (a new
+    * filter, a join reorder, a schema change underneath). Hashes the
+    * CANONICALIZED plan's string form (expression ids normalized to
+    * position) with MurmurHash3 — NOT Catalyst's semanticHash():
+    * that hashes the canonicalized tree's hashCode chain, which
+    * reaches identity-based hashCodes (the relation's FileIndex), so
+    * two JVMs fingerprint the identical plan differently — measured
+    * directly on Spark 4.1.2, and exactly the failure a CROSS-RUN
+    * history cannot have (every fresh session would read as plan
+    * churn). The string form is JVM-independent; its deterministic
+    * field truncation and location elision are acceptable coarseness
+    * for a per-query "did my plan move" signal. */
   def planHash(df: DataFrame): String =
-    f"${df.queryExecution.optimizedPlan.semanticHash()}%08x"
+    f"${scala.util.hashing.MurmurHash3.stringHash(
+      df.queryExecution.optimizedPlan.canonicalized.toString)}%08x"
 
   /** Execute `df` to completion (count), returning the Entry that
     * records it — the full-fidelity recording path with a real row
