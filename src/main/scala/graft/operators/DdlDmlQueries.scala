@@ -1461,6 +1461,47 @@ object DdlDmlQueries {
       ORDER BY query""")
   )
 
+  /** Operator-visible incident log, read side (reference analog:
+    * loggingcpp persists crit/warning rows queryably, not only to
+    * stderr). The WRITE-side forcing paths — a hammered torn-listing
+    * bracket exhaustion, a lock restore losing to a third claimant in
+    * a widened window — live in CatalogSpec; this row gates the
+    * persisted format and the read surface: O_APPEND lines parse back
+    * in order with fields intact, and a torn half-line from a crashed
+    * recorder is skipped rather than poisoning the whole log. */
+  val incidentsLog: QueryDef = QueryDef(
+    "d_incidents",
+    (s, dir) => {
+      import graft.sources.Incidents
+      val root = scratch("incidents")
+      Incidents.record(root, "torn_listing", "orders_load",
+        "generation bracket exhausted after 20 attempts")
+      Incidents.record(root, "lock_restore_lost", "orders_load",
+        "displaced stamp preserved at .grave_x")
+      // a crashed recorder's torn half-line must not poison the log
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(root, "_incidents", "log"), "123 45\n",
+        java.nio.file.StandardOpenOption.APPEND)
+      Incidents.record(root, "torn_listing", "lineitem_load",
+        "second exhaustion")
+      new Catalog(s, root).incidents
+        .select(col("kind"), col("table_name"), col("detail"),
+          (col("ts") > lit(0L)).as("ts_ok"),
+          (col("pid") > lit(0L)).as("pid_ok"))
+        .orderBy(col("kind"), col("table_name"), col("detail"))
+    },
+    oracle = Some("""
+      SELECT * FROM (VALUES
+        ('lock_restore_lost', 'orders_load',
+          'displaced stamp preserved at .grave_x', true, true),
+        ('torn_listing', 'lineitem_load', 'second exhaustion',
+          true, true),
+        ('torn_listing', 'orders_load',
+          'generation bracket exhausted after 20 attempts', true, true)
+      ) AS t(kind, table_name, detail, ts_ok, pid_ok)
+      ORDER BY kind, table_name, detail""")
+  )
+
   val queryTrace: QueryDef = QueryDef(
     "d_query_trace",
     (s, dir) => {
@@ -1528,5 +1569,5 @@ object DdlDmlQueries {
     dynamicPartitionOverwrite,
     wapPublish, maskedView, checkConstraints, compressionCodecs,
     autoIncrement, queryTrace, viewTableLocks, queryStats,
-    queryRegression)
+    queryRegression, incidentsLog)
 }

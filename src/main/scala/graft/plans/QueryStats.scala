@@ -151,3 +151,28 @@ object QueryStats {
     wallReg.unionByName(churn)
   }
 }
+
+/** Child-JVM probe for the cross-SESSION plan-fingerprint guarantee:
+  * prints `PLANHASH=<hash>` for a registered query over `dir`. The
+  * spec compares it against the parent JVM's in-process hash — the
+  * exact property Catalyst's semanticHash() lacks (identity-based
+  * FileIndex hashCodes make every session fingerprint the same plan
+  * differently), and the one a cross-run regression history depends
+  * on. */
+object PlanHashChild {
+  def main(args: Array[String]): Unit = {
+    val Array(queryName, dir) = args
+    val spark = SparkSession.builder()
+      .master("local[2]")
+      .appName("graft-planhash-child")
+      .config("spark.sql.shuffle.partitions", "2")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    graft.Tables.tune(spark)
+    val df = graft.SparkEntry.queries(queryName)(spark, dir)
+    println(s"PLANHASH=${QueryStats.planHash(df)}")
+    spark.stop()
+  }
+}

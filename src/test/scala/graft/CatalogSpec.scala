@@ -1217,6 +1217,28 @@ class CatalogSpec extends GraftSuite {
     sources.FsUtil.deleteRecursively(Paths.get(root), swallowErrors = true)
   }
 
+  test("plan fingerprints agree across JVMs (regression-history contract)") {
+    // Catalyst's semanticHash() reaches identity-based FileIndex
+    // hashCodes, so two sessions fingerprint the IDENTICAL plan
+    // differently — a cross-run history keyed on it reads every fresh
+    // session as plan churn (observed live in round 11: 16/16 headline
+    // queries false-flagged). planHash hashes the canonicalized plan
+    // STRING instead; this pins the cross-JVM agreement that makes
+    // d_query_regression's plan_change signal meaningful across runs.
+    val mine = graft.plans.QueryStats.planHash(
+      SparkEntry.queries("q01_pricing_summary")(spark, sf))
+    val child = sources.ChildJvm.spawn("graft.plans.PlanHashChild",
+      Seq("q01_pricing_summary", sf))
+    val exit = child.waitFor()
+    val tail = child.tail()
+    assert(exit == 0, s"child failed (exit=$exit): ${tail.takeRight(800)}")
+    val theirs = tail.linesIterator
+      .find(_.startsWith("PLANHASH=")).map(_.stripPrefix("PLANHASH="))
+    assert(theirs.contains(mine),
+      s"plan fingerprint must be session-independent: parent=$mine " +
+        s"child=$theirs")
+  }
+
   test("ChildJvm classload probe passes; firstError names the class") {
     assert(sources.ChildJvm.probe() == "ok")
     val tail = "starting\n  at a.b.C.main(C.java:1)\n" +
