@@ -327,21 +327,26 @@ class PlanSpec extends GraftSuite {
   test("chunk dedup shuffles digests and ids, never chunk text") {
     // the first-occurrence window and the kept-index aggregation move
     // (md5, doc_id, chunk_idx) only; chunk text is re-derived map-side
-    // from the doc's own token array after the reconstruction join
+    // from the doc's own token array after the reconstruction join —
+    // the same contract holds for the stride-1 span-removal rewrite
+    // (spans come back keyed by doc_id, the excision runs map-side)
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
-    val df = operators.DedupQueries.chunkDedup.run(spark, sf)
-    df.collect()
-    val finalPlan = df.queryExecution.executedPlan match {
-      case a: AdaptiveSparkPlanExec => a.executedPlan
-      case p => p
+    for (q <- Seq(operators.DedupQueries.chunkDedup,
+        operators.DedupQueries.spanRemoval)) {
+      val df = q.run(spark, sf)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan
+        case p => p
+      }
+      val shuffled = finalPlan.collect {
+        case s: ShuffleExchangeLike => s.output.map(_.name)
+      }.flatten
+      assert(!shuffled.exists(n => n.startsWith("text") ||
+        n.startsWith("toks") || n.startsWith("dedup_text")),
+        s"${q.name} shuffles text payload: $shuffled")
     }
-    val shuffled = finalPlan.collect {
-      case s: ShuffleExchangeLike => s.output.map(_.name)
-    }.flatten
-    assert(!shuffled.exists(n => n.startsWith("text") ||
-      n.startsWith("toks") || n.startsWith("dedup_text")),
-      s"chunk dedup shuffles text payload: $shuffled")
   }
 
   test("graph and set-similarity ops shuffle keys and ids, never text") {

@@ -547,6 +547,74 @@ class VectorTextSpec extends GraftSuite {
       assert(r.getInt(1) == r.getInt(2), s"chunk grid dropped a chunk: $r")
   }
 
+  test("span removal excises unaligned duplicates but keeps the first occurrence") {
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    // cross-doc: the shared 15-token run sits at offset 7 in doc 1 and
+    // offset 3 in doc 2 — doc 1 (globally first) must survive intact,
+    // doc 2 must lose exactly the run and nothing else
+    val run = (1 to 15).map(i => s"r$i").mkString(" ")
+    val d1 = (1 to 7).map(i => s"a$i").mkString(" ") + " " + run + " b1 b2 b3"
+    val d2 = "c1 c2 c3 " + run + " " + (1 to 7).map(i => s"d$i").mkString(" ")
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spanrm").toString
+    Seq((1L, d1), (2L, d2)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = operators.DedupQueries.spanRemoval.run(spark, tmp).collect()
+      .map(r => r.getLong(0) ->
+        (r.getInt(1), r.getLong(2), r.getInt(3), r.getString(4))).toMap
+    assert(rows(1L) == ((25, 0L, 25, md5hex(d1))), rows(1L))
+    val d2clean = "c1 c2 c3 " + (1 to 7).map(i => s"d$i").mkString(" ")
+    assert(rows(2L) == ((25, 15L, 10, md5hex(d2clean))), rows(2L))
+
+    // intra-doc: the run repeated inside ONE document — the first copy
+    // stays, the second is excised, the bridge tokens survive
+    val d3 = run + " x1 x2 " + run
+    val tmp2 = java.nio.file.Files.createTempDirectory("graft_spanrm2").toString
+    Seq((7L, d3)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp2/documents.parquet")
+    val intra = operators.DedupQueries.spanRemoval.run(spark, tmp2).collect()
+    assert(intra.length == 1)
+    val r3 = intra(0)
+    assert(r3.getInt(1) == 32 && r3.getLong(2) == 15L && r3.getInt(3) == 17,
+      r3.toString)
+    assert(r3.getString(4) == md5hex(run + " x1 x2"), r3.toString)
+  }
+
+  test("streaming near-dup classify equals the batch dual across micro-batches") {
+    // planted ingest: an exact copy, a token-reorder near-dup (same
+    // token SET → same minhash signature, different digest), a novel
+    // doc — streamed one file per micro-batch against the frozen index
+    val ex1 = "alpha beta gamma delta epsilon zeta eta theta"
+    val ex2 = "one two three four five six seven eight nine ten"
+    val near = "theta eta zeta epsilon delta gamma beta alpha" // reorder
+    val novel = "xx yy zz ww vv uu tt ss"
+    val tmp = java.nio.file.Files.createTempDirectory("graft_sneardup").toString
+    Seq((1L, ex1, "src1"), (2L, ex2, "src1"),
+      (10L, ex1, "src9"), (11L, near, "src9"), (12L, novel, "src9"))
+      .toDF("doc_id", "text", "source")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val stream = operators.DedupQueries.streamNearDup.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    val batch = operators.DedupQueries.incremental.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getDouble(1), r.getString(2)))
+    assert(stream.toSeq == batch.toSeq,
+      s"stream ${stream.toSeq} != batch ${batch.toSeq}")
+    assert(stream.map(t => t._1 -> t._3).toMap ==
+      Map(10L -> "exact", 11L -> "near", 12L -> "novel"), stream.toSeq)
+    // the stream genuinely ran multiple micro-batches (one per file),
+    // each landing in its own idempotent overwrite partition
+    val outDir = java.nio.file.Paths.get(
+      operators.DdlDmlQueries.lastScratch("stream_neardup"), "out")
+    val batchDirs = scala.util.Using.resource(
+        java.nio.file.Files.list(outDir)) { st =>
+      import scala.jdk.CollectionConverters._
+      st.iterator().asScala.map(_.getFileName.toString)
+        .filter(_.startsWith("b=")).toSeq
+    }
+    assert(batchDirs.size >= 2, s"expected multiple micro-batches: $batchDirs")
+  }
+
   test("count-min estimates dominate true counts and match a replayed sketch") {
     import graft.functions.Fnv64
     // known counts: alpha×5, beta×3, gamma×1
