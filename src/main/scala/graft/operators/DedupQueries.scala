@@ -1081,7 +1081,8 @@ ${LshOracleSql.cosineExpr} AS c
     * and duplicate count share one hash partitioning on the digest; the
     * island merge windows over the (small) flagged set per doc; and the
     * rewrite is a doc_id-keyed join of a few (start,end) spans back to
-    * the doc's own token array, excised by a codegen'd array filter —
+    * the doc's own token array, excised by an expression-level array
+    * filter (a Catalyst higher-order function — no UDF, no shuffle) —
     * token text never leaves its partition. Output carries md5(clean)
     * rather than the rewritten text so the verify payload stays O(1)
     * per doc at any document size. */
