@@ -19,6 +19,15 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     val failed = scala.collection.mutable.ListBuffer.empty[String]
+    // the correctness sweep's walls join the same persisted query
+    // history the bench feeds (reference: querystats accumulates
+    // across ALL query executions, not only the perf harness's) —
+    // under verify_* run_ids so the bench's sweep-median anomaly bar
+    // (which reads sweep_* only) never mixes in the dump's extra
+    // write-to-parquet cost. Fallible and opt-out-able exactly like
+    // the bench's recorder: history must never break the gate.
+    val histEntries =
+      scala.collection.mutable.ListBuffer.empty[plans.QueryStats.Entry]
     SparkEntry.queries
       .filter { case (name, _) => only.isEmpty || only(name) }
       .foreach { case (name, fn) =>
@@ -35,7 +44,12 @@ object Verify {
             s"[verify] WARNING $name emits array column '${f.name}' — " +
               "driver compare cannot sort it; serialize to string")
         }
+        val t0 = System.nanoTime()
         df.coalesce(1).write.mode("overwrite").parquet(s"$outDir/$name")
+        try histEntries += plans.QueryStats.Entry(name,
+          (System.nanoTime() - t0) / 1e6, -1L,
+          System.currentTimeMillis(), plans.QueryStats.planHash(df))
+        catch { case _: Throwable => () }
       }
       catch { case e: Throwable =>
         failed += name
@@ -53,6 +67,15 @@ object Verify {
     }
     if (failed.nonEmpty)
       System.err.println(s"[verify] ${failed.size} FAILED: ${failed.mkString(", ")}")
+    val histRoot =
+      sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history")
+    try {
+      if (histRoot.nonEmpty && histEntries.nonEmpty)
+        plans.QueryStats.append(spark, histRoot,
+          s"verify_${System.currentTimeMillis()}", histEntries.toSeq)
+    } catch { case e: Throwable =>
+      System.err.println(s"[verify] history append: $e")
+    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
