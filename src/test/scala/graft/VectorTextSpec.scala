@@ -581,6 +581,55 @@ class VectorTextSpec extends GraftSuite {
     assert(r3.getString(4) == md5hex(run + " x1 x2"), r3.toString)
   }
 
+  test("span removal and span detection agree on random corpora") {
+    // algebraic consistency on seeded random corpora with planted
+    // cross-doc runs: (1) kept + removed = total per doc; (2) removal
+    // never excises more than detection flags (first occurrences are
+    // SPARED by removal but COUNTED by detection, so removed ≤
+    // detected per doc); (3) a doc with no detected spans loses
+    // nothing. Catches drift between the two recurrences (e.g. an
+    // island-merge or gate change landing in only one of them).
+    val rnd = new scala.util.Random(41)
+    for (corpus <- 1 to 2) {
+      val vocab = (1 to 50).map(i => s"w$i")
+      val docs0 = (1 to 24).map { id =>
+        val len = 5 + rnd.nextInt(36)
+        id.toLong -> Seq.fill(len)(vocab(rnd.nextInt(vocab.size)))
+      }
+      // plant a 12-token run from one doc into another at a random
+      // offset so at least one real cross-doc duplicate exists — the
+      // donor must be a DIFFERENT doc with ≥12 tokens, or the planted
+      // copy is the only contiguous occurrence and nothing duplicates
+      val donors = docs0.filter(d => d._1 != 23L && d._2.size >= 12)
+      assert(donors.nonEmpty, "fixture needs one >=12-token donor")
+      val run = donors(rnd.nextInt(donors.size))._2.take(12)
+      val docs = docs0.map { case (id, toks) =>
+        if (id == 23L) {
+          val at = rnd.nextInt(toks.size)
+          (id, toks.take(at) ++ run ++ toks.drop(at))
+        } else (id, toks)
+      }
+      val tmp = java.nio.file.Files
+        .createTempDirectory(s"graft_spanprop$corpus").toString
+      docs.map { case (id, toks) => (id, toks.mkString(" ")) }
+        .toDF("doc_id", "text")
+        .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+      val rem = operators.DedupQueries.spanRemoval.run(spark, tmp)
+        .collect().map(r => r.getLong(0) ->
+          (r.getInt(1), r.getLong(2), r.getInt(3))).toMap
+      val det = operators.DedupQueries.spanDedup.run(spark, tmp)
+        .collect().map(r => r.getLong(0) -> r.getLong(4)).toMap
+      for ((id, (nTok, nRem, nKept)) <- rem) {
+        assert(nKept + nRem == nTok, s"doc $id: $nKept + $nRem != $nTok")
+        assert(nRem <= det(id),
+          s"doc $id removed $nRem > detected ${det(id)}")
+        if (det(id) == 0L) assert(nRem == 0L, s"doc $id: removed with no spans")
+      }
+      // the planted run must actually have been detected somewhere
+      assert(det.values.sum > 0, "planted duplicate went undetected")
+    }
+  }
+
   test("streaming near-dup classify equals the batch dual across micro-batches") {
     // planted ingest: an exact copy, a token-reorder near-dup (same
     // token SET → same minhash signature, different digest), a novel
