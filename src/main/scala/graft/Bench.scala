@@ -179,6 +179,33 @@ object Bench {
     math.rint(threads * iters / sec / 1e6 * 10) / 10
   }
 
+  /** Mixed-leg verdict, finalized after the machine-state verdict is
+    * known. Returns (okJson, reasonJson) for the artifact:
+    *  - a torn snapshot or a reader/writer error is `false` REGARDLESS
+    *    of contention — co-load slows queries, it cannot tear MVCC
+    *    snapshots, so those failures always indict the engine;
+    *  - p95/serial bound violations alone on a CONTENDED run emit
+    *    `null` with reason `"contended"`: the serial denominators were
+    *    themselves measured under load (round-11's driver artifact
+    *    carried q01 serial 1.33 s vs the builder's 0.20 s), so the
+    *    ratios convict the machine, and the artifact of record must
+    *    say so machine-readably instead of printing a bare red a human
+    *    has to acquit against steal_pct (reference analog: the perf
+    *    harness annotates run TYPE — Disk/Cache — rather than leaving
+    *    unlike runs to be compared raw, grptest.sh:17-23);
+    *  - bound violations on an UNCONTENDED run stay an honest `false`
+    *    with reason `"p95_bound"` — the builder artifact must still be
+    *    able to fail.
+    * The violation list itself is always emitted either way. */
+  def conc4Verdict(consistent: Boolean, errors: Int,
+      violations: Seq[String], contended: Boolean): (String, String) =
+    if (!consistent) ("false", "\"inconsistent_snapshot\"")
+    else if (errors > 0) ("false", "\"errors\"")
+    else if (violations.nonEmpty) {
+      if (contended) ("null", "\"contended\"")
+      else ("false", "\"p95_bound\"")
+    } else ("true", "null")
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -243,11 +270,28 @@ object Bench {
     // regression tripwire can tell "slower" from "slower because the
     // plan changed" across the whole surface.
     val planHashes = scala.collection.mutable.Map.empty[String, String]
+    // regression-drill plant knob (round-12 directive: the tripwire's
+    // detector is oracle-gated on crafted history, but nothing ever
+    // forced a slowdown through the LIVE pipeline — append batch →
+    // bench_*-scoped trailing median → regressions field — to show it
+    // can flip). SPARK_GRAFT_BENCH_PLANT="<query>:<ms>" injects a
+    // sleep INSIDE the named query's timed window, so the planted wall
+    // flows through the identical recording path as a real slowdown.
+    // scripts/regression_drill.sh stages 3 clean runs + 1 planted + 1
+    // clean and asserts the field reads 0 → ≥1 → 0.
+    val plant: Option[(String, Long)] =
+      sys.env.get("SPARK_GRAFT_BENCH_PLANT").flatMap { s =>
+        s.split(":", 2) match {
+          case Array(n, ms) => scala.util.Try(n -> ms.toLong).toOption
+          case _ => None
+        }
+      }
     def runE2eIn(name: String, dir: String): Double = {
       resetState()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
       df.write.mode("overwrite").format("noop").save()
+      plant.foreach { case (n, ms) => if (n == name) Thread.sleep(ms) }
       val sec = (System.nanoTime() - t0) / 1e9
       if (dir == sfDir && !planHashes.contains(name))
         try planHashes(name) = graft.plans.QueryStats.planHash(df)
@@ -399,10 +443,9 @@ object Bench {
     var regressionNames: Seq[String] = Seq.empty
     try {
       if (histRoot.nonEmpty && results.nonEmpty) {
-        import org.apache.spark.sql.functions.col
         val hist = plans.QueryStats.history(spark, histRoot)
-          .filter(col("run_id").startsWith("bench_"))
-        val flagged = plans.QueryStats.regressions(hist)
+        val flagged = plans.QueryStats
+          .regressions(hist, runPrefix = Some("bench_"))
           .select("query", "kind").collect()
         regressionsN = flagged.length
         regressionNames = flagged.toSeq
@@ -517,11 +560,25 @@ object Bench {
     // SCALE.md bound — p95/serial ≤2.5× at serial ≥0.25 s, ≤4× below,
     // zero inconsistent snapshots, zero errors — was documented but the
     // artifact carried only raw numbers; a violation should be a
-    // one-glance failure the way `contended` is). None = leg skipped.
-    var conc4Ok: Option[Boolean] = None
-    val concurrent4Json: String =
-      if (mixSecs <= 0 || soakOnly) "{}"
-      else try {
+    // one-glance failure the way `contended` is).
+    //
+    // Round-12 restructure: the verdict is FINALIZED AT EMIT TIME, after
+    // the run-level machine-state verdict is known — the round-11 driver
+    // artifact printed a bare conc4_ok:false on a contended machine
+    // (steal 1.32%, serial denominators measured under load) whose
+    // violations vanished in the uncontended builder run, and acquitting
+    // it required a human to cross-reference steal_pct. The leg stores
+    // its raw findings (consistency, errors, bound violations) plus a
+    // deferred JSON assembler; conc4Verdict() below qualifies the bound
+    // check with the contention evidence. Consistency violations and
+    // errors are NEVER excused by contention — a busy machine slows
+    // queries, it does not tear MVCC snapshots.
+    var conc4Assemble: Option[(String, String) => String] = None
+    var conc4Consistent = true
+    var conc4Errors = 0
+    var conc4Violations: Seq[String] = Seq.empty
+    if (!(mixSecs <= 0 || soakOnly)) {
+      try {
         import org.apache.spark.sql.functions.{col, lit}
         val mixUsers = 4
         val mixNames = Seq("q01_pricing_summary", "q06_forecast_revenue",
@@ -651,36 +708,56 @@ object Bench {
                 boundViolations +=
                   s"$n:${r3(p95 / s0)}x>${r3(bound / s0)}x"
             }
+            // per-query p95/serial ratio surfaced directly (ADVICE r11:
+            // the new sub-0.25 s absolute allowance means drift toward
+            // the ceiling should be visible at a glance, not require
+            // dividing two fields during verdict review)
+            val ratioJson = ser.filter(_ > 0)
+              .map(s0 => r3(p95 / s0).toString).getOrElse("null")
             s""""$n":{"p50":${r3(p50)},"p95":${r3(p95)},""" +
-              s""""serial":${jnum(ser)},"n":${s.size}}"""
+              s""""serial":${jnum(ser)},"ratio":$ratioJson,"n":${s.size}}"""
           })
           // consistency and errors are DIFFERENT verdicts: `consistent`
           // answers "did any read observe a torn snapshot" (the MVCC
           // claim under test); a reader/writer exception is reported in
           // its own counter so a transient query failure can't print as
           // a false snapshot-integrity alarm in the artifact of record
-          val consistent = badReads.isEmpty
-          conc4Ok = Some(consistent && errs.isEmpty &&
-            boundViolations.isEmpty)
+          conc4Consistent = badReads.isEmpty
+          conc4Errors = errs.size
+          conc4Violations = boundViolations.toSeq
           errs.forEach(e => System.err.println(s"[bench] mixed: $e"))
           badReads.forEach(b =>
             System.err.println(s"[bench] mixed inconsistent snapshot: $b"))
           boundViolations.foreach(v =>
             System.err.println(s"[bench] mixed p95/serial bound: $v"))
-          s"""{"sessions":$mixUsers,"dur_sec":${r3(durSec)},""" +
-            s""""writer_commits":$commits,""" +
-            s""""snapshot_reads":${nReads.get()},""" +
-            s""""consistent":$consistent,"errors":${errs.size},""" +
-            s""""ok":${conc4Ok.get},"violations":${boundViolations
-              .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
-            s""""queries":${entries.mkString("{", ",", "}")}}"""
+          val consistentNow = conc4Consistent
+          val errorsNow = conc4Errors
+          val violationsNow = conc4Violations
+          val entriesStr = entries.mkString("{", ",", "}")
+          conc4Assemble = Some((ok, reason) =>
+            s"""{"sessions":$mixUsers,"dur_sec":${r3(durSec)},""" +
+              s""""writer_commits":$commits,""" +
+              s""""snapshot_reads":${nReads.get()},""" +
+              s""""consistent":$consistentNow,"errors":$errorsNow,""" +
+              s""""ok":$ok,"reason":$reason,""" +
+              s""""violations":${violationsNow
+                .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+              s""""queries":$entriesStr}""")
         } finally {
           sources.FsUtil.deleteRecursively(tmp, swallowErrors = true)
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] mixed leg failed: ${e.getMessage}")
-        "{}"
       }
+    }
+    // section-local contention sensor: one single-thread probe taken the
+    // instant the mixed leg ends. The run-level `contended` verdict
+    // averages over the WHOLE run — a co-load that arrived only during
+    // this 30 s window dilutes below its thresholds, yet it is exactly
+    // what inflates these p95s. Probe decay vs the entry baseline
+    // convicts the window itself.
+    val conc4ProbeAfter =
+      if (conc4Assemble.isDefined) cpuProbe(1) else -1.0
     traceLoad("concurrent4")
 
     // dwweek soak analog (reference: utils/scenarios/dwweek/ — the
@@ -954,9 +1031,14 @@ object Bench {
     traceLoad("soak")
 
     // extended section: heavier pipeline/index queries timed separately so
-    // headline_total stays comparable round-over-round
+    // headline_total stays comparable round-over-round.
+    // SPARK_GRAFT_BENCH_EXT=0 skips it — the regression drill loops the
+    // headline+tripwire path several times and must not pay ~60 heavy
+    // queries per loop for a verdict that only reads headline history.
+    val skipExt =
+      soakOnly || sys.env.get("SPARK_GRAFT_BENCH_EXT").contains("0")
     val extResults: Seq[(String, Option[Double])] =
-        (if (soakOnly) Seq.empty[String] else extended).map { name =>
+        (if (skipExt) Seq.empty[String] else extended).map { name =>
       val sec =
         try Some(runStable(name, sfDir, extRuns))
         catch { case e: Throwable =>
@@ -1017,10 +1099,15 @@ object Bench {
           operators.AnnIndex.ensureBuilt(spark, tmp.toString)
           // auc + dsir cover the round-7 Prefix-scan rewrites: the
           // window-free rank path must stay sublinear as the corpus grows
+          // the span pair joined in round 12 (r11 directive): they are
+          // the dedup family's highest shuffled-row counts — stride-1
+          // windows cost L× the chunk pass — and SCALE.md asserted
+          // their slope without the artifact measuring it
           val scaleQs = Seq("x_dedup_minhash_lsh", "x_dedup_chunks",
             "x_dedup_cc", "x_search_bm25", "x_ann_ivfpq_indexed",
             "x_dedup_setjoin", "x_graph_pagerank", "x_graph_labelprop",
-            "x_graph_triangles", "x_pipeline_auc", "x_pipeline_dsir")
+            "x_graph_triangles", "x_pipeline_auc", "x_pipeline_dsir",
+            "x_dedup_spans", "x_dedup_span_removal")
           // join-style dedup is OUTPUT-BOUND on the salted-clone corpus:
           // every doc gains N near-identical copies, so TRUE near-dup
           // pairs grow ~quadratically per clone group and wall time
@@ -1052,6 +1139,18 @@ object Bench {
                 Some(edgeCounts.getOrElseUpdate(("cc", dir), {
                   resetState()
                   operators.DedupQueries.ccStarEdgeCount(spark, dir)
+                }))
+              // span family: normalized on the FLAGGED-POSITION count
+              // (stride-1 windows whose digest repeats corpus-wide) —
+              // on the self-cloned scaling corpus every window gains
+              // N-1 identical twins, so the flagged set jumps from the
+              // sparse genuine-dup fraction to ~ALL windows: a raw wall
+              // ratio would indict the engine for fixture growth the
+              // same way the graph family's derived star edges would
+              case "x_dedup_spans" | "x_dedup_span_removal" =>
+                Some(edgeCounts.getOrElseUpdate(("span", dir), {
+                  resetState()
+                  operators.DedupQueries.spanFlaggedCount(spark, dir)
                 }))
               case _ => None
             }
@@ -1128,7 +1227,8 @@ object Bench {
             try {
               scaleUp("documents", "doc_id", f27, tmp27)
               val q27 = Seq("x_graph_pagerank", "x_dedup_cc",
-                "x_pipeline_dsir").filter(x1Times.contains)
+                "x_pipeline_dsir", "x_dedup_span_removal")
+                .filter(x1Times.contains)
               val e27 = q27.map { name =>
                 try {
                   val x1 = x1Times(name)
@@ -1327,10 +1427,25 @@ object Bench {
     val loadJson = s"""{"entry":$loadEntry,"steal_pct":${
         math.rint(stealPct * 100) / 100},"reruns":$benchReruns,""" +
       s""""cpu_probe_1":$probe1,"cpu_probe_n":$probeN,""" +
-      s""""cpu_probe_1_end":$probe1End,"par_eff":$parEff,""" +
+      s""""cpu_probe_1_end":$probe1End,""" +
+      s""""cpu_probe_1_conc4":$conc4ProbeAfter,"par_eff":$parEff,""" +
       s""""unstable":${unstable.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""trace":${loadTrace.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")}}"""
+
+    // finalize the mixed-leg verdict now that the contention evidence
+    // is in: run-level `contended` OR probe decay measured right at the
+    // leg's exit qualifies a bound-only failure as machine-attributable
+    val (conc4OkJson, conc4ReasonJson) = conc4Assemble match {
+      case None => ("null", "null") // leg skipped — no verdict at all
+      case Some(_) =>
+        val sectionContended = probe1 > 0 && conc4ProbeAfter > 0 &&
+          conc4ProbeAfter < probe1 * 0.85
+        conc4Verdict(conc4Consistent, conc4Errors, conc4Violations,
+          contended || sectionContended)
+    }
+    val concurrent4Json =
+      conc4Assemble.map(_(conc4OkJson, conc4ReasonJson)).getOrElse("{}")
 
     val confirmedJson =
       allConfirmed.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -1375,7 +1490,7 @@ object Bench {
       // mixed-leg bound checked in-bench), regressions (query-history
       // tripwire; -1 = no trailing history yet), all_confirmed (sweep
       // entries that survived an anomaly-confirm re-run)
-      s""","conc4_ok":${conc4Ok.map(_.toString).getOrElse("null")}""" +
+      s""","conc4_ok":$conc4OkJson,"conc4_reason":$conc4ReasonJson""" +
       s""","regressions":$regressionsN""" +
       s""","all_total":${r3(allTotal)},"all_fail":$allFail""" +
       s""","all_confirmed":$confirmedJson""" +

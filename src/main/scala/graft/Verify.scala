@@ -70,9 +70,22 @@ object Verify {
     val histRoot =
       sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history")
     try {
-      if (histRoot.nonEmpty && histEntries.nonEmpty)
+      if (histRoot.nonEmpty && histEntries.nonEmpty) {
         plans.QueryStats.append(spark, histRoot,
           s"verify_${System.currentTimeMillis()}", histEntries.toSeq)
+        // tripwire over the verify basis (runPrefix-scoped — verify
+        // walls include the parquet dump, so they only ever compare
+        // against other verify walls): advisory stderr report, the
+        // bench's bench_*-scoped verdict stays the artifact of record
+        val flagged = plans.QueryStats
+          .regressions(plans.QueryStats.history(spark, histRoot),
+            runPrefix = Some("verify_"))
+          .select("query", "kind").collect()
+          .map(r => s"${r.getString(0)}:${r.getString(1)}").sorted
+        System.err.println(s"[verify] regressions (verify_ basis): " +
+          s"${flagged.length}${
+            if (flagged.nonEmpty) " " + flagged.mkString(", ") else ""}")
+      }
     } catch { case e: Throwable =>
       System.err.println(s"[verify] history append: $e")
     }

@@ -850,6 +850,32 @@ ${LshOracleSql.cosineExpr} AS c
       .distinct().count()
   }
 
+  /** Size of the span family's FLAGGED-POSITION set — stride-1 window
+    * positions whose 10-token digest occurs more than once corpus-wide,
+    * i.e. the input to x_dedup_spans' / x_dedup_span_removal's island
+    * merge and rewrite stages. The bench's scaling legs normalize the
+    * span walls on this count (same rationale as ccStarEdgeCount /
+    * derivedEdgeCount): on the self-cloned scaling corpus every window
+    * gains N-1 byte-identical twins, so the flagged set jumps from the
+    * sparse genuine-dup fraction to essentially ALL windows — growth a
+    * raw wall ratio would misread as engine superlinearity. One
+    * two-phase digest count, (pos, md5) pairs only, text never moves. */
+  private[graft] def spanFlaggedCount(s: SparkSession,
+      dir: String): Long = {
+    val L = 10
+    val hh = docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= L)
+      .select(posexplode(expr(
+        s"transform(sequence(0, size(toks) - $L), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i + 1, $L))))"))
+        .as(Seq("pos", "h")))
+    hh.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      .filter(col("n") > 1)
+      .agg(coalesce(sum(col("n")), lit(0L)).as("flagged"))
+      .collect()(0).getLong(0)
+  }
+
   val cc: QueryDef = QueryDef(
     "x_dedup_cc",
     (s, dir) => {

@@ -114,17 +114,26 @@ object QueryStats {
     * trailing_median_ms is null on plan_change rows (the prior-plan
     * median is not comparable across plans).
     *
-    * All-DataFrame: windows are partitioned by query (bounded
-    * cardinality = distinct queries, never rows), the median is one
-    * partial-aggregable pass — history scale is runs × queries, noise
-    * at any corpus size. */
+    * MEASUREMENT-BASIS SCOPING (required): the shared history table
+    * holds entries from three recorders with different timing bases —
+    * `bench_*` (best-of-N noop-sink execution), `sweep_*` (single-shot
+    * incl. construction), and `verify_*` (wall INCLUDES the
+    * coalesce(1) parquet dump). Same query name + same plan_hash,
+    * different number. A trailing median computed across bases is
+    * meaningless — a verify wall landing in a bench median reads as a
+    * regression that never happened (and vice versa). Pass `runPrefix`
+    * to scope the comparison to ONE basis (e.g. `Some("bench_")`);
+    * callers that pre-filter run_id themselves may pass None, but an
+    * unfiltered multi-recorder history with None is a bug. */
   def regressions(history: DataFrame, factor: Double = 3.0,
-      minPrior: Int = 3): DataFrame = {
+      minPrior: Int = 3, runPrefix: Option[String] = None): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.functions._
+    val scoped = runPrefix.fold(history)(p =>
+      history.filter(col("run_id").startsWith(p)))
     val w = Window.partitionBy(col("query"))
       .orderBy(col("ts").desc, col("run_id").desc)
-    val ranked = history.withColumn("__rn", row_number().over(w))
+    val ranked = scoped.withColumn("__rn", row_number().over(w))
     val latest = ranked.filter(col("__rn") === 1)
       .select(col("query"), col("wall_ms").as("latest_wall_ms"),
         col("plan_hash").as("latest_plan"))

@@ -25,20 +25,43 @@ import java.nio.file.{Files, Path, Paths, StandardOpenOption}
   * recorder must never deadlock with the failure it is reporting).
   * Recording also never throws: a full disk while logging an incident
   * must not convert a diagnosable anomaly into a new failure.
+  *
+  * The log is SIZE-CAPPED: when an append finds the live file over
+  * `rotateBytes` (1 MiB ≈ thousands of incidents — far beyond
+  * "rare by construction"), it first rotates it aside to `log.1`
+  * (atomic rename, replacing any previous `log.1`) so unbounded
+  * pathology — an incident storm from a broken deployment — cannot
+  * grow the file without limit, while the most recent ~2 MiB of
+  * trail always survives for forensics. Rotation is rename-based and
+  * lock-free: a writer racing the rotation appends either to the
+  * pre-rotation file (its line lands in `log.1` — preserved) or to a
+  * fresh post-rotation `log`; a second concurrent rotator's rename
+  * fails on the missing source and is swallowed. `list` reads
+  * `log.1` then `log`, so rotation is invisible to readers.
   */
 object Incidents {
   final case class Incident(tsMillis: Long, pid: Long, kind: String,
       table: String, detail: String)
 
+  /** Rotate-aside threshold for the live log file. */
+  val rotateBytes: Long = 1L << 20
+
   private def logFile(root: String): Path =
     Paths.get(root, "_incidents", "log")
 
-  /** Append one incident line; never throws, takes no locks. */
+  /** Append one incident line; never throws, takes no locks.
+    * `capBytes` is overridable for tests only. */
   def record(root: String, kind: String, table: String,
-      detail: String): Unit =
+      detail: String, capBytes: Long = rotateBytes): Unit =
     try {
       val f = logFile(root)
       Files.createDirectories(f.getParent)
+      try {
+        if (Files.exists(f) && Files.size(f) > capBytes)
+          Files.move(f, f.resolveSibling("log.1"),
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      } catch { case _: Exception => () } // lost rotation race: append on
       val d = detail.replaceAll("\\s+", " ").trim.take(400)
       Files.writeString(f,
         s"${System.currentTimeMillis()} ${ProcessHandle.current().pid()} " +
@@ -46,24 +69,27 @@ object Incidents {
         StandardOpenOption.CREATE, StandardOpenOption.APPEND)
     } catch { case _: Exception => () }
 
-  /** All recorded incidents under `root`, oldest first. Unparseable
-    * lines (a torn write from a crashed recorder) are skipped rather
-    * than failing the whole read. */
+  /** All recorded incidents under `root`, oldest first (the rotated
+    * `log.1` generation, then the live `log`). Unparseable lines (a
+    * torn write from a crashed recorder) are skipped rather than
+    * failing the whole read. */
   def list(root: String): Seq[Incident] = {
-    val f = logFile(root)
-    if (!Files.exists(f)) Seq.empty
-    else
-      try {
-        import scala.jdk.CollectionConverters._
-        Files.readAllLines(f).asScala.toSeq.flatMap { line =>
-          val p = line.split(" ", 5)
-          if (p.length < 4) None
-          else
-            try Some(Incident(p(0).toLong, p(1).toLong, p(2), p(3),
-              if (p.length > 4) p(4) else ""))
-            catch { case _: Exception => None }
-        }
-      } catch { case _: Exception => Seq.empty }
+    val live = logFile(root)
+    Seq(live.resolveSibling("log.1"), live).flatMap { f =>
+      if (!Files.exists(f)) Seq.empty
+      else
+        try {
+          import scala.jdk.CollectionConverters._
+          Files.readAllLines(f).asScala.toSeq.flatMap { line =>
+            val p = line.split(" ", 5)
+            if (p.length < 4) None
+            else
+              try Some(Incident(p(0).toLong, p(1).toLong, p(2), p(3),
+                if (p.length > 4) p(4) else ""))
+              catch { case _: Exception => None }
+          }
+        } catch { case _: Exception => Seq.empty }
+    }
   }
 
   /** The incident log as a DataFrame — queryable with the engine

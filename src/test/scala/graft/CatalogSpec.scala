@@ -1246,4 +1246,81 @@ class CatalogSpec extends GraftSuite {
     assert(sources.ChildJvm.firstError(tail)
       .contains("ClassNotFoundException: x.Y"))
   }
+
+  test("incident log rotates at the size cap; recent incidents survive") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_irot").toString
+    // ~85-byte lines with a 120-byte cap: one line fits, two exceed —
+    // so the 3rd record rotates {1,2} aside and starts a fresh live log
+    def rec(i: Int): Unit =
+      sources.Incidents.record(root, "torn_listing", s"t$i", "x" * 50,
+        capBytes = 120)
+    (1 to 3).foreach(rec)
+    val live = Paths.get(root, "_incidents", "log")
+    val rotated = Paths.get(root, "_incidents", "log.1")
+    assert(Files.exists(rotated), "cap must rotate the live log aside")
+    assert(sources.Incidents.list(root).map(_.table) ==
+      Seq("t1", "t2", "t3"),
+      "one rotation loses nothing: list spans log.1 then log, in order")
+    // two more: the next rotation REPLACES log.1 — the oldest
+    // generation is dropped (the documented bound), recent survive
+    (4 to 5).foreach(rec)
+    assert(sources.Incidents.list(root).map(_.table) ==
+      Seq("t3", "t4", "t5"))
+    assert(Files.size(live) < 120,
+      "live log restarts small after rotation")
+    sources.FsUtil.deleteRecursively(Paths.get(root), swallowErrors = true)
+  }
+
+  test("QueryStats.regressions scopes to one measurement basis via runPrefix") {
+    import java.nio.file.{Files, Paths}
+    import graft.plans.QueryStats
+    val root = Files.createTempDirectory("graft_qsp").toString
+    // same query, same plan, TWO recorders: bench walls are steady,
+    // verify walls (which include the parquet dump) are 10× larger and
+    // end in a genuine verify-basis regression. Unscoped, the verify
+    // tail would poison the bench median (the ADVICE r11 hazard).
+    def batch(runId: String, ts: Long, wall: Double): Unit =
+      QueryStats.append(spark, root, runId,
+        Seq(QueryStats.Entry("q", wall, -1L, ts, "p")))
+    batch("bench_1", 1000L, 10.0)
+    batch("verify_1", 1500L, 100.0)
+    batch("bench_2", 2000L, 10.0)
+    batch("verify_2", 2500L, 100.0)
+    batch("bench_3", 3000L, 10.0)
+    batch("verify_3", 3500L, 100.0)
+    batch("bench_4", 4000L, 11.0)
+    batch("verify_4", 4500L, 400.0)
+    val hist = QueryStats.history(spark, root)
+    assert(QueryStats.regressions(hist, runPrefix = Some("bench_"))
+      .count() == 0,
+      "bench basis is clean — verify walls must not leak into its median")
+    val v = QueryStats.regressions(hist, runPrefix = Some("verify_"))
+      .collect()
+    assert(v.length == 1 && v(0).getString(0) == "q" &&
+      v(0).getString(1) == "wall_regression",
+      s"verify basis must flag its own 4x tail: ${v.mkString(";")}")
+    sources.FsUtil.deleteRecursively(Paths.get(root), swallowErrors = true)
+  }
+
+  test("conc4Verdict: contention qualifies bound-only failures, nothing else") {
+    // clean → true (contended or not: a clean run needs no acquittal)
+    assert(Bench.conc4Verdict(true, 0, Seq.empty, false) ==
+      (("true", "null")))
+    assert(Bench.conc4Verdict(true, 0, Seq.empty, true) ==
+      (("true", "null")))
+    // MVCC/error failures are NEVER excused by a busy machine
+    assert(Bench.conc4Verdict(false, 0, Seq.empty, true) ==
+      (("false", "\"inconsistent_snapshot\"")))
+    assert(Bench.conc4Verdict(true, 2, Seq.empty, true) ==
+      (("false", "\"errors\"")))
+    // bound-only violations: contended → null/contended (the serial
+    // denominators were measured under load — the machine is indicted,
+    // machine-readably); uncontended → an honest false/p95_bound
+    val viol = Seq("a_high_cardinality:2.8x>2.5x")
+    assert(Bench.conc4Verdict(true, 0, viol, true) ==
+      (("null", "\"contended\"")))
+    assert(Bench.conc4Verdict(true, 0, viol, false) ==
+      (("false", "\"p95_bound\"")))
+  }
 }
