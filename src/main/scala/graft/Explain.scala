@@ -5,11 +5,18 @@ import org.apache.spark.sql.SparkSession
 /** Plan-inspection main: prints the formatted plan (and post-AQE executed
   * plan) for the named queries. Usage:
   *   scripts/run_class.sh graft.Explain <sfDir> q01_pricing_summary …
+  *   scripts/run_class.sh graft.Explain <sfDir> --canon <names…>
+  * `--canon` prints the CANONICALIZED optimized plan — the exact string
+  * `QueryStats.planHash` fingerprints — without executing: the
+  * diagnostic for "why did this query's plan_hash move between runs"
+  * (diff two sessions' dumps to find the unstable token).
   */
 object Explain {
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val names = if (args.length > 1) args.drop(1).toSeq else Bench.headline
+    val canon = args.lift(1).contains("--canon")
+    val rest = args.drop(if (canon) 2 else 1).toSeq
+    val names = if (rest.nonEmpty) rest else Bench.headline
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -19,6 +26,16 @@ object Explain {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     Tables.tune(spark)
+    if (canon) {
+      names.foreach { name =>
+        val df = SparkEntry.queries(name)(spark, sfDir)
+        println(s"\n===== $name (canonicalized optimized; hash=${
+          plans.QueryStats.planHash(df)}) =====")
+        println(df.queryExecution.optimizedPlan.canonicalized.toString)
+      }
+      spark.stop()
+      return
+    }
     names.foreach { name =>
       val df = SparkEntry.queries(name)(spark, sfDir)
       println(s"\n===== $name (formatted, pre-execution) =====")

@@ -1209,6 +1209,70 @@ ${LshOracleSql.cosineExpr} AS c
       ORDER BY t.doc_id""")
   )
 
+  /** Duplicated-span PROVENANCE — the attribution readout over the
+    * span family (reference behavior: the engine tells you WHAT is
+    * duplicated; an operator curating a 100 TB crawl also needs WHERE
+    * the boilerplate comes from — which upstream page seeded the
+    * template that 10k mirrors carry). Every stride-1 10-token window
+    * whose digest recurs corpus-wide attributes its non-first
+    * occurrences to the digest's globally-first occurrence's document
+    * (min doc_id, then min pos — the same survivor rule
+    * x_dedup_span_removal preserves); per (source doc, duplicating
+    * doc) pair the attributed window count is aggregated and the top
+    * 20 pairs emitted (ties broken by ids — fully deterministic).
+    *
+    * Scale shape: IDENTICAL to the removal pass's first phase — the
+    * shuffle carries (doc_id, pos, md5) triples, and ONE digest hash
+    * partitioning serves both the occurrence rank and the
+    * first-occurrence attribution (first_value over the same window
+    * spec — Catalyst reuses the sort/partitioning, no second
+    * shuffle). Crucially this is NOT an all-pairs join within digest
+    * groups (quadratic in group size — the classic provenance
+    * blow-up): each occurrence emits exactly one (src, dup)
+    * attribution, so the aggregate input is O(positions) at any
+    * duplication density. The pair aggregate shuffles (src, dup)
+    * longs only; top-20 is a bounded TakeOrdered heap. */
+  val spanProvenance: QueryDef = QueryDef(
+    "x_dedup_span_provenance",
+    (s, dir) => {
+      val L = 10
+      val hh = docs(s, dir)
+        .select(col("doc_id"), split(col("text"), " ").as("toks"))
+        .filter(size(col("toks")) >= L)
+        .select(col("doc_id"), posexplode(expr(
+          s"transform(sequence(0, size(toks) - $L), " +
+            s"i -> md5(concat_ws(' ', slice(toks, i + 1, $L))))"))
+          .as(Seq("pos", "h")))
+      val wOcc = Window.partitionBy(col("h"))
+        .orderBy(col("doc_id"), col("pos"))
+      hh.withColumn("occ", row_number().over(wOcc))
+        .withColumn("src_doc", first(col("doc_id")).over(wOcc))
+        .filter(col("occ") > 1 && col("src_doc") =!= col("doc_id"))
+        .groupBy(col("src_doc"), col("doc_id").as("dup_doc"))
+        .agg(count(lit(1)).as("n_shared_windows"))
+        .orderBy(col("n_shared_windows").desc, col("src_doc"),
+          col("dup_doc"))
+        .limit(20)
+    },
+    oracle = Some("""
+      WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks
+                 FROM documents),
+      sh AS (SELECT doc_id, toks, unnest(range(0, len(toks) - 9)) AS pos
+             FROM t WHERE len(toks) >= 10),
+      hh AS (SELECT doc_id, pos,
+               md5(array_to_string(toks[pos+1 : pos+10], ' ')) AS h
+             FROM sh),
+      r AS (SELECT doc_id, pos,
+              row_number() OVER w AS occ,
+              first_value(doc_id) OVER w AS src_doc
+            FROM hh WINDOW w AS (PARTITION BY h ORDER BY doc_id, pos)),
+      p AS (SELECT src_doc, doc_id AS dup_doc
+            FROM r WHERE occ > 1 AND src_doc <> doc_id)
+      SELECT src_doc, dup_doc, count(*) AS n_shared_windows
+      FROM p GROUP BY src_doc, dup_doc
+      ORDER BY n_shared_windows DESC, src_doc, dup_doc LIMIT 20""")
+  )
+
   /** KMV (bottom-k) sketch corpus-overlap estimation: how much does
     * corpus A (even doc_ids) overlap corpus B (odd doc_ids)? Each side
     * keeps only its k=64 smallest distinct shingle hashes — a bounded
@@ -1789,7 +1853,8 @@ ${LshOracleSql.cosineExpr} AS c
     minhashCalibration, simhash,
     embeddingNearDup, clusters, incremental, streamNearDup, semdedup, cc,
     chunkDedup,
-    spanDedup, spanRemoval, kmvOverlap, cdcChunks, setJoin, keepBest,
+    spanDedup, spanRemoval, spanProvenance, kmvOverlap, cdcChunks,
+    setJoin, keepBest,
     containment,
     splitLeakage)
 }

@@ -50,10 +50,28 @@ object QueryStats {
     * history cannot have (every fresh session would read as plan
     * churn). The string form is JVM-independent; its deterministic
     * field truncation and location elision are acceptable coarseness
-    * for a per-query "did my plan move" signal. */
-  def planHash(df: DataFrame): String =
-    f"${scala.util.hashing.MurmurHash3.stringHash(
-      df.queryExecution.optimizedPlan.canonicalized.toString)}%08x"
+    * for a per-query "did my plan move" signal.
+    *
+    * The string is additionally SANITIZED of the two JVM-session
+    * identity tokens that survive canonicalization (measured in round
+    * 12 on the verify-basis history: 26 queries flagged permanent
+    * plan_change because of them): a custom typed Aggregate's function
+    * object prints its default `Class@identityHash` toString into the
+    * aggregate expression (`graft.functions.GroupConcat@1509bd56` —
+    * different every session), and JIT-assigned lambda class names
+    * (`...$$Lambda$4054/0x...@...`) carry a per-session index/address.
+    * Both rewrite to fixed tokens before hashing. Plans containing
+    * neither are byte-identical after sanitization, so their hashes
+    * are UNCHANGED by this fix — no transition churn for the stable
+    * majority, while the formerly-unstable plans converge onto one
+    * cross-session hash (pinned by the two-JVM CatalogSpec test on
+    * a_group_concat, the worst offender). */
+  def planHash(df: DataFrame): String = {
+    val stable = df.queryExecution.optimizedPlan.canonicalized.toString
+      .replaceAll("\\$\\$Lambda(\\$\\d+)?/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+      .replaceAll("@[0-9a-fA-F]+", "@id")
+    f"${scala.util.hashing.MurmurHash3.stringHash(stable)}%08x"
+  }
 
   /** Execute `df` to completion (count), returning the Entry that
     * records it — the full-fidelity recording path with a real row

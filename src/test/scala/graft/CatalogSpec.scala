@@ -1225,18 +1225,26 @@ class CatalogSpec extends GraftSuite {
     // queries false-flagged). planHash hashes the canonicalized plan
     // STRING instead; this pins the cross-JVM agreement that makes
     // d_query_regression's plan_change signal meaningful across runs.
-    val mine = graft.plans.QueryStats.planHash(
-      SparkEntry.queries("q01_pricing_summary")(spark, sf))
-    val child = sources.ChildJvm.spawn("graft.plans.PlanHashChild",
-      Seq("q01_pricing_summary", sf))
-    val exit = child.waitFor()
-    val tail = child.tail()
-    assert(exit == 0, s"child failed (exit=$exit): ${tail.takeRight(800)}")
-    val theirs = tail.linesIterator
-      .find(_.startsWith("PLANHASH=")).map(_.stripPrefix("PLANHASH="))
-    assert(theirs.contains(mine),
-      s"plan fingerprint must be session-independent: parent=$mine " +
-        s"child=$theirs")
+    // a_group_concat is the measured worst offender of the second
+    // instability class (round 12): its custom typed Aggregate prints
+    // the function object's Class@identityHash into the canonicalized
+    // string, which differed every session until planHash sanitized
+    // identity tokens — 26 registry queries false-flagged permanent
+    // plan_change on the verify-basis history through that hole
+    for (q <- Seq("q01_pricing_summary", "a_group_concat")) {
+      val mine = graft.plans.QueryStats.planHash(
+        SparkEntry.queries(q)(spark, sf))
+      val child = sources.ChildJvm.spawn("graft.plans.PlanHashChild",
+        Seq(q, sf))
+      val exit = child.waitFor()
+      val tail = child.tail()
+      assert(exit == 0, s"child failed (exit=$exit): ${tail.takeRight(800)}")
+      val theirs = tail.linesIterator
+        .find(_.startsWith("PLANHASH=")).map(_.stripPrefix("PLANHASH="))
+      assert(theirs.contains(mine),
+        s"$q: plan fingerprint must be session-independent: parent=$mine " +
+          s"child=$theirs")
+    }
   }
 
   test("ChildJvm classload probe passes; firstError names the class") {

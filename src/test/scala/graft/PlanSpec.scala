@@ -333,7 +333,8 @@ class PlanSpec extends GraftSuite {
     import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
     import org.apache.spark.sql.execution.exchange.ShuffleExchangeLike
     for (q <- Seq(operators.DedupQueries.chunkDedup,
-        operators.DedupQueries.spanRemoval)) {
+        operators.DedupQueries.spanRemoval,
+        operators.DedupQueries.spanProvenance)) {
       val df = q.run(spark, sf)
       df.collect()
       val finalPlan = df.queryExecution.executedPlan match {

@@ -581,6 +581,29 @@ class VectorTextSpec extends GraftSuite {
     assert(r3.getString(4) == md5hex(run + " x1 x2"), r3.toString)
   }
 
+  test("span provenance attributes duplicated windows to the first doc") {
+    // R is seeded by doc 1 and carried by docs 2 and 3 (different
+    // offsets); S is seeded by doc 2 and carried by doc 3. Each pure
+    // 15-token run contributes exactly 6 stride-1 windows; windows
+    // straddling run boundaries mix in unique filler and never
+    // duplicate. Expected attribution: 2->1 and 3->1 via R, 3->2 via
+    // S — and NO (src=dup) intra rows, NO pair between docs that only
+    // share via a common source.
+    val runR = (1 to 15).map(i => s"r$i").mkString(" ")
+    val runS = (1 to 15).map(i => s"s$i").mkString(" ")
+    val d1 = (1 to 5).map(i => s"a$i").mkString(" ") + " " + runR +
+      " b1 b2 b3"
+    val d2 = "c1 c2 c3 " + runR + " x1 " + runS
+    val d3 = runS + " y1 y2 " + runR
+    val tmp = java.nio.file.Files.createTempDirectory("graft_spanpv").toString
+    Seq((1L, d1), (2L, d2), (3L, d3)).toDF("doc_id", "text")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+    val rows = operators.DedupQueries.spanProvenance.run(spark, tmp)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, 2L, 6L), (1L, 3L, 6L), (2L, 3L, 6L)),
+      rows.mkString(";"))
+  }
+
   test("span removal and span detection agree on random corpora") {
     // algebraic consistency on seeded random corpora with planted
     // cross-doc runs: (1) kept + removed = total per doc; (2) removal
