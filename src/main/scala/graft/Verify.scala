@@ -71,19 +71,28 @@ object Verify {
       sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history")
     try {
       if (histRoot.nonEmpty && histEntries.nonEmpty) {
+        // run_id carries the SCALE as well as the recorder: verify runs
+        // happen at all three SFs, and a trailing median mixing an
+        // sf0.1 wall into sf0.01 priors would flag a 10× "regression"
+        // that is just the corpus. verify_<sfTag>_* makes the verify
+        // basis per-scale the same way bench_/sweep_/verify_ keeps the
+        // three recorders apart.
+        val sfTag = new java.io.File(sfDir).getName
         plans.QueryStats.append(spark, histRoot,
-          s"verify_${System.currentTimeMillis()}", histEntries.toSeq)
+          s"verify_${sfTag}_${System.currentTimeMillis()}",
+          histEntries.toSeq)
         // tripwire over the verify basis (runPrefix-scoped — verify
         // walls include the parquet dump, so they only ever compare
-        // against other verify walls): advisory stderr report, the
-        // bench's bench_*-scoped verdict stays the artifact of record
+        // against other verify walls at the SAME scale): advisory
+        // stderr report; the bench's bench_*-scoped verdict stays the
+        // artifact of record
         val flagged = plans.QueryStats
           .regressions(plans.QueryStats.history(spark, histRoot),
-            runPrefix = Some("verify_"))
+            runPrefix = Some(s"verify_${sfTag}_"))
           .select("query", "kind").collect()
           .map(r => s"${r.getString(0)}:${r.getString(1)}").sorted
-        System.err.println(s"[verify] regressions (verify_ basis): " +
-          s"${flagged.length}${
+        System.err.println(s"[verify] regressions (verify_${sfTag}_ " +
+          s"basis): ${flagged.length}${
             if (flagged.nonEmpty) " " + flagged.mkString(", ") else ""}")
       }
     } catch { case e: Throwable =>

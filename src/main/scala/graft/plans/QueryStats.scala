@@ -60,14 +60,46 @@ object QueryStats {
     * aggregate expression (`graft.functions.GroupConcat@1509bd56` —
     * different every session), and JIT-assigned lambda class names
     * (`...$$Lambda$4054/0x...@...`) carry a per-session index/address.
-    * Both rewrite to fixed tokens before hashing. Plans containing
-    * neither are byte-identical after sanitization, so their hashes
-    * are UNCHANGED by this fix — no transition churn for the stable
-    * majority, while the formerly-unstable plans converge onto one
-    * cross-session hash (pinned by the two-JVM CatalogSpec test on
-    * a_group_concat, the worst offender). */
+    * Both rewrite to fixed tokens before hashing.
+    *
+    * A second instability class is ORDER, not tokens (measured by
+    * diffing two sessions' `Explain --canon` dumps): Catalyst's
+    * canonicalization orders commutative operands — And/Or/Add/
+    * Multiply chains (`MultiCommutativeOp`), EqualTo operand order,
+    * and the GreaterThan↔LessThan orientation — by expression
+    * hashCode, and an AttributeReference's hashCode reaches ExprId's
+    * PER-JVM UUID, so the identical plan prints `EXP(x) + 1.0` in one
+    * session and `1.0 + EXP(x)` in the next. `stableOrder` re-derives
+    * a deterministic order bottom-up from the operands' own string
+    * forms (children normalized before parents compare) and rewrites
+    * every Greater* comparison to its Less* mirror, so both sessions
+    * converge on one rendering. Pinned by the two-JVM CatalogSpec
+    * test (a_group_concat — the identity-token offender) and by the
+    * full-registry two-session sweep that measured the classes. */
+  private def stableOrder(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions._
+    plan.transformUpWithSubqueries { case p =>
+      p.transformExpressionsUp {
+        case GreaterThan(l, r) => LessThan(r, l)
+        case GreaterThanOrEqual(l, r) => LessThanOrEqual(r, l)
+        case e @ (_: And | _: Or | _: Add | _: Multiply | _: BitwiseAnd |
+            _: BitwiseOr | _: BitwiseXor | _: EqualTo | _: EqualNullSafe |
+            _: MultiCommutativeOp) =>
+          val sorted = e.children.sortBy(_.toString)
+          if (sorted == e.children) e else e.withNewChildren(sorted)
+      }
+    }
+  }
+
   def planHash(df: DataFrame): String = {
-    val stable = df.queryExecution.optimizedPlan.canonicalized.toString
+    val canon = df.queryExecution.optimizedPlan.canonicalized
+    // fallible: a Catalyst internals change must degrade to the raw
+    // canonicalized string, never break the recorder
+    val ordered =
+      try stableOrder(canon) catch { case _: Throwable => canon }
+    val stable = ordered.toString
       .replaceAll("\\$\\$Lambda(\\$\\d+)?/0x[0-9a-fA-F]+", "\\$\\$Lambda")
       .replaceAll("@[0-9a-fA-F]+", "@id")
     f"${scala.util.hashing.MurmurHash3.stringHash(stable)}%08x"
