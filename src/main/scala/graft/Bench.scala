@@ -206,6 +206,39 @@ object Bench {
       else ("false", "\"p95_bound\"")
     } else ("true", "null")
 
+  /** Sequential-read throughput (MB/s) over the corpus' largest parquet
+    * file — the I/O yardstick the CPU probes cannot substitute for.
+    * Round-12 lesson: a ~20% headline drift arrived with every CPU
+    * probe flat (518 vs 527 M/s single-core, par_eff 0.88, steal
+    * 0.46%) and was proven environmental by rebuilding the PREVIOUS
+    * round's commit and measuring the same walls in the same window —
+    * the machine class the arithmetic yardstick is blind to is
+    * storage/page-cache latency, which short scan-bound queries feel
+    * first while long pipelines amortize it. Two passes: the first
+    * mixes cold and cached state, the second is warm; both reported so
+    * a round-over-round artifact comparison can attribute a headline
+    * drift to the I/O path in one glance. */
+  private def ioProbe(sfDir: String): (Double, Double) = {
+    try {
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      val target = files(new java.io.File(sfDir))
+        .filter(_.getName.endsWith(".parquet")).maxBy(_.length)
+      def readOnce(): Double = {
+        val ch = java.nio.file.Files.newByteChannel(target.toPath)
+        try {
+          val buf = java.nio.ByteBuffer.allocate(4 << 20)
+          var n = 0L
+          val t0 = System.nanoTime()
+          var r = 0
+          while ({ buf.clear(); r = ch.read(buf); r >= 0 }) n += r
+          math.rint(n / 1e6 / ((System.nanoTime() - t0) / 1e9) * 10) / 10
+        } finally ch.close()
+      }
+      (readOnce(), readOnce())
+    } catch { case _: Exception => (-1.0, -1.0) }
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -218,6 +251,7 @@ object Bench {
     val jiffies0 = cpuJiffies()
     val probe1 = cpuProbe(1)
     val probeN = cpuProbe(cpus.toInt)
+    val (ioCold, ioWarm) = ioProbe(sfDir)
     val loadTrace =
       scala.collection.mutable.ArrayBuffer[(String, Double)]()
     def traceLoad(section: String): Unit =
@@ -1406,6 +1440,9 @@ object Bench {
       else 1.0
     // exit probe: a co-load that ARRIVED mid-run shows as probe decay
     val probe1End = cpuProbe(1)
+    // exit I/O probe (warm by now): mid-run storage degradation shows
+    // as decay vs the entry warm pass
+    val ioEnd = ioProbe(sfDir)._2
     // run-level verdict. ONE query failing the 25% convergence guard is
     // not, by itself, machine contention: round-10 measured a pristine
     // window (par_eff 0.84, steal 0.03%, probe 454→449 M/s) where a
@@ -1429,6 +1466,7 @@ object Bench {
       s""""cpu_probe_1":$probe1,"cpu_probe_n":$probeN,""" +
       s""""cpu_probe_1_end":$probe1End,""" +
       s""""cpu_probe_1_conc4":$conc4ProbeAfter,"par_eff":$parEff,""" +
+      s""""io_probe_mbs":[$ioCold,$ioWarm],"io_probe_mbs_end":$ioEnd,""" +
       s""""unstable":${unstable.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
       s""""trace":${loadTrace.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")}}"""
