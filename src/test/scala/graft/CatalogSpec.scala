@@ -1330,5 +1330,13 @@ class CatalogSpec extends GraftSuite {
       (("null", "\"contended\"")))
     assert(Bench.conc4Verdict(true, 0, viol, false) ==
       (("false", "\"p95_bound\"")))
+    // confirm re-leg intersection: only queries violating in BOTH
+    // observations survive (ratio text differs run to run — the query
+    // name is the reproducibility key)
+    assert(Bench.confirmedViolations(
+      Seq("q01_pricing_summary:2.7x>2.5x", "a_high_cardinality:5.4x>4.0x"),
+      Seq("a_high_cardinality:4.8x>4.0x", "o_topk:3.1x>2.5x")) ==
+      Seq("a_high_cardinality:4.8x>4.0x"))
+    assert(Bench.confirmedViolations(Seq("q01:3x>2.5x"), Seq.empty).isEmpty)
   }
 }
