@@ -1,0 +1,66 @@
+#!/bin/bash
+# Mixed-leg verdict drill — prove the conc4 bound check AND its
+# anomaly-confirm re-leg can fire (the verdict-machinery analog of
+# scripts/regression_drill.sh: a verdict that has only ever printed
+# green is unproven until a planted failure walks the whole path).
+#
+# SPARK_GRAFT_MIXED_PLANT="<query>:<everyN>:<ms>" sleeps ms inside
+# every Nth CONCURRENT sample of the named query (reader threads only
+# — serial references stay clean), creating a genuine TAIL violation:
+# p95 blows the bound while p50 stays sane. The first leg trips, the
+# confirm re-leg re-observes with the plant still active, the
+# violation reproduces, and the artifact records
+# ok:false reason:"p95_bound" confirm_ran:true with the query named
+# in both violation lists (ok:null reason:"contended" if the machine
+# happened to be contended — the drill asserts ok != true either
+# way). A clean stage then shows ok:true.
+#
+# Usage: scripts/conc4_drill.sh [round]   (default round: 12)
+# Writes CONC4_DRILL_r{round}.json; exits non-zero on FAIL.
+set -e
+cd "$(dirname "$0")/.."
+ROUND="${1:-12}"
+SF="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.01}"
+PLANT_Q="q06_forecast_revenue"
+OUT="CONC4_DRILL_r${ROUND}.json"
+
+run_bench() {  # $1 = mixed plant spec ("" for a clean run)
+  SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="${SPARK_GRAFT_CPUS:-8}" \
+  SPARK_GRAFT_HISTORY_DIR="" \
+  SPARK_GRAFT_BENCH_RUNS=1 SPARK_GRAFT_BENCH_EXT=0 \
+  SPARK_GRAFT_BENCH_USERS=1 SPARK_GRAFT_BENCH_MIXED=12 \
+  SPARK_GRAFT_SOAK_CYCLES=0 SPARK_GRAFT_SCALING_FACTOR=1 \
+  SPARK_GRAFT_BENCH_FULLREG=0 \
+  SPARK_GRAFT_MIXED_PLANT="$1" \
+  scripts/run_class.sh graft.Bench >/dev/null 2>/tmp/conc4_drill_stderr.log
+  python3 -c 'import json; c = json.load(open("bench_out.json"))["concurrent4"]; \
+print(json.dumps({"ok": c.get("ok"), "reason": c.get("reason"), \
+"confirm_ran": c.get("confirm_ran"), "violations": c.get("violations"), \
+"violations_first": c.get("violations_first"), \
+"consistent": c.get("consistent")}))'
+}
+
+echo "[conc4-drill] planted run (${PLANT_Q}, every 5th sample +1500ms)" >&2
+PLANTED="$(run_bench "${PLANT_Q}:5:1500")"
+echo "[conc4-drill] clean run" >&2
+CLEAN="$(run_bench "")"
+
+python3 - "$OUT" "$PLANT_Q" "$PLANTED" "$CLEAN" <<'EOF'
+import json, sys
+out, plant_q, planted_s, clean_s = sys.argv[1:]
+planted, clean = json.loads(planted_s), json.loads(clean_s)
+def names(vs): return {v.split(":")[0] for v in (vs or [])}
+tripped = (planted["ok"] is not True and planted["confirm_ran"] is True
+           and plant_q in names(planted["violations"])
+           and plant_q in names(planted["violations_first"])
+           and planted["consistent"] is True)
+clean_ok = clean["ok"] is True and not clean["violations"]
+ok = tripped and clean_ok
+json.dump({"drill": "conc4_verdict_confirm_releg", "planted_query": plant_q,
+           "plant": "every 5th concurrent sample +1500ms",
+           "planted_stage": planted, "clean_stage": clean,
+           "tripped_and_confirmed": tripped, "clean_ok": clean_ok,
+           "ok": ok}, open(out, "w"), indent=1)
+print(("PASS " if ok else "FAIL ") + out)
+sys.exit(0 if ok else 1)
+EOF

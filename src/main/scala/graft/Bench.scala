@@ -653,9 +653,36 @@ object Bench {
               None
             }
           }.toMap
+          // mixed-leg plant knob (the verdict-drill analog of
+          // SPARK_GRAFT_BENCH_PLANT): "<query>:<everyN>:<ms>" sleeps
+          // ms inside every Nth CONCURRENT sample of the named query —
+          // reader threads only (discriminated by their mix_user FAIR
+          // pool), so the serial references stay clean and the planted
+          // tail lands where a real contention tail would: in the p95,
+          // not the denominator. Every Nth (not every) so p50 stays
+          // sane and the violation is a TAIL violation, the shape the
+          // bound exists for. scripts/conc4_drill.sh stages a planted
+          // run (trip → confirm re-leg → confirmed false/p95_bound)
+          // and a clean run (ok:true).
+          val mixedPlant: Option[(String, Int, Long)] =
+            sys.env.get("SPARK_GRAFT_MIXED_PLANT").flatMap { s =>
+              s.split(":") match {
+                case Array(q, n, ms) =>
+                  scala.util.Try((q, n.toInt, ms.toLong)).toOption
+                case _ => None
+              }
+            }
+          val plantCounter = new java.util.concurrent.atomic.AtomicLong
           def execOnly(n: String): Double = {
             val t0 = System.nanoTime()
             shared4(n).write.mode("overwrite").format("noop").save()
+            mixedPlant.foreach { case (q, everyN, ms) =>
+              if (n == q && Option(spark.sparkContext
+                    .getLocalProperty("spark.scheduler.pool"))
+                    .exists(_.startsWith("mix_user")) &&
+                  plantCounter.incrementAndGet() % everyN == 0)
+                Thread.sleep(ms)
+            }
             (System.nanoTime() - t0) / 1e9
           }
           // one untimed pass first: the serial baseline must be the
