@@ -32,7 +32,7 @@ run_bench() {  # $1 = plant spec ("" for a clean run)
   SPARK_GRAFT_SOAK_CYCLES=0 SPARK_GRAFT_SCALING_FACTOR=1 \
   SPARK_GRAFT_BENCH_FULLREG=0 \
   SPARK_GRAFT_BENCH_PLANT="$1" \
-  scripts/run_class.sh graft.Bench >/dev/null 2>"$HIST/stderr.log"
+  scripts/run_class.sh graft.Bench >/dev/null 2>/tmp/regression_drill_stderr.log
   python3 -c 'import json; j = json.load(open("bench_out.json")); \
 print(json.dumps({"regressions": j["regressions"], \
 "regression_names": j["regression_names"]}))'

@@ -228,26 +228,25 @@ object Bench {
     * mixes cold and cached state, the second is warm; both reported so
     * a round-over-round artifact comparison can attribute a headline
     * drift to the I/O path in one glance. */
-  private def ioProbe(sfDir: String): (Double, Double) = {
+  private def ioReadOnce(sfDir: String): Double =
     try {
       def files(f: java.io.File): Seq[java.io.File] =
         if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
       val target = files(new java.io.File(sfDir))
         .filter(_.getName.endsWith(".parquet")).maxBy(_.length)
-      def readOnce(): Double = {
-        val ch = java.nio.file.Files.newByteChannel(target.toPath)
-        try {
-          val buf = java.nio.ByteBuffer.allocate(4 << 20)
-          var n = 0L
-          val t0 = System.nanoTime()
-          var r = 0
-          while ({ buf.clear(); r = ch.read(buf); r >= 0 }) n += r
-          math.rint(n / 1e6 / ((System.nanoTime() - t0) / 1e9) * 10) / 10
-        } finally ch.close()
-      }
-      (readOnce(), readOnce())
-    } catch { case _: Exception => (-1.0, -1.0) }
-  }
+      val ch = java.nio.file.Files.newByteChannel(target.toPath)
+      try {
+        val buf = java.nio.ByteBuffer.allocate(4 << 20)
+        var n = 0L
+        val t0 = System.nanoTime()
+        var r = 0
+        while ({ buf.clear(); r = ch.read(buf); r >= 0 }) n += r
+        math.rint(n / 1e6 / ((System.nanoTime() - t0) / 1e9) * 10) / 10
+      } finally ch.close()
+    } catch { case _: Exception => -1.0 }
+
+  private def ioProbe(sfDir: String): (Double, Double) =
+    (ioReadOnce(sfDir), ioReadOnce(sfDir))
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1523,9 +1522,9 @@ object Bench {
       else 1.0
     // exit probe: a co-load that ARRIVED mid-run shows as probe decay
     val probe1End = cpuProbe(1)
-    // exit I/O probe (warm by now): mid-run storage degradation shows
-    // as decay vs the entry warm pass
-    val ioEnd = ioProbe(sfDir)._2
+    // exit I/O probe (warm by now, one read suffices): mid-run storage
+    // degradation shows as decay vs the entry warm pass
+    val ioEnd = ioReadOnce(sfDir)
     // run-level verdict. ONE query failing the 25% convergence guard is
     // not, by itself, machine contention: round-10 measured a pristine
     // window (par_eff 0.84, steal 0.03%, probe 454→449 M/s) where a

@@ -29,9 +29,13 @@ object Explain {
     if (canon) {
       names.foreach { name =>
         val df = SparkEntry.queries(name)(spark, sfDir)
-        println(s"\n===== $name (canonicalized optimized; hash=${
+        // print the stableString, not the raw canonicalized form: the
+        // hash is reproducible from the printed text, and diffing two
+        // sessions' dumps surfaces ONLY hash-relevant differences
+        // (identity tokens and commutative order are already folded)
+        println(s"\n===== $name (stable canonical; hash=${
           plans.QueryStats.planHash(df)}) =====")
-        println(df.queryExecution.optimizedPlan.canonicalized.toString)
+        println(plans.QueryStats.stableString(df))
       }
       spark.stop()
       return

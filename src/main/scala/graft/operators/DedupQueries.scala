@@ -850,6 +850,23 @@ ${LshOracleSql.cosineExpr} AS c
       .distinct().count()
   }
 
+  /** Stride-1 L-token window digests over the corpus: one row per
+    * (doc_id, pos) with h = md5 of the window's tokens. The SINGLE
+    * definition every span-family consumer shares — detection
+    * (x_dedup_spans), removal, provenance, and the bench's
+    * flagged-count normalization (spanFlaggedCount) must digest
+    * identically, or the normalization denominator measures a
+    * different corpus than the operators it normalizes. */
+  private def windowDigests(s: SparkSession, dir: String,
+      L: Int): org.apache.spark.sql.DataFrame =
+    docs(s, dir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= L)
+      .select(col("doc_id"), posexplode(expr(
+        s"transform(sequence(0, size(toks) - $L), " +
+          s"i -> md5(concat_ws(' ', slice(toks, i + 1, $L))))"))
+        .as(Seq("pos", "h")))
+
   /** Size of the span family's FLAGGED-POSITION set — stride-1 window
     * positions whose 10-token digest occurs more than once corpus-wide,
     * i.e. the input to x_dedup_spans' / x_dedup_span_removal's island
@@ -861,20 +878,12 @@ ${LshOracleSql.cosineExpr} AS c
     * raw wall ratio would misread as engine superlinearity. One
     * two-phase digest count, (pos, md5) pairs only, text never moves. */
   private[graft] def spanFlaggedCount(s: SparkSession,
-      dir: String): Long = {
-    val L = 10
-    val hh = docs(s, dir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= L)
-      .select(posexplode(expr(
-        s"transform(sequence(0, size(toks) - $L), " +
-          s"i -> md5(concat_ws(' ', slice(toks, i + 1, $L))))"))
-        .as(Seq("pos", "h")))
-    hh.groupBy(col("h")).agg(count(lit(1)).as("n"))
+      dir: String): Long =
+    windowDigests(s, dir, 10)
+      .groupBy(col("h")).agg(count(lit(1)).as("n"))
       .filter(col("n") > 1)
       .agg(coalesce(sum(col("n")), lit(0L)).as("flagged"))
       .collect()(0).getLong(0)
-  }
 
   val cc: QueryDef = QueryDef(
     "x_dedup_cc",
@@ -1022,12 +1031,7 @@ ${LshOracleSql.cosineExpr} AS c
       val L = 10
       val base = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val hh = base
-        .filter(size(col("toks")) >= L)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(toks) - $L), " +
-            s"i -> md5(concat_ws(' ', slice(toks, i + 1, $L))))"))
-          .as(Seq("pos", "h")))
+      val hh = windowDigests(s, dir, L)
       val dup = hh.groupBy(col("h")).agg(count(lit(1)).as("n"))
         .filter(col("n") > 1).select(col("h"))
       val wd = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
@@ -1118,12 +1122,7 @@ ${LshOracleSql.cosineExpr} AS c
       val L = 10
       val base = docs(s, dir)
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      val hh = base
-        .filter(size(col("toks")) >= L)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(toks) - $L), " +
-            s"i -> md5(concat_ws(' ', slice(toks, i + 1, $L))))"))
-          .as(Seq("pos", "h")))
+      val hh = windowDigests(s, dir, L)
       // one shuffle on h serves both: occurrence rank (first survives)
       // and the duplicate gate (digests seen once remove nothing)
       val wOcc = Window.partitionBy(col("h"))
@@ -1235,14 +1234,7 @@ ${LshOracleSql.cosineExpr} AS c
   val spanProvenance: QueryDef = QueryDef(
     "x_dedup_span_provenance",
     (s, dir) => {
-      val L = 10
-      val hh = docs(s, dir)
-        .select(col("doc_id"), split(col("text"), " ").as("toks"))
-        .filter(size(col("toks")) >= L)
-        .select(col("doc_id"), posexplode(expr(
-          s"transform(sequence(0, size(toks) - $L), " +
-            s"i -> md5(concat_ws(' ', slice(toks, i + 1, $L))))"))
-          .as(Seq("pos", "h")))
+      val hh = windowDigests(s, dir, 10)
       val wOcc = Window.partitionBy(col("h"))
         .orderBy(col("doc_id"), col("pos"))
       hh.withColumn("occ", row_number().over(wOcc))

@@ -76,6 +76,17 @@ object QueryStats {
     * converge on one rendering. Pinned by the two-JVM CatalogSpec
     * test (a_group_concat — the identity-token offender) and by the
     * full-registry two-session sweep that measured the classes. */
+  /** Rewrite the two measured session-identity token classes to fixed
+    * strings. The identityHash rewrite is anchored to a QUALIFIED name
+    * (must contain '.' or '$' before the '@', lowercase hex after):
+    * `graft.functions.GroupConcat@1509bd56` and `...$$Lambda@7a2b`
+    * match; a data literal like `user@ab12` does not — an over-broad
+    * `@hex` rewrite would conflate a REAL literal change into the same
+    * hash and silence a genuine plan_change. */
+  private def sanitizeTokens(s: String): String = s
+    .replaceAll("\\$\\$Lambda(\\$\\d+)?/0x[0-9a-fA-F]+", "\\$\\$Lambda")
+    .replaceAll("([\\w.$]*[.$][\\w$]+)@[0-9a-f]+\\b", "$1@id")
+
   private def stableOrder(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
@@ -87,23 +98,32 @@ object QueryStats {
         case e @ (_: And | _: Or | _: Add | _: Multiply | _: BitwiseAnd |
             _: BitwiseOr | _: BitwiseXor | _: EqualTo | _: EqualNullSafe |
             _: MultiCommutativeOp) =>
-          val sorted = e.children.sortBy(_.toString)
+          // sort by the SANITIZED string: two operands distinguished
+          // only by identity tokens would otherwise sort by the hex
+          // digits and flip order across sessions — reintroducing
+          // through the sort exactly the instability the token rewrite
+          // exists to remove
+          val sorted = e.children.sortBy(c => sanitizeTokens(c.toString))
           if (sorted == e.children) e else e.withNewChildren(sorted)
       }
     }
   }
 
-  def planHash(df: DataFrame): String = {
+  /** The exact string `planHash` hashes — sanitized and
+    * deterministically ordered. Exposed so `Explain --canon` prints
+    * precisely what gets fingerprinted (diffing two sessions' dumps
+    * must surface ONLY hash-relevant differences). */
+  def stableString(df: DataFrame): String = {
     val canon = df.queryExecution.optimizedPlan.canonicalized
     // fallible: a Catalyst internals change must degrade to the raw
     // canonicalized string, never break the recorder
     val ordered =
       try stableOrder(canon) catch { case _: Throwable => canon }
-    val stable = ordered.toString
-      .replaceAll("\\$\\$Lambda(\\$\\d+)?/0x[0-9a-fA-F]+", "\\$\\$Lambda")
-      .replaceAll("@[0-9a-fA-F]+", "@id")
-    f"${scala.util.hashing.MurmurHash3.stringHash(stable)}%08x"
+    sanitizeTokens(ordered.toString)
   }
+
+  def planHash(df: DataFrame): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(stableString(df))}%08x"
 
   /** Execute `df` to completion (count), returning the Entry that
     * records it — the full-fidelity recording path with a real row

@@ -1255,6 +1255,22 @@ class CatalogSpec extends GraftSuite {
       .contains("ClassNotFoundException: x.Y"))
   }
 
+  test("planHash folds identity tokens but preserves @hex data literals") {
+    // the identityHash rewrite is anchored to QUALIFIED names
+    // (Class@hex / $$Lambda@hex): a data literal like 'user@ab12' has
+    // no '.'/'$' prefix and must keep distinguishing plans — an
+    // over-broad @hex rewrite would silence a REAL plan change
+    import org.apache.spark.sql.functions.col
+    def planFor(v: String) =
+      Tables.table(spark, sf, "nation").filter(col("n_name") === v)
+    val h1 = graft.plans.QueryStats.planHash(planFor("user@ab12"))
+    val h2 = graft.plans.QueryStats.planHash(planFor("user@cd34"))
+    assert(h1 != h2,
+      "distinct @hex literals must produce distinct fingerprints")
+    // while the same plan re-built in the same session is stable
+    assert(h1 == graft.plans.QueryStats.planHash(planFor("user@ab12")))
+  }
+
   test("incident log rotates at the size cap; recent incidents survive") {
     import java.nio.file.{Files, Paths}
     val root = Files.createTempDirectory("graft_irot").toString
