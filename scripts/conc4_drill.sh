@@ -30,14 +30,16 @@ run_bench() {  # $1 = mixed plant spec ("" for a clean run)
   SPARK_GRAFT_BENCH_RUNS=1 SPARK_GRAFT_BENCH_EXT=0 \
   SPARK_GRAFT_BENCH_USERS=1 SPARK_GRAFT_BENCH_MIXED=12 \
   SPARK_GRAFT_SOAK_CYCLES=0 SPARK_GRAFT_SCALING_FACTOR=1 \
-  SPARK_GRAFT_BENCH_FULLREG=0 \
+  SPARK_GRAFT_BENCH_FULLREG=0 SPARK_GRAFT_BENCH_RETRY=0 \
   SPARK_GRAFT_MIXED_PLANT="$1" \
   scripts/run_class.sh graft.Bench >/dev/null 2>/tmp/conc4_drill_stderr.log
-  python3 -c 'import json; c = json.load(open("bench_out.json"))["concurrent4"]; \
+  python3 -c 'import json; j = json.load(open("bench_out.json")); \
+c = j["concurrent4"]; \
 print(json.dumps({"ok": c.get("ok"), "reason": c.get("reason"), \
 "confirm_ran": c.get("confirm_ran"), "violations": c.get("violations"), \
 "violations_first": c.get("violations_first"), \
-"consistent": c.get("consistent")}))'
+"violations_second": c.get("violations_second"), \
+"consistent": c.get("consistent"), "plants": j.get("plants")}))'
 }
 
 echo "[conc4-drill] planted run (${PLANT_Q}, every 5th sample +1500ms)" >&2
@@ -53,8 +55,12 @@ def names(vs): return {v.split(":")[0] for v in (vs or [])}
 tripped = (planted["ok"] is not True and planted["confirm_ran"] is True
            and plant_q in names(planted["violations"])
            and plant_q in names(planted["violations_first"])
-           and planted["consistent"] is True)
-clean_ok = clean["ok"] is True and not clean["violations"]
+           and plant_q in names(planted["violations_second"])
+           and planted["consistent"] is True
+           # the artifact must self-identify as planted (ADVICE r12)
+           and planted["plants"] == [f"mixed:{plant_q}:5:1500"])
+clean_ok = (clean["ok"] is True and not clean["violations"]
+            and clean["plants"] == [])
 ok = tripped and clean_ok
 json.dump({"drill": "conc4_verdict_confirm_releg", "planted_query": plant_q,
            "plant": "every 5th concurrent sample +1500ms",

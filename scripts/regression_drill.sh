@@ -30,12 +30,12 @@ run_bench() {  # $1 = plant spec ("" for a clean run)
   SPARK_GRAFT_BENCH_RUNS=2 SPARK_GRAFT_BENCH_EXT=0 \
   SPARK_GRAFT_BENCH_USERS=1 SPARK_GRAFT_BENCH_MIXED=0 \
   SPARK_GRAFT_SOAK_CYCLES=0 SPARK_GRAFT_SCALING_FACTOR=1 \
-  SPARK_GRAFT_BENCH_FULLREG=0 \
+  SPARK_GRAFT_BENCH_FULLREG=0 SPARK_GRAFT_BENCH_RETRY=0 \
   SPARK_GRAFT_BENCH_PLANT="$1" \
   scripts/run_class.sh graft.Bench >/dev/null 2>/tmp/regression_drill_stderr.log
   python3 -c 'import json; j = json.load(open("bench_out.json")); \
 print(json.dumps({"regressions": j["regressions"], \
-"regression_names": j["regression_names"]}))'
+"regression_names": j["regression_names"], "plants": j.get("plants")}))'
 }
 
 stages=()
@@ -55,10 +55,13 @@ s = [json.loads(x) for x in stages]
 # the planted query must be absent from every clean verdict and present
 # (as a wall_regression) in the planted one; the clean stages must read
 # a fully-zero tripwire so the demo is unambiguous
-clean_before = all(x["regressions"] == 0 for x in s[:3])
-fired = s[3]["regressions"] >= 1 and any(
+clean_before = all(
+    x["regressions"] == 0 and x["plants"] == [] for x in s[:3])
+fired = (s[3]["regressions"] >= 1 and any(
     n == plant_q + ":wall_regression" for n in s[3]["regression_names"])
-clean_after = s[4]["regressions"] == 0
+    # the planted artifact must self-identify (ADVICE r12)
+    and s[3]["plants"] == [f"bench:{plant_q}:{plant_ms}"])
+clean_after = s[4]["regressions"] == 0 and s[4]["plants"] == []
 ok = clean_before and fired and clean_after
 json.dump({"drill": "live_regression_tripwire", "planted_query": plant_q,
            "planted_ms": int(plant_ms), "stages": s,

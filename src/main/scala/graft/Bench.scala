@@ -207,13 +207,22 @@ object Bench {
     second.filter(v => firstQs(v.takeWhile(_ != ':')))
   }
 
+  /** Shared verdict state machine for the self-validating legs
+    * (mixed conc4, 2-user concurrent, scaling — round 13 made the
+    * family uniform): hard failures (torn snapshots, errors) are
+    * `false` regardless of contention; bound-only trips on a
+    * contended machine are `null/"contended"`; quiet-machine trips
+    * are an honest `false` with the leg's own bound name
+    * (`boundReason`: "p95_bound" for conc4, "p50_bound" for the
+    * 2-user leg, "ratio_bound" for scaling). */
   def conc4Verdict(consistent: Boolean, errors: Int,
-      violations: Seq[String], contended: Boolean): (String, String) =
+      violations: Seq[String], contended: Boolean,
+      boundReason: String = "p95_bound"): (String, String) =
     if (!consistent) ("false", "\"inconsistent_snapshot\"")
     else if (errors > 0) ("false", "\"errors\"")
     else if (violations.nonEmpty) {
       if (contended) ("null", "\"contended\"")
-      else ("false", "\"p95_bound\"")
+      else ("false", "\"" + boundReason + "\"")
     } else ("true", "null")
 
   /** Sequential-read throughput (MB/s) over the corpus' largest parquet
@@ -329,12 +338,39 @@ object Bench {
           case _ => None
         }
       }
+    // scaling-drill plant knob (round-13 directive: the scaling verdict
+    // below needs the same live-fire proof the conc4 verdict got).
+    // "<query>:<ms>" sleeps ms inside the named query's timed window
+    // ONLY when it runs against a scaled-up corpus (dir != sfDir), so
+    // the x1 denominators stay clean and the planted ratio flows
+    // through the identical breach → pair-confirm → verdict path a
+    // genuine super-linear regression would.
+    val scalingPlant: Option[(String, Long)] =
+      sys.env.get("SPARK_GRAFT_SCALING_PLANT").flatMap { s =>
+        s.split(":", 2) match {
+          case Array(n, ms) => scala.util.Try(n -> ms.toLong).toOption
+          case _ => None
+        }
+      }
+    // every active plant knob is RECORDED in the artifact (ADVICE r12:
+    // a leftover exported env var would otherwise produce a falsified
+    // artifact indistinguishable from a genuine run). The drill
+    // scripts assert the field; update_readme_bench.py refuses to
+    // quote a planted artifact.
+    val plantsJson: String = (
+      plant.map { case (n, ms) => s"bench:$n:$ms" }.toSeq ++
+      sys.env.get("SPARK_GRAFT_MIXED_PLANT").filter(_.nonEmpty)
+        .map(s => s"mixed:$s").toSeq ++
+      scalingPlant.map { case (n, ms) => s"scaling:$n:$ms" }.toSeq
+    ).map("\"" + _ + "\"").mkString("[", ",", "]")
     def runE2eIn(name: String, dir: String): Double = {
       resetState()
       val t0 = System.nanoTime()
       val df = SparkEntry.queries(name)(spark, dir)
       df.write.mode("overwrite").format("noop").save()
       plant.foreach { case (n, ms) => if (n == name) Thread.sleep(ms) }
+      scalingPlant.foreach { case (n, ms) =>
+        if (n == name && dir != sfDir) Thread.sleep(ms) }
       val sec = (System.nanoTime() - t0) / 1e9
       if (dir == sfDir && !planHashes.contains(name))
         try planHashes(name) = graft.plans.QueryStats.planHash(df)
@@ -426,7 +462,7 @@ object Bench {
       return
     }
 
-    val results: Seq[(String, Option[Double])] = names.map { name =>
+    def measureHeadline(): Seq[(String, Option[Double])] = names.map { name =>
       // re-pin the documents text pages right before the one headline
       // entry that reads them: the session-start warmup is minutes old
       // by the 16th query, and under co-tenant page-cache pressure the
@@ -448,6 +484,61 @@ object Bench {
           None
         }
       name -> sec
+    }
+    var results: Seq[(String, Option[Double])] = measureHeadline()
+    // headline retry policy (round-13 directive: two of the last three
+    // DRIVER artifacts were contended while every builder artifact was
+    // clean — the guard worked, but an artifact of record that must be
+    // acquitted by its own flags erodes the one-glance property). When
+    // the HEADLINE WINDOW itself looks polluted — any timing failed to
+    // converge, or the single-core probe decayed >15% between entry and
+    // headline-exit — the headline section re-runs ONCE and the run
+    // whose window-guard is cleaner lands in the artifact; both windows'
+    // evidence is recorded in `headline_retry` so nothing is hidden.
+    // The `unstable` buffer carries only the KEPT window's entries into
+    // the run-level `contended` verdict (the discarded window is
+    // forensics, not the measurement). Opt out: SPARK_GRAFT_BENCH_RETRY=0
+    // (the drills do — their walls are scaffolding).
+    var headlineRetryJson = """{"ran":false}"""
+    val retryEnabled =
+      !sys.env.get("SPARK_GRAFT_BENCH_RETRY").contains("0")
+    if (names.nonEmpty && retryEnabled) {
+      val probeHead = cpuProbe(1)
+      def windowClean(uns: Seq[String], probeEnd: Double): Boolean =
+        uns.isEmpty && (probe1 <= 0 || probeEnd >= probe1 * 0.85)
+      val firstUnstable = unstable.toList
+      if (!windowClean(firstUnstable, probeHead)) {
+        System.err.println(s"[bench] headline window suspect " +
+          s"(unstable=${firstUnstable.mkString(",")}, probe " +
+          s"$probe1 -> $probeHead M/s) — one full headline re-run")
+        val firstResults = results
+        unstable.clear()
+        val retryResults = measureHeadline()
+        val probeRetry = cpuProbe(1)
+        val retryUnstable = unstable.toList
+        val retryClean = windowClean(retryUnstable, probeRetry)
+        // keep the cleaner window; ties (both dirty) keep whichever
+        // has fewer non-converging timings, first on a full tie
+        val useRetry = retryClean ||
+          retryUnstable.size < firstUnstable.size
+        if (useRetry) results = retryResults
+        else { unstable.clear(); unstable ++= firstUnstable }
+        def tot(rs: Seq[(String, Option[Double])]): Double =
+          math.rint(rs.flatMap(_._2).sum * 1000) / 1000
+        def jl(xs: Seq[String]): String =
+          xs.map("\"" + _ + "\"").mkString("[", ",", "]")
+        headlineRetryJson =
+          s"""{"ran":true,"used":"${if (useRetry) "retry" else "first"}",""" +
+            s""""first_total":${tot(firstResults)},""" +
+            s""""retry_total":${tot(retryResults)},""" +
+            s""""first_unstable":${jl(firstUnstable)},""" +
+            s""""retry_unstable":${jl(retryUnstable)},""" +
+            s""""probe_entry":$probe1,"probe_first":$probeHead,""" +
+            s""""probe_retry":$probeRetry,"retry_clean":$retryClean}"""
+        System.err.println(s"[bench] headline retry: kept " +
+          (if (useRetry) "retry" else "first") + s" window " +
+          s"(retry_clean=$retryClean)")
+      }
     }
     traceLoad("headline")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
@@ -517,6 +608,15 @@ object Bench {
     //    multi-user latency, not duplicated index builds.
     val users = sys.env.getOrElse("SPARK_GRAFT_BENCH_USERS", "2").toInt
     var concWorst: Option[Double] = None
+    // verdict ingredients for the 2-user leg (round-13 directive: the
+    // last compact-line ratio with no bound — the continuous conc4
+    // bound applies nearly verbatim, on the p50 since the leg reports
+    // the lower median across users): p50 may not exceed
+    // max(2.5 × serial, serial + 0.5 s). Same emit-time contention
+    // qualification as conc4; `concRan` distinguishes "leg skipped"
+    // (verdict null/null) from "ran clean" (true).
+    var concRan = false
+    val concViolations = scala.collection.mutable.ArrayBuffer.empty[String]
     val concurrentJson: String =
       if (users <= 1 || soakOnly) "{}"
       else {
@@ -574,14 +674,31 @@ object Bench {
           val mx = if (ok.isEmpty) "null" else ok.last.toString
           val ser = serialBase.get(n)
           ser.filter(_ > 0).foreach { s0 =>
-            if (ok.nonEmpty) ratios += ok((ok.size - 1) / 2) / s0
+            if (ok.nonEmpty) {
+              val p50v = ok((ok.size - 1) / 2)
+              ratios += p50v / s0
+              // continuous bound (same form and rationale as conc4's):
+              // contention-cost factor 2.5× plus a 0.5 s absolute term
+              // for the fixed per-job FAIR-scheduler tail
+              val bound = math.max(2.5 * s0, s0 + 0.5)
+              if (p50v > bound)
+                concViolations +=
+                  s"$n:${r3(p50v / s0)}x>${r3(bound / s0)}x"
+            }
           }
           "\"" + n + "\":{\"p50\":" + p50 + ",\"max\":" + mx +
             ",\"serial\":" + jnum(ser) + "}"
         })
         if (ratios.nonEmpty) concWorst = Some(ratios.max)
+        concRan = entries.nonEmpty
+        concViolations.foreach(v =>
+          System.err.println(s"[bench] concurrent p50/serial bound: $v"))
         entries.mkString("{", ",", "}")
       }
+    // section-local contention sensor for the 2-user leg, same pattern
+    // as conc4's: probe decay vs the entry baseline convicts this
+    // window even when the run-level average dilutes it
+    val concProbeAfter = if (concRan) cpuProbe(1) else -1.0
     traceLoad("concurrent")
 
     // ---- concurrent4: the grptest MIXED-workload analog (reference:
@@ -830,6 +947,11 @@ object Bench {
         // its own.
         var confirmRan = false
         var firstViolations: Seq[String] = Seq.empty
+        // the confirm leg's RAW violation list (ADVICE r12: a
+        // violation appearing ONLY in the re-leg doesn't flip the
+        // verdict — it wasn't reproducing — but dropping it entirely
+        // loses the forensic trail; violations_second preserves it)
+        var secondViolations: Seq[String] = Seq.empty
         if (leg.consistent && leg.errors == 0 && leg.violations.nonEmpty) {
           confirmRan = true
           firstViolations = leg.violations
@@ -837,6 +959,7 @@ object Bench {
             s"${firstViolations.mkString(", ")} — confirming with one " +
             "independent re-leg")
           val second = runMixLeg(mixUsers, mixNames)
+          secondViolations = second.violations
           leg =
             if (second.consistent && second.errors == 0)
               second.copy(violations =
@@ -849,6 +972,7 @@ object Bench {
         val legNow = leg
         val confirmNow = confirmRan
         val firstViolNow = firstViolations
+        val secondViolNow = secondViolations
         conc4Assemble = Some((ok, reason) =>
           s"""{"sessions":$mixUsers,"dur_sec":${r3(legNow.durSec)},""" +
             s""""writer_commits":${legNow.commits},""" +
@@ -860,6 +984,8 @@ object Bench {
               .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             s""""confirm_ran":$confirmNow,""" +
             s""""violations_first":${firstViolNow
+              .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+            s""""violations_second":${secondViolNow
               .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
             s""""queries":${legNow.entriesStr}}""")
       } catch { case e: Throwable =>
@@ -1177,6 +1303,24 @@ object Bench {
     val scaleFactor =
       sys.env.getOrElse("SPARK_GRAFT_SCALING_FACTOR", "8").toInt
     val scalRatios = scala.collection.mutable.ArrayBuffer.empty[Double]
+    // verdict ingredients for the scaling leg (round-13 directive: the
+    // r12 driver artifact printed a bare scal_worst 20.405 on a
+    // contended machine with only the run-level flag to acquit it —
+    // the leg now qualifies itself the way conc4 does). The bound,
+    // now pinned in SCALE.md: a query's EFFECTIVE ratio — output/
+    // edge-normalized ratio_per_row where the leg measures one, raw
+    // wall ratio otherwise — may not exceed 2.5 (normalized; the
+    // SCALE.md bar the round-8/9 normalization was built against) or
+    // factor/2 (raw; 4× at 8× — builder-side raw ratios cluster
+    // 1.2–2.4), with an absolute guard xN > x1 + 0.5 s so sub-second
+    // jitter on a tiny corpus can never trip a scale alarm. A breach
+    // triggers ONE in-leg re-measure of the x1/xN PAIR (both sides —
+    // a contended x1 denominator poisons the ratio from below); only
+    // a reproducing breach becomes a violation.
+    var scalRan = false
+    var scalErrors = 0
+    val scalViolations = scala.collection.mutable.ArrayBuffer.empty[String]
+    val scalConfirmed = scala.collection.mutable.ArrayBuffer.empty[String]
     var scaling27Json = "{}"
     val scalingJson: String =
       if (scaleFactor <= 1 || soakOnly) "{}"
@@ -1290,17 +1434,15 @@ object Bench {
           }
           val x1Times = scala.collection.mutable.Map.empty[String, Double]
           val rawRatio8 = scala.collection.mutable.Map.empty[String, Double]
+          scalRan = true
           val entries = scaleQs.map { name =>
             try {
-              val x1 = runStable(name, sfDir, 2)
-              x1Times(name) = x1
+              var x1 = runStable(name, sfDir, 2)
               // at 8× the alarm bar is the factor itself: even the
               // edge-superlinear graph queries measure well below it
               // (2.1–2.4× raw), so a trip means a genuine anomaly
-              val xn = confirmedRun(name, tmp.toString, x1,
+              var xn = confirmedRun(name, tmp.toString, x1,
                 scaleFactor.toDouble)
-              val ratio = if (x1 > 0) xn / x1 else -1.0
-              if (ratio > 0) rawRatio8(name) = ratio
               val outs: Option[(Long, Long)] =
                 if (outputBound(name)) {
                   resetState()
@@ -1313,11 +1455,41 @@ object Bench {
                   o1 <- edgesFor(name, sfDir)
                   oN <- edgesFor(name, tmp.toString)
                 } yield (o1, oN)
+              val growth = outs.map { case (o1, oN) =>
+                if (o1 > 0) oN.toDouble / o1 else -1.0 }
+              def ratioOf(a: Double, b: Double) = if (a > 0) b / a else -1.0
+              def perRowOf(r: Double) = growth
+                .map(g => if (r > 0 && g > 0) r / g else -1.0)
+              // effective ratio vs its bound: normalized where the leg
+              // measures output/edge growth, raw otherwise (the same
+              // choice scal_worst makes)
+              def breach(a: Double, b: Double): Option[String] = {
+                val r = ratioOf(a, b)
+                val pr = perRowOf(r).filter(_ > 0)
+                val (eff, bound) = pr.map((_, 2.5))
+                  .getOrElse((r, scaleFactor / 2.0))
+                if (eff > bound && b > a + 0.5)
+                  Some(s"$name:${r3(eff)}x>${r3(bound)}x")
+                else None
+              }
+              breach(x1, xn).foreach { first =>
+                System.err.println(s"[bench] scaling bound breach $first" +
+                  " — re-measuring the x1/xN pair once")
+                scalConfirmed += name
+                x1 = math.min(x1, runE2eIn(name, sfDir))
+                xn = math.min(xn, runE2eIn(name, tmp.toString))
+                breach(x1, xn).foreach { v =>
+                  scalViolations += v
+                  System.err.println(s"[bench] scaling bound violation " +
+                    s"(reproduced): $v")
+                }
+              }
+              val ratio = ratioOf(x1, xn)
+              x1Times(name) = x1
+              if (ratio > 0) rawRatio8(name) = ratio
               outs match {
                 case Some((o1, oN)) =>
-                  val growth = if (o1 > 0) oN.toDouble / o1 else -1.0
-                  val perRow =
-                    if (ratio > 0 && growth > 0) ratio / growth else -1.0
+                  val perRow = perRowOf(ratio).getOrElse(-1.0)
                   if (perRow > 0) scalRatios += perRow
                   s""""$name":{"x1":$x1,"x$scaleFactor":$xn,""" +
                     s""""ratio":$ratio,"out_x1":$o1,"out_xn":$oN,""" +
@@ -1328,6 +1500,7 @@ object Bench {
               }
             } catch { case e: Throwable =>
               System.err.println(s"[bench] scaling $name: ${e.getMessage}")
+              scalErrors += 1
               s""""$name":null"""
             }
           }
@@ -1400,8 +1573,13 @@ object Bench {
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scaling failed: ${e.getMessage}")
+        if (scalRan) scalErrors += 1
         "{}"
       }
+    // section-local contention sensor for the scaling leg (the r12
+    // driver's scal_worst 20.405 was measured in a window the
+    // run-level average could not convict on its own)
+    val scalProbeAfter = if (scalRan) cpuProbe(1) else -1.0
     traceLoad("scaling")
 
     // full-registry e2e sweep (single-shot per query, construction and
@@ -1566,12 +1744,37 @@ object Bench {
     }
     val concurrent4Json =
       conc4Assemble.map(_(conc4OkJson, conc4ReasonJson)).getOrElse("{}")
+    def sectionDecayed(probeAfter: Double): Boolean =
+      probe1 > 0 && probeAfter > 0 && probeAfter < probe1 * 0.85
+    // 2-user leg verdict, same emit-time qualification (round 13)
+    val (concOkJson, concReasonJson) =
+      if (!concRan) ("null", "null")
+      else conc4Verdict(true, 0, concViolations.toSeq,
+        contended || sectionDecayed(concProbeAfter), "p50_bound")
+    // scaling-leg verdict (round-13 directive): a scaling query that
+    // THREW is an engine failure (false/"errors"); a reproducing
+    // ratio-bound breach on a quiet machine is false/"ratio_bound";
+    // the same breach on a contended run — where numerator and
+    // denominator were measured under different load — is
+    // null/"contended"; a clean leg is true
+    val (scalOkJson, scalReasonJson) =
+      if (!scalRan) ("null", "null")
+      else conc4Verdict(true, scalErrors, scalViolations.toSeq,
+        contended || sectionDecayed(scalProbeAfter), "ratio_bound")
+    val scalViolJson =
+      scalViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val scalConfJson =
+      scalConfirmed.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val concViolJson =
+      concViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
 
     val confirmedJson =
       allConfirmed.map("\"" + _ + "\"").mkString("[", ",", "]")
     val regNamesJson =
       regressionNames.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"extended":$extJson,"scaling":$scalingJson,"scaling27":$scaling27Json,"concurrent":{"sessions":$users,"queries":$concurrentJson},"concurrent4":$concurrent4Json,"soak":$soakJson,"soak_crash":$soakCrashJson,"soak_crash_all":$soakCrashAllJson,"all":$allJson,"all_confirmed":$confirmedJson,"regressions":$regressionsN,"regression_names":$regNamesJson,"contended":$contended,"load":$loadJson,"sf":"$sfDir"}"""
+    val scalWorst = jnum(scalRatios.maxOption.map(r3))
+    val concW = jnum(concWorst.map(r3))
+    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"extended":$extJson,"scaling":$scalingJson,"scaling27":$scaling27Json,"scal_worst":$scalWorst,"scal_ok":$scalOkJson,"scal_reason":$scalReasonJson,"scal_violations":$scalViolJson,"scal_confirmed":$scalConfJson,"concurrent":{"sessions":$users,"ok":$concOkJson,"reason":$concReasonJson,"worst":$concW,"violations":$concViolJson,"queries":$concurrentJson},"concurrent4":$concurrent4Json,"soak":$soakJson,"soak_crash":$soakCrashJson,"soak_crash_all":$soakCrashAllJson,"all":$allJson,"all_confirmed":$confirmedJson,"regressions":$regressionsN,"regression_names":$regNamesJson,"headline_retry":$headlineRetryJson,"plants":$plantsJson,"contended":$contended,"load":$loadJson,"sf":"$sfDir"}"""
     // full-precision, full-section copy: sbt wraps stdout in [info] noise
     // and the driver's stdout tail capture is ~2 KB, so the complete
     // artifact always lands in this file
@@ -1597,8 +1800,6 @@ object Bench {
     // ext_fail guards ext_total's blind spot: a crashing extended query
     // drops OUT of the sum, which would otherwise read as a speedup
     val extFail = extResults.count(_._2.isEmpty)
-    val scalWorst = jnum(scalRatios.maxOption.map(r3))
-    val concW = jnum(concWorst.map(r3))
     val conc4W = jnum(conc4Worst.map(r3))
     val slowJson =
       if (slowest._1.isEmpty) "null"
@@ -1606,11 +1807,16 @@ object Bench {
     val signals = s""","ext_total":$extTotal,"ext_fail":$extFail""" +
       s""","scal_worst":$scalWorst,"conc_worst":$concW""" +
       s""","conc4_worst":$conc4W""" +
-      // the self-validating verdicts of round 11: conc4_ok (SCALE.md
-      // mixed-leg bound checked in-bench), regressions (query-history
-      // tripwire; -1 = no trailing history yet), all_confirmed (sweep
-      // entries that survived an anomaly-confirm re-run)
+      // the self-validating verdicts (round 11, completed round 13 —
+      // every compact-line ratio now travels with its own bound
+      // verdict): conc4_ok (mixed leg), conc_ok (2-user leg), scal_ok
+      // (scaling leg), regressions (query-history tripwire; -1 = no
+      // trailing history yet), all_confirmed (sweep entries that
+      // survived an anomaly-confirm re-run)
       s""","conc4_ok":$conc4OkJson,"conc4_reason":$conc4ReasonJson""" +
+      s""","conc_ok":$concOkJson,"conc_reason":$concReasonJson""" +
+      s""","scal_ok":$scalOkJson,"scal_reason":$scalReasonJson""" +
+      s""","plants":$plantsJson""" +
       s""","regressions":$regressionsN""" +
       s""","all_total":${r3(allTotal)},"all_fail":$allFail""" +
       s""","all_confirmed":$confirmedJson""" +

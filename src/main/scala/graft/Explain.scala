@@ -13,9 +13,16 @@ import org.apache.spark.sql.SparkSession
   */
 object Explain {
   def main(args: Array[String]): Unit = {
-    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
-    val canon = args.lift(1).contains("--canon")
-    val rest = args.drop(if (canon) 2 else 1).toSeq
+    // --canon is accepted in either position (ADVICE r12: requiring it
+    // second made the sfDir argument mandatory even though the
+    // non-canon path defaults it): `--canon [names…]` and
+    // `<sfDir> --canon [names…]` both work
+    val canonFirst = args.headOption.contains("--canon")
+    val sfDir =
+      if (canonFirst) "/root/testdata/sf0.1"
+      else args.headOption.getOrElse("/root/testdata/sf0.1")
+    val canon = canonFirst || args.lift(1).contains("--canon")
+    val rest = args.drop(if (canonFirst) 1 else if (canon) 2 else 1).toSeq
     val names = if (rest.nonEmpty) rest else Bench.headline
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "8")
     val spark = SparkSession.builder()
@@ -32,10 +39,13 @@ object Explain {
         // print the stableString, not the raw canonicalized form: the
         // hash is reproducible from the printed text, and diffing two
         // sessions' dumps surfaces ONLY hash-relevant differences
-        // (identity tokens and commutative order are already folded)
+        // (identity tokens and commutative order are already folded).
+        // One canonicalization pass per query: the header hash is
+        // computed from the same captured string that is printed.
+        val stable = plans.QueryStats.stableString(df)
         println(s"\n===== $name (stable canonical; hash=${
-          plans.QueryStats.planHash(df)}) =====")
-        println(plans.QueryStats.stableString(df))
+          plans.QueryStats.hashOf(stable)}) =====")
+        println(stable)
       }
       spark.stop()
       return

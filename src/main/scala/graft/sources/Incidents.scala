@@ -58,9 +58,23 @@ object Incidents {
       Files.createDirectories(f.getParent)
       try {
         if (Files.exists(f) && Files.size(f) > capBytes)
-          Files.move(f, f.resolveSibling("log.1"),
+          try Files.move(f, f.resolveSibling("log.1"),
             java.nio.file.StandardCopyOption.ATOMIC_MOVE,
             java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+          catch {
+            // ADVICE r12: some network/overlay mounts don't support
+            // ATOMIC_MOVE — swallowing that here would fail rotation on
+            // EVERY append and regrow the file without bound, exactly
+            // the pathology the cap exists to prevent. Fall back to a
+            // non-atomic move (worst case a racing reader sees a
+            // short gap), and if even that fails, delete the oversized
+            // file — the size bound holds on all filesystems; bounded
+            // loss beats unbounded growth in a pathological storm.
+            case _: java.nio.file.AtomicMoveNotSupportedException =>
+              try Files.move(f, f.resolveSibling("log.1"),
+                java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+              catch { case _: Exception => Files.deleteIfExists(f) }
+          }
       } catch { case _: Exception => () } // lost rotation race: append on
       val d = detail.replaceAll("\\s+", " ").trim.take(400)
       Files.writeString(f,
