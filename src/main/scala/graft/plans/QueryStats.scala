@@ -78,14 +78,23 @@ object QueryStats {
     * full-registry two-session sweep that measured the classes. */
   /** Rewrite the two measured session-identity token classes to fixed
     * strings. The identityHash rewrite is anchored to a QUALIFIED name
-    * (must contain '.' or '$' before the '@', lowercase hex after):
-    * `graft.functions.GroupConcat@1509bd56` and `...$$Lambda@7a2b`
-    * match; a data literal like `user@ab12` does not — an over-broad
-    * `@hex` rewrite would conflate a REAL literal change into the same
-    * hash and silence a genuine plan_change. */
+    * (must contain '.' or '$' before the '@') followed by 6–8 lowercase
+    * hex digits — the shape `Object.toString` actually prints
+    * (`Integer.toHexString` of a uniformly-distributed 32-bit identity
+    * hash is 6+ digits with probability 1 − 2⁻¹²):
+    * `graft.functions.GroupConcat@1509bd56` and `...$$Lambda@7a2b91`
+    * match; a data literal like `user@ab12` or a dotted one like
+    * `a.b@cafe` does not (ADVICE r12: the unlength-bounded form also
+    * rewrote short-hex-suffix DATA literals, so `a.b@cafe` vs
+    * `a.b@beef` hashed identically and a real plan_change was
+    * silenced). Residual, documented: a genuine ≥6-hex data literal
+    * still folds (silenced advisory), and a <6-digit identity hash
+    * (p ≈ 0.024% per token) still flips — both advisory-only, and the
+    * length anchor makes each strictly rarer than the class it
+    * replaces. */
   private def sanitizeTokens(s: String): String = s
     .replaceAll("\\$\\$Lambda(\\$\\d+)?/0x[0-9a-fA-F]+", "\\$\\$Lambda")
-    .replaceAll("([\\w.$]*[.$][\\w$]+)@[0-9a-f]+\\b", "$1@id")
+    .replaceAll("([\\w.$]*[.$][\\w$]+)@[0-9a-f]{6,8}\\b", "$1@id")
 
   private def stableOrder(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
@@ -109,21 +118,185 @@ object QueryStats {
     }
   }
 
+  /** The THIRD measured instability class (root-caused in round 13 —
+    * the "full-session fingerprint flip" SCALE.md carried as a
+    * residual since round 12): Spark's RewriteDistinctAggregates
+    * assigns its gid GROUP NUMBERS (and the Expand output column each
+    * distinct group occupies) by iterating a Map keyed by expression
+    * sets whose hashCodes reach ExprId — a per-session counter. A
+    * query with ≥2 distinct-aggregate groups (`d_query_stats`,
+    * `f_pseudo_columns` — both countDistinct over two columns)
+    * therefore fingerprints differently depending on the ExprId RANGE
+    * it was constructed in: fresh session vs late in a 318-query
+    * session. Reproduced at will by `graft.CanonProbe` (burn a block
+    * of ExprIds between constructions → 17–23 flips in 40 on the two
+    * queries; zero on the rest of the registry).
+    *
+    * Normalization, applied to the OPTIMIZED plan before
+    * canonicalization: for every Expand whose rows carry a sequential
+    * integer gid column (the distinct-rewrite shape: literal at one
+    * position == row index for every row), (a) sort the rows by a
+    * session-independent content key (the row rendered with `#exprId`
+    * digits stripped and the gid masked), (b) renumber the gid
+    * literals to the rows' sorted positions, (c) permute the
+    * DISTINCT-GROUP output columns into first-use-after-sort order
+    * (column order is what leaks into every upstream reference —
+    * canonicalization renumbers references positionally against the
+    * child's output, so upstream follows coherently), and (d) remap
+    * the gid literals in upstream `gid = k` comparisons (aggregate
+    * FILTER clauses) through the same permutation. The result is a
+    * deterministic function of session-independent content, so every
+    * session converges on one rendering; it is hash-input only, never
+    * executed. CUBE-style grouping-set Expands can match the same
+    * shape — they are already session-stable (group order comes from
+    * the user query), and the transform is deterministic there too,
+    * so stability is preserved either way. */
+  private def stableDistinctGroups(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Expand, LogicalPlan}
+    // session-independent render: strip exprId digits (names survive),
+    // mask the gid, and IGNORE COLUMN POSITIONS — which output column a
+    // group occupies is itself assigned by the unstable map iteration,
+    // so a position-sensitive key would just re-derive the instability
+    // (the non-null cell set identifies the group regardless of where
+    // its columns landed)
+    def key(row: Seq[Expression], gidPos: Int): String =
+      row.zipWithIndex.collect {
+        case (e, i) if i != gidPos && (e match {
+              case Literal(null, _) => false
+              case _ => true
+            }) =>
+          e.toString.replaceAll("#\\d+", "#")
+      }.sorted.mkString("|")
+    // gid attr exprId -> (old gid value -> new gid value)
+    val remaps =
+      scala.collection.mutable.Map.empty[ExprId, Map[Int, Int]]
+    val rewritten = plan.transformUpWithSubqueries {
+      case e @ Expand(projections, output, _)
+          if projections.size >= 2 &&
+            output.size == projections.head.size => {
+        // the gid column: every row holds an int literal equal to its
+        // own row index (the distinct-rewrite allocates gids 0..n-1 in
+        // row order — rollup/grouping-set bitmask gids don't match)
+        val gidPos = output.indices.find { g =>
+          projections.zipWithIndex.forall {
+            case (row, i) => row(g) match {
+              case Literal(v: Int, IntegerType) => v == i
+              case _ => false
+            }
+          }
+        }
+        gidPos match {
+          case Some(g) =>
+            val order = projections.indices
+              .sortBy(i => key(projections(i), g))
+            // NO early exit when rows are already key-ordered: the
+            // COLUMN permutation below must still run (one session's
+            // unstable layout can land row-sorted but column-swapped —
+            // skipping it was the first implementation's bug, measured
+            // as the probe still flipping 28/60)
+            locally {
+              // rows in key order, gid literal = new position
+              val newRows = order.zipWithIndex.map { case (old, now) =>
+                projections(old).zipWithIndex.map { case (expr, i) =>
+                  if (i == g) Literal(now) else expr
+                }
+              }
+              // distinct-group output columns (non-gid columns that are
+              // null in some rows — each belongs to the group rows that
+              // populate it) permuted into first-use order under the new
+              // row order; shared columns (non-null everywhere, e.g. the
+              // grouping keys) keep their positions
+              def firstUse(col: Int): Int = newRows.indexWhere(r =>
+                r(col) match {
+                  case Literal(null, _) => false
+                  case _ => true
+                })
+              val grouped = output.indices.filter { c =>
+                c != g && projections.exists(r => r(c) match {
+                  case Literal(null, _) => true
+                  case _ => false
+                })
+              }
+              val colOrder = grouped.sortBy(c =>
+                (firstUse(c), grouped.indexOf(c)))
+              val colMap = grouped.zip(colOrder).toMap // pos -> source
+              val newOutput = output.indices.map(i =>
+                output(colMap.getOrElse(i, i)))
+              val finalRows = newRows.map(r =>
+                r.indices.map(i => r(colMap.getOrElse(i, i))))
+              remaps(output(g).exprId) =
+                order.zipWithIndex.map { case (old, now) => old -> now }
+                  .toMap
+              Expand(finalRows.map(_.toSeq), newOutput.toSeq, e.child)
+            }
+          case None => e
+        }
+      }
+    }
+    if (remaps.isEmpty) rewritten
+    else rewritten.transformUpWithSubqueries { case p =>
+      val remapped = p.transformExpressionsUp {
+        case EqualTo(Literal(v: Int, IntegerType), a: AttributeReference)
+            if remaps.get(a.exprId).exists(_.contains(v)) =>
+          EqualTo(Literal(remaps(a.exprId)(v)), a)
+        case EqualTo(a: AttributeReference, Literal(v: Int, IntegerType))
+            if remaps.get(a.exprId).exists(_.contains(v)) =>
+          EqualTo(a, Literal(remaps(a.exprId)(v)))
+      }
+      remapped match {
+        // the distinct-rewrite's INNER aggregate (identified by the gid
+        // attribute in its grouping) also orders its grouping list by
+        // the same unstable map iteration — sort it (and the matching
+        // grouping-attr prefix of the output list) by the same
+        // session-independent key; grouping order is semantically free,
+        // and this is hash input only
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate
+            if a.groupingExpressions.exists {
+              case ar: AttributeReference => remaps.contains(ar.exprId)
+              case _ => false
+            } =>
+          def gkey(ex: Expression): String =
+            ex.toString.replaceAll("#\\d+", "#")
+          val sortedGrouping = a.groupingExpressions.sortBy(gkey)
+          val groupingSet = a.groupingExpressions
+            .collect { case ar: AttributeReference => ar.exprId }.toSet
+          val (groupRefs, rest) = a.aggregateExpressions.partition {
+            case ar: AttributeReference => groupingSet.contains(ar.exprId)
+            case _ => false
+          }
+          a.copy(groupingExpressions = sortedGrouping,
+            aggregateExpressions = groupRefs.sortBy(gkey) ++ rest)
+        case other => other
+      }
+    }
+  }
+
   /** The exact string `planHash` hashes — sanitized and
     * deterministically ordered. Exposed so `Explain --canon` prints
     * precisely what gets fingerprinted (diffing two sessions' dumps
     * must surface ONLY hash-relevant differences). */
   def stableString(df: DataFrame): String = {
-    val canon = df.queryExecution.optimizedPlan.canonicalized
-    // fallible: a Catalyst internals change must degrade to the raw
-    // canonicalized string, never break the recorder
+    val opt = df.queryExecution.optimizedPlan
+    // fallible at every stage: a Catalyst internals change must degrade
+    // to the raw canonicalized string, never break the recorder
+    val grouped =
+      try stableDistinctGroups(opt) catch { case _: Throwable => opt }
+    val canon = grouped.canonicalized
     val ordered =
       try stableOrder(canon) catch { case _: Throwable => canon }
     sanitizeTokens(ordered.toString)
   }
 
-  def planHash(df: DataFrame): String =
-    f"${scala.util.hashing.MurmurHash3.stringHash(stableString(df))}%08x"
+  /** Hash of an already-computed `stableString` — exposed so callers
+    * that need both the string and the hash (Explain --canon) compute
+    * the canonicalization pass once. */
+  def hashOf(stable: String): String =
+    f"${scala.util.hashing.MurmurHash3.stringHash(stable)}%08x"
+
+  def planHash(df: DataFrame): String = hashOf(stableString(df))
 
   /** Execute `df` to completion (count), returning the Entry that
     * records it — the full-fidelity recording path with a real row

@@ -1269,6 +1269,48 @@ class CatalogSpec extends GraftSuite {
       "distinct @hex literals must produce distinct fingerprints")
     // while the same plan re-built in the same session is stable
     assert(h1 == graft.plans.QueryStats.planHash(planFor("user@ab12")))
+    // ADVICE r12: a DOTTED literal with a short hex suffix looks
+    // qualified (`a.b@cafe`), and the unlength-bounded rewrite folded
+    // it — silencing a real plan_change. The 6–8-digit length anchor
+    // (the shape identity hashes actually print) keeps short-hex
+    // dotted literals distinguishing
+    val d1 = graft.plans.QueryStats.planHash(planFor("a.b@cafe"))
+    val d2 = graft.plans.QueryStats.planHash(planFor("a.b@beef"))
+    assert(d1 != d2,
+      "short-hex dotted literals must keep distinguishing plans")
+    // and the documented residual is pinned both ways: a ≥6-hex
+    // qualified token IS folded (that shape is what Class@identityHash
+    // prints — the instability the rewrite exists to remove)
+    val r1 = graft.plans.QueryStats.planHash(planFor("a.b@1509bd56"))
+    val r2 = graft.plans.QueryStats.planHash(planFor("a.b@7a2b91cc"))
+    assert(r1 == r2,
+      "6-8-hex qualified tokens fold to @id (identity-hash shape)")
+  }
+
+  test("planHash is ExprId-range-independent for multi-distinct-agg plans") {
+    // the full-session fingerprint residual, root-caused round 13:
+    // RewriteDistinctAggregates assigns gid group numbers (and Expand
+    // output columns) by iterating a Map keyed by expression sets whose
+    // hashCodes reach ExprId — a per-session counter — so a plan with
+    // ≥2 countDistinct groups fingerprinted differently depending on
+    // the ExprId range it was constructed in (fresh session vs late in
+    // a 318-query one; graft.CanonProbe measured 17–28 flips in 60).
+    // stableDistinctGroups normalizes rows/columns/gids/filters to a
+    // session-independent order; this loop re-creates the trigger —
+    // the ONLY varied state is the ExprId counter
+    val q = "f_pseudo_columns" // two distinct-agg groups (mid, file)
+    def hash(): String = graft.plans.QueryStats.planHash(
+      SparkEntry.queries(q)(spark, sf))
+    val first = hash()
+    for (i <- 1 to 12) {
+      (1 to 997 * i).foreach { _ =>
+        org.apache.spark.sql.catalyst.expressions.NamedExpression
+          .newExprId
+      }
+      assert(hash() == first,
+        s"fingerprint flipped after burning ${997 * i} ExprIds — the " +
+          "distinct-group normalization regressed")
+    }
   }
 
   test("incident log rotates at the size cap; recent incidents survive") {
@@ -1354,5 +1396,22 @@ class CatalogSpec extends GraftSuite {
       Seq("a_high_cardinality:4.8x>4.0x", "o_topk:3.1x>2.5x")) ==
       Seq("a_high_cardinality:4.8x>4.0x"))
     assert(Bench.confirmedViolations(Seq("q01:3x>2.5x"), Seq.empty).isEmpty)
+    // round 13: the verdict family is uniform across legs — the same
+    // state machine emits the 2-user leg's p50_bound and the scaling
+    // leg's ratio_bound; contention qualification and hard-failure
+    // precedence are identical
+    assert(Bench.conc4Verdict(true, 0, viol, false, "p50_bound") ==
+      (("false", "\"p50_bound\"")))
+    assert(Bench.conc4Verdict(true, 0, viol, true, "p50_bound") ==
+      (("null", "\"contended\"")))
+    val scalViol = Seq("x_dedup_chunks:9.2x>4.0x")
+    assert(Bench.conc4Verdict(true, 0, scalViol, false, "ratio_bound") ==
+      (("false", "\"ratio_bound\"")))
+    assert(Bench.conc4Verdict(true, 0, scalViol, true, "ratio_bound") ==
+      (("null", "\"contended\"")))
+    // a scaling query that THREW is an engine failure no matter the
+    // machine state — errors outrank bound violations
+    assert(Bench.conc4Verdict(true, 1, scalViol, true, "ratio_bound") ==
+      (("false", "\"errors\"")))
   }
 }
