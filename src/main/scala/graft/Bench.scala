@@ -617,6 +617,7 @@ object Bench {
     // (verdict null/null) from "ran clean" (true).
     var concRan = false
     val concViolations = scala.collection.mutable.ArrayBuffer.empty[String]
+    var concSerials: Map[String, Double] = Map.empty
     val concurrentJson: String =
       if (users <= 1 || soakOnly) "{}"
       else {
@@ -645,6 +646,7 @@ object Bench {
             None
           }
         }.toMap
+        concSerials = serialBase
         val times =
           new java.util.concurrent.ConcurrentLinkedQueue[(String, Double)]()
         val threads = (1 to users).map { u =>
@@ -737,6 +739,16 @@ object Bench {
     var conc4Consistent = true
     var conc4Errors = 0
     var conc4Violations: Seq[String] = Seq.empty
+    // the verdict leg's serial references, kept for the emit-time
+    // serial-inflation check (round 13): execution-only serials of
+    // warm shared plans can never legitimately exceed the same
+    // queries' just-measured HEADLINE walls (best-of-N END-TO-END,
+    // construction included) — when several do, the leg's window
+    // caught a co-load burst that entry-vs-exit probe decay can miss
+    // (this round's forcing measurement: a burst the probe sensor
+    // missed by 3% while five of six serials read 1.4–2.2× their
+    // headline walls and every ratio tripped)
+    var conc4Serials: Map[String, Double] = Map.empty
     // one full observation of the mixed leg: builds the scratch table,
     // runs 4 readers × mixSecs against the locked writer, and returns
     // every verdict ingredient. Factored so a bound violation can be
@@ -745,7 +757,7 @@ object Bench {
     // deserves the same discipline.
     case class MixLeg(durSec: Double, commits: Int, reads: Long,
         consistent: Boolean, errors: Int, violations: Seq[String],
-        entriesStr: String)
+        entriesStr: String, serials: Map[String, Double])
     def runMixLeg(mixUsers: Int, mixNames: Seq[String]): MixLeg = {
         import org.apache.spark.sql.functions.{col, lit}
         val tmp = java.nio.file.Files.createTempDirectory("graft_mix")
@@ -924,7 +936,7 @@ object Bench {
             System.err.println(s"[bench] mixed p95/serial bound: $v"))
           MixLeg(durSec, commits, nReads.get(), badReads.isEmpty,
             errs.size, boundViolations.toSeq,
-            entries.mkString("{", ",", "}"))
+            entries.mkString("{", ",", "}"), serial4)
         } finally {
           sources.FsUtil.deleteRecursively(tmp, swallowErrors = true)
         }
@@ -969,6 +981,7 @@ object Bench {
         conc4Consistent = leg.consistent
         conc4Errors = leg.errors
         conc4Violations = leg.violations
+        conc4Serials = leg.serials
         val legNow = leg
         val confirmNow = confirmRan
         val firstViolNow = firstViolations
@@ -1734,11 +1747,26 @@ object Bench {
     // finalize the mixed-leg verdict now that the contention evidence
     // is in: run-level `contended` OR probe decay measured right at the
     // leg's exit qualifies a bound-only failure as machine-attributable
+    // serial-inflation sensor (round 13): a leg's serial references
+    // are EXECUTION-ONLY medians of warm shared plans, so they can
+    // never legitimately exceed the same queries' headline walls
+    // (best-of-N end-to-end, construction included). Two or more
+    // serials reading >1.25× their headline wall (and >0.15 s over —
+    // sub-150 ms plans jitter that much on GC alone) convict the
+    // leg's own window of a co-load burst, even one steady enough to
+    // hide from entry-vs-exit probe decay; clean-run serials measure
+    // 0.4–0.9× their headline walls, far from the trigger.
+    val headlineWall: Map[String, Double] =
+      results.collect { case (n, Some(s)) => n -> s }.toMap
+    def serialsInflated(serials: Map[String, Double]): Boolean =
+      serials.count { case (n, s0) =>
+        headlineWall.get(n).exists(h => s0 > 1.25 * h && s0 > h + 0.15)
+      } >= 2
     val (conc4OkJson, conc4ReasonJson) = conc4Assemble match {
       case None => ("null", "null") // leg skipped — no verdict at all
       case Some(_) =>
-        val sectionContended = probe1 > 0 && conc4ProbeAfter > 0 &&
-          conc4ProbeAfter < probe1 * 0.85
+        val sectionContended = (probe1 > 0 && conc4ProbeAfter > 0 &&
+          conc4ProbeAfter < probe1 * 0.85) || serialsInflated(conc4Serials)
         conc4Verdict(conc4Consistent, conc4Errors, conc4Violations,
           contended || sectionContended)
     }
@@ -1750,7 +1778,8 @@ object Bench {
     val (concOkJson, concReasonJson) =
       if (!concRan) ("null", "null")
       else conc4Verdict(true, 0, concViolations.toSeq,
-        contended || sectionDecayed(concProbeAfter), "p50_bound")
+        contended || sectionDecayed(concProbeAfter) ||
+          serialsInflated(concSerials), "p50_bound")
     // scaling-leg verdict (round-13 directive): a scaling query that
     // THREW is an engine failure (false/"errors"); a reproducing
     // ratio-bound breach on a quiet machine is false/"ratio_bound";
