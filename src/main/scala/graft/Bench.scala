@@ -225,6 +225,119 @@ object Bench {
       else ("false", "\"" + boundReason + "\"")
     } else ("true", "null")
 
+  // ---- pinned machine yardstick (round-14 directive #1): the builder
+  // headline drifted +17% in BOTH round 12 and round 13 with zero
+  // query-code change, each time acquitted by a bespoke judge-side
+  // narrative — a drift envelope larger than any plausible code
+  // regression means the raw round-over-round comparison can no longer
+  // catch one. The artifact already records the machine yardsticks
+  // (cpu probes, io probe); normalization makes the comparison
+  // arithmetic: every artifact now carries a `normalized` headline =
+  // raw × (this run's probe speeds ÷ the PINNED reference speeds),
+  // i.e. "what this headline would have read on the yardstick
+  // machine" (wall ∝ 1/speed, so a slower machine's factor < 1
+  // deflates its inflated walls back). The pins come from the round-13
+  // builder artifact of record (BENCH_r13_builder.json,
+  // contended:false, entry load 0.0) and live HERE, not in
+  // BASELINE.json (driver-owned file), with the values echoed into
+  // every artifact under normalized.yardstick so the formula is
+  // reproducible from the artifact alone. Re-pin only against a new
+  // committed contended:false builder artifact, with a SCALE.md note —
+  // re-pinning resets the comparison basis exactly like a fingerprint
+  // migration resets plan history. Limits (SCALE.md §normalization):
+  // the probes are entry-window samples adjacent to the headline, so a
+  // burst arriving mid-headline is the retry policy's job, not the
+  // factor's; and the io probe measures sequential bandwidth, so a
+  // pure storage-LATENCY shift (the r12 control experiment's class) is
+  // only partially captured. ----
+  val yardstickFrom = "BENCH_r13_builder.json"
+  val yardstickCpu1 = 495.3 // M iter/s, single thread
+  val yardstickCpuN = 11345.3 // M iter/s, all 32 bench threads
+  val yardstickIoWarm = 2879.3 // MB/s, warm sequential parquet read
+
+  /** Machine-speed factor vs the pinned yardstick: geometric mean of
+    * the VALID probe ratios (this run ÷ yardstick), each clamped to
+    * [0.5, 2.0] so one bogus or wildly-off probe cannot dominate the
+    * normalized number (a clamp hit is itself visible: the ratios are
+    * emitted raw next to the factor). Invalid ratios (probe failed,
+    * read ≤0) are dropped; all-invalid degrades to 1.0 — normalized
+    * equals raw rather than silently vanishing. */
+  def normFactor(ratios: Seq[Double]): Double = {
+    val valid = ratios.filter(r => r > 0 && !r.isNaN && !r.isInfinite)
+      .map(r => math.min(2.0, math.max(0.5, r)))
+    if (valid.isEmpty) 1.0
+    else math.exp(valid.map(math.log).sum / valid.size)
+  }
+
+  /** Run-level machine-state verdict, window-weighted (round-14
+    * directive #2): three of the last four DRIVER artifacts
+    * self-flagged `contended` from the unstable-timings branch alone —
+    * r13's driver run carried the fastest windows ever measured
+    * (headline 5.965 s, steal 0.78%, par_eff 0.89) yet printed
+    * contended:true because two sub-second queries failed the 25%
+    * convergence guard on GC variance. A per-query timing symptom may
+    * no longer convict the whole run UNLESS at least one WINDOWED
+    * sensor corroborates it (probe decay entry→exit, a section-exit
+    * probe decay, serial inflation in a verdict leg, a dirty kept
+    * headline-retry window, or steal above 2.5%). The direct machine
+    * evidence — hypervisor steal >5% over the run, parallel efficiency
+    * below 0.35 — still convicts on its own, corroborated or not. The
+    * raw entry loadavg stays recorded in `load.entry` for forensics
+    * and remains a non-trigger (launch-tail load average, round-9
+    * rationale unchanged). */
+  def runContended(stealPct: Double, parEff: Double, cpus: Int,
+      unstableCount: Int, pristine: Boolean,
+      windowCorroborated: Boolean): Boolean =
+    stealPct > 5.0 || (cpus > 1 && parEff < 0.35) ||
+      ((if (pristine) unstableCount >= 2 else unstableCount >= 1) &&
+        windowCorroborated)
+
+  /** Which headline window to keep after a retry (ADVICE r13: when the
+    * retry was triggered by probe decay alone, both windows' unstable
+    * lists are empty and the old size-comparison tie kept the FIRST
+    * window even if the retry's exit probe was clearly healthier —
+    * e.g. first decayed 40%, retry 16%, both below the 0.85 bar). On
+    * an unstable-count tie the exit probes break it: keep the window
+    * whose probe held up better. */
+  def keepRetryWindow(retryClean: Boolean, firstUnstable: Int,
+      retryUnstable: Int, probeFirstExit: Double,
+      probeRetryExit: Double): Boolean =
+    retryClean || retryUnstable < firstUnstable ||
+      (retryUnstable == firstUnstable && probeRetryExit > probeFirstExit)
+
+  /** Reference walls for the serial-inflation sensor (round-14
+    * directive #3 closes the loop round 13 left open: the sensor's
+    * references came from the same run's headline, so if the headline
+    * window itself ran dirty — the case the retry policy exists for
+    * but can only retry once — the 1.25× trigger quietly loosened).
+    * Default: this run's headline walls. When the headline retry
+    * FIRED at all (the window was suspect, whichever side was kept),
+    * the tripwire's trailing same-plan bench-basis medians override
+    * per-query where available (≥3 priors), with the headline wall as
+    * the per-query fallback for queries with no trailing history. */
+  def serialRefWalls(retryFired: Boolean,
+      headline: Map[String, Double],
+      trailingMedians: Map[String, Double]): Map[String, Double] =
+    if (!retryFired) headline else headline ++ trailingMedians
+
+  /** Serial-inflation sensor (round 13; reference walls parameterized
+    * in round 14): a verdict leg's serial references are
+    * EXECUTION-ONLY MEDIANS of warm shared plans (median-of-3 in both
+    * the mixed and the 2-user leg), so they can never legitimately
+    * exceed the same queries' reference walls (headline best-of-N
+    * end-to-end, or trailing bench medians when the headline window
+    * was suspect — see serialRefWalls). Two or more serials reading
+    * >1.25× their reference (and >0.15 s over — sub-150 ms plans
+    * jitter that much on GC alone) convict the leg's own window of a
+    * co-load burst, even one steady enough to hide from entry-vs-exit
+    * probe decay; clean-run serials measure 0.4–0.9× their headline
+    * walls, far from the trigger. */
+  def serialsInflated(serials: Map[String, Double],
+      refWalls: Map[String, Double]): Boolean =
+    serials.count { case (n, s0) =>
+      refWalls.get(n).exists(h => s0 > 1.25 * h && s0 > h + 0.15)
+    } >= 2
+
   /** Sequential-read throughput (MB/s) over the corpus' largest parquet
     * file — the I/O yardstick the CPU probes cannot substitute for.
     * Round-12 lesson: a ~20% headline drift arrived with every CPU
@@ -500,6 +613,12 @@ object Bench {
     // forensics, not the measurement). Opt out: SPARK_GRAFT_BENCH_RETRY=0
     // (the drills do — their walls are scaffolding).
     var headlineRetryJson = """{"ran":false}"""
+    // window evidence for the run-level contended verdict: the retry
+    // FIRING says the headline window was suspect; keeping a window
+    // that is still dirty (not retry_clean) is itself a windowed
+    // contention sensor
+    var headlineRetryFired = false
+    var headlineWindowDirty = false
     val retryEnabled =
       !sys.env.get("SPARK_GRAFT_BENCH_RETRY").contains("0")
     if (names.nonEmpty && retryEnabled) {
@@ -511,6 +630,7 @@ object Bench {
         System.err.println(s"[bench] headline window suspect " +
           s"(unstable=${firstUnstable.mkString(",")}, probe " +
           s"$probe1 -> $probeHead M/s) — one full headline re-run")
+        headlineRetryFired = true
         val firstResults = results
         unstable.clear()
         val retryResults = measureHeadline()
@@ -518,11 +638,15 @@ object Bench {
         val retryUnstable = unstable.toList
         val retryClean = windowClean(retryUnstable, probeRetry)
         // keep the cleaner window; ties (both dirty) keep whichever
-        // has fewer non-converging timings, first on a full tie
-        val useRetry = retryClean ||
-          retryUnstable.size < firstUnstable.size
+        // has fewer non-converging timings, exit probes break a full
+        // tie (keepRetryWindow — ADVICE r13: a probe-decay-only retry
+        // has two empty unstable lists, and the healthier exit probe
+        // is the only evidence left)
+        val useRetry = keepRetryWindow(retryClean,
+          firstUnstable.size, retryUnstable.size, probeHead, probeRetry)
         if (useRetry) results = retryResults
         else { unstable.clear(); unstable ++= firstUnstable }
+        headlineWindowDirty = !(useRetry && retryClean)
         def tot(rs: Seq[(String, Option[Double])]): Double =
           math.rint(rs.flatMap(_._2).sum * 1000) / 1000
         def jl(xs: Seq[String]): String =
@@ -555,13 +679,14 @@ object Bench {
     // history write must never damage the bench.
     val histRoot =
       sys.env.getOrElse("SPARK_GRAFT_HISTORY_DIR", "bench_history")
+    val benchTs = System.currentTimeMillis()
+    val benchRunId = s"bench_$benchTs"
     try {
       if (histRoot.nonEmpty && results.nonEmpty) {
-        val ts = System.currentTimeMillis()
-        plans.QueryStats.append(spark, histRoot, s"bench_$ts",
+        plans.QueryStats.append(spark, histRoot, benchRunId,
           results.flatMap { case (n, secOpt) => secOpt.map(s =>
-            plans.QueryStats.Entry(n, math.rint(s * 1e6) / 1e3, -1L, ts,
-              planHashes.getOrElse(n, ""))) })
+            plans.QueryStats.Entry(n, math.rint(s * 1e6) / 1e3, -1L,
+              benchTs, planHashes.getOrElse(n, ""))) })
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] query history append: $e")
@@ -575,6 +700,11 @@ object Bench {
     // single-shot walls are a different measurement basis.
     var regressionsN = -1
     var regressionNames: Seq[String] = Seq.empty
+    // trailing same-plan bench-basis medians (≥3 priors, this run's
+    // batch excluded) — the serial-inflation sensor's fallback
+    // reference when the headline window was suspect (directive #3;
+    // see serialRefWalls)
+    var trailingMedians: Map[String, Double] = Map.empty
     try {
       if (histRoot.nonEmpty && results.nonEmpty) {
         val hist = plans.QueryStats.history(spark, histRoot)
@@ -584,6 +714,18 @@ object Bench {
         regressionsN = flagged.length
         regressionNames = flagged.toSeq
           .map(r => s"${r.getString(0)}:${r.getString(1)}").sorted
+        import org.apache.spark.sql.functions.{col, count, lit, median}
+        trailingMedians = hist
+          .filter(col("run_id").startsWith("bench_") &&
+            col("run_id") =!= benchRunId)
+          .groupBy(col("query"), col("plan_hash"))
+          .agg(median(col("wall_ms")).as("med"), count(lit(1)).as("n"))
+          .collect().flatMap { r =>
+            val q = r.getString(0)
+            if (r.getLong(3) >= 3 && planHashes.get(q).contains(r.getString(1)))
+              Some(q -> r.getDouble(2) / 1000.0)
+            else None
+          }.toMap
       }
     } catch { case e: Throwable =>
       System.err.println(s"[bench] regression tripwire: $e")
@@ -638,10 +780,19 @@ object Bench {
           shared(n).write.mode("overwrite").format("noop").save()
           (System.nanoTime() - t0) / 1e9
         }
+        // median-of-3 serial reference, matching conc4's serial4
+        // (ADVICE r13: the p50 bound divides by this — a single
+        // noisy-fast serial draw inflates p50/serial and can trip
+        // conc_ok:false spuriously on a quiet machine; the denominator
+        // must be the TYPICAL serial wall, not one sample). This also
+        // makes the serial-inflation sensor's "execution-only medians"
+        // premise literally true for BOTH legs.
         val serialBase = concNames.flatMap { n =>
           if (!shared.contains(n)) None
-          else try Some(n -> execOnly(n))
-          catch { case e: Throwable =>
+          else try {
+            val s3 = Seq.fill(3)(execOnly(n)).sorted
+            Some(n -> s3(1))
+          } catch { case e: Throwable =>
             System.err.println(s"[bench] concurrent serial $n: ${e.getMessage}")
             None
           }
@@ -1331,6 +1482,13 @@ object Bench {
     // a contended x1 denominator poisons the ratio from below); only
     // a reproducing breach becomes a violation.
     var scalRan = false
+    // attempted vs ran (ADVICE r13): if the leg throws BEFORE any
+    // query runs (e.g. the scaled-corpus build fails), scalRan stays
+    // false and the old verdict read null/null — indistinguishable in
+    // the artifact from an intentionally skipped leg. scalAttempted is
+    // set before the corpus build; attempted-but-crashed emits
+    // false/"errors", reserving null/null for factor<=1/soakOnly.
+    var scalAttempted = false
     var scalErrors = 0
     val scalViolations = scala.collection.mutable.ArrayBuffer.empty[String]
     val scalConfirmed = scala.collection.mutable.ArrayBuffer.empty[String]
@@ -1338,6 +1496,7 @@ object Bench {
     val scalingJson: String =
       if (scaleFactor <= 1 || soakOnly) "{}"
       else try {
+        scalAttempted = true
         import org.apache.spark.sql.functions.{col, lit}
         val tmp = java.nio.file.Files.createTempDirectory("graft_scale")
         // the scaling legs run with RELIABLE checkpoint barriers (r8
@@ -1586,7 +1745,10 @@ object Bench {
         }
       } catch { case e: Throwable =>
         System.err.println(s"[bench] scaling failed: ${e.getMessage}")
-        if (scalRan) scalErrors += 1
+        // the leg was attempted (the guard above filtered factor<=1/
+        // soakOnly), so a crash here — before OR after the first query
+        // — is an engine/harness error the verdict must carry
+        scalErrors += 1
         "{}"
       }
     // section-local contention sensor for the scaling leg (the r12
@@ -1731,9 +1893,34 @@ object Bench {
     val probeDecay = probe1 > 0 && probe1End < probe1 * 0.85
     val pristine = stealPct <= 1.0 && !probeDecay &&
       (cpus.toInt == 1 || parEff >= 0.7)
-    val contended = stealPct > 5.0 ||
-      (cpus.toInt > 1 && parEff < 0.35) ||
-      (if (pristine) unstable.size >= 2 else unstable.nonEmpty)
+    def sectionDecayed(probeAfter: Double): Boolean =
+      probe1 > 0 && probeAfter > 0 && probeAfter < probe1 * 0.85
+    // serial-inflation sensor references (round 14, directive #3):
+    // this run's headline walls by default; trailing same-plan bench
+    // medians override per-query when the headline window was suspect
+    // (the retry fired) — see serialRefWalls' scaladoc
+    val headlineWall: Map[String, Double] =
+      results.collect { case (n, Some(s)) => n -> s }.toMap
+    val serialRefs =
+      serialRefWalls(headlineRetryFired, headlineWall, trailingMedians)
+    val concInflated = concRan && serialsInflated(concSerials, serialRefs)
+    val conc4Inflated =
+      conc4Assemble.isDefined && serialsInflated(conc4Serials, serialRefs)
+    // the WINDOWED contention sensors, collected by name so the
+    // artifact records WHICH evidence corroborated (or would have):
+    // per-query timing instability alone may no longer convict the
+    // run (round-14 directive #2 — see runContended's scaladoc)
+    val windowEvidence: Seq[String] = Seq(
+      "probe_decay" -> probeDecay,
+      "steal" -> (stealPct > 2.5),
+      "conc_probe_decay" -> sectionDecayed(concProbeAfter),
+      "conc4_probe_decay" -> sectionDecayed(conc4ProbeAfter),
+      "scal_probe_decay" -> sectionDecayed(scalProbeAfter),
+      "serial_inflation" -> (concInflated || conc4Inflated),
+      "headline_retry_dirty" -> headlineWindowDirty
+    ).collect { case (n, true) => n }
+    val contended = runContended(stealPct, parEff, cpus.toInt,
+      unstable.size, pristine, windowEvidence.nonEmpty)
     val loadJson = s"""{"entry":$loadEntry,"steal_pct":${
         math.rint(stealPct * 100) / 100},"reruns":$benchReruns,""" +
       s""""cpu_probe_1":$probe1,"cpu_probe_n":$probeN,""" +
@@ -1741,53 +1928,42 @@ object Bench {
       s""""cpu_probe_1_conc4":$conc4ProbeAfter,"par_eff":$parEff,""" +
       s""""io_probe_mbs":[$ioCold,$ioWarm],"io_probe_mbs_end":$ioEnd,""" +
       s""""unstable":${unstable.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""evidence":${windowEvidence.map("\"" + _ + "\"")
+        .mkString("[", ",", "]")},""" +
       s""""trace":${loadTrace.map { case (k, v) => "\"" + k + "\":" + v }
         .mkString("{", ",", "}")}}"""
 
     // finalize the mixed-leg verdict now that the contention evidence
     // is in: run-level `contended` OR probe decay measured right at the
-    // leg's exit qualifies a bound-only failure as machine-attributable
-    // serial-inflation sensor (round 13): a leg's serial references
-    // are EXECUTION-ONLY medians of warm shared plans, so they can
-    // never legitimately exceed the same queries' headline walls
-    // (best-of-N end-to-end, construction included). Two or more
-    // serials reading >1.25× their headline wall (and >0.15 s over —
-    // sub-150 ms plans jitter that much on GC alone) convict the
-    // leg's own window of a co-load burst, even one steady enough to
-    // hide from entry-vs-exit probe decay; clean-run serials measure
-    // 0.4–0.9× their headline walls, far from the trigger.
-    val headlineWall: Map[String, Double] =
-      results.collect { case (n, Some(s)) => n -> s }.toMap
-    def serialsInflated(serials: Map[String, Double]): Boolean =
-      serials.count { case (n, s0) =>
-        headlineWall.get(n).exists(h => s0 > 1.25 * h && s0 > h + 0.15)
-      } >= 2
+    // leg's exit OR the leg's own serial inflation qualifies a
+    // bound-only failure as machine-attributable
     val (conc4OkJson, conc4ReasonJson) = conc4Assemble match {
       case None => ("null", "null") // leg skipped — no verdict at all
       case Some(_) =>
-        val sectionContended = (probe1 > 0 && conc4ProbeAfter > 0 &&
-          conc4ProbeAfter < probe1 * 0.85) || serialsInflated(conc4Serials)
+        val sectionContended =
+          sectionDecayed(conc4ProbeAfter) || conc4Inflated
         conc4Verdict(conc4Consistent, conc4Errors, conc4Violations,
           contended || sectionContended)
     }
     val concurrent4Json =
       conc4Assemble.map(_(conc4OkJson, conc4ReasonJson)).getOrElse("{}")
-    def sectionDecayed(probeAfter: Double): Boolean =
-      probe1 > 0 && probeAfter > 0 && probeAfter < probe1 * 0.85
     // 2-user leg verdict, same emit-time qualification (round 13)
     val (concOkJson, concReasonJson) =
       if (!concRan) ("null", "null")
       else conc4Verdict(true, 0, concViolations.toSeq,
-        contended || sectionDecayed(concProbeAfter) ||
-          serialsInflated(concSerials), "p50_bound")
+        contended || sectionDecayed(concProbeAfter) || concInflated,
+        "p50_bound")
     // scaling-leg verdict (round-13 directive): a scaling query that
     // THREW is an engine failure (false/"errors"); a reproducing
     // ratio-bound breach on a quiet machine is false/"ratio_bound";
     // the same breach on a contended run — where numerator and
     // denominator were measured under different load — is
-    // null/"contended"; a clean leg is true
+    // null/"contended"; a clean leg is true. A leg that was ATTEMPTED
+    // but crashed before any query ran is false/"errors" too (ADVICE
+    // r13) — null/null is reserved for factor<=1/soakOnly skips.
     val (scalOkJson, scalReasonJson) =
-      if (!scalRan) ("null", "null")
+      if (!scalAttempted) ("null", "null")
+      else if (!scalRan) ("false", "\"errors\"")
       else conc4Verdict(true, scalErrors, scalViolations.toSeq,
         contended || sectionDecayed(scalProbeAfter), "ratio_bound")
     val scalViolJson =
@@ -1803,7 +1979,29 @@ object Bench {
       regressionNames.map("\"" + _ + "\"").mkString("[", ",", "]")
     val scalWorst = jnum(scalRatios.maxOption.map(r3))
     val concW = jnum(concWorst.map(r3))
-    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","queries":$qs,"extended":$extJson,"scaling":$scalingJson,"scaling27":$scaling27Json,"scal_worst":$scalWorst,"scal_ok":$scalOkJson,"scal_reason":$scalReasonJson,"scal_violations":$scalViolJson,"scal_confirmed":$scalConfJson,"concurrent":{"sessions":$users,"ok":$concOkJson,"reason":$concReasonJson,"worst":$concW,"violations":$concViolJson,"queries":$concurrentJson},"concurrent4":$concurrent4Json,"soak":$soakJson,"soak_crash":$soakCrashJson,"soak_crash_all":$soakCrashAllJson,"all":$allJson,"all_confirmed":$confirmedJson,"regressions":$regressionsN,"regression_names":$regNamesJson,"headline_retry":$headlineRetryJson,"plants":$plantsJson,"contended":$contended,"load":$loadJson,"sf":"$sfDir"}"""
+    // normalized headline vs the pinned yardstick (round-14 directive
+    // #1 — see the yardstick block's comment): factor = geomean of the
+    // clamped probe ratios (this run ÷ pin), normalized = raw total ×
+    // factor, i.e. the headline expressed in yardstick-machine
+    // seconds. Per-query normalized walls are raw × the same factor
+    // (one machine, one factor), so only the factor is emitted. The
+    // ENTRY probes are used — they are the samples adjacent to the
+    // headline window. Raw ratios ride along un-clamped so a clamp
+    // hit is visible in the artifact.
+    def r4(d: Double): Double = math.rint(d * 10000) / 10000
+    val cpu1Ratio = if (probe1 > 0) probe1 / yardstickCpu1 else -1.0
+    val cpuNRatio = if (probeN > 0) probeN / yardstickCpuN else -1.0
+    val ioWarmRatio = if (ioWarm > 0) ioWarm / yardstickIoWarm else -1.0
+    val nFactor = normFactor(Seq(cpu1Ratio, cpuNRatio, ioWarmRatio))
+    val normTotal = r3(total * nFactor)
+    val normalizedJson =
+      s"""{"value":$normTotal,"factor":${r4(nFactor)},""" +
+        s""""cpu1_ratio":${r4(cpu1Ratio)},"cpun_ratio":${r4(cpuNRatio)},""" +
+        s""""io_warm_ratio":${r4(ioWarmRatio)},""" +
+        s""""yardstick":{"cpu_probe_1":$yardstickCpu1,""" +
+        s""""cpu_probe_n":$yardstickCpuN,"io_warm_mbs":$yardstickIoWarm,""" +
+        s""""pinned_from":"$yardstickFrom"}}"""
+    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","normalized":$normalizedJson,"queries":$qs,"extended":$extJson,"scaling":$scalingJson,"scaling27":$scaling27Json,"scal_worst":$scalWorst,"scal_ok":$scalOkJson,"scal_reason":$scalReasonJson,"scal_violations":$scalViolJson,"scal_confirmed":$scalConfJson,"concurrent":{"sessions":$users,"ok":$concOkJson,"reason":$concReasonJson,"worst":$concW,"violations":$concViolJson,"queries":$concurrentJson},"concurrent4":$concurrent4Json,"soak":$soakJson,"soak_crash":$soakCrashJson,"soak_crash_all":$soakCrashAllJson,"all":$allJson,"all_confirmed":$confirmedJson,"regressions":$regressionsN,"regression_names":$regNamesJson,"headline_retry":$headlineRetryJson,"plants":$plantsJson,"contended":$contended,"load":$loadJson,"sf":"$sfDir"}"""
     // full-precision, full-section copy: sbt wraps stdout in [info] noise
     // and the driver's stdout tail capture is ~2 KB, so the complete
     // artifact always lands in this file
@@ -1833,7 +2031,13 @@ object Bench {
     val slowJson =
       if (slowest._1.isEmpty) "null"
       else "\"" + slowest._1 + ":" + r3(slowest._2) + "\""
-    val signals = s""","ext_total":$extTotal,"ext_fail":$extFail""" +
+    val signals =
+      // normalized headline + factor ride the driver-visible line so
+      // the round-over-round comparison is arithmetic from the compact
+      // line alone (full formula inputs live in bench_out.json's
+      // `normalized` object)
+      s""","headline_normalized":$normTotal,"norm_factor":${r4(nFactor)}""" +
+      s""","ext_total":$extTotal,"ext_fail":$extFail""" +
       s""","scal_worst":$scalWorst,"conc_worst":$concW""" +
       s""","conc4_worst":$conc4W""" +
       // the self-validating verdicts (round 11, completed round 13 —

@@ -147,11 +147,24 @@ object QueryStats {
     * FILTER clauses) through the same permutation. The result is a
     * deterministic function of session-independent content, so every
     * session converges on one rendering; it is hash-input only, never
-    * executed. CUBE-style grouping-set Expands can match the same
-    * shape — they are already session-stable (group order comes from
-    * the user query), and the transform is deterministic there too,
-    * so stability is preserved either way. */
-  private def stableDistinctGroups(
+    * executed.
+    *
+    * Two scoping notes (ADVICE r13): (1) grouping-sets/rollup/CUBE
+    * Expands are EXCLUDED by the gid attribute's name
+    * (`spark_grouping_id`) — their gid values are semantically
+    * meaningful bitmasks assigned from the user's query (already
+    * session-stable), and a CUBE whose bitmasks happen to coincide
+    * with 0..n-1 would otherwise be renumbered, erasing meaning from
+    * the hash input; the distinct-rewrite's gid attribute is named
+    * plain `gid`. (2) residual: the content-key row sort is stable
+    * under ties, so two projection rows with IDENTICAL non-null cell
+    * renderings keep their original (session-dependent) relative
+    * order — their rendered content is identical either way, but an
+    * upstream `gid = k` FILTER remap could differ across sessions for
+    * such twins. Truly identical distinct-agg groups don't occur in
+    * practice (the rewrite deduplicates by expression set), and this
+    * is advisory-only hash input — accepted. */
+  private[graft] def stableDistinctGroups(
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
       : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan = {
     import org.apache.spark.sql.catalyst.expressions._
@@ -179,8 +192,12 @@ object QueryStats {
             output.size == projections.head.size => {
         // the gid column: every row holds an int literal equal to its
         // own row index (the distinct-rewrite allocates gids 0..n-1 in
-        // row order — rollup/grouping-set bitmask gids don't match)
+        // row order). Grouping-set Expands are excluded by NAME — the
+        // analyzer calls their gid `spark_grouping_id` and its bitmask
+        // values are semantically meaningful (a CUBE's can coincide
+        // with 0..n-1); the distinct rewrite names its own plain `gid`
         val gidPos = output.indices.find { g =>
+          output(g).name != "spark_grouping_id" &&
           projections.zipWithIndex.forall {
             case (row, i) => row(g) match {
               case Literal(v: Int, IntegerType) => v == i
@@ -274,6 +291,27 @@ object QueryStats {
     }
   }
 
+  /** The FOURTH measured instability class (root-caused in round 14,
+    * surfaced by the verify-basis tripwire flipping j_range_interval /
+    * x_ann_centroid_drift between the same two hashes across verify
+    * runs): a logical `Range` node prints its numSlices —
+    * `splits=Some(N)` — and N defaults to the SESSION's parallelism
+    * (local[4] vs local[8] vs local[32]), so every query built on
+    * `spark.range(...)` fingerprints differently per core count. That
+    * is machine config, not query structure; a cross-run history must
+    * not read "ran on a different box" as plan churn. Fold numSlices
+    * to None before canonicalization. Residual, documented: an
+    * EXPLICIT `spark.range(n, numSlices = k)` change also folds —
+    * acceptable coarseness for a "did my plan move" signal (no graft
+    * query passes numSlices explicitly). */
+  private def stableRangeSlices(
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)
+      : org.apache.spark.sql.catalyst.plans.logical.LogicalPlan =
+    plan.transformUpWithSubqueries {
+      case r: org.apache.spark.sql.catalyst.plans.logical.Range
+          if r.numSlices.isDefined => r.copy(numSlices = None)
+    }
+
   /** The exact string `planHash` hashes — sanitized and
     * deterministically ordered. Exposed so `Explain --canon` prints
     * precisely what gets fingerprinted (diffing two sessions' dumps
@@ -284,7 +322,9 @@ object QueryStats {
     // to the raw canonicalized string, never break the recorder
     val grouped =
       try stableDistinctGroups(opt) catch { case _: Throwable => opt }
-    val canon = grouped.canonicalized
+    val desliced =
+      try stableRangeSlices(grouped) catch { case _: Throwable => grouped }
+    val canon = desliced.canonicalized
     val ordered =
       try stableOrder(canon) catch { case _: Throwable => canon }
     sanitizeTokens(ordered.toString)

@@ -11,6 +11,34 @@ class CatalogSpec extends GraftSuite {
     new Catalog(spark,
       java.nio.file.Files.createTempDirectory("graft_cat").toString)
 
+  /** Retry-once-and-RECORD wrapper for the reader-vs-rewrite race
+    * tests (round-14 directive #5; rationale at the flake-tripwire
+    * test at the bottom of this suite): a first failure is recorded —
+    * incident line with the TEST NAME and the exception head — and
+    * retried once; a reproducing failure still fails the suite. */
+  private val flakeRoot = "target/flake_incidents"
+  private def retryOnceRecordingIn(root: String, name: String)(
+      body: => Unit): Unit =
+    try body
+    catch {
+      case e: Throwable =>
+        val head = Option(e.getMessage).getOrElse(e.toString)
+          .replaceAll("\\s+", " ").take(200)
+        // the incident parser splits on spaces — the name goes in the
+        // table field underscored so the line stays machine-readable
+        sources.Incidents.record(root, "test_flake",
+          name.replaceAll("\\s+", "_"), head)
+        System.err.println(s"[flake-tripwire] '$name' failed once " +
+          s"($head) — recorded to $root/_incidents/log, retrying once")
+        body
+    }
+  private def retryOnceRecording(name: String)(body: => Unit): Unit =
+    retryOnceRecordingIn(flakeRoot, name)(body)
+  /** `test` + the flake tripwire — registration helper so the race
+    * tests wrap with a one-line change. */
+  private def raceTest(name: String)(body: => Unit): Unit =
+    test(name) { retryOnceRecording(name)(body) }
+
   test("create / insert / truncate / drop lifecycle") {
     val cat = freshCatalog()
     val schema = StructType(Seq(StructField("id", LongType),
@@ -147,7 +175,7 @@ class CatalogSpec extends GraftSuite {
       "recreated table inherited the dropped table's id sequence")
   }
 
-  test("appends are atomic: readers never see a torn batch") {
+  raceTest("appends are atomic: readers never see a torn batch") {
     // a bare Append publishes part files one rename at a time — with
     // the dir inode unchanged, neither the generation bracket nor
     // readCommitted's retry can see it. Appends now stage against
@@ -453,7 +481,7 @@ class CatalogSpec extends GraftSuite {
     assert(ids == want, s"every committed batch must survive, got $ids")
   }
 
-  test("a reader sees the pre- or post-image of a rewrite, never a mix") {
+  raceTest("a reader sees the pre- or post-image of a rewrite, never a mix") {
     import scala.jdk.CollectionConverters._
     val cat = freshCatalog()
     cat.createTableAs("r",
@@ -480,7 +508,7 @@ class CatalogSpec extends GraftSuite {
       .map(_.getInt(0)).toSeq == Seq(5))
   }
 
-  test("snapshot reads stay complete under a continuous writer (hammer)") {
+  raceTest("snapshot reads stay complete under a continuous writer (hammer)") {
     // round-10 regression pin (found by the bench's new mixed leg,
     // reproduced by sources.CatalogStress): Spark's InMemoryFileIndex
     // treats a root dir that vanishes between its glob and its
@@ -1413,5 +1441,170 @@ class CatalogSpec extends GraftSuite {
     // machine state — errors outrank bound violations
     assert(Bench.conc4Verdict(true, 1, scalViol, true, "ratio_bound") ==
       (("false", "\"errors\"")))
+  }
+
+  test("runContended: per-query instability needs windowed corroboration") {
+    import Bench.runContended
+    // direct machine evidence convicts alone, corroborated or not
+    assert(runContended(5.1, 0.9, 32, 0, true, false))
+    assert(runContended(0.1, 0.34, 32, 0, true, false))
+    // the r13-driver shape (round-14 directive #2): fastest windows
+    // ever, steal 0.78%, par_eff 0.89, every windowed sensor clean —
+    // two sub-second queries spreading on GC variance may no longer
+    // flip the whole artifact to contended
+    assert(!runContended(0.78, 0.89, 32, 2, true, false))
+    // the same instability WITH a windowed sensor corroborating — the
+    // genuinely co-loaded round-10 shape stays flagged
+    assert(runContended(0.78, 0.89, 32, 2, true, true))
+    // non-pristine run (probe decay / steal>1): a single unstable
+    // timing plus corroboration convicts; without corroboration not
+    assert(runContended(1.5, 0.8, 32, 1, false, true))
+    assert(!runContended(1.5, 0.8, 32, 1, false, false))
+    // pristine singleton instability stays a per-query annotation
+    // (round-10 rule), even corroborated
+    assert(!runContended(0.1, 0.9, 32, 1, true, true))
+    // nothing unstable, probes clean — never contended
+    assert(!runContended(0.1, 0.9, 32, 0, true, true))
+    // single-cpu runs never read par_eff
+    assert(!runContended(0.1, 0.1, 1, 0, true, false))
+  }
+
+  test("keepRetryWindow: probe health breaks an unstable-count tie") {
+    import Bench.keepRetryWindow
+    assert(keepRetryWindow(true, 3, 3, 500, 100)) // clean retry wins
+    assert(keepRetryWindow(false, 2, 1, 100, 500)) // fewer unstable wins
+    assert(!keepRetryWindow(false, 1, 2, 100, 500)) // more unstable loses
+    // ADVICE r13: a probe-decay-only retry leaves both unstable lists
+    // empty — the healthier exit probe decides (first decayed 40%,
+    // retry 16%: keep retry)
+    assert(keepRetryWindow(false, 0, 0, 300, 420))
+    assert(!keepRetryWindow(false, 0, 0, 420, 300))
+    assert(!keepRetryWindow(false, 0, 0, 300, 300)) // full tie: first
+  }
+
+  test("serial-inflation references follow the headline-retry state") {
+    import Bench.{serialRefWalls, serialsInflated}
+    val headline = Map("q01" -> 0.2, "q06" -> 0.1, "j" -> 0.4)
+    val trailing = Map("q01" -> 0.5, "q06" -> 0.45)
+    // no retry → this run's headline walls are the reference
+    assert(serialRefWalls(false, headline, trailing) == headline)
+    // retry fired → trailing same-plan bench medians override where
+    // available; headline fallback for queries with no history ("j")
+    val refs = serialRefWalls(true, headline, trailing)
+    assert(refs == Map("q01" -> 0.5, "q06" -> 0.45, "j" -> 0.4))
+    // two serials at ~2x a DIRTY headline would convict under headline
+    // references...
+    val serials = Map("q01" -> 0.42, "q06" -> 0.4)
+    assert(serialsInflated(serials, headline))
+    // ...but read clean against trailing medians from quiet rounds —
+    // the quiet loosening round-14 directive #3 closes (the sensor no
+    // longer inherits the dirty window's inflated trigger point)
+    assert(!serialsInflated(serials, refs))
+    // the absolute guard: sub-150 ms jitter never trips on ratio alone
+    assert(!serialsInflated(Map("a" -> 0.11, "b" -> 0.12),
+      Map("a" -> 0.05, "b" -> 0.05)))
+    // one inflated serial is GC, two are a burst
+    assert(!serialsInflated(Map("q01" -> 1.0), Map("q01" -> 0.2)))
+  }
+
+  test("normFactor: geomean of valid clamped ratios, 1.0 when none") {
+    import Bench.normFactor
+    assert(normFactor(Seq.empty) == 1.0)
+    assert(normFactor(Seq(-1.0, Double.NaN)) == 1.0) // probes failed
+    assert(math.abs(normFactor(Seq(2.0, 0.5)) - 1.0) < 1e-9)
+    assert(math.abs(normFactor(Seq(0.8)) - 0.8) < 1e-9)
+    // the clamp: one wildly-off probe cannot dominate the factor
+    assert(math.abs(normFactor(Seq(10.0)) - 2.0) < 1e-9)
+    assert(math.abs(normFactor(Seq(0.01)) - 0.5) < 1e-9)
+    // faster machine → factor > 1 → normalized wall reads HIGHER in
+    // yardstick-machine seconds (wall ∝ 1/speed)
+    assert(normFactor(Seq(1.2, 1.1)) > 1.0)
+  }
+
+  test("stableDistinctGroups leaves grouping-set Expands untouched") {
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.plans.logical.{Expand,
+      LocalRelation, LogicalPlan}
+    val a = AttributeReference("a", IntegerType)()
+    val b = AttributeReference("b", IntegerType)()
+    val c1 = AttributeReference("c1", IntegerType)()
+    val c2 = AttributeReference("c2", IntegerType)()
+    val child = LocalRelation(a, b)
+    // two rows whose content keys sort OPPOSITE to their gid order, so
+    // the distinct-rewrite normalization, when it acts, must reorder
+    def rows: Seq[Seq[Expression]] = Seq(
+      Seq(Literal(0), Literal(null, IntegerType), b),
+      Seq(Literal(1), a, Literal(null, IntegerType)))
+    def proj(p: LogicalPlan) =
+      p.collect { case e: Expand => e.projections }.head
+    // distinct-rewrite shape: gid attribute named plain `gid` — the
+    // normalization acts (rows re-sorted by content key, renumbered)
+    val gid = AttributeReference("gid", IntegerType)()
+    val acted = graft.plans.QueryStats.stableDistinctGroups(
+      Expand(rows, Seq(gid, c1, c2), child))
+    assert(proj(acted) != rows, "distinct-rewrite Expand must normalize")
+    // grouping-sets shape (ADVICE r13): same 0..n-1 literal pattern
+    // but the gid attribute is the analyzer's `spark_grouping_id`,
+    // whose bitmask values are semantically meaningful — excluded by
+    // name, plan unchanged
+    val sgid = AttributeReference("spark_grouping_id", IntegerType)()
+    val excluded = graft.plans.QueryStats.stableDistinctGroups(
+      Expand(rows, Seq(sgid, c1, c2), child))
+    assert(proj(excluded) == rows,
+      "grouping-set Expand must pass through untouched")
+  }
+
+  test("stableString folds Range numSlices (session-parallelism leak)") {
+    // round-14 root cause: `Range (0, 1, step=1, splits=Some(N))`
+    // prints the SESSION's default parallelism, so every spark.range-
+    // based query fingerprinted differently per core count — the
+    // verify-basis tripwire flipped j_range_interval and
+    // x_ann_centroid_drift between the same two hashes depending on
+    // SPARK_GRAFT_CPUS. The canon string must carry no splits value.
+    val df = spark.range(0, 16).toDF("id")
+      .groupBy(($"id" % 4).as("k")).count()
+    val s = graft.plans.QueryStats.stableString(df)
+    assert(s.contains("Range"), s"fixture must keep its Range node:\n$s")
+    assert(!s.contains("splits=Some"),
+      s"numSlices must be folded out of the hash input:\n$s")
+  }
+
+  // ---- flake tripwire (round-14 directive #5): one CatalogSpec test
+  // failed ONCE under full-suite load (2026-08-16, FAILED_READ_FILE
+  // noise near the reader-vs-rewrite race tests; never reproduced in
+  // 7+ full runs) and the failing test's NAME was lost to output
+  // truncation. The reader-vs-rewrite race family now runs under
+  // retryOnceRecording: a first failure appends an incident line —
+  // kind `test_flake`, the TEST NAME, the exception head — to the
+  // durable flake log (target/flake_incidents, checked each round)
+  // and prints it, then the body re-runs once. A failure that
+  // REPRODUCES on the retry still fails the suite — a recurring torn
+  // snapshot is an engine bug, and one retry only absorbs one-off
+  // environment noise while capturing the name either way. ----
+  test("flake tripwire: clean runs record nothing; a flake is NAMED") {
+    import java.nio.file.{Files, Paths}
+    val root = Files.createTempDirectory("graft_flake").toString
+    // clean body → zero incident lines (the directive's assertion)
+    retryOnceRecordingIn(root, "clean test") { assert(1 + 1 == 2) }
+    assert(sources.Incidents.list(root).isEmpty,
+      "a passing body must record nothing")
+    // fails once then passes → suite-green, incident carries the name
+    var n = 0
+    retryOnceRecordingIn(root, "flaky reader test") {
+      n += 1; if (n == 1) sys.error("[FAILED_READ_FILE] simulated flake")
+    }
+    assert(n == 2, "the body must have been retried exactly once")
+    val inc = sources.Incidents.list(root)
+    assert(inc.map(_.kind) == Seq("test_flake"))
+    assert(inc.head.table == "flaky_reader_test",
+      s"the incident must NAME the test: ${inc.head}")
+    assert(inc.head.detail.contains("FAILED_READ_FILE"))
+    // fails twice → rethrows (a reproducing failure is not absorbed)
+    val e = intercept[RuntimeException] {
+      retryOnceRecordingIn(root, "hard fail") { sys.error("boom") }
+    }
+    assert(e.getMessage == "boom")
+    assert(sources.Incidents.list(root).count(_.table == "hard_fail") == 1)
+    sources.FsUtil.deleteRecursively(Paths.get(root), swallowErrors = true)
   }
 }
