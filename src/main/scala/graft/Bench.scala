@@ -252,7 +252,12 @@ object Bench {
   // only partially captured. ----
   val yardstickFrom = "BENCH_r13_builder.json"
   val yardstickCpu1 = 495.3 // M iter/s, single thread
-  val yardstickCpuN = 11345.3 // M iter/s, all 32 bench threads
+  val yardstickCpuN = 11345.3 // M iter/s, at yardstickCpuNThreads
+  // the all-threads probe is only comparable at the SAME thread count
+  // it was pinned at (an 8-thread run's aggregate is a third of a
+  // 32-thread run's on the same machine — thread count, not co-load);
+  // runs at other counts drop the cpuN ratio from the factor
+  val yardstickCpuNThreads = 32
   val yardstickIoWarm = 2879.3 // MB/s, warm sequential parquet read
 
   /** Machine-speed factor vs the pinned yardstick: geometric mean of
@@ -369,6 +374,19 @@ object Bench {
 
   private def ioProbe(sfDir: String): (Double, Double) =
     (ioReadOnce(sfDir), ioReadOnce(sfDir))
+
+  /** Size of the file the io probe reads — the io NORMALIZATION ratio
+    * is only comparable when the probed file is big enough that
+    * throughput, not open/syscall overhead, dominates (the sf0.001
+    * corpus' 190 KB largest file reads "0.38× the yardstick" purely
+    * from fixed costs). 8 MB floor ≈ the sf0.1 pin's 10.8 MB file. */
+  private def largestParquetBytes(sfDir: String): Long =
+    try {
+      def files(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(files) else Seq(f)
+      files(new java.io.File(sfDir))
+        .filter(_.getName.endsWith(".parquet")).map(_.length).max
+    } catch { case _: Exception => -1L }
 
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -1990,8 +2008,14 @@ object Bench {
     // hit is visible in the artifact.
     def r4(d: Double): Double = math.rint(d * 10000) / 10000
     val cpu1Ratio = if (probe1 > 0) probe1 / yardstickCpu1 else -1.0
-    val cpuNRatio = if (probeN > 0) probeN / yardstickCpuN else -1.0
-    val ioWarmRatio = if (ioWarm > 0) ioWarm / yardstickIoWarm else -1.0
+    val cpuNRatio =
+      if (probeN > 0 && cpus.toInt == yardstickCpuNThreads)
+        probeN / yardstickCpuN
+      else -1.0
+    val ioWarmRatio =
+      if (ioWarm > 0 && largestParquetBytes(sfDir) >= (8L << 20))
+        ioWarm / yardstickIoWarm
+      else -1.0
     val nFactor = normFactor(Seq(cpu1Ratio, cpuNRatio, ioWarmRatio))
     val normTotal = r3(total * nFactor)
     val normalizedJson =
@@ -1999,7 +2023,9 @@ object Bench {
         s""""cpu1_ratio":${r4(cpu1Ratio)},"cpun_ratio":${r4(cpuNRatio)},""" +
         s""""io_warm_ratio":${r4(ioWarmRatio)},""" +
         s""""yardstick":{"cpu_probe_1":$yardstickCpu1,""" +
-        s""""cpu_probe_n":$yardstickCpuN,"io_warm_mbs":$yardstickIoWarm,""" +
+        s""""cpu_probe_n":$yardstickCpuN,""" +
+        s""""cpu_n_threads":$yardstickCpuNThreads,""" +
+        s""""io_warm_mbs":$yardstickIoWarm,""" +
         s""""pinned_from":"$yardstickFrom"}}"""
     val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","normalized":$normalizedJson,"queries":$qs,"extended":$extJson,"scaling":$scalingJson,"scaling27":$scaling27Json,"scal_worst":$scalWorst,"scal_ok":$scalOkJson,"scal_reason":$scalReasonJson,"scal_violations":$scalViolJson,"scal_confirmed":$scalConfJson,"concurrent":{"sessions":$users,"ok":$concOkJson,"reason":$concReasonJson,"worst":$concW,"violations":$concViolJson,"queries":$concurrentJson},"concurrent4":$concurrent4Json,"soak":$soakJson,"soak_crash":$soakCrashJson,"soak_crash_all":$soakCrashAllJson,"all":$allJson,"all_confirmed":$confirmedJson,"regressions":$regressionsN,"regression_names":$regNamesJson,"headline_retry":$headlineRetryJson,"plants":$plantsJson,"contended":$contended,"load":$loadJson,"sf":"$sfDir"}"""
     // full-precision, full-section copy: sbt wraps stdout in [info] noise
