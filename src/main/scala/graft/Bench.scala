@@ -325,6 +325,21 @@ object Bench {
       trailingMedians: Map[String, Double]): Map[String, Double] =
     if (!retryFired) headline else headline ++ trailingMedians
 
+  /** Steal percentage between two `cpuJiffies()` samples — the
+    * per-LEG co-load sensor (round 14): a hypervisor burst confined
+    * to a verdict leg's 30–60 s window evades entry-vs-exit probe
+    * decay (the burst is gone by leg exit) and can miss the
+    * serial-inflation sensor (the serial references are measured
+    * just before the reader window), yet it is exactly what inflates
+    * the leg's p95s — three r14 builder attempts reproduced the
+    * shape: serials byte-identical to r13's, concurrent samples
+    * uniformly ~2× slower, run-level steal 1.5–2.4% (diluted below
+    * every threshold). Bracketing the leg's own window with jiffies
+    * samples measures the burst where it lands. */
+  def stealBetween(j0: (Long, Long), j1: (Long, Long)): Double =
+    if (j1._2 > j0._2) 100.0 * (j1._1 - j0._1) / (j1._2 - j0._2)
+    else 0.0
+
   /** Serial-inflation sensor (round 13; reference walls parameterized
     * in round 14): a verdict leg's serial references are
     * EXECUTION-ONLY MEDIANS of warm shared plans (median-of-3 in both
@@ -778,6 +793,10 @@ object Bench {
     var concRan = false
     val concViolations = scala.collection.mutable.ArrayBuffer.empty[String]
     var concSerials: Map[String, Double] = Map.empty
+    // per-leg co-load sensor (round 14, stealBetween scaladoc): steal
+    // measured across the leg's own concurrent window, -1 = leg
+    // skipped
+    var concSteal = -1.0
     val concurrentJson: String =
       if (users <= 1 || soakOnly) "{}"
       else {
@@ -833,8 +852,10 @@ object Bench {
             }
           })
         }
+        val concJ0 = cpuJiffies()
         threads.foreach(_.start())
         threads.foreach(_.join())
+        concSteal = math.rint(stealBetween(concJ0, cpuJiffies()) * 100) / 100
         import scala.jdk.CollectionConverters._
         val byName = times.asScala.toSeq.groupBy(_._1)
         val ratios = scala.collection.mutable.ArrayBuffer.empty[Double]
@@ -918,6 +939,10 @@ object Bench {
     // missed by 3% while five of six serials read 1.4–2.2× their
     // headline walls and every ratio tripped)
     var conc4Serials: Map[String, Double] = Map.empty
+    // steal measured across the kept leg's reader window (round 14):
+    // the ratios' numerators come from exactly that window, so co-load
+    // landing there is contention evidence run-level dilution hides
+    var conc4Steal = -1.0
     // one full observation of the mixed leg: builds the scratch table,
     // runs 4 readers × mixSecs against the locked writer, and returns
     // every verdict ingredient. Factored so a bound violation can be
@@ -926,7 +951,8 @@ object Bench {
     // deserves the same discipline.
     case class MixLeg(durSec: Double, commits: Int, reads: Long,
         consistent: Boolean, errors: Int, violations: Seq[String],
-        entriesStr: String, serials: Map[String, Double])
+        entriesStr: String, serials: Map[String, Double],
+        stealPct: Double)
     def runMixLeg(mixUsers: Int, mixNames: Seq[String]): MixLeg = {
         import org.apache.spark.sql.functions.{col, lit}
         val tmp = java.nio.file.Files.createTempDirectory("graft_mix")
@@ -1045,11 +1071,14 @@ object Bench {
             })
           }
           val t0 = System.nanoTime()
+          val legJ0 = cpuJiffies()
           writer.start()
           readers.foreach(_.start())
           readers.foreach(_.join())
           stopWriter = true
           writer.join()
+          val legSteal =
+            math.rint(stealBetween(legJ0, cpuJiffies()) * 100) / 100
           val durSec = (System.nanoTime() - t0) / 1e9
           import scala.jdk.CollectionConverters._
           val byName = samples.asScala.toSeq.groupBy(_._1)
@@ -1105,7 +1134,7 @@ object Bench {
             System.err.println(s"[bench] mixed p95/serial bound: $v"))
           MixLeg(durSec, commits, nReads.get(), badReads.isEmpty,
             errs.size, boundViolations.toSeq,
-            entries.mkString("{", ",", "}"), serial4)
+            entries.mkString("{", ",", "}"), serial4, legSteal)
         } finally {
           sources.FsUtil.deleteRecursively(tmp, swallowErrors = true)
         }
@@ -1151,6 +1180,7 @@ object Bench {
         conc4Errors = leg.errors
         conc4Violations = leg.violations
         conc4Serials = leg.serials
+        conc4Steal = leg.stealPct
         val legNow = leg
         val confirmNow = confirmRan
         val firstViolNow = firstViolations
@@ -1161,6 +1191,7 @@ object Bench {
             s""""snapshot_reads":${legNow.reads},""" +
             s""""consistent":${legNow.consistent},""" +
             s""""errors":${legNow.errors},""" +
+            s""""steal_pct":${legNow.stealPct},""" +
             s""""ok":$ok,"reason":$reason,""" +
             s""""violations":${legNow.violations
               .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
@@ -1508,6 +1539,9 @@ object Bench {
     // false/"errors", reserving null/null for factor<=1/soakOnly.
     var scalAttempted = false
     var scalErrors = 0
+    // steal across the whole scaling section (round 14; same rationale
+    // as the mixed leg's window sensor — the xN walls are single-shot)
+    var scalSteal = -1.0
     val scalViolations = scala.collection.mutable.ArrayBuffer.empty[String]
     val scalConfirmed = scala.collection.mutable.ArrayBuffer.empty[String]
     var scaling27Json = "{}"
@@ -1515,6 +1549,7 @@ object Bench {
       if (scaleFactor <= 1 || soakOnly) "{}"
       else try {
         scalAttempted = true
+        val scalJ0 = cpuJiffies()
         import org.apache.spark.sql.functions.{col, lit}
         val tmp = java.nio.file.Files.createTempDirectory("graft_scale")
         // the scaling legs run with RELIABLE checkpoint barriers (r8
@@ -1755,8 +1790,11 @@ object Bench {
           } catch { case e: Throwable =>
             System.err.println(s"[bench] scaling27 failed: ${e.getMessage}")
           }
-          s"""{"factor":$scaleFactor,"checkpoint":"reliable","queries":${
-            entries.mkString("{", ",", "}")}}"""
+          scalSteal =
+            math.rint(stealBetween(scalJ0, cpuJiffies()) * 100) / 100
+          s"""{"factor":$scaleFactor,"checkpoint":"reliable",""" +
+            s""""steal_pct":$scalSteal,"queries":${
+              entries.mkString("{", ",", "}")}}"""
         } finally {
           spark.conf.unset("spark.graft.checkpoint.dir")
           sources.FsUtil.deleteRecursively(tmp, swallowErrors = true)
@@ -1935,6 +1973,9 @@ object Bench {
       "conc4_probe_decay" -> sectionDecayed(conc4ProbeAfter),
       "scal_probe_decay" -> sectionDecayed(scalProbeAfter),
       "serial_inflation" -> (concInflated || conc4Inflated),
+      "conc_steal" -> (concSteal > 2.5),
+      "conc4_steal" -> (conc4Steal > 2.5),
+      "scal_steal" -> (scalSteal > 2.5),
       "headline_retry_dirty" -> headlineWindowDirty
     ).collect { case (n, true) => n }
     val contended = runContended(stealPct, parEff, cpus.toInt,
@@ -1958,8 +1999,8 @@ object Bench {
     val (conc4OkJson, conc4ReasonJson) = conc4Assemble match {
       case None => ("null", "null") // leg skipped — no verdict at all
       case Some(_) =>
-        val sectionContended =
-          sectionDecayed(conc4ProbeAfter) || conc4Inflated
+        val sectionContended = sectionDecayed(conc4ProbeAfter) ||
+          conc4Inflated || conc4Steal > 2.5
         conc4Verdict(conc4Consistent, conc4Errors, conc4Violations,
           contended || sectionContended)
     }
@@ -1969,7 +2010,8 @@ object Bench {
     val (concOkJson, concReasonJson) =
       if (!concRan) ("null", "null")
       else conc4Verdict(true, 0, concViolations.toSeq,
-        contended || sectionDecayed(concProbeAfter) || concInflated,
+        contended || sectionDecayed(concProbeAfter) || concInflated ||
+          concSteal > 2.5,
         "p50_bound")
     // scaling-leg verdict (round-13 directive): a scaling query that
     // THREW is an engine failure (false/"errors"); a reproducing
@@ -1983,7 +2025,8 @@ object Bench {
       if (!scalAttempted) ("null", "null")
       else if (!scalRan) ("false", "\"errors\"")
       else conc4Verdict(true, scalErrors, scalViolations.toSeq,
-        contended || sectionDecayed(scalProbeAfter), "ratio_bound")
+        contended || sectionDecayed(scalProbeAfter) || scalSteal > 2.5,
+        "ratio_bound")
     val scalViolJson =
       scalViolations.map("\"" + _ + "\"").mkString("[", ",", "]")
     val scalConfJson =
@@ -2027,7 +2070,7 @@ object Bench {
         s""""cpu_n_threads":$yardstickCpuNThreads,""" +
         s""""io_warm_mbs":$yardstickIoWarm,""" +
         s""""pinned_from":"$yardstickFrom"}}"""
-    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","normalized":$normalizedJson,"queries":$qs,"extended":$extJson,"scaling":$scalingJson,"scaling27":$scaling27Json,"scal_worst":$scalWorst,"scal_ok":$scalOkJson,"scal_reason":$scalReasonJson,"scal_violations":$scalViolJson,"scal_confirmed":$scalConfJson,"concurrent":{"sessions":$users,"ok":$concOkJson,"reason":$concReasonJson,"worst":$concW,"violations":$concViolJson,"queries":$concurrentJson},"concurrent4":$concurrent4Json,"soak":$soakJson,"soak_crash":$soakCrashJson,"soak_crash_all":$soakCrashAllJson,"all":$allJson,"all_confirmed":$confirmedJson,"regressions":$regressionsN,"regression_names":$regNamesJson,"headline_retry":$headlineRetryJson,"plants":$plantsJson,"contended":$contended,"load":$loadJson,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","normalized":$normalizedJson,"queries":$qs,"extended":$extJson,"scaling":$scalingJson,"scaling27":$scaling27Json,"scal_worst":$scalWorst,"scal_ok":$scalOkJson,"scal_reason":$scalReasonJson,"scal_violations":$scalViolJson,"scal_confirmed":$scalConfJson,"concurrent":{"sessions":$users,"ok":$concOkJson,"reason":$concReasonJson,"worst":$concW,"steal_pct":$concSteal,"violations":$concViolJson,"queries":$concurrentJson},"concurrent4":$concurrent4Json,"soak":$soakJson,"soak_crash":$soakCrashJson,"soak_crash_all":$soakCrashAllJson,"all":$allJson,"all_confirmed":$confirmedJson,"regressions":$regressionsN,"regression_names":$regNamesJson,"headline_retry":$headlineRetryJson,"plants":$plantsJson,"contended":$contended,"load":$loadJson,"sf":"$sfDir"}"""
     // full-precision, full-section copy: sbt wraps stdout in [info] noise
     // and the driver's stdout tail capture is ~2 KB, so the complete
     // artifact always lands in this file

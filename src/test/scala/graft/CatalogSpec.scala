@@ -1507,6 +1507,16 @@ class CatalogSpec extends GraftSuite {
     assert(!serialsInflated(Map("q01" -> 1.0), Map("q01" -> 0.2)))
   }
 
+  test("stealBetween: per-leg co-load sensor math") {
+    import Bench.stealBetween
+    // 50 steal jiffies out of 1000 elapsed -> 5%
+    assert(math.abs(stealBetween((100L, 10000L), (150L, 11000L)) - 5.0)
+      < 1e-9)
+    assert(stealBetween((100L, 10000L), (100L, 11000L)) == 0.0)
+    // unreadable /proc/stat (both samples zero) -> 0, never NaN
+    assert(stealBetween((0L, 0L), (0L, 0L)) == 0.0)
+  }
+
   test("normFactor: geomean of valid clamped ratios, 1.0 when none") {
     import Bench.normFactor
     assert(normFactor(Seq.empty) == 1.0)
