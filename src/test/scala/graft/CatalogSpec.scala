@@ -21,7 +21,17 @@ class CatalogSpec extends GraftSuite {
       body: => Unit): Unit =
     try body
     catch {
-      case e: Throwable =>
+      // ScalaTest's canceled/pending signals are not failures — they
+      // must reach the framework untouched, not be logged as flakes
+      // and re-executed (ADVICE r14)
+      case e @ (_: org.scalatest.exceptions.TestCanceledException |
+                _: org.scalatest.exceptions.TestPendingException) =>
+        throw e
+      // NonFatal only: a fatal JVM error (OutOfMemoryError,
+      // StackOverflowError) means the JVM is likely corrupted —
+      // re-running the heavy race body in it proves nothing, and the
+      // error must propagate as-is (ADVICE r14)
+      case scala.util.control.NonFatal(e) =>
         val head = Option(e.getMessage).getOrElse(e.toString)
           .replaceAll("\\s+", " ").take(200)
         // the incident parser splits on spaces — the name goes in the
@@ -1482,16 +1492,28 @@ class CatalogSpec extends GraftSuite {
     assert(!keepRetryWindow(false, 0, 0, 300, 300)) // full tie: first
   }
 
-  test("serial-inflation references follow the headline-retry state") {
+  test("serial-inflation references follow the kept-window state") {
     import Bench.{serialRefWalls, serialsInflated}
     val headline = Map("q01" -> 0.2, "q06" -> 0.1, "j" -> 0.4)
     val trailing = Map("q01" -> 0.5, "q06" -> 0.45)
-    // no retry → this run's headline walls are the reference
+    // kept window clean → this run's headline walls are the reference
+    // (ADVICE r14: even when the retry FIRED, a clean kept window's
+    // walls are trustworthy and must not be discarded for medians)
     assert(serialRefWalls(false, headline, trailing) == headline)
-    // retry fired → trailing same-plan bench medians override where
-    // available; headline fallback for queries with no history ("j")
+    // kept window dirty → trailing same-plan bench medians override
+    // where available; headline fallback for queries with no history
+    // ("j"); nFactor 1.0 default leaves the medians unscaled
     val refs = serialRefWalls(true, headline, trailing)
     assert(refs == Map("q01" -> 0.5, "q06" -> 0.45, "j" -> 0.4))
+    // medians are re-expressed in THIS machine's seconds (ADVICE r14:
+    // a slow machine — nFactor 0.64 like r14's — runs honest serials
+    // ~1.5× the faster prior rounds' medians; the raw medians would
+    // spuriously fire the sensor). wall ∝ 1/speed → divide by factor.
+    val scaled = serialRefWalls(true, headline, trailing, 0.5)
+    assert(scaled("q01") == 1.0 && scaled("q06") == 0.9)
+    assert(scaled("j") == 0.4, "headline fallback is never rescaled")
+    // degenerate factor (≤0, probes all failed) leaves medians as-is
+    assert(serialRefWalls(true, headline, trailing, -1.0) == refs)
     // two serials at ~2x a DIRTY headline would convict under headline
     // references...
     val serials = Map("q01" -> 0.42, "q06" -> 0.4)
@@ -1515,6 +1537,10 @@ class CatalogSpec extends GraftSuite {
     assert(stealBetween((100L, 10000L), (100L, 11000L)) == 0.0)
     // unreadable /proc/stat (both samples zero) -> 0, never NaN
     assert(stealBetween((0L, 0L), (0L, 0L)) == 0.0)
+    // a REGRESSING steal counter (VM migration / counter reset) while
+    // total jiffies advance floors at 0 — never a negative percentage
+    // in the artifact (ADVICE r14)
+    assert(stealBetween((100L, 10000L), (40L, 11000L)) == 0.0)
   }
 
   test("normFactor: geomean of valid clamped ratios, 1.0 when none") {
@@ -1529,6 +1555,71 @@ class CatalogSpec extends GraftSuite {
     // faster machine → factor > 1 → normalized wall reads HIGHER in
     // yardstick-machine seconds (wall ∝ 1/speed)
     assert(normFactor(Seq(1.2, 1.1)) > 1.0)
+  }
+
+  test("medianOf / spreadPct: median-of-3 probe basis and its spread") {
+    import Bench.{medianOf, spreadPct}
+    assert(medianOf(Seq(3.0, 1.0, 2.0)) == 2.0)
+    // invalid samples (failed probes) are dropped before the median
+    assert(medianOf(Seq(-1.0, 5.0, Double.NaN)) == 5.0)
+    assert(medianOf(Seq.empty) == -1.0)
+    assert(medianOf(Seq(-1.0, -1.0)) == -1.0)
+    // even count takes the lower-middle (consistent with the bench's
+    // p50 convention)
+    assert(medianOf(Seq(1.0, 2.0, 3.0, 4.0)) == 2.0)
+    // spread: (max-min)/median as a percent, one decimal
+    assert(spreadPct(Seq(95.0, 100.0, 105.0)) == 10.0)
+    assert(spreadPct(Seq(100.0, 100.0, 100.0)) == 0.0)
+    // fewer than 2 valid samples → no spread to report
+    assert(spreadPct(Seq(100.0)) == -1.0)
+    assert(spreadPct(Seq(-1.0, 100.0)) == -1.0)
+  }
+
+  test("wallFactor: wall-basis machine factor from plan-matched pairs") {
+    import Bench.{wallFactor, wallRatios}
+    // pairing: only queries in both maps with positive medians ratio
+    val ratios = wallRatios(
+      Map("a" -> 1.0, "b" -> 2.6, "c" -> 0.5, "nohist" -> 9.9),
+      Map("a" -> 1.0, "b" -> 2.0, "c" -> 1.0, "zero" -> 0.0))
+    assert(ratios.sorted == Seq(0.5, 1.0, 1.3))
+    // below minPairs → no factor (fresh history, history-off drills)
+    assert(wallFactor(Seq(1.0, 1.0)) == ((-1.0, -1.0, 2)))
+    // the r14 shape: walls ran median 1.275× the trailing medians →
+    // machine factor ≈ 0.784 (what the probe basis misread as 0.64)
+    val pool = Seq(0.98, 1.1, 1.2, 1.275, 1.3, 1.6, 2.09)
+    val (f, med, n) = wallFactor(pool)
+    assert(n == 7 && med == 1.275)
+    assert(math.abs(f - 1.0 / 1.275) < 1e-9)
+    // invalid ratios are dropped, not folded in
+    val (f2, _, n2) = wallFactor(pool ++ Seq(-1.0, Double.NaN))
+    assert(n2 == 7 && f2 == f)
+  }
+
+  test("factorsDisagree: >15% probe-vs-walls split raises the flag") {
+    import Bench.factorsDisagree
+    // the r14 readings: probes 0.6378 vs walls 0.784 → 18.7% apart
+    assert(factorsDisagree(0.6378, 0.784))
+    assert(!factorsDisagree(0.78, 0.784))
+    assert(!factorsDisagree(0.9, 1.0)) // 10% — inside the band
+    assert(factorsDisagree(1.2, 1.0))
+    // either factor invalid → no verdict, never a spurious flag
+    assert(!factorsDisagree(-1.0, 0.784))
+    assert(!factorsDisagree(0.784, -1.0))
+  }
+
+  test("shouldSettleReleg: only window-withheld bound trips re-leg") {
+    import Bench.shouldSettleReleg
+    // the r14 builder shape: confirmed violations + dirty leg window
+    // (6.34% steal) — the verdict would be withheld, so settle+re-leg
+    assert(shouldSettleReleg(true, 0, Seq("q01:3.1x>2.64x"), true))
+    // quiet window + violations = honest false — never retried away
+    assert(!shouldSettleReleg(true, 0, Seq("q01:3.1x>2.64x"), false))
+    // no violations → nothing to resolve, dirty window or not
+    assert(!shouldSettleReleg(true, 0, Seq.empty, true))
+    // hard failures stand on their own (torn snapshots / errors are
+    // never machine-attributable)
+    assert(!shouldSettleReleg(false, 0, Seq("q01:3.1x>2.64x"), true))
+    assert(!shouldSettleReleg(true, 1, Seq("q01:3.1x>2.64x"), true))
   }
 
   test("stableDistinctGroups leaves grouping-set Expands untouched") {
@@ -1615,6 +1706,27 @@ class CatalogSpec extends GraftSuite {
     }
     assert(e.getMessage == "boom")
     assert(sources.Incidents.list(root).count(_.table == "hard_fail") == 1)
+    // ScalaTest cancel/pending propagate UNTOUCHED: run once, no
+    // incident, no retry (ADVICE r14 — they are signals, not flakes)
+    var c = 0
+    intercept[org.scalatest.exceptions.TestCanceledException] {
+      retryOnceRecordingIn(root, "canceled test") {
+        c += 1; cancel("environment missing")
+      }
+    }
+    assert(c == 1, "a canceled body must not be re-run")
+    // fatal JVM errors propagate as-is: the JVM is suspect and the
+    // heavy race body must not re-run in it (ADVICE r14)
+    var f = 0
+    intercept[OutOfMemoryError] {
+      retryOnceRecordingIn(root, "fatal error") {
+        f += 1; throw new OutOfMemoryError("simulated")
+      }
+    }
+    assert(f == 1, "a fatal error must not be re-run")
+    assert(!sources.Incidents.list(root).exists(i =>
+      i.table == "canceled_test" || i.table == "fatal_error"),
+      "cancel/fatal must not be recorded as flakes")
     sources.FsUtil.deleteRecursively(Paths.get(root), swallowErrors = true)
   }
 }
