@@ -33,6 +33,24 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
+    // AQE's coalescing floor (default 1 MB) turns EVERY sub-megabyte
+    // shuffle into ONE post-shuffle task: even with parallelismFirst on,
+    // the target size is max(totalBytes/defaultParallelism,
+    // minPartitionSize), so a compute-dense stage whose rows are small
+    // (token-array jaccard verification, per-pair ADC scoring, window
+    // passes over id+hash tuples) serializes on one core of a 32-core
+    // session (measured: every stage of x_dedup_minhash_lsh ran
+    // tasks=1). A 16 KB floor restores parallelism exactly in that
+    // regime and is invisible at scale: once a shuffle carries more
+    // than cores×1 MB the byte-derived target dominates and the floor
+    // never binds. Local task overhead is ~2 ms, so the worst case a
+    // low floor adds is a few ms per trivially-small stage, against an
+    // up-to-#cores win on the compute-bound ones. Parameterized so a
+    // deployment can restore the byte-oriented floor for true
+    // network-shuffle clusters (guide §2.2 wants 100 MB–1 GB partitions
+    // THERE — this floor only governs shuffles far below that size).
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "16kb"))
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // The reference broadcasts join small sides under 64 MB
     // (oam/etc/Calpont.xml:483 PmMaxMemorySmallSide); match that.
@@ -44,6 +62,24 @@ object Tables {
   }
 
   def path(dir: String, name: String): String = s"$dir/$name.parquet"
+
+  /** Scale-adaptive compute spread. The bench tables are single-file,
+    * single-row-group parquet, so every scan is ONE task no matter how
+    * many cores the session has — and any per-row compute pipelined
+    * into the scan stage (wide aggregate updates, tokenize+hash maps)
+    * runs serially on a 32-core machine. When the plan's input arrives
+    * in fewer splits than the session's parallelism, hash-repartition
+    * on the given key so the downstream compute uses every core
+    * (deterministic under task retry, unlike round-robin; guide §2.5
+    * "one huge unsplittable file → repartition immediately after the
+    * read"). At production scale a real table yields ≥ cores splits
+    * (files ≫ maxPartitionBytes) and this is the identity — the extra
+    * exchange exists only in exactly the under-split regime where it
+    * pays for itself. */
+  def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+  }
 
   /** Inferred schema per table path, cached while the directory's
     * fingerprint holds — the CalpontSystemCatalog caching analog (the

@@ -116,15 +116,24 @@ object TpchQueries {
       val li = t(s, dir, "lineitem")
         .filter(col("l_shipdate") > lit("1997-03-15"))
       // the segment filter keeps ~1/5 of a dimension-sized table:
-      // broadcast it statically so orders never shuffles by custkey and
-      // the only exchange left is the orderkey join with lineitem.
+      // broadcast it statically so orders never shuffles by custkey.
       // (Pre-aggregating lineitem by orderkey before that join measured
       // SLOWER — the key is near-unique, so partial combine removes
       // nothing and the hash table is pure overhead.)
-      ord
-        .join(broadcast(cust.select(col("c_custkey"))),
-          col("c_custkey") === col("o_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
+      // lineitem STREAMS (left side): with orders⋈customer on the build
+      // side, the only hash relation ever built is the filtered orders
+      // sliver — never the fact table. r15: the previous shape streamed
+      // orders and let the 64 MB threshold broadcast-BUILD the filtered
+      // lineitem side (a fact-table hash build at bench scale, and the
+      // side that explodes first at 100 TB); with lineitem on the left
+      // the threshold/AQE keeps picking the orders side to build at any
+      // scale, degrading to a correctly-oriented shuffle join when the
+      // sliver outgrows the threshold.
+      li
+        .join(ord
+            .join(broadcast(cust.select(col("c_custkey"))),
+              col("c_custkey") === col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
         .groupBy(col("l_orderkey"), col("o_orderdate"))
         .agg(sum((col("l_extendedprice") * (lit(1) - col("l_discount")))
           .cast("decimal(18,4)")).cast("double")
@@ -197,9 +206,18 @@ object TpchQueries {
         .filter(col("o_orderdate") >= lit("1996-01-01") &&
           col("o_orderdate") < lit("1997-01-01"))
       val li = t(s, dir, "lineitem")
-      cust
-        .join(ord, col("c_custkey") === col("o_custkey"))
-        .join(li, col("o_orderkey") === col("l_orderkey"))
+      // lineitem STREAMS: the r15 reorder puts the fact table on the
+      // probe side so the hash relations built are the year-filtered
+      // orders⋈(region-restricted customers) sliver and supplier — the
+      // old shape streamed 15k customers and broadcast-BUILT the entire
+      // lineitem (single-threaded 600k-row HashedRelation at bench
+      // scale; at 100 TB that side is the first to blow the threshold).
+      // No static hint on either fact side: the 64 MB threshold / AQE
+      // picks broadcast at bench scale and a correctly-oriented shuffle
+      // join once the sliver outgrows it.
+      li
+        .join(cust.join(ord, col("c_custkey") === col("o_custkey")),
+          col("o_orderkey") === col("l_orderkey"))
         .join(sup, col("l_suppkey") === col("s_suppkey") &&
           col("c_nationkey") === col("s_nationkey"))
         .groupBy(col("n_name"))
@@ -485,10 +503,23 @@ object TpchQueries {
       val cust = t(s, dir, "customer")
       val ord = t(s, dir, "orders")
         .filter(!col("o_orderpriority").like("%SPECIFIED%"))
+      // r15: aggregate orders by custkey BELOW the outer join (classic
+      // agg-through-outer-join pushdown; exact because o_orderkey is
+      // never null, so count(o_orderkey) per customer = that customer's
+      // order count, and a no-match customer reads coalesce(null,0)=0).
+      // The old shape left-outer-joined raw orders (150k-row broadcast
+      // BUILD — outer joins can only build the non-preserved side, so
+      // the fact side could never stream) and then shuffled the joined
+      // rows by c_custkey; now the per-cust counts collapse map-side
+      // before anything moves, the build side is the counts sliver
+      // (≤ #customers rows), and the post-join c_custkey exchange is
+      // gone. Same two final aggregations on top.
+      val perCust = ord.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("o_count"))
       cust
-        .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
-        .groupBy(col("c_custkey"))
-        .agg(count(col("o_orderkey")).as("c_count"))
+        .join(perCust, col("c_custkey") === col("o_custkey"), "left_outer")
+        .select(col("c_custkey"),
+          coalesce(col("o_count"), lit(0L)).as("c_count"))
         .groupBy(col("c_count"))
         .agg(count(lit(1)).as("custdist"))
         .orderBy(col("custdist").desc, col("c_count").desc)
@@ -762,31 +793,46 @@ object TpchQueries {
       val sup = t(s, dir, "supplier")
       val nation = t(s, dir, "nation").filter(col("n_nationkey") < 5)
       val ord = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"))
       val l1 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
-      val l2 = t(s, dir, "lineitem")
-        .select(col("l_orderkey").as("l2_orderkey"),
-          col("l_suppkey").as("l2_suppkey"))
-      val l3 = t(s, dir, "lineitem")
-        .filter(col("l_returnflag") === "R")
-        .select(col("l_orderkey").as("l3_orderkey"),
-          col("l_suppkey").as("l3_suppkey"))
+      // r15: the EXISTS/NOT-EXISTS self-joins collapse to ONE per-order
+      // min/max aggregate (the classic q21 rewrite). For each l1 probe
+      // row (itself a line, and an R line, of its order):
+      //   EXISTS other-supplier line          ⟺ min/max suppkey over the
+      //     order's lines isn't pinned to this row's suppkey;
+      //   NOT EXISTS other-supplier R line    ⟺ min/max suppkey over the
+      //     order's R lines both equal it (the probe row guarantees the
+      //     R aggregate is non-empty, so the equality is never vacuous).
+      // The old shape broadcast-BUILT two lineitem-wide hash relations
+      // (the full 600k-row l2 and the R-filtered l3) for the semi/anti
+      // probes; the aggregate collapses map-side to one row per order
+      // (5 longs), so one small build replaces both fact-table builds —
+      // and at 100 TB the same aggregate is a single orderkey shuffle
+      // instead of two full-lineitem semi/anti shuffles.
+      val perOrder = t(s, dir, "lineitem")
+        .groupBy(col("l_orderkey").as("po_orderkey"))
+        .agg(min(col("l_suppkey")).as("supp_min"),
+          max(col("l_suppkey")).as("supp_max"),
+          min(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("supp_r_min"),
+          max(when(col("l_returnflag") === "R", col("l_suppkey")))
+            .as("supp_r_max"))
       l1
         // supplier⋈nation is small after the nation filter — broadcast
-        // it FIRST so l1 shrinks to the target nations' lines before the
-        // orderkey shuffle chain (ord join, semi, anti) moves anything;
-        // the three orderkey-keyed joins then reuse one partitioning.
+        // it FIRST so l1 shrinks to the target nations' lines before
+        // anything else probes; the ord filter keys project to a single
+        // long per surviving order.
         .join(broadcast(sup
             .join(broadcast(nation),
               col("s_nationkey") === col("n_nationkey"))
             .select(col("s_suppkey"), col("s_name"))),
           col("l_suppkey") === col("s_suppkey"))
-        .join(ord, col("l_orderkey") === col("o_orderkey"))
-        // exists another supplier's line on the same order
-        .join(l2, col("l_orderkey") === col("l2_orderkey") &&
-          col("l_suppkey") =!= col("l2_suppkey"), "left_semi")
-        // and no OTHER supplier also flagged R on that order
-        .join(l3, col("l_orderkey") === col("l3_orderkey") &&
-          col("l_suppkey") =!= col("l3_suppkey"), "left_anti")
+        .join(ord, col("l_orderkey") === col("o_orderkey"), "left_semi")
+        .join(perOrder, col("l_orderkey") === col("po_orderkey"))
+        .filter((col("supp_min") =!= col("l_suppkey") ||
+            col("supp_max") =!= col("l_suppkey")) &&
+          col("supp_r_min") === col("l_suppkey") &&
+          col("supp_r_max") === col("l_suppkey"))
         .groupBy(col("s_name"))
         .agg(count(lit(1)).as("numwait"))
         .orderBy(col("numwait").desc, col("s_name"))

@@ -18,6 +18,23 @@ class PlanSpec extends GraftSuite {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
   }
 
+  test("spread redistributes under-split inputs and is the identity above") {
+    // the scale-adaptive compute spread (Tables.spread): a single-split
+    // scan fans out to the session's parallelism; an input that already
+    // yields >= cores partitions passes through UNCHANGED (the 100 TB
+    // case — no payload exchange is ever added at scale)
+    val target = spark.sparkContext.defaultParallelism
+    val single = Tables.table(spark, sf, "lineitem").select(col("l_orderkey"))
+    assert(single.rdd.getNumPartitions < target,
+      "precondition: bench scan should be under-split")
+    val spreaded = Tables.spread(single, col("l_orderkey"))
+    assert(spreaded.rdd.getNumPartitions == target)
+    assert(spreaded.count() == single.count())
+    val wide = single.repartition(target + 1, col("l_orderkey"))
+    // eq comparison: identity means the SAME DataFrame back, no new node
+    assert(Tables.spread(wide, col("l_orderkey")) eq wide)
+  }
+
   test("q06 filters push into the parquet scan") {
     val plan = formatted(operators.TpchQueries.q06.run(spark, sf))
     assert(plan.contains("PushedFilters:"), plan)
