@@ -48,8 +48,13 @@ object Profile {
           val i = e.stageInfo
           val wall = (for {a <- i.completionTime; b <- i.submissionTime}
             yield a - b).getOrElse(-1L)
-          stages.add((i.stageId, i.name.linesIterator.next().take(120),
-            wall, i.numTasks))
+          // the RDD scope names (operator names) beat the generic
+          // callsite for telling WHICH part of the query a stage is
+          val scopes = i.rddInfos.flatMap(r => r.scope.map(_.name))
+            .distinct.take(6).mkString(">")
+          stages.add((i.stageId,
+            (if (scopes.nonEmpty) scopes else i.name.linesIterator.next())
+              .take(140), wall, i.numTasks))
         }
     })
 

@@ -33,24 +33,19 @@ object Tables {
     spark.conf.set("spark.sql.adaptive.enabled", "true")
     spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "true")
     spark.conf.set("spark.sql.adaptive.skewJoin.enabled", "true")
-    // AQE's coalescing floor (default 1 MB) turns EVERY sub-megabyte
-    // shuffle into ONE post-shuffle task: even with parallelismFirst on,
-    // the target size is max(totalBytes/defaultParallelism,
-    // minPartitionSize), so a compute-dense stage whose rows are small
-    // (token-array jaccard verification, per-pair ADC scoring, window
-    // passes over id+hash tuples) serializes on one core of a 32-core
-    // session (measured: every stage of x_dedup_minhash_lsh ran
-    // tasks=1). A 16 KB floor restores parallelism exactly in that
-    // regime and is invisible at scale: once a shuffle carries more
-    // than cores×1 MB the byte-derived target dominates and the floor
-    // never binds. Local task overhead is ~2 ms, so the worst case a
-    // low floor adds is a few ms per trivially-small stage, against an
-    // up-to-#cores win on the compute-bound ones. Parameterized so a
-    // deployment can restore the byte-oriented floor for true
-    // network-shuffle clusters (guide §2.2 wants 100 MB–1 GB partitions
-    // THERE — this floor only governs shuffles far below that size).
-    spark.conf.set("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-      sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION", "16kb"))
+    // AQE coalescing floor: left at Spark's 1 MB default, on purpose.
+    // r15 measured a 16 KB floor both ways: it parallelizes the rare
+    // compute-dense sub-MB shuffle stage, but every stage-DENSE pipeline
+    // (the ANN train/encode chains: dozens of tiny shuffles + broadcast
+    // materializations + checkpoint barriers) regressed ~2×
+    // (x_ann_ivfpq_topk 8.1 s → 19.1 s, x_ann_pq_topk 3.9 s → 8.5 s at
+    // sf0.1/local[32]) because each of its many stages fanned out to
+    // 16–32 near-empty tasks whose launch/fetch overhead multiplied.
+    // The single-task hot spots are fixed structurally instead
+    // (Tables.spread at the operator's input + codegen'd fold kernels),
+    // which parallelizes exactly the stages that need it and nothing
+    // else. Override per session via standard Spark conf if a future
+    // workload wants a different floor.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
     // The reference broadcasts join small sides under 64 MB
     // (oam/etc/Calpont.xml:483 PmMaxMemorySmallSide); match that.

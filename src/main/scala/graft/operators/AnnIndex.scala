@@ -137,20 +137,17 @@ object AnnIndex {
     val carr = cents.groupBy()
       .agg(sort_array(collect_list(struct(col("cid"), col("centroid"))))
         .as("carr"))
+    // r15: the argmax fold moved from an interpreted SQL
+    // aggregate/transform/zip_with chain (higher-order functions don't
+    // codegen — every Lloyd round paid boxed lambda evaluation per
+    // (vector × centroid × dim)) into the codegen'd ARGMAX_COSINE
+    // kernel. Accumulation order, `>=`-keeps-the-larger-cid tie rule,
+    // and Spark's nan-safe double compare are reproduced exactly
+    // (VectorKernels.argmaxCosine), so assignments are bit-identical —
+    // oracle-verified across the ANN suite.
     base.crossJoin(broadcast(carr))
-      .withColumn("cid", expr(
-        """aggregate(
-             transform(carr, c -> struct(
-               aggregate(zip_with(embedding, c.centroid,
-                   (x, y) -> double(x) * double(y)),
-                 cast(0 as double), (acc, v) -> acc + v)
-               / (sqrt(aggregate(embedding, cast(0 as double),
-                    (acc, v) -> acc + double(v) * double(v)))
-                  * sqrt(aggregate(c.centroid, cast(0 as double),
-                      (acc, v) -> acc + double(v) * double(v)))) AS ccos,
-               c.cid AS cid)),
-             struct(double(-2.0) AS ccos, -1 AS cid),
-             (best, s) -> if(s.ccos >= best.ccos, s, best)).cid"""))
+      .withColumn("cid", graft.functions.VectorFunctions.argmaxCosine(
+        col("embedding"), col("carr")))
       .select(col("vec_id"), col("cid"))
   }
 
@@ -247,16 +244,12 @@ object AnnIndex {
     val cbook = cents.groupBy(col("ss"))
       .agg(sort_array(collect_list(struct(col("cid"), col("cen"))))
         .as("cbook"))
+    // r15: interpreted argmin fold → codegen'd ARGMIN_L2 kernel (same
+    // motivation and bit-exactness story as coarseReassign; strict `<`
+    // keeps the first minimum → ties to the smaller cid, Infinity init).
     subs.join(broadcast(cbook), Seq("ss"))
-      .withColumn("cid", expr(
-        """aggregate(
-             transform(cbook, c -> struct(
-               aggregate(zip_with(svec, c.cen,
-                   (x, y) -> (double(x) - double(y)) * (double(x) - double(y))),
-                 cast(0 as double), (acc, v) -> acc + v) AS dd,
-               c.cid AS cid)),
-             struct(double('Infinity') AS dd, -1 AS cid),
-             (best, s) -> if(s.dd < best.dd, s, best)).cid"""))
+      .withColumn("cid", graft.functions.VectorFunctions.argminL2(
+        col("svec"), col("cbook")))
       .select(col("vec_id"), col("ss"), col("svec"), col("cid"))
   }
 

@@ -650,7 +650,13 @@ object DdlDmlQueries {
       // value-count buffer — 7 scalar percentile() calls each built
       // their own 600k-entry map and made this the slowest query in the
       // suite (22 s → ~1 s at sf0.1)
-      val bounds = li.agg(expr(
+      // r15: spread below the percentile — the exact-percentile
+      // aggregate builds a value-count map per partition, and on the
+      // bench's single-split scan that 600k-value map build ran on one
+      // core; spread makes the partial maps build 32-way and only the
+      // merge runs single-task (identity at scale, Tables.spread).
+      val bounds = Tables.spread(li.select(col("l_extendedprice")),
+          col("l_extendedprice")).agg(expr(
         "percentile(l_extendedprice, array(0.125d, 0.25d, 0.375d, " +
           "0.5d, 0.625d, 0.75d, 0.875d))").as("cs"))
       val bucket = (1 to 7).foldLeft(lit(0)) { (acc, i) =>

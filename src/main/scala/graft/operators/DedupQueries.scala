@@ -164,19 +164,9 @@ object DedupQueries {
   val minhashLsh: QueryDef = QueryDef(
     "x_dedup_minhash_lsh",
     (s, dir) => {
-      // r15: spread the scan rows BELOW the signature map (the bench
-      // corpus arrives as one parquet split, so tokenize+32-hash
-      // otherwise runs on one core of 32 — Tables.spread is the
-      // identity once the input yields ≥ cores splits). The
-      // verification token joins deliberately re-derive toks from the
-      // SCAN (not from the banded checkpoint): a checkpoint-backed
-      // relation has no size statistics, which demotes the small
-      // verification joins from broadcast to sort-merge (measured 2.5×
-      // worse end-to-end when tried).
-      val base = Tables.spread(docs(s, dir)
-          .select(col("doc_id"),
-            array_distinct(split(col("text"), " ")).as("toks")),
-          col("doc_id"))
+      val base = docs(s, dir)
+        .select(col("doc_id"),
+          array_distinct(split(col("text"), " ")).as("toks"))
         .withColumn("sig", minhashSig(col("toks"), 32))
       val bands = minhashBands(base)
       // Pair each bucket member with the bucket's representative (min doc)
@@ -184,15 +174,12 @@ object DedupQueries {
       // bucket is huge, which is what survives a 100 TB homogeneous corpus
       // (all-pairs in a hot bucket is O(n²)). Transitive dups still land on
       // the same representative, so cluster membership is preserved.
-      // r15: rep/count as a window over the bucket partition instead of a
-      // groupBy + join-back — the old shape shuffled bands TWICE (agg
-      // exchange + the bands⋈reps probe); one bucket-keyed exchange now
-      // carries the whole candidate derivation at any corpus size.
-      val wb = Window.partitionBy(col("band_id"), col("band_key"))
+      val reps = bands.groupBy(col("band_id"), col("band_key"))
+        .agg(min(col("doc_id")).as("rep_id"), count(lit(1)).as("bucket_n"))
+        .filter(col("bucket_n") > 1)
       val pairs = bands
-        .withColumn("rep_id", min(col("doc_id")).over(wb))
-        .withColumn("bucket_n", count(lit(1)).over(wb))
-        .filter(col("bucket_n") > 1 && col("doc_id") =!= col("rep_id"))
+        .join(reps, Seq("band_id", "band_key"))
+        .filter(col("doc_id") =!= col("rep_id"))
         .select(col("rep_id").as("a"), col("doc_id").as("b"))
         .distinct()
       val toksOf = base.select(col("doc_id"), col("toks"))

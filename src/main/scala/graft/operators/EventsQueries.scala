@@ -176,8 +176,12 @@ object EventsQueries {
     val staged = s"$tmp/events_src"
     val out = s"$tmp/out"
     ev(s, dir).repartition(4).write.mode("overwrite").parquet(staged)
+    // r15: run the micro-batch query on a session clone whose shuffle
+    // (= state-store) partition count follows the staged bytes — see
+    // EventsStream.streamSession for the measurement and the scale story
+    val s2 = graft.streaming.EventsStream.streamSession(s, staged)
     val transformed =
-      transform(graft.streaming.EventsStream.readStream(s, staged))
+      transform(graft.streaming.EventsStream.readStream(s2, staged))
     val writer =
       if (complete)
         transformed.writeStream

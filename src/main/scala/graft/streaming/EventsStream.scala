@@ -31,6 +31,57 @@ object EventsStream {
   def readStream(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(schema).parquet(dir)
 
+  /** Session clone for one micro-batch run, its shuffle (= state-store)
+    * partition count derived from the staged input's bytes.
+    *
+    * A streaming query freezes `spark.sql.shuffle.partitions` into its
+    * checkpoint as the STATE partition count, and every stateful
+    * operator then pays per-partition state-store open/commit cost on
+    * every micro-batch. Sized to the machine's core count (the batch
+    * default) that fixed cost dwarfs a small stream: the bench's 2 MB
+    * staged events ran StreamingSymmetricHashJoin with 32 state
+    * partitions — profiled at 27 s of the 32 s wall, almost all
+    * per-partition store overhead. Deriving the count from staged bytes
+    * (~4 MB of input per state partition, capped by the session's own
+    * shuffle setting, floor 1) keeps state partitions proportional to
+    * the data at ANY size: a 100 GB staging dir saturates the cap and
+    * behaves exactly as before, a megabyte-scale drill gets the handful
+    * of stores it can actually fill. The clone leaves the caller's
+    * session conf untouched (bench sections run concurrent queries on
+    * the shared session — a temporary set/restore there would race).
+    * SPARK_GRAFT_STREAM_SHUFFLE overrides the derived count. */
+  def streamSession(s: SparkSession, stagedDir: String): SparkSession = {
+    val bytes =
+      try {
+        val p = java.nio.file.Paths.get(stagedDir)
+        scala.util.Using.resource(java.nio.file.Files.walk(p)) { st =>
+          val it = st.iterator()
+          var n = 0L
+          while (it.hasNext) {
+            val f = it.next()
+            if (java.nio.file.Files.isRegularFile(f))
+              n += java.nio.file.Files.size(f)
+          }
+          n
+        }
+      } catch { case _: Exception => 0L }
+    // floor 4, not 1: AQE is disabled inside streaming queries, so the
+    // per-batch BATCH work (foreachBatch joins, verify maps) runs at
+    // exactly this partition count with no runtime coalesce/split — a
+    // floor keeps a few cores on compute-dense batches while still
+    // cutting the per-partition state-store fixed cost 8× vs the
+    // core-count default
+    val cap = s.sessionState.conf.numShufflePartitions
+    val parts = sys.env.get("SPARK_GRAFT_STREAM_SHUFFLE")
+      .flatMap(v => scala.util.Try(v.toInt).toOption)
+      .getOrElse(math.min(cap.toLong,
+        math.max(4L, bytes / (4L << 20) + 1)).toInt)
+    val s2 = s.newSession()
+    graft.Tables.tune(s2)
+    s2.conf.set("spark.sql.shuffle.partitions", parts.toString)
+    s2
+  }
+
   /** Tumbling 1-hour counts per event type, 10-minute watermark
     * (streaming dual of EventsQueries.tumbling). With `exactSums` the
     * value column sums through exact DECIMAL so the output is
