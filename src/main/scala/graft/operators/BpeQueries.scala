@@ -110,14 +110,26 @@ object BpeQueries {
     (s, dir) => {
       val merges = trainMerges(s, docs(s, dir), N_MERGES,
         AnnIndex.inlineScratch(dir, "bpe_words"))
-      encodeDocs(docs(s, dir))
+      // r15: establish the doc_id output order BELOW the merge
+      // application instead of a trailing orderBy. The trailing sort's
+      // range-sampling pass re-executed its child — i.e. the 8-replace
+      // application over every document ran TWICE (two ~1.1 s
+      // single-task stages in the profile); and the explicit partition
+      // count keeps the application fanned out (a plain orderBy's
+      // exchange is AQE-coalesced to one task at bench bytes). Range
+      // partitions + in-partition sort on a unique key is the same
+      // total order the orderBy produced.
+      val sorted = docs(s, dir).select(col("doc_id"), col("text"))
+        .repartitionByRange(s.sessionState.conf.numShufflePartitions,
+          col("doc_id"))
+        .sortWithinPartitions(col("doc_id"))
+      encodeDocs(sorted)
         .withColumn("m", applyMerges(col("e"), merges))
         .select(col("doc_id"),
           size(split(col("text"), " ")).as("n_ws_tokens"),
           (length(col("m")) -
             length(replace(col("m"), lit(S), lit("")))).as("n_bpe_tokens"),
           decode(col("m")).as("bpe_text"))
-        .orderBy(col("doc_id"))
     },
     oracle = Some(BpeOracleSql.sql(N_MERGES))
   )
@@ -140,7 +152,12 @@ object BpeQueries {
     (s, dir) => {
       val merges = trainMerges(s, docs(s, dir), N_MERGES,
         AnnIndex.inlineScratch(dir, "bpe_cov_words"))
-      encodeDocs(docs(s, dir))
+      // r15: spread below the application — the 8-replace chain over
+      // every document is the report's dominant per-row compute and ran
+      // on the single bench scan split's one core (the ~0.6 MB text
+      // exchange buys a ~1 s stage its full fan-out; identity at scale)
+      encodeDocs(Tables.spread(docs(s, dir)
+          .select(col("doc_id"), col("lang"), col("text")), col("doc_id")))
         .withColumn("m", applyMerges(col("e"), merges))
         .withColumn("mu", replace(col("m"), lit(E + W + S), lit(E + S)))
         .withColumn("syms", when(length(col("mu")) === 0,

@@ -1505,7 +1505,10 @@ ${LshOracleSql.cosineExpr} AS c
   val setJoin: QueryDef = QueryDef(
     "x_dedup_setjoin",
     (s, dir) => {
-      val d = docs(s, dir)
+      // r15: spread below the shingle derivation (same ~2.5 s
+      // single-task profile and rationale as x_dedup_containment)
+      val d = Tables.spread(docs(s, dir)
+          .select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), array_distinct(when(size(col("toks")) >= 3,
           expr("transform(sequence(0, size(toks) - 3), " +
@@ -1516,14 +1519,19 @@ ${LshOracleSql.cosineExpr} AS c
         .select(col("doc_id"),
           expr("transform(shs, x -> xxhash64(x))").as("sh"))
         .withColumn("n", size(col("sh")).cast("long"))
-        .filter(col("n") > 0)
         // materialize ONCE: the shingled table feeds the posting explode
         // AND both sides of the verify join — lazily each reference
         // re-runs the whole shingle/distinct/hash derivation (the
         // dominant per-row compute). Checkpointed state is (id, hash
         // array, n) longs — spill-friendly; see GraphQueries for the
         // reliable-checkpoint note at cluster scale.
+        // The n>0 filter sits ABOVE the barrier (r15): below it,
+        // predicate pushdown drags the whole shingle derivation under
+        // the spread's repartition — back onto the single scan split's
+        // one core (profiled; the checkpoint carrying a few empty-
+        // shingle rows is free by comparison).
         .barrier()
+        .filter(col("n") > 0)
       val tok = d.select(col("doc_id"), col("n"), explode(col("sh")).as("t"))
       val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
       val pref = tok.join(freq, Seq("t"))
@@ -1682,7 +1690,12 @@ ${LshOracleSql.cosineExpr} AS c
   val containment: QueryDef = QueryDef(
     "x_dedup_containment",
     (s, dir) => {
-      val d = docs(s, dir)
+      // r15: spread below the shingle derivation — profiled as a ~2 s
+      // single-task stage on the bench's one-split corpus (the 3-gram
+      // transform + distinct + hash per doc is the query's dominant
+      // per-row compute); identity at scale, Tables.spread
+      val d = Tables.spread(docs(s, dir)
+          .select(col("doc_id"), col("text")), col("doc_id"))
         .select(col("doc_id"), split(col("text"), " ").as("toks"))
         .select(col("doc_id"), array_distinct(when(size(col("toks")) >= 3,
           expr("transform(sequence(0, size(toks) - 3), " +
@@ -1691,8 +1704,9 @@ ${LshOracleSql.cosineExpr} AS c
         .select(col("doc_id"),
           expr("transform(shs, x -> xxhash64(x))").as("sh"))
         .withColumn("n", size(col("sh")).cast("long"))
-        .filter(col("n") > 0)
+        // n>0 above the barrier — same pushdown trap as x_dedup_setjoin
         .barrier()
+        .filter(col("n") > 0)
       val tok = d.select(col("doc_id"), col("n"), explode(col("sh")).as("t"))
       val freq = tok.groupBy(col("t")).agg(count(lit(1)).as("f"))
       // A-side prefix: rarest n - ceil(4n/5) + 1 shingles
