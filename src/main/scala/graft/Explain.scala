@@ -55,9 +55,15 @@ object Explain {
       println(s"\n===== $name (formatted, pre-execution) =====")
       println(df.queryExecution.explainString(
         org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-      df.write.mode("overwrite").format("noop").save()
-      println(s"===== $name (executed, post-AQE) =====")
-      println(df.queryExecution.executedPlan.toString.take(4000))
+      // r15: finalize THIS DataFrame's own QueryExecution (a noop write
+      // plans a separate one, so the printed "post-AQE" tree used to be
+      // the still-initial adaptive plan — isFinalPlan=false — hiding
+      // every runtime join demotion/broadcast conversion the bench
+      // actually runs with). collect() is safe here: Explain is a
+      // diagnostic main run on registered queries with bounded outputs.
+      df.collect()
+      println(s"===== $name (executed, post-AQE final) =====")
+      println(df.queryExecution.executedPlan.toString.take(8000))
     }
     spark.stop()
   }
