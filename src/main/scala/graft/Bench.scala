@@ -333,6 +333,41 @@ object Bench {
     }
   }
 
+  /** Run-wide wall budget (round-16 directive #1): the r15 32-core
+    * driver run was killed by the driver's own timeout (rc 124) while
+    * still inside the extended section, so NO JSON line was ever
+    * printed and the whole round lost its round-over-round comparison.
+    * The budget inverts the failure mode: every section (and every
+    * query inside the long extended/sweep loops) first checks the
+    * remaining wall and SKIPS-AND-REPORTS instead of running past the
+    * driver's window — the one-line JSON with whatever completed always
+    * beats a dead process with nothing. Skips are recorded by section
+    * name in the artifact's `budget` object; the headline section is
+    * never skipped (it is the driver contract). Default 2100 s sits
+    * well inside the observed driver window (the r14 full run passed at
+    * 1881 s); override via SPARK_GRAFT_BENCH_BUDGET_SEC (0 = unlimited,
+    * for drills whose own loops manage time). */
+  final class WallBudget(val budgetSec: Double) {
+    private val t0 = System.nanoTime()
+    val skipped = scala.collection.mutable.ArrayBuffer.empty[String]
+    def elapsed: Double = (System.nanoTime() - t0) / 1e9
+    def remaining: Double =
+      if (budgetSec <= 0) Double.MaxValue else budgetSec - elapsed
+    /** Gate a section: true = run it; false = skip, recorded. */
+    def allows(section: String, reserveSec: Double): Boolean = {
+      val ok = remaining > reserveSec
+      if (!ok) {
+        skipped += section
+        System.err.println(f"[bench] budget: skipping $section " +
+          f"($remaining%.0f s left < $reserveSec%.0f s reserve)")
+      }
+      ok
+    }
+    /** Quiet check for per-query loop guards (the loop records ONE
+      * section-level skip entry itself, not one per query). */
+    def has(reserveSec: Double): Boolean = remaining > reserveSec
+  }
+
   /** Do the probe-basis and wall-basis factors disagree by >15%?
     * (round-15 directive #1: when they do, the walls win — they
     * measure the workload, not a proxy — and the artifact + README
@@ -507,6 +542,10 @@ object Bench {
     // soak-only profile: skip every timing section and run just the
     // warmup + soak (+ crash drills) — the cheap nightly dwweek run
     val soakOnly = sys.env.get("SPARK_GRAFT_SOAK_ONLY").contains("1")
+    // run-wide wall budget (see WallBudget's scaladoc): starts BEFORE
+    // the entry probes so "elapsed" is the driver's view of the process
+    val budget = new WallBudget(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET_SEC", "2100").toDouble)
     // entry load is sampled BEFORE any Spark work, so it measures what
     // else the machine is doing, not our own bench
     val loadEntry = loadAvg()
@@ -547,6 +586,11 @@ object Bench {
     def traceLoad(section: String): Unit =
       loadTrace += section -> loadAvg()
     var benchReruns = 0
+    // run-wide convergence-re-run cap (round-16 directive #1; default
+    // generous — a quiet run uses single digits, a noisy run is exactly
+    // where unbounded re-runs blow the wall)
+    val rerunCap =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RERUN_CAP", "24").toInt
     val unstable = scala.collection.mutable.ArrayBuffer.empty[String]
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -683,7 +727,14 @@ object Bench {
       def stable = { val s = ts.sorted
         s(1) - s(0) <= math.max(0.25 * s(0), 0.05) }
       var extra = 0
-      while (reps > 1 && !stable && extra < 2) {
+      // convergence re-runs are capped run-wide AND budget-gated
+      // (round-16 directive #1): on a contended machine more queries
+      // read unstable → more re-runs → more wall, exactly when wall is
+      // scarce — the amplifier in the r15 32-core timeout. A query
+      // whose extras were withheld stays marked unstable (honest), it
+      // just stops paying for confirmation.
+      while (reps > 1 && !stable && extra < 2 &&
+          benchReruns < rerunCap && budget.has(120)) {
         ts += runE2eIn(name, dir); extra += 1; benchReruns += 1
       }
       if (reps > 1 && !stable) unstable += name
@@ -802,7 +853,11 @@ object Bench {
       def windowClean(uns: Seq[String], probeEnd: Double): Boolean =
         uns.isEmpty && (probe1 <= 0 || probeEnd >= probe1 * 0.85)
       val firstUnstable = unstable.toList
-      if (!windowClean(firstUnstable, probeHead)) {
+      // the full-headline re-run roughly doubles the headline cost —
+      // affordable early, not when the budget says later sections are
+      // already at risk (budget gate records itself when it bites)
+      if (!windowClean(firstUnstable, probeHead) &&
+          budget.allows("headline_retry", 600)) {
         System.err.println(s"[bench] headline window suspect " +
           s"(unstable=${firstUnstable.mkString(",")}, probe " +
           s"$probe1 -> $probeHead M/s) — one full headline re-run")
@@ -954,7 +1009,8 @@ object Bench {
     // skipped
     var concSteal = -1.0
     val concurrentJson: String =
-      if (users <= 1 || soakOnly) "{}"
+      if (users <= 1 || soakOnly ||
+          !budget.allows("concurrent", 300)) "{}"
       else {
         // concurrency always runs the headline set, never BENCH_ALL's full
         // list: the d_* queries mutate fixed scratch paths / metastore
@@ -1303,7 +1359,8 @@ object Bench {
           sources.FsUtil.deleteRecursively(tmp, swallowErrors = true)
         }
     }
-    if (!(mixSecs <= 0 || soakOnly)) {
+    if (!(mixSecs <= 0 || soakOnly) &&
+        budget.allows("concurrent4", 360)) {
       try {
         val mixUsers = 4
         val mixNames = Seq("q01_pricing_summary", "q06_forecast_revenue",
@@ -1326,7 +1383,8 @@ object Bench {
         // verdict — it wasn't reproducing — but dropping it entirely
         // loses the forensic trail; violations_second preserves it)
         var secondViolations: Seq[String] = Seq.empty
-        if (leg.consistent && leg.errors == 0 && leg.violations.nonEmpty) {
+        if (leg.consistent && leg.errors == 0 && leg.violations.nonEmpty &&
+            budget.allows("conc4_confirm", 240)) {
           confirmRan = true
           firstViolations = leg.violations
           System.err.println(s"[bench] mixed bound violations " +
@@ -1359,7 +1417,8 @@ object Bench {
         var settleJson = """{"ran":false}"""
         if (shouldSettleReleg(leg.consistent, leg.errors, leg.violations,
             leg.stealPct > 2.5 ||
-              serialsInflated(leg.serials, serialRefs))) {
+              serialsInflated(leg.serials, serialRefs)) &&
+            budget.allows("conc4_settle_releg", 300)) {
           val stealFirst = leg.stealPct
           System.err.println(s"[bench] mixed verdict would be withheld " +
             s"on window evidence (leg steal $stealFirst%) — settling, " +
@@ -1466,7 +1525,7 @@ object Bench {
     // a soak failure must never destroy the already-measured headline and
     // concurrency results, so the whole section is fallible
     val soakJson: String =
-      if (soakCycles <= 0) "[]"
+      if (soakCycles <= 0 || !budget.allows("soak", 360)) "[]"
       else try {
         import org.apache.spark.sql.functions.{col, lit}
         val tmp = java.nio.file.Files.createTempDirectory("graft_soak")
@@ -1715,15 +1774,26 @@ object Bench {
     // queries per loop for a verdict that only reads headline history.
     val skipExt =
       soakOnly || sys.env.get("SPARK_GRAFT_BENCH_EXT").contains("0")
+    // budget-gated per query: a skipped entry is DROPPED from the map
+    // (a null would read as a query failure and inflate ext_fail) and
+    // counted in the budget object — the section stops at the first
+    // skip so the tail's order stays deterministic
+    val extSkipped = scala.collection.mutable.ArrayBuffer.empty[String]
     val extResults: Seq[(String, Option[Double])] =
-        (if (skipExt) Seq.empty[String] else extended).map { name =>
-      val sec =
-        try Some(runStable(name, sfDir, extRuns))
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] extended $name failed: ${e.getMessage}")
-          None
-        }
-      name -> sec
+        (if (skipExt) Seq.empty[String] else extended).flatMap { name =>
+      if (extSkipped.nonEmpty || !budget.has(90)) {
+        if (extSkipped.isEmpty) budget.skipped += "extended_tail"
+        extSkipped += name
+        None
+      } else {
+        val sec =
+          try Some(runStable(name, sfDir, extRuns))
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] extended $name failed: ${e.getMessage}")
+            None
+          }
+        Some(name -> sec)
+      }
     }
     traceLoad("extended")
     val extJson = extResults.map { case (k, v) => "\"" + k + "\":" + jnum(v) }
@@ -1769,7 +1839,10 @@ object Bench {
     val scalConfirmed = scala.collection.mutable.ArrayBuffer.empty[String]
     var scaling27Json = "{}"
     val scalingJson: String =
-      if (scaleFactor <= 1 || soakOnly) "{}"
+      // a budget skip is NOT "attempted": scalAttempted stays false so
+      // the verdict reads null/null (skipped), not false/"errors"
+      if (scaleFactor <= 1 || soakOnly ||
+          !budget.allows("scaling", 480)) "{}"
       else try {
         scalAttempted = true
         val scalJ0 = cpuJiffies()
@@ -1958,7 +2031,8 @@ object Bench {
           // show in an 8×-only artifact). Three documents-only ops with
           // the worst 8× raw ratios, single-shot, x1 reused from above:
           // ~1 min of bench time keeps the knee observable per round.
-          if (!sys.env.get("SPARK_GRAFT_SCALING27").contains("0")) try {
+          if (!sys.env.get("SPARK_GRAFT_SCALING27").contains("0") &&
+              budget.allows("scaling27", 180)) try {
             val f27 = 27
             val tmp27 = java.nio.file.Files.createTempDirectory("graft_s27")
             try {
@@ -2043,9 +2117,10 @@ object Bench {
     // in a README claim. Serial on purpose — d_* queries mutate fixed
     // scratch paths and may not interleave.
     val fullReg = !sys.env.get("SPARK_GRAFT_BENCH_FULLREG").contains("0") &&
-      !soakOnly
+      !soakOnly && budget.allows("all_sweep", 300)
     var allTotal = 0.0
     var allFail = 0
+    val allSkipped = scala.collection.mutable.ArrayBuffer.empty[String]
     var slowest: (String, Double) = ("", 0.0)
     // anomaly-confirm for the sweep (round-11 directive: the 27× leg
     // got single-shot confirmation in round 10, the sweep didn't — and
@@ -2117,12 +2192,19 @@ object Bench {
           .getOrElse(8.0)
         val sweepTimes =
           scala.collection.mutable.ArrayBuffer.empty[(String, Double)]
-        val entries = SparkEntry.queries.keys.toSeq.sorted.map { name =>
+        // same budget rule as the extended section: skipped entries are
+        // dropped (never nulled — null means FAILED) and counted
+        val entries = SparkEntry.queries.keys.toSeq.sorted.flatMap { name =>
+          if (allSkipped.nonEmpty || !budget.has(45)) {
+            if (allSkipped.isEmpty) budget.skipped += "all_sweep_tail"
+            allSkipped += name
+            None
+          } else {
           val sec =
             try {
               val first = runE2e(name)
               val bar = confirmBar(name)
-              Some(if (first > bar) {
+              Some(if (first > bar && budget.has(90)) {
                 System.err.println(s"[bench] sweep $name read " +
                   s"${r3(first)}s (> ${r3(bar)}s bar) — confirming " +
                   "with one re-run")
@@ -2140,7 +2222,8 @@ object Bench {
               if (s > slowest._2) slowest = (name, s)
             case None => allFail += 1
           }
-          "\"" + name + "\":" + jnum(sec)
+          Some("\"" + name + "\":" + jnum(sec))
+          }
         }
         sweepWallRatios = sweepTimes.toSeq.flatMap { case (n, s) =>
           planHashes.get(n)
@@ -2337,7 +2420,19 @@ object Bench {
         s""""cpu_n_threads":$yardstickCpuNThreads,""" +
         s""""io_warm_mbs":$yardstickIoWarm,""" +
         s""""pinned_from":"$yardstickFrom"}}"""
-    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","normalized":$normalizedJson,"queries":$qs,"extended":$extJson,"scaling":$scalingJson,"scaling27":$scaling27Json,"scal_worst":$scalWorst,"scal_ok":$scalOkJson,"scal_reason":$scalReasonJson,"scal_violations":$scalViolJson,"scal_confirmed":$scalConfJson,"concurrent":{"sessions":$users,"ok":$concOkJson,"reason":$concReasonJson,"worst":$concW,"steal_pct":$concSteal,"violations":$concViolJson,"queries":$concurrentJson},"concurrent4":$concurrent4Json,"soak":$soakJson,"soak_crash":$soakCrashJson,"soak_crash_all":$soakCrashAllJson,"all":$allJson,"all_confirmed":$confirmedJson,"regressions":$regressionsN,"regression_names":$regNamesJson,"headline_retry":$headlineRetryJson,"plants":$plantsJson,"contended":$contended,"load":$loadJson,"sf":"$sfDir"}"""
+    // budget accounting (round-16 directive #1): which sections the
+    // wall budget skipped, and how many extended/sweep entries were
+    // dropped — a dropped entry is a budget event, never a failure
+    val budgetJson =
+      s"""{"sec":${budget.budgetSec},"elapsed":${r3(budget.elapsed)},""" +
+        s""""reruns_capped":${benchReruns >= rerunCap},""" +
+        s""""sections_skipped":${budget.skipped
+          .map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+        s""""ext_skipped":${extSkipped.size},""" +
+        s""""all_skipped":${allSkipped.size},""" +
+        s""""ext_skipped_names":${extSkipped
+          .map("\"" + _ + "\"").mkString("[", ",", "]")}}"""
+    val line = s"""{"metric":"headline_total","value":$total,"unit":"sec","budget":$budgetJson,"normalized":$normalizedJson,"queries":$qs,"extended":$extJson,"scaling":$scalingJson,"scaling27":$scaling27Json,"scal_worst":$scalWorst,"scal_ok":$scalOkJson,"scal_reason":$scalReasonJson,"scal_violations":$scalViolJson,"scal_confirmed":$scalConfJson,"concurrent":{"sessions":$users,"ok":$concOkJson,"reason":$concReasonJson,"worst":$concW,"steal_pct":$concSteal,"violations":$concViolJson,"queries":$concurrentJson},"concurrent4":$concurrent4Json,"soak":$soakJson,"soak_crash":$soakCrashJson,"soak_crash_all":$soakCrashAllJson,"all":$allJson,"all_confirmed":$confirmedJson,"regressions":$regressionsN,"regression_names":$regNamesJson,"headline_retry":$headlineRetryJson,"plants":$plantsJson,"contended":$contended,"load":$loadJson,"sf":"$sfDir"}"""
     // full-precision, full-section copy: sbt wraps stdout in [info] noise
     // and the driver's stdout tail capture is ~2 KB, so the complete
     // artifact always lands in this file
@@ -2380,6 +2475,12 @@ object Bench {
       s""","headline_norm_walls":$normWallsTotal""" +
       s""","norm_factor_walls":${r4(factorWalls)}""" +
       s""","norm_disagree":$normDisagree""" +
+      // budget skip summary rides the compact line too: a shorter-than-
+      // usual extended/all section must self-identify as a budget event
+      // in the driver-visible line, not read as a mysterious speedup
+      s""","budget_skipped":${budget.skipped
+        .map("\"" + _ + "\"").mkString("[", ",", "]")}""" +
+      s""","ext_skipped":${extSkipped.size},"all_skipped":${allSkipped.size}""" +
       s""","ext_total":$extTotal,"ext_fail":$extFail""" +
       s""","scal_worst":$scalWorst,"conc_worst":$concW""" +
       s""","conc4_worst":$conc4W""" +

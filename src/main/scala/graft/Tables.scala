@@ -73,8 +73,55 @@ object Tables {
     * pays for itself. */
   def spread(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < target) df.repartition(target, key) else df
+    // r16 (VERDICT r15 #8): df.rdd.getNumPartitions forced a full
+    // physical-planning + whole-stage-codegen pass of the subtree on
+    // the driver PER CALL, at query-construction time. For the
+    // scan-shaped inputs spread is used on, the split count is
+    // estimable from the (already-listed, cached) FileIndex without
+    // planning; anything non-scan-shaped falls back to the exact
+    // physical count. The callers' keys must stay high-cardinality
+    // (doc_id, l_orderkey …) — a low-cardinality key would make the
+    // explicit repartition itself skewed (guide §2.5).
+    val splits = scanSplits(df).getOrElse(df.rdd.getNumPartitions)
+    if (splits < target) df.repartition(target, key) else df
   }
+
+  /** Estimated scan split count for a SCAN-SHAPED plan (narrow per-row
+    * ops — Project/Filter/Generate — over one file-source leaf), from
+    * the FileIndex the relation already holds. Replicates Spark's
+    * FilePartition packing arithmetic (maxSplitBytes =
+    * min(maxPartitionBytes, max(openCost, bytesPerCore)); files are
+    * charged openCost and bin-packed), which is exact enough for the
+    * one decision spread makes — "fewer splits than cores?" — at both
+    * ends of the regime (single bench file → ~1–2; production corpus →
+    * ≫ cores). None = not scan-shaped (e.g. an explicit repartition or
+    * a shuffle below): the caller uses the exact physical count. */
+  private def scanSplits(df: DataFrame): Option[Int] = try {
+    import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate,
+      LogicalPlan, Project}
+    import org.apache.spark.sql.execution.datasources.{HadoopFsRelation,
+      LogicalRelation}
+    val ss = df.sparkSession
+    def walk(p: LogicalPlan): Option[Int] = p match {
+      case l: LogicalRelation => l.relation match {
+        case fs: HadoopFsRelation =>
+          val conf = ss.sessionState.conf
+          val openCost = conf.filesOpenCostInBytes
+          val minPart = conf.filesMinPartitionNum
+            .getOrElse(ss.sparkContext.defaultParallelism)
+          val nFiles = fs.location.inputFiles.length
+          val total = fs.location.sizeInBytes + nFiles * openCost
+          val maxSplit = math.min(conf.filesMaxPartitionBytes,
+            math.max(openCost, total / math.max(1, minPart)))
+          Some(math.max(1, math.ceil(total.toDouble /
+            math.max(1L, maxSplit)).toInt))
+        case _ => None
+      }
+      case _: Project | _: Filter | _: Generate => walk(p.children.head)
+      case _ => None
+    }
+    walk(df.queryExecution.optimizedPlan)
+  } catch { case _: Throwable => None }
 
   /** Inferred schema per table path, cached while the directory's
     * fingerprint holds — the CalpontSystemCatalog caching analog (the

@@ -145,6 +145,43 @@ object VectorKernels {
     bestId
   }
 
+  /** Best cosine over the same cid-sorted centroid array as
+    * argmaxCosine — the VALUE the argmax fold tracks, for callers that
+    * need both (x_ann_ood_detection's quarantine threshold). Identical
+    * loop, accumulation order, init (−2.0) and nan-safe compare, so
+    * (argmaxCosine, maxCosine) decompose the interpreted
+    * struct-fold `aggregate(transform(carr, …), struct(-2.0, -1),
+    * (best, s) -> if(s.ccos >= best.ccos, s, best))` bit-exactly. */
+  def maxCosine(emb: ArrayData, carr: ArrayData): Double = {
+    val nc = carr.numElements()
+    val n = emb.numElements()
+    var na = 0.0
+    var i = 0
+    while (i < n) { val v = emb.getFloat(i).toDouble; na += v * v; i += 1 }
+    val sna = math.sqrt(na)
+    var bestC = -2.0
+    var c = 0
+    while (c < nc) {
+      val s = carr.getStruct(c, 2)
+      val cen = s.getArray(1)
+      if (cen.numElements() != n)
+        throw new IllegalArgumentException(
+          s"centroid dimension mismatch: $n vs ${cen.numElements()}")
+      var d = 0.0
+      var nb = 0.0
+      var j = 0
+      while (j < n) {
+        val x = emb.getFloat(j).toDouble
+        val y = cen.getFloat(j).toDouble
+        d += x * y; nb += y * y; j += 1
+      }
+      val ccos = d / (sna * math.sqrt(nb))
+      if (nanSafeCompare(ccos, bestC) >= 0) bestC = ccos
+      c += 1
+    }
+    bestC
+  }
+
   /** argmin squared-L2 over a cid-sorted array<struct<cid:int,
     * cen:array<float>>> for a DOUBLE subvector — the codegen'd
     * replacement for the interpreted PQ encode fold (strict `<` keeps
@@ -174,6 +211,108 @@ object VectorKernels {
       c += 1
     }
     bestId
+  }
+
+  /** L2-normalize: array<float> → array<double> — the codegen'd
+    * replacement for the interpreted
+    * `transform(embedding, x -> double(x) / sqrt(aggregate(embedding,
+    * 0D, (acc, v) -> acc + double(v) * double(v))))` pair (r16: the
+    * normalize+slice stage fed every PQ/residual/SQ8 chain through
+    * interpreted lambdas — measured 0.66 s single-task at sf0.1).
+    * Accumulation order is the SQL fold's exactly: acc starts 0.0 and
+    * adds v·v in ascending element order, then each element divides by
+    * the same sqrt — bit-identical results (oracle hash gate green
+    * across the ANN suite). Null elements reproduce the SQL chain too:
+    * one null element nulls the aggregate → nrm null → EVERY output
+    * element null (an array of nulls, not a null array). */
+  def normalizeL2(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var i = 0
+    var anyNull = false
+    while (i < n && !anyNull) { anyNull = a.isNullAt(i); i += 1 }
+    if (anyNull)
+      return new org.apache.spark.sql.catalyst.util.GenericArrayData(
+        new Array[Any](n))
+    var s = 0.0
+    i = 0
+    while (i < n) { val v = a.getFloat(i).toDouble; s += v * v; i += 1 }
+    val nrm = math.sqrt(s)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = a.getFloat(i).toDouble / nrm; i += 1 }
+    ArrayData.toArrayData(out)
+  }
+
+  /** Ordered-fold squared L2 over two double arrays — the codegen'd
+    * replacement for the interpreted
+    * `aggregate(zip_with(a, b, (x, y) -> (x-y)²), 0D, +)` chain (the
+    * SQ8 scoring pass runs it per (query, vector) pair). Same
+    * accumulation order: (a[i]−b[i])² added in ascending i. The float
+    * variants widen through double exactly like the SQL `double(x)`
+    * casts. A null element nulls the SQL aggregate; the expression's
+    * nullSafeEval mirrors that by returning null (boxed) from here. */
+  def l2sqDD(a: ArrayData, b: ArrayData): Any = {
+    val n = checkDims(a, b)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    var s = 0.0
+    i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getDouble(i)
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  /** l2sq for (array<double>, array<float>) — the PQ distance-table
+    * shape (query subvector vs float-rounded codebook centroid). */
+  def l2sqDF(a: ArrayData, b: ArrayData): Any = {
+    val n = checkDims(a, b)
+    var i = 0
+    while (i < n) {
+      if (a.isNullAt(i) || b.isNullAt(i)) return null
+      i += 1
+    }
+    var s = 0.0
+    i = 0
+    while (i < n) {
+      val d = a.getDouble(i) - b.getFloat(i).toDouble
+      s += d * d; i += 1
+    }
+    s
+  }
+
+  /** Element-wise subtract over two double arrays — the codegen'd
+    * replacement for the interpreted `zip_with(a, b, (x, y) -> x - y)`
+    * (the residual-PQ encode input, per corpus row). Null elements
+    * reproduce zip_with: a null on either side yields a null element
+    * at that position. */
+  def vecSub(a: ArrayData, b: ArrayData): ArrayData = {
+    val n = checkDims(a, b)
+    var i = 0
+    var anyNull = false
+    while (i < n && !anyNull) {
+      anyNull = a.isNullAt(i) || b.isNullAt(i); i += 1
+    }
+    if (!anyNull) {
+      val out = new Array[Double](n)
+      i = 0
+      while (i < n) { out(i) = a.getDouble(i) - b.getDouble(i); i += 1 }
+      ArrayData.toArrayData(out)
+    } else {
+      val out = new Array[Any](n)
+      i = 0
+      while (i < n) {
+        out(i) =
+          if (a.isNullAt(i) || b.isNullAt(i)) null
+          else java.lang.Double.valueOf(a.getDouble(i) - b.getDouble(i))
+        i += 1
+      }
+      new org.apache.spark.sql.catalyst.util.GenericArrayData(out)
+    }
   }
 
   /** Random-hyperplane LSH bucket: sign bit per plane, planes derived
@@ -318,6 +457,40 @@ case class ArgMaxCosine(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** MAX_COSINE(emb, carr) → double best cosine (see
+  * VectorKernels.maxCosine). */
+case class MaxCosine(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def prettyName: String = "max_cosine"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(FloatType, _),
+            ArrayType(StructType(Array(f1, f2)), _))
+          if f1.dataType == IntegerType &&
+            f2.dataType.isInstanceOf[ArrayType] &&
+            f2.dataType.asInstanceOf[ArrayType].elementType == FloatType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<float>, array<struct<int," +
+            s"array<float>>>), got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.maxCosine(a.asInstanceOf[ArrayData],
+      b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.maxCosine($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 /** ARGMIN_L2(svec, cbook) → int cid (see VectorKernels.argminL2). */
 case class ArgMinL2(left: Expression, right: Expression)
     extends BinaryExpression {
@@ -351,6 +524,114 @@ case class ArgMinL2(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** NORMALIZE_L2(emb): array<float> → array<double> (see
+  * VectorKernels.normalizeL2 for the bit-exactness contract). */
+case class NormalizeL2(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "normalize_l2"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(FloatType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires array<float>, got ${other.simpleString}")
+    }
+
+  protected override def nullSafeEval(input: Any): Any =
+    VectorKernels.normalizeL2(input.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, c =>
+      s"graft.functions.VectorKernels.normalizeL2($c)")
+
+  override protected def withNewChildInternal(newChild: Expression): NormalizeL2 =
+    copy(child = newChild)
+}
+
+/** L2_SQ(a, b) → double: ordered-fold squared L2; accepts
+  * (array<double>, array<double>) and (array<double>, array<float>) —
+  * the two shapes the interpreted l2sq fold was used with. Nullable:
+  * a null element on either side nulls the result, like the SQL
+  * aggregate it replaces. */
+case class L2Sq(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "l2_sq"
+
+  private def rightIsFloat: Boolean = right.dataType match {
+    case ArrayType(FloatType, _) => true
+    case _ => false
+  }
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) |
+           (ArrayType(DoubleType, _), ArrayType(FloatType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires (array<double>, array<double|float>), " +
+            s"got (${l.simpleString}, ${r.simpleString})")
+    }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    if (rightIsFloat)
+      VectorKernels.l2sqDF(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+    else
+      VectorKernels.l2sqDD(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val kernel = if (rightIsFloat) "l2sqDF" else "l2sqDD"
+    // the kernel returns a boxed Double or null (null-element semantics),
+    // so nullSafeCodeGen with an explicit unbox + isNull update
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val boxed = ctx.freshName("boxed")
+      s"""
+         |Object $boxed = graft.functions.VectorKernels.$kernel($a, $b);
+         |if ($boxed == null) { ${ev.isNull} = true; }
+         |else { ${ev.value} = ((java.lang.Double) $boxed).doubleValue(); }
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
+/** VEC_SUB(a, b): element-wise a − b over array<double> (see
+  * VectorKernels.vecSub). */
+case class VecSub(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = true)
+  override def prettyName: String = "vec_sub"
+
+  override def checkInputDataTypes():
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<double> arguments, got " +
+            s"(${l.simpleString}, ${r.simpleString})")
+    }
+
+  protected override def nullSafeEval(a: Any, b: Any): Any =
+    VectorKernels.vecSub(a.asInstanceOf[ArrayData], b.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, (a, b) =>
+      s"graft.functions.VectorKernels.vecSub($a, $b)")
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression) =
+    copy(left = l, right = r)
+}
+
 object VectorFunctions {
   import org.apache.spark.sql.graft.ColumnBridge.{column, expression}
   def cosineSim(a: Column, b: Column): Column =
@@ -363,6 +644,14 @@ object VectorFunctions {
     column(LshBucket(expression(v), planes, seed))
   def argmaxCosine(emb: Column, carr: Column): Column =
     column(ArgMaxCosine(expression(emb), expression(carr)))
+  def maxCosine(emb: Column, carr: Column): Column =
+    column(MaxCosine(expression(emb), expression(carr)))
   def argminL2(svec: Column, cbook: Column): Column =
     column(ArgMinL2(expression(svec), expression(cbook)))
+  def normalizeL2(v: Column): Column =
+    column(NormalizeL2(expression(v)))
+  def l2Sq(a: Column, b: Column): Column =
+    column(L2Sq(expression(a), expression(b)))
+  def vecSub(a: Column, b: Column): Column =
+    column(VecSub(expression(a), expression(b)))
 }

@@ -190,22 +190,24 @@ object AnnIndex {
 
   // ---- product quantizer -----------------------------------------------
 
-  /** Ordered-fold squared L2 between two array columns. */
-  private[operators] def l2sqExpr(a: String, b: String) = expr(
-    s"aggregate(zip_with($a, $b, " +
-      "(x, y) -> (double(x) - double(y)) * (double(x) - double(y))), " +
-      "cast(0 as double), (acc, v) -> acc + v)")
+  /** Ordered-fold squared L2 between two array columns. r16: interpreted
+    * `aggregate(zip_with(…))` → codegen'd L2_SQ kernel (same accumulation
+    * order and double-widening — see VectorKernels.l2sqDD/DF; the SQ8
+    * scoring pass runs this per (query, vector) pair and higher-order
+    * functions never enter WholeStageCodegen). */
+  private[operators] def l2sqExpr(a: String, b: String) =
+    graft.functions.VectorFunctions.l2Sq(col(a), col(b))
 
   /** L2-normalized embeddings (vec_id, nemb) — the one normalization
     * every PQ / residual path composes (a future tweak, e.g. a zero-norm
     * epsilon, lands in exactly one place, preserving the bit-identical
-    * composed-vs-indexed invariant the tests pin). */
+    * composed-vs-indexed invariant the tests pin). r16: the interpreted
+    * sqrt(aggregate(…)) + transform(…/nrm) pair → codegen'd NORMALIZE_L2
+    * (bit-identical fold order; see VectorKernels.normalizeL2). */
   private[operators] def normalizedEmb(base: DataFrame): DataFrame =
-    base
-      .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
-        "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
-      .select(col("vec_id"),
-        expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
+    base.select(col("vec_id"),
+      graft.functions.VectorFunctions.normalizeL2(col("embedding"))
+        .as("nemb"))
 
   /** L2-normalized subvectors (vec_id, ss, svec): on unit vectors
     * squared-L2 = 2 − 2·cos, so PQ's ADC ranking is rank-equivalent to
@@ -336,7 +338,10 @@ object AnnIndex {
     normalizedEmb(base).join(assign, Seq("vec_id"))
       .join(broadcast(ncen), Seq("cid"))
       .select(col("vec_id"),
-        expr("zip_with(nemb, ncen, (x, y) -> x - y)").as("rvec"))
+        // r16: interpreted zip_with subtract → codegen'd VEC_SUB (same
+        // element order and double arithmetic; VectorKernels.vecSub)
+        graft.functions.VectorFunctions.vecSub(col("nemb"), col("ncen"))
+          .as("rvec"))
       .select(col("vec_id"),
         posexplode(array((0 until m).map(j =>
           expr(s"slice(rvec, ${j * sub + 1}, $sub)")): _*)))
@@ -351,16 +356,37 @@ object AnnIndex {
   def build(s: SparkSession, dir: String): Unit = {
     java.nio.file.Files.deleteIfExists(marker(dir))
     val base = Tables.table(s, dir, "embeddings")
-    val assign = coarseTrainTo(base, K, ITERS, assignPath(dir))
-    val cents = materialize(coarseCentroids(base, assign),
-      centroidsPath(dir))
+    // r16 (guide §2.6 overlap independent jobs): the coarse k-means and
+    // the DIRECT-encoding PQ training share no state, yet ran strictly
+    // sequentially — and both are chains of short, largely single-task
+    // jobs whose wall is scheduler/driver latency, not cores. Two
+    // driver threads submit them concurrently so one chain's stages
+    // back-fill the other's idle executors (Spark schedules concurrent
+    // jobs natively; actions were only sequential because this code
+    // called them sequentially). The residual training stays after the
+    // join point — it consumes the coarse assignment. Results are
+    // unchanged: the chains share no mutable state and each artifact
+    // path is written by exactly one thread.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration.Duration
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val coarseF = Future {
+      val assign = coarseTrainTo(base, K, ITERS, assignPath(dir))
+      val cents = materialize(coarseCentroids(base, assign),
+        centroidsPath(dir))
+      (assign, cents)
+    }
     // the subvector tables feed every training pass (init, each Lloyd
     // round's encode, the final codebook): barrier them once instead of
     // re-running the normalize+slice (and, for residuals, the
     // centroid-subtract join) lineage per pass. Build-job-only
     // materialization; the serving read paths never see these.
-    val subs = graft.sources.Checkpoints.barrier(pqSubs(base, M, SUB))
-    trainPq(subs, codesPath(dir), codebookPath(dir))
+    val pqF = Future {
+      val subs = graft.sources.Checkpoints.barrier(pqSubs(base, M, SUB))
+      trainPq(subs, codesPath(dir), codebookPath(dir))
+    }
+    val (assign, cents) = Await.result(coarseF, Duration.Inf)
+    Await.result(pqF, Duration.Inf)
     val rsubs = graft.sources.Checkpoints.barrier(
       residualSubs(base, assign, cents, M, SUB))
     trainPq(rsubs, resCodesPath(dir), resCodebookPath(dir))
@@ -455,7 +481,8 @@ object AnnIndex {
       .join(broadcast(probes), Seq("q_id"))
       .join(broadcast(ncen), Seq("cid"))
       .select(col("q_id"), col("cid").as("pcid"),
-        expr("zip_with(nemb, ncen, (x, y) -> x - y)").as("rq"))
+        graft.functions.VectorFunctions.vecSub(col("nemb"), col("ncen"))
+          .as("rq"))
       .select(col("q_id"), col("pcid"),
         posexplode(array((0 until m).map(j =>
           expr(s"slice(rq, ${j * sub + 1}, $sub)")): _*)))

@@ -48,8 +48,39 @@ object BpeQueries {
         "array_join(transform(split(text, ' '), " +
         s"w -> ${encWordSql("w")}), chr(3)) END"))
 
+  /** The (cnt DESC, a, b) argmax pair over one vocabulary state — the
+    * per-iteration training step, as a 1-row DataFrame. */
+  private def pairBest(v: DataFrame): DataFrame = v
+    .filter(length(col("wstr")) > 0)
+    .select(col("freq"),
+      split(expr("substring(wstr, 2, length(wstr) - 2)"), E + S)
+        .as("syms"))
+    .filter(size(col("syms")) >= 2)
+    .select(col("freq"), explode(expr(
+      "transform(sequence(1, size(syms) - 1), " +
+        "j -> struct(element_at(syms, j) AS a, " +
+        "element_at(syms, j + 1) AS b))")).as("p"))
+    .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+    .agg(sum(col("freq")).as("cnt"))
+    .orderBy(col("cnt").desc, col("a"), col("b"))
+    .limit(1)
+
   /** Train `n` merges over the corpus word vocabulary. Returns the merge
-    * table in training order. */
+    * table in training order.
+    *
+    * r16 (VERDICT r15 #5, guide §5 driver latency): the loop collected
+    * once PER merge — 8 sequential driver round-trips, each paying
+    * Catalyst planning + fresh whole-stage-codegen compilation for a
+    * sub-300 ms job (profile: ~3.3 s of executed jobs inside an ~8 s
+    * wall). Now each round-trip resolves TWO merges in one action: the
+    * round's argmax (best1), the vocabulary REWRITTEN BY best1 inside
+    * the same plan (a cross join against the 1-row argmax — the same
+    * literal replace, built from columns), and the argmax over that
+    * (best2), unioned with a step tag. The merge table is byte-identical
+    * — best2 is computed over exactly the vocabulary state best1's
+    * merge produces, same (cnt DESC, a, b) tie rule — and the driver
+    * state stays the N-row merge table (the vocabulary itself never
+    * collects). */
   private[graft] def trainMerges(s: SparkSession, d: DataFrame, n: Int,
       scratchPath: String): Seq[(String, String)] = {
     val words = d
@@ -59,28 +90,31 @@ object BpeQueries {
     var vocab = AnnIndex.materialize(words, scratchPath)
     val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
     var exhausted = false
-    for (_ <- 1 to n if !exhausted) {
-      val best = vocab
-        .filter(length(col("wstr")) > 0)
-        .select(col("freq"),
-          split(expr("substring(wstr, 2, length(wstr) - 2)"), E + S)
-            .as("syms"))
-        .filter(size(col("syms")) >= 2)
-        .select(col("freq"), explode(expr(
-          "transform(sequence(1, size(syms) - 1), " +
-            "j -> struct(element_at(syms, j) AS a, " +
-            "element_at(syms, j + 1) AS b))")).as("p"))
-        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
-        .agg(sum(col("freq")).as("cnt"))
-        .orderBy(col("cnt").desc, col("a"), col("b"))
-        .limit(1)
-        .collect()
-      if (best.isEmpty) exhausted = true
-      else {
-        val (a, b) = (best(0).getString(0), best(0).getString(1))
+    while (merges.size < n && !exhausted) {
+      val want = math.min(2, n - merges.size)
+      val best1 = pairBest(vocab)
+      val rows =
+        if (want == 1)
+          best1.select(lit(1).as("step"), col("a"), col("b")).collect()
+        else {
+          val applied = vocab
+            .crossJoin(best1.select(col("a").as("_ma"), col("b").as("_mb")))
+            .withColumn("wstr", replace(col("wstr"),
+              concat(lit(S), col("_ma"), lit(E), lit(S), col("_mb"), lit(E)),
+              concat(lit(S), col("_ma"), col("_mb"), lit(E))))
+            .select(col("wstr"), col("freq"))
+          best1.select(lit(1).as("step"), col("a"), col("b"))
+            .unionAll(pairBest(applied)
+              .select(lit(2).as("step"), col("a"), col("b")))
+            .collect()
+        }
+      val got = rows.sortBy(_.getInt(0))
+        .map(r => (r.getString(1), r.getString(2))).toSeq
+      got.foreach { case (a, b) =>
         merges += ((a, b))
         vocab = vocab.withColumn("wstr", mergeOnce(col("wstr"), a, b))
       }
+      if (got.size < want) exhausted = true
     }
     merges.toSeq
   }

@@ -182,7 +182,16 @@ object DedupQueries {
         .filter(col("doc_id") =!= col("rep_id"))
         .select(col("rep_id").as("a"), col("doc_id").as("b"))
         .distinct()
-      val toksOf = base.select(col("doc_id"), col("toks"))
+      // r16 (VERDICT r15 #6, guide §2 recomputation): the two verify
+      // joins consume toksOf under DIFFERENT aliases, so exchange reuse
+      // never fires and the documents tokenize (split + array_distinct)
+      // ran twice as two sequential single-task broadcast builds.
+      // Barrier it once; the checkpoint side loses size stats, which
+      // here flips the planner to broadcasting the CANDIDATE-PAIR side
+      // (the genuinely small one) instead of the token table — the
+      // right build side at 100 TB anyway.
+      val toksOf = graft.sources.Checkpoints.barrier(
+        base.select(col("doc_id"), col("toks")))
       val verified = pairs
         .join(toksOf.withColumnRenamed("doc_id", "a")
           .withColumnRenamed("toks", "toks_a"), Seq("a"))

@@ -1090,11 +1090,17 @@ object EventsQueries {
     * from grouped aggregation; lift is one float division per surviving
     * pair, so the ranking replays bit-exactly.
     *
-    * Scale shape: the pair join is per-user (self-join keyed on user_id
-    * with item_a < item_b), so candidates are Σ basket² — bounded by
-    * basket size, never corpus²; item counts and the user total are
-    * broadcast-size tables. A production run caps pathological baskets
-    * first (the same hot-key guard as the dedup buckets). */
+    * Scale shape (r16, guide §2.3/§2.5): the old per-user row×row
+    * self-join shuffled Σ basket² candidate rows into the pair
+    * aggregate — one pathological basket (a crawler with 10⁵ distinct
+    * items) made the shuffle quadratic at 100 TB. Now each user's
+    * distinct items collapse to ONE basket row first (the same
+    * user-keyed shuffle the distinct already pays), the a<b pairs are
+    * generated map-side by two codegen'd explodes, and partial
+    * aggregation reduces them before the only remaining exchange
+    * (distinct pairs). Per-user pair GENERATION is still Σ basket² —
+    * that is the declared result's intrinsic size — but it happens
+    * in-task and pre-aggregated, never as shuffled rows. */
   val copurchase: QueryDef = QueryDef(
     "x_events_copurchase",
     (s, dir) => {
@@ -1104,11 +1110,15 @@ object EventsQueries {
         .distinct()
       val ic = bought.groupBy(col("item")).agg(count(lit(1)).as("c"))
       val nu = bought.agg(countDistinct(col("user_id")).as("nu"))
-      val pairs = bought.as("a")
-        .join(bought.as("b"),
-          col("a.user_id") === col("b.user_id") &&
-            col("a.item") < col("b.item"))
-        .groupBy(col("a.item").as("item_a"), col("b.item").as("item_b"))
+      // collect_set drops null items; the old join dropped them too
+      // (null < x is null), and ic/nu still count them identically
+      val baskets = bought.groupBy(col("user_id"))
+        .agg(collect_set(col("item")).as("items"))
+      val pairs = baskets
+        .select(explode(col("items")).as("item_a"), col("items"))
+        .select(col("item_a"), explode(col("items")).as("item_b"))
+        .filter(col("item_a") < col("item_b"))
+        .groupBy(col("item_a"), col("item_b"))
         .agg(count(lit(1)).as("c_ab"))
         .filter(col("c_ab") >= 2)
       pairs

@@ -170,7 +170,7 @@ ${LshOracleSql.cosineExpr} AS cos
 
   // ---- IVF / PQ / IVF+PQ — quantizer machinery lives in AnnIndex -------
   import AnnIndex.{coarseCentroids, coarseProbes, coarseReassign,
-    coarseTrainTo, pqEncode, pqSubs,
+    coarseTrainTo, pqEncode, pqSubs, normalizedEmb,
     pqCodebookOf, pqTrainCodesTo, pqDtab, adcTopK, inlineScratch, l2sqExpr}
 
   /** IVF-style ANN: a coarse k-means quantizer (deterministic hash init +
@@ -276,8 +276,22 @@ ${LshOracleSql.cosineExpr} AS cos
       val m = 16; val sub = 4; val kpq = 16
       val iters = 2; val topk = 3; val nq = 10
       val base = emb(s, dir)
-      val coarse = coarseTrainTo(base, k, iters,
-        inlineScratch(dir, "ivfpq_assign"))
+      // r16 (guide §2.6): the coarse and PQ trainings are independent
+      // chains of short jobs — overlap them on two driver threads (same
+      // rationale and safety argument as AnnIndex.build)
+      import scala.concurrent.{Await, Future}
+      import scala.concurrent.duration.Duration
+      import scala.concurrent.ExecutionContext.Implicits.global
+      val coarseF = Future {
+        coarseTrainTo(base, k, iters, inlineScratch(dir, "ivfpq_assign"))
+      }
+      val subs = pqSubs(base, m, sub)
+      val codesF = Future {
+        pqTrainCodesTo(subs, sub, kpq, iters,
+          inlineScratch(dir, "ivfpq_codes"))
+      }
+      val coarse = Await.result(coarseF, Duration.Inf)
+      val codes = Await.result(codesF, Duration.Inf)
       val coarseCents = coarseCentroids(base, coarse)
       val queries = base.filter(col("vec_id") < nq)
         .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
@@ -286,9 +300,6 @@ ${LshOracleSql.cosineExpr} AS cos
         .filter(col("vec_id") =!= col("q_id"))
         .select(col("q_id"), col("vec_id"))
         .distinct()
-      val subs = pqSubs(base, m, sub)
-      val codes = pqTrainCodesTo(subs, sub, kpq, iters,
-        inlineScratch(dir, "ivfpq_codes"))
       val cents = pqCodebookOf(codes.join(subs, Seq("vec_id", "ss")), sub)
       val dtab = pqDtab(subs.filter(col("vec_id") < nq), cents)
       val pairs = cands
@@ -756,11 +767,9 @@ ${LshOracleSql.cosineExpr} AS cos
     (s, dir) => {
       val dims = 64; val topk = 3; val nq = 10
       val base = emb(s, dir)
-      val nrm = base
-        .withColumn("nrm", expr("sqrt(aggregate(embedding, " +
-          "cast(0 as double), (acc, v) -> acc + double(v) * double(v)))"))
-        .select(col("vec_id"),
-          expr("transform(embedding, x -> double(x) / nrm)").as("nemb"))
+      // r16: same interpreted normalize chain as AnnIndex.normalizedEmb
+      // had — one codegen'd kernel now serves both (bit-identical fold)
+      val nrm = normalizedEmb(base)
       val stats = nrm.agg(
         array((1 to dims).map(i =>
           min(element_at(col("nemb"), i))).toIndexedSeq: _*).as("mn"),
@@ -1310,21 +1319,16 @@ ${LshOracleSql.cosineExpr} AS cos
         .agg(sort_array(collect_list(struct(col("cid"), col("centroid"))))
           .as("carr"))
       base.crossJoin(broadcast(carr))
-        .withColumn("best", expr(
-          """aggregate(
-               transform(carr, c -> struct(
-                 aggregate(zip_with(embedding, c.centroid,
-                     (x, y) -> double(x) * double(y)),
-                   cast(0 as double), (acc, v) -> acc + v)
-                 / (sqrt(aggregate(embedding, cast(0 as double),
-                      (acc, v) -> acc + double(v) * double(v)))
-                    * sqrt(aggregate(c.centroid, cast(0 as double),
-                        (acc, v) -> acc + double(v) * double(v)))) AS ccos,
-                 c.cid AS cid)),
-               struct(double(-2.0) AS ccos, -1 AS cid),
-               (best, s) -> if(s.ccos >= best.ccos, s, best))"""))
-        .select(col("vec_id"), col("best.cid").as("nearest_cid"),
-          round(col("best.ccos"), 6).as("best_cos"))
+        // r16: the interpreted struct-fold argmax (aggregate over
+        // transform(carr, …) — never codegens) decomposes into the two
+        // codegen'd kernels with identical accumulation order, init and
+        // `>=`-keeps-larger-cid tie rule: ARGMAX_COSINE for the cid,
+        // MAX_COSINE for the value (VectorKernels.maxCosine scaladoc)
+        .select(col("vec_id"),
+          graft.functions.VectorFunctions.argmaxCosine(
+            col("embedding"), col("carr")).as("nearest_cid"),
+          round(graft.functions.VectorFunctions.maxCosine(
+            col("embedding"), col("carr")), 6).as("best_cos"))
         .filter(col("best_cos") < 0.25)
         .orderBy(col("vec_id"))
     },

@@ -1453,6 +1453,26 @@ class CatalogSpec extends GraftSuite {
       (("false", "\"errors\"")))
   }
 
+  test("WallBudget: sections skip-and-report when the wall runs out") {
+    // generous budget: everything allowed, nothing recorded
+    val big = new Bench.WallBudget(3600)
+    assert(big.allows("concurrent", 300) && big.has(300))
+    assert(big.skipped.isEmpty)
+    // exhausted budget (elapsed > 0 against a 0.001 s wall): sections
+    // are denied AND self-record; the quiet per-query guard denies
+    // without recording (the loop records one section entry itself)
+    Thread.sleep(5)
+    val tiny = new Bench.WallBudget(0.001)
+    assert(!tiny.has(45))
+    assert(tiny.skipped.isEmpty, "has() must not record")
+    assert(!tiny.allows("scaling", 480))
+    assert(tiny.skipped == Seq("scaling"))
+    // 0 = unlimited (drills manage their own time)
+    val off = new Bench.WallBudget(0)
+    assert(off.allows("all_sweep", 1e9))
+    assert(off.skipped.isEmpty)
+  }
+
   test("runContended: per-query instability needs windowed corroboration") {
     import Bench.runContended
     // direct machine evidence convicts alone, corroborated or not
